@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the exactness baseline, and a
+sign-bucket LSH variant as the scale path. The embedding column is
+array<float>; all arithmetic is element-cast to double and folded
+sequentially (F.aggregate / zip_with), which matches DuckDB's
+list_dot_product over DOUBLE[] bit-for-bit — no UDF, no nondeterminism.
+
+Scale design (billions of vectors):
+- brute force is O(Q·N·d) — only for small Q (broadcast the queries);
+  the plan broadcasts the query set so the big side never shuffles;
+- the sign-bucket LSH (axis-aligned hyperplanes, deterministic choice of
+  the first b dimensions) partitions the corpus into 2^b buckets;
+  candidates only join within their bucket — the shuffle key is the
+  bucket id. Swap in learned/random hyperplanes by replacing
+  `sign_bucket` — the plan shape is unchanged.
+- For IVF-style search, replace sign_bucket with a coarse-centroid
+  assignment (a broadcast join against k centroids) — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — order-stable across engines."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Deterministic LSH bucket: concatenated sign bits of the first
+    `bits` dimensions (axis-aligned random-hyperplane family with a
+    fixed choice of planes — portable to the SQL oracle)."""
+    parts = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 3) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    `queries` (small) is broadcast; candidates never move. Self-matches
+    excluded; ties broken by neighbor id for determinism.
+    """
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double_vec(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   as_double_vec(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 3, bits: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. The candidate join is an equi-join on the bucket key — at
+    billions of vectors this shuffles each side once on a 2^bits-ary
+    key instead of cross-joining."""
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double_vec(vec_col).alias("qv"),
+                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   as_double_vec(vec_col).alias("cv"),
+                   sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95, bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign buckets
+    (id_a < id_b, cosine >= threshold) — the embedding leg of the
+    dedup suite."""
+    c = emb.select(F.col(id_col).alias("_id"),
+                   as_double_vec(vec_col).alias("v"),
+                   sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    a = c.select(F.col("bucket"), F.col("_id").alias("id_a"),
+                 F.col("v").alias("va"))
+    b = c.select(F.col("bucket"), F.col("_id").alias("id_b"),
+                 F.col("v").alias("vb"))
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

@@ -1,0 +1,53 @@
+"""Dim_Date generator (SURVEY §2.9).
+
+The reference generates 730 days of calendar + fiscal attributes with an
+opaque "complex date generation logic" INSERT
+(/root/reference/private_ddl/example_dim_date.sql:32-33; 730 rows at
+rahil/logs/dim_etl_run_20250514_204523.log:58). Here the generator is a
+fully-specified Catalyst plan: sequence() -> explode -> the
+functions.dates attribute bundle. No data is shipped from the driver —
+the whole dim materializes executor-side, so a 100-year calendar costs
+the same plan shape as 2 years.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import FISCAL_START_MONTH, date_attributes
+
+DIM_DATE_COLUMNS = (
+    "date_pkey", "date_value", "year_num", "quarter_num", "month_num",
+    "day_num_in_month", "day_num_in_year", "week_num_in_year", "day_name",
+    "day_abbrev", "month_name", "month_abbrev", "year_month", "yearmo_num",
+    "is_weekday", "is_month_end", "is_holiday", "week_begin_date",
+    "week_end_date", "fiscal_year_num", "fiscal_month_num",
+    "fiscal_quarter_num", "fiscal_yearmo_num",
+)
+
+
+def date_spine(spark: SparkSession, start: str | _dt.date,
+               end: str | _dt.date) -> DataFrame:
+    """One row per day in [start, end] — generated executor-side."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(F.to_date(F.lit(str(start))), F.to_date(F.lit(str(end))),
+                       F.expr("interval 1 day"))
+        ).alias("d")
+    )
+
+
+def build_dim_date(spark: SparkSession, start: str | _dt.date = "2013-01-01",
+                   end: str | _dt.date = "2014-12-31",
+                   fiscal_start_month: int = FISCAL_START_MONTH) -> DataFrame:
+    """The reference's DIM_DATE re-expressed as a deterministic plan.
+
+    Defaults reproduce the reference's 730-day 2013-2014 calendar; the
+    workload catalog spans it over the testdata's o_orderdate range.
+    """
+    attrs = date_attributes("d", fiscal_start_month)
+    spine = date_spine(spark, start, end)
+    return spine.select(*[attrs[name].alias(name) for name in DIM_DATE_COLUMNS])

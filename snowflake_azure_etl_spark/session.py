@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference opens one Snowflake connection per pipeline step
+(/root/reference/rahil/connection.py:18-35); here a single SparkSession is
+the engine. Local-mode defaults follow the bench contract (local[N] with
+N = $SPARK_GRAFT_CPUS); at cluster scale the same builder is used with a
+real master URL — every config below is sized by a knob, not hard-coded to
+the local case.
+
+Scale notes (100 TB design point):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast decisions replace hand-tuned partition counts.
+- shuffle.partitions is only the *initial* number; AQE coalesces. On a
+  1000-executor cluster set it ~2-3x total cores via SPARK_GRAFT_SHUFFLE.
+- Session TZ pinned to UTC so date/timestamp semantics are engine-stable
+  (and match the DuckDB oracle, whose timestamps are naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "snowflake_azure_etl_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or get) the engine session.
+
+    An existing active session is reused with its configs (the driver may
+    hand us one); otherwise a local session is built with engine defaults.
+    """
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions
+                    or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,96 @@
+"""Snowflake-style CSV ingestion semantics on Spark.
+
+Reproduces the reference's shared FILE_FORMAT + COPY behavior:
+- CSV_FORMAT: ','-delimited, SKIP_HEADER=1, NULL_IF=('NULL','null'),
+  EMPTY_FIELD_AS_NULL=TRUE (/root/reference/rahil/create_stages.py:23-30)
+- COPY INTO ... ON_ERROR='CONTINUE' with per-file loaded-row accounting
+  (/root/reference/rahil/load_data.py:41-59)
+
+Spark mapping: schema-declared read (no inference — the reference trusts
+declared DDL), PERMISSIVE mode with a corrupt-record column standing in
+for ON_ERROR=CONTINUE, and an accounting pass that reports loaded vs
+rejected rows per input file (input_file_name()).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+SNOWFLAKE_CSV_OPTIONS = {
+    "header": "true",          # SKIP_HEADER = 1
+    "sep": ",",
+    "nullValue": "NULL",       # NULL_IF = ('NULL', 'null') — see reader note
+    "emptyValue": "",          # empty field -> null via nullValue fallback
+    "mode": "PERMISSIVE",      # ON_ERROR = 'CONTINUE'
+    "columnNameOfCorruptRecord": CORRUPT_COL,
+}
+
+
+@dataclass
+class LoadReport:
+    """Per-entity COPY accounting (reference load_data.py:48-74)."""
+    entity: str
+    rows_loaded: int
+    rows_rejected: int
+    files: dict[str, int]
+
+    @property
+    def ok(self) -> bool:
+        return self.rows_loaded > 0
+
+
+def read_snowflake_csv(spark: SparkSession, path: str,
+                       schema: T.StructType) -> DataFrame:
+    """Schema-declared CSV read with the reference's NULL semantics.
+
+    Spark's `nullValue` accepts one token; the reference NULL_IFs both
+    'NULL' and 'null'. We read string-typed first is unnecessary — Spark's
+    nullValue comparison is exact, so lowercase 'null' in a *string* column
+    would survive. We post-process string columns to map 'null' -> NULL,
+    matching NULL_IF=('NULL','null').
+    """
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    df = (spark.read.options(**SNOWFLAKE_CSV_OPTIONS)
+          .schema(schema_with_corrupt).csv(path))
+    for f_ in schema.fields:
+        if isinstance(f_.dataType, T.StringType):
+            c = F.col(f_.name)
+            df = df.withColumn(
+                f_.name,
+                F.when(F.lower(c) == "null", F.lit(None)).when(c == "", F.lit(None)).otherwise(c),
+            )
+    return df
+
+
+def copy_into(spark: SparkSession, path: str, schema: T.StructType,
+              table: str, entity: str | None = None,
+              mode: str = "append") -> LoadReport:
+    """COPY INTO table FROM stage with ON_ERROR=CONTINUE accounting.
+
+    Bad rows (schema-unparseable) land in the corrupt-record column and are
+    dropped, not aborted on — the report carries the rejected count, like
+    the reference's per-file COPY result summary.
+    """
+    raw = read_snowflake_csv(spark, path, schema)
+    raw = raw.withColumn("_src_file", F.input_file_name()).cache()
+    try:
+        good = raw.filter(F.col(CORRUPT_COL).isNull())
+        per_file = {
+            r["_src_file"]: r["n"]
+            for r in good.groupBy("_src_file").agg(F.count("*").alias("n")).collect()
+        }
+        rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        loaded = sum(per_file.values())
+        (good.drop(CORRUPT_COL, "_src_file")
+             .write.mode(mode).format("parquet").saveAsTable(table))
+        return LoadReport(entity or table, loaded, rejected, per_file)
+    finally:
+        raw.unpersist()

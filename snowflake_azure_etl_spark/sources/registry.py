@@ -1,0 +1,107 @@
+"""Source registry — the engine-side analog of Snowflake external stages.
+
+The reference registers one named stage per entity pointing at an Azure
+Blob container with a shared CSV file format
+(/root/reference/rahil/create_stages.py:23-30,45-49). Here a `Stage` is a
+named (path, format, schema, options) record; `SourceRegistry` resolves a
+stage to a DataFrame read. The CSV semantics of the reference's
+FILE_FORMAT (skip 1 header row, ','-delimited, NULL/'null'/empty -> NULL)
+are reproduced by `csv_format.snowflake_csv_options`.
+
+At scale the path is an abfss:// / s3:// URI and the same registry drives
+a 1000-executor read; the testdata helper below just points stages at the
+local parquet star.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+STAR_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _fix_events_ts(df: DataFrame) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with
+    spark.sql.legacy.parquet.nanosAsLong=true it surfaces as a long.
+    Convert to a microsecond timestamp by integer division (`div`, not
+    `/`: ns-since-epoch exceeds double's 53-bit mantissa) — truncation
+    matches DuckDB's ns->us behavior exactly."""
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+TABLE_FIXUPS = {"events": _fix_events_ts}
+
+
+@dataclass(frozen=True)
+class Stage:
+    """A named pointer to external data + how to read it."""
+    name: str
+    path: str
+    format: str = "parquet"
+    schema: T.StructType | None = None
+    options: dict = field(default_factory=dict)
+
+
+class SourceRegistry:
+    """entity name -> Stage; the engine's CREATE STAGE / LIST / read surface."""
+
+    def __init__(self) -> None:
+        self._stages: dict[str, Stage] = {}
+
+    def register(self, stage: Stage) -> None:
+        # CREATE OR REPLACE semantics (reference: create_stages.py:46)
+        self._stages[stage.name] = stage
+
+    def stages(self) -> list[str]:
+        """SHOW STAGES analog (reference: create_stages.py:59)."""
+        return sorted(self._stages)
+
+    def get(self, name: str) -> Stage:
+        return self._stages[name]
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        st = self._stages[name]
+        reader = spark.read.format(st.format).options(**st.options)
+        if st.schema is not None:
+            reader = reader.schema(st.schema)
+        df = reader.load(st.path)
+        fix = TABLE_FIXUPS.get(name)
+        return fix(df) if fix else df
+
+    @classmethod
+    def for_star_dir(cls, sf_dir: str,
+                     tables: Iterable[str] = STAR_TABLES) -> "SourceRegistry":
+        reg = cls()
+        for t in tables:
+            reg.register(Stage(name=t, path=f"{sf_dir}/{t}.parquet"))
+        return reg
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Read the testdata star as DataFrames keyed by table name."""
+    if "events" in tables:
+        # runtime-settable; required to read the nanos-timestamp parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reg = SourceRegistry.for_star_dir(sf_dir, tables)
+    return {t: reg.read(spark, t) for t in tables}
+
+
+def register_star_views(spark: SparkSession, sf_dir: str,
+                        tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Load the star and register each table as a temp view (SQL surface)."""
+    dfs = load_tables(spark, sf_dir, tables)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,145 @@
+"""Events workload: windowed aggregations, sessionization, JSON props.
+
+The reference has no streaming surface (SURVEY §2.11); these are
+north-star extensions over the `events` table. Each query here is the
+*batch-equivalent* plan of a streaming.events streaming job (same
+grouping, same windows) so the DuckDB oracle can check it; the streaming
+variants (readStream + watermark + the identical aggregations) live in
+streaming/events.py and are exercised by tests/test_streaming.py.
+
+Timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings — engine-neutral
+hashing (Spark session TZ is pinned UTC; DuckDB timestamps are naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec
+from ..sources.registry import load_tables
+from ._registry import query
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "q40_events_tumbling_window",
+    covers=("E1",),
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    """,
+)
+def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — batch twin of the streaming
+    tumbling_counts job (streaming/events.py). window() is a built-in
+    Catalyst expression; with a watermark the same plan runs incremental
+    state cleanup under Structured Streaming."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(dec("value")).cast("double").alias("total_value"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "event_type", "n_events", "n_users", "total_value"))
+
+
+@query(
+    "q41_events_sliding_window",
+    covers=("E2",),
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+                        - k.k * INTERVAL 15 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+    """,
+)
+def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min hop): every event lands in 4
+    overlapping windows. Spark's window() enumerates the windows natively;
+    the oracle reproduces them by exploding k=0..3 hops back from the
+    15-minute floor — same window-start set by construction."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(dec("value")).cast("double").alias("total_value"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "n_events", "total_value"))
+
+
+@query(
+    "q42_events_sessionize",
+    covers=("E3", "W1"),
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids, then per-session rollup — the batch twin of streaming
+    session_window(ts, '30 minutes'). Scale: both stages partition by
+    user_id, so one shuffle serves the window and the final group-by."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (e.withColumn(
+        "new_session",
+        F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+        .withColumn("session_seq",
+                    F.sum("new_session").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id",
+                         F.col("session_seq").cast("int").alias("session_seq"))
+            .agg(F.count("*").alias("n_events"),
+                 (F.unix_timestamp(F.max("ts"))
+                  - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+                 F.sum(dec("value")).cast("double").alias("session_value")))
+
+
+@query(
+    "q43_events_json_props",
+    covers=("E4", "F2"),
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, CAST(json_extract(props, '$.k') AS INT) % 10
+    """,
+)
+def q43_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction + cast +
+    group — get_json_object stays JVM-side (no UDF)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.groupBy("event_type", (k % 10).alias("k_mod"))
+            .agg(F.count("*").alias("n_events")))

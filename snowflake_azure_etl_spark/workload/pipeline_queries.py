@@ -1,0 +1,373 @@
+"""LLM-data-pipeline workload: dedup, similarity search, text analysis,
+multimodal stubs (north-star extensions — first-class components).
+
+Every query here is a thin wrapper over operators/* with a DuckDB oracle
+built from the same portable primitives (md5, list functions), so even
+MinHash-LSH and SimHash are exactly hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.registry import load_tables
+from ._registry import query
+
+MINHASH_K = 8
+LSH_BANDS = 2
+LSH_ROWS = 4
+JACCARD_THRESHOLD = 0.7
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    )"""
+
+_SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || tok)) AS h{i}" for i in range(MINHASH_K)
+) + " FROM toks GROUP BY doc_id)"
+
+_KEYS_CTE = ("keys AS (" + " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {concat} AS band_key FROM sig".format(
+        b=b, concat=" || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)))
+    for b in range(LSH_BANDS)
+) + ")")
+
+# deterministic bucket-width guard, mirrored from dedup.lsh_candidate_pairs
+_KEYSF_CTE = """
+    keys_f AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, band, band_key,
+                   COUNT(*) OVER (PARTITION BY band, band_key) AS bw
+            FROM keys
+        ) WHERE bw <= 10000
+    )"""
+
+_PAIRS_CTE = """
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys_f a
+        JOIN keys_f b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "q50_dedup_exact",
+    covers=("X-DEDUP-EXACT", "A1"),
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (operators.dedup): one
+    uniform shuffle at any corpus size."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "q51_dedup_minhash_lsh",
+    covers=("X-DEDUP-MINHASH",),
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE}
+    SELECT id_a, id_b FROM pairs
+    """,
+)
+def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(2 bands × 4 rows) near-dup candidate pairs
+    (operators.dedup). shingle→minhash→band→bucket-join; portable
+    md5-seeded hashes make the whole pipeline oracle-checkable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = dedup.minhash_signature(docs, "doc_id", "text", k=MINHASH_K)
+    return dedup.lsh_candidate_pairs(sig, "doc_id",
+                                     bands=LSH_BANDS, rows=LSH_ROWS)
+
+
+@query(
+    "q52_dedup_jaccard_verify",
+    covers=("X-DEDUP-JACCARD",),
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE},
+    tarr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+             FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS shared,
+           CAST(len(a.toks) AS INT) AS size_a,
+           CAST(len(b.toks) AS INT) AS size_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+    FROM pairs c
+    JOIN tarr a ON a.doc_id = c.id_a
+    JOIN tarr b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard verification of the LSH
+    candidates — the verify stage of the canonical near-dup pipeline.
+    Only candidate pairs pay the token join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = dedup.minhash_signature(docs, "doc_id", "text", k=MINHASH_K)
+    cands = dedup.lsh_candidate_pairs(sig, "doc_id",
+                                      bands=LSH_BANDS, rows=LSH_ROWS)
+    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text")
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(32))
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(32))
+
+
+@query(
+    "q53_dedup_simhash",
+    covers=("X-DEDUP-SIMHASH",),
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv
+          FROM toks),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes
+    """,
+)
+def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (operators.dedup.simhash32):
+    per-bit ±1 votes over token hashes, sign-recombined — one explode +
+    one groupBy with 32 codegen'd conditional sums."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash32(docs, "doc_id", "text")
+
+
+_COS_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cos_sim
+        FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q54_ann_brute_force_topk", covers=("X-ANN-BRUTE",), oracle=_COS_ORACLE)
+def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 neighbors for a deterministic query subset
+    (vec_id % 50 = 0) — the ANN exactness baseline
+    (operators.similarity.brute_force_topk); queries broadcast, corpus
+    never shuffles."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+_BUCKET_SQL = "(" + " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(8)) + ")"
+
+
+@query(
+    "q55_ann_lsh_bucketed_topk",
+    covers=("X-ANN-LSH",),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 {_BUCKET_SQL} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cos_sim
+        FROM c JOIN q ON c.bucket = q.bucket
+        WHERE c.neighbor_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-bucket LSH (operators.similarity):
+    candidates restricted to the query's bucket — the equi-join scale
+    path (shuffle on bucket key instead of a cross join)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding",
+                                        k=3, bits=8)
+
+
+@query(
+    "q56_embedding_near_dups",
+    covers=("X-DEDUP-EMBED",),
+    oracle=f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    """,
+)
+def q56_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign buckets —
+    the embedding leg of the dedup suite
+    (operators.similarity.embedding_near_dups)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.embedding_near_dups(emb, "vec_id", "embedding",
+                                          threshold=0.8, bits=8)
+
+
+@query(
+    "q57_text_stats",
+    covers=("X-TEXT-STATS",),
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+               AS n_distinct_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           GREATEST(CAST(len(string_split(text, ' ')) AS INT),
+                    CAST(ceil(length(text) / 4) AS INT)) AS bpe_token_estimate,
+           (LEAST(CAST(length(text) AS DOUBLE) / 200, 1.0)
+            + LEAST((CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                     / len(string_split(text, ' '))) / 0.2, 1.0)
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))) / 3 AS quality_score
+    FROM documents
+    """,
+)
+def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text quality features (operators.text): token counts,
+    lexical diversity, stopword ratio, BPE-ish token estimate, composite
+    quality score — a single narrow no-shuffle projection."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        text.n_tokens("text").alias("n_tokens"),
+        text.n_distinct_tokens("text").alias("n_distinct_tokens"),
+        text.type_token_ratio("text").alias("type_token_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+        text.bpe_token_estimate("text").alias("bpe_token_estimate"),
+        text.quality_score("text").alias("quality_score"),
+    )
+
+
+@query(
+    "q58_lang_id",
+    covers=("X-TEXT-LANG",),
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('the','a','of','and','to','in'))) AS en_hits,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('der','die','das','und','ist'))) AS de_hits,
+               len(list_filter(string_split(text,' '),
+                   t -> t IN ('le','la','les','et','est'))) AS fr_hits
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+                THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'und' END AS lang_guess,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def q58_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (operators.text.lang_guess) crossed
+    against the declared lang column — the n-gram-heuristic family with
+    a deterministic tie order."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (docs.groupBy("lang", text.lang_guess("text").alias("lang_guess"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+@query(
+    "q59_fingerprint",
+    covers=("X-TEXT-FPRINT",),
+    oracle=r"""
+    SELECT doc_id,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                  1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 document fingerprint (operators.text).
+    The polynomial rolling hash variant is pytest-verified against a
+    Python reference (tests/test_text_ops.py) — kept out of this oracle
+    to avoid relying on DuckDB list_reduce."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.select("doc_id",
+                       text.md5_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "q60_multimodal_decode_stub",
+    covers=("X-MULTIMODAL",),
+    oracle="""
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           substr(md5(text), 1, 8) AS feature_sig,
+           CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT)
+               AS width,
+           CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT)
+               AS height
+    FROM documents
+    """,
+)
+def q60_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column pipeline (operators.multimodal): payload as
+    opaque bytes -> Arrow-batched mapInPandas decode (STUBBED
+    deterministically — no media libs in this container) -> typed
+    metadata. The Spark plumbing (schema, batching, partitioning) is
+    real; only the codec is fake."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.to_media_table(docs)
+    return multimodal.decode_media(media, stub=True)

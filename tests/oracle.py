@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mirrors the documented check: row count + schema (column names) +
+order-insensitive value comparison. Floats are compared exactly first
+(the workload's determinism discipline should make them bit-identical)
+with a tiny relative tolerance fallback so a genuine semantic bug still
+fails loudly while a last-bit float difference is surfaced as a warning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from typing import Any
+
+import duckdb
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _sorted_rows(rows: list[tuple], col_order: list[int]) -> list[tuple]:
+    projected = [tuple(_norm_cell(r[i]) for i in col_order) for r in rows]
+    return sorted(projected, key=lambda r: tuple(
+        (x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
+            float_rel_tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    spark_cols = list(spark_df.columns)
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = _sorted_rows(spark_rows, s_order)
+    d = _sorted_rows(duck_rows, d_order)
+    n_bad = 0
+    for i, (sr, dr) in enumerate(zip(s, d)):
+        if sr == dr:
+            continue
+        ok = True
+        for a, b in zip(sr, dr):
+            if a == b:
+                continue
+            if (isinstance(a, float) and isinstance(b, float)
+                    and float_rel_tol > 0
+                    and math.isclose(a, b, rel_tol=float_rel_tol)):
+                continue
+            ok = False
+        if not ok:
+            n_bad += 1
+            if n_bad <= 3:
+                problems.append(f"row {i}: spark={sr} duck={dr}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
