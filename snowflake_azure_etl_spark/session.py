@@ -49,6 +49,11 @@ def get_spark(app_name: str = "snowflake_azure_etl_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # managed-table home for the warehouse build (kept out of the
+        # repo; at cluster scale this is the lake/metastore location)
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR",
+                               "/tmp/spark_graft_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

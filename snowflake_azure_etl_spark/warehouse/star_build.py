@@ -1,0 +1,249 @@
+"""The dimensional build DAG (SURVEY §1.3, §2.10, §7 Phase B) mapped
+onto the testdata star per FIXTURES.md §3.
+
+Reference pipeline (run_dimensional_etl): 7 dims with surrogate keys +
+hand-seeded unknown members, loaded in dependency order (Location first,
+its referrers next — /root/reference/rahil/load_dimension_tables.py:70-264),
+then 3 facts resolving dim surrogate keys with unknown-member fallback
+COALESCE(key, 1) and derived measures
+(/root/reference/rahil/logs/dim_etl_run_20250514_204523.log:228-271).
+
+Role mapping (FIXTURES.md §3): customer→Dim_Customer,
+supplier→Dim_Supplier (store/reseller role), part→Dim_Part (product),
+nation⋈region→Dim_Location (shared, UNION-dedup'd across referrers),
+generated Dim_Date spanning o_orderdate, lineitem⋈orders→Fact_Sales
+(salesdetail⋈salesheader), per-(part,year) aggregate→Fact_SalesTarget
+(targetdataproduct).
+
+Every builder returns a pure DataFrame (no writes) so the DAG is
+lazily composable; runner.py materializes in dependency order.
+
+Scale design:
+- dims are small → every fact-side key resolution is a broadcast join
+  (no fact shuffle at any scale);
+- the fact build's only wide exchange is lineitem⋈orders on the order
+  key — at 100 TB both sides would be bucketed on that key so the join
+  is shuffle-free; locally AQE handles it;
+- surrogate keys via row_number need a global sort only over dim-sized
+  inputs (plans.surrogate documents the contract + the big-dim escape
+  hatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import coalesce_unknown, date_key, dec, safe_div
+from ..plans.datedim import build_dim_date
+from ..plans.surrogate import with_surrogate_key
+from ..sources.registry import load_tables
+
+UNKNOWN_KEY = 1  # reference seeds the unknown member at surrogate key 1
+
+
+def _with_unknown_member(spark: SparkSession, members: DataFrame,
+                         key_col: str, unknown_row: dict) -> DataFrame:
+    """Prepend the hand-seeded unknown member (key 1 — reference
+    create_dimension_tables.py:91-130) to a keyed dim."""
+    row = {**unknown_row, key_col: UNKNOWN_KEY}
+    unknown = spark.createDataFrame([row], members.schema)
+    return unknown.unionByName(members)
+
+
+def build_dim_location(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Shared location dim: UNION (distinct!) of customer- and
+    supplier-referenced (nation, region) addresses + unknown member —
+    the reference's Dim_Location pattern (load_dimension_tables.py:72-115:
+    3-branch UNION dedups addresses shared across customer/store/reseller)."""
+    geo = (t["nation"]
+           .join(t["region"], t["nation"].n_regionkey == t["region"].r_regionkey)
+           .select(F.col("n_nationkey").alias("nationkey"),
+                   coalesce_unknown("n_name").alias("nation_name"),
+                   coalesce_unknown("r_name").alias("region_name")))
+    cust_locs = (t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+                 .join(geo, "nationkey").select("nationkey", "nation_name",
+                                                "region_name").distinct())
+    supp_locs = (t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+                 .join(geo, "nationkey").select("nationkey", "nation_name",
+                                                "region_name").distinct())
+    # UNION distinct semantics (U1) — shared locations collapse
+    locs = cust_locs.union(supp_locs).distinct()
+    keyed = with_surrogate_key(locs, "dim_location_id",
+                               order_by=["nation_name", "nationkey"],
+                               offset=UNKNOWN_KEY)
+    return _with_unknown_member(
+        spark, keyed.select("dim_location_id", "nationkey", "nation_name",
+                            "region_name"),
+        "dim_location_id",
+        {"nationkey": -1, "nation_name": "Unknown", "region_name": "Unknown"})
+
+
+def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
+                       dim_location: DataFrame) -> DataFrame:
+    """Customer dim: staging ⟕ Dim_Location on the COALESCE-normalized
+    location key (J3 pattern — load_dimension_tables.py:158-163), unknown
+    fallback, surrogate keys in business-key order."""
+    c = t["customer"]
+    joined = (c.join(F.broadcast(dim_location.filter(
+                  F.col("dim_location_id") != UNKNOWN_KEY)),
+                  c.c_nationkey == F.col("nationkey"), "left")
+              .select(F.col("c_custkey").alias("custkey"),
+                      coalesce_unknown("c_name").alias("customer_name"),
+                      coalesce_unknown("c_mktsegment").alias("segment"),
+                      F.coalesce("dim_location_id",
+                                 F.lit(UNKNOWN_KEY)).alias("dim_location_id"),
+                      dec("c_acctbal").cast("double").alias("acct_balance")))
+    keyed = with_surrogate_key(joined, "dim_customer_id",
+                               order_by=["custkey"], offset=UNKNOWN_KEY)
+    return _with_unknown_member(
+        spark, keyed.select("dim_customer_id", "custkey", "customer_name",
+                            "segment", "dim_location_id", "acct_balance"),
+        "dim_customer_id",
+        {"custkey": -1, "customer_name": "Unknown", "segment": "Unknown",
+         "dim_location_id": UNKNOWN_KEY, "acct_balance": 0.0})
+
+
+def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
+                       dim_location: DataFrame) -> DataFrame:
+    """Supplier dim (store/reseller role): same J3 location resolution +
+    the store-name concat with the float artifact *fixed* (SURVEY §1.4.2)."""
+    s = t["supplier"]
+    joined = (s.join(F.broadcast(dim_location.filter(
+                  F.col("dim_location_id") != UNKNOWN_KEY)),
+                  s.s_nationkey == F.col("nationkey"), "left")
+              .select(F.col("s_suppkey").alias("suppkey"),
+                      coalesce_unknown("s_name").alias("supplier_name"),
+                      F.concat(F.lit("Store "),
+                               F.col("s_suppkey").cast("long").cast("string")
+                               ).alias("store_label"),
+                      F.coalesce("dim_location_id",
+                                 F.lit(UNKNOWN_KEY)).alias("dim_location_id")))
+    keyed = with_surrogate_key(joined, "dim_supplier_id",
+                               order_by=["suppkey"], offset=UNKNOWN_KEY)
+    return _with_unknown_member(
+        spark, keyed.select("dim_supplier_id", "suppkey", "supplier_name",
+                            "store_label", "dim_location_id"),
+        "dim_supplier_id",
+        {"suppkey": -1, "supplier_name": "Unknown", "store_label": "Unknown",
+         "dim_location_id": UNKNOWN_KEY})
+
+
+def build_dim_part(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Product dim: brand/type hierarchy attributes + COALESCE defaults
+    (Dim_Product ← product⋈producttype⋈productcategory —
+    load_dimension_tables.py:253-257; hierarchy is in-row for part)."""
+    p = t["part"]
+    attrs = p.select(F.col("p_partkey").alias("partkey"),
+                     coalesce_unknown("p_name").alias("part_name"),
+                     coalesce_unknown("p_brand").alias("brand"),
+                     coalesce_unknown("p_type").alias("part_type"),
+                     F.coalesce("p_size", F.lit(0)).alias("size"),
+                     dec("p_retailprice").cast("double").alias("retail_price"))
+    keyed = with_surrogate_key(attrs, "dim_part_id",
+                               order_by=["partkey"], offset=UNKNOWN_KEY)
+    return _with_unknown_member(
+        spark, keyed.select("dim_part_id", "partkey", "part_name", "brand",
+                            "part_type", "size", "retail_price"),
+        "dim_part_id",
+        {"partkey": -1, "part_name": "Unknown", "brand": "Unknown",
+         "part_type": "Unknown", "size": 0, "retail_price": 0.0})
+
+
+def orderdate_span(t: dict[str, DataFrame]) -> tuple[str, str]:
+    """Dim_Date coverage = the orders date span, whole years (the
+    reference covers its sales span 2013-2014 with 730 generated days)."""
+    row = t["orders"].agg(F.min("o_orderdate").alias("lo"),
+                          F.max("o_orderdate").alias("hi")).collect()[0]
+    return f"{row['lo'].year}-01-01", f"{row['hi'].year}-12-31"
+
+
+def build_fact_sales(spark: SparkSession, t: dict[str, DataFrame],
+                     dim_customer: DataFrame, dim_supplier: DataFrame,
+                     dim_part: DataFrame) -> DataFrame:
+    """Fact_SalesActual analog (§2.10): lineitem ⋈ orders
+    (salesdetail ⋈ salesheader on the header id), broadcast surrogate-key
+    resolution with COALESCE(key, 1) unknown fallback, YYYYMMDD date key
+    (SURVEY §1.4.1 standardization), derived measures with div-guards:
+    net = extended×(1-disc), tax = net×tax_rate,
+    unit_price = net/qty (reference: SaleUnitPrice = Amount/Quantity)."""
+    li, orders = t["lineitem"], t["orders"]
+    cust_keys = dim_customer.select("custkey", "dim_customer_id")
+    supp_keys = dim_supplier.select("suppkey", "dim_supplier_id")
+    part_keys = dim_part.select("partkey", "dim_part_id")
+    net = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(18,4)"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+            .join(F.broadcast(cust_keys),
+                  orders.o_custkey == cust_keys.custkey, "left")
+            .join(F.broadcast(supp_keys),
+                  li.l_suppkey == supp_keys.suppkey, "left")
+            .join(F.broadcast(part_keys),
+                  li.l_partkey == part_keys.partkey, "left")
+            .select(
+                F.col("l_orderkey").alias("orderkey"),
+                F.col("l_linenumber").alias("linenumber"),
+                F.coalesce("dim_customer_id",
+                           F.lit(UNKNOWN_KEY)).alias("dim_customer_id"),
+                F.coalesce("dim_supplier_id",
+                           F.lit(UNKNOWN_KEY)).alias("dim_supplier_id"),
+                F.coalesce("dim_part_id",
+                           F.lit(UNKNOWN_KEY)).alias("dim_part_id"),
+                date_key("o_orderdate").alias("dim_sale_date_id"),
+                F.col("l_quantity").cast("double").alias("sale_quantity"),
+                dec("l_extendedprice").cast("double").alias("gross_amount"),
+                net.cast("double").alias("sale_amount"),
+                # double multiply (not decimal): a single IEEE op is
+                # bit-deterministic cross-engine; decimal would overflow
+                # precision 38 and round engine-specifically
+                (net.cast("double") * F.col("l_tax").cast("double"))
+                    .alias("tax_amount"),
+                safe_div(net.cast("double"),
+                         F.col("l_quantity").cast("double"))
+                    .alias("sale_unit_price")))
+
+
+def build_fact_sales_target(spark: SparkSession, t: dict[str, DataFrame],
+                            dim_part: DataFrame) -> DataFrame:
+    """Fact_ProductSalesTarget analog: per-(part, year) quantity targets
+    synthesized from actuals (FIXTURES.md §3), target date key =
+    YEAR×10000+0101 exactly as the reference logs (SURVEY §2.10:
+    DimTargetDateID 20130101/20140101)."""
+    li, orders = t["lineitem"], t["orders"]
+    part_keys = dim_part.select("partkey", "dim_part_id")
+    per_year = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy(F.col("l_partkey").alias("partkey"),
+                         F.year("o_orderdate").alias("target_year"))
+                .agg(F.sum(dec("l_quantity")).cast("double")
+                     .alias("target_quantity")))
+    return (per_year.join(F.broadcast(part_keys), "partkey", "left")
+            .select(F.coalesce("dim_part_id",
+                               F.lit(UNKNOWN_KEY)).alias("dim_part_id"),
+                    (F.col("target_year") * 10000 + F.lit(101))
+                    .cast("int").alias("dim_target_date_id"),
+                    "target_quantity"))
+
+
+def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The full dimensional DAG as lazy DataFrames, in dependency order
+    (Location first — its referrers join to it, same as the reference)."""
+    t = load_tables(spark, sf_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem"))
+    dim_location = build_dim_location(spark, t)
+    dim_customer = build_dim_customer(spark, t, dim_location)
+    dim_supplier = build_dim_supplier(spark, t, dim_location)
+    dim_part = build_dim_part(spark, t)
+    start, end = orderdate_span(t)
+    dim_date = build_dim_date(spark, start, end)
+    fact_sales = build_fact_sales(spark, t, dim_customer, dim_supplier,
+                                  dim_part)
+    fact_target = build_fact_sales_target(spark, t, dim_part)
+    return {
+        "dim_location": dim_location,
+        "dim_customer": dim_customer,
+        "dim_supplier": dim_supplier,
+        "dim_part": dim_part,
+        "dim_date": dim_date,
+        "fact_sales": fact_sales,
+        "fact_sales_target": fact_target,
+    }

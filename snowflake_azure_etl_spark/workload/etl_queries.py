@@ -1,0 +1,149 @@
+"""ETL-engine workload: stage accounting, catalog introspection, the
+fact build, and the end-to-end warehouse row accounting (SURVEY §2.1
+S2/S3/S9, §2.10, §2.12 R3) — the engine-level features exposed as
+oracle-checked queries. The write-path halves (saveAsTable
+materialization, CREATE DATABASE, COPY ON_ERROR=CONTINUE) are covered
+by tests/test_warehouse.py; these queries check the read/plan halves
+the driver can oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import STAR_TABLES, load_tables, register_star_views
+from ..warehouse import star_build
+from ._registry import query
+
+
+@query(
+    "q26_stage_accounting",
+    covers=("S2", "S3", "R3", "A7"),
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS entity, (SELECT COUNT(*) FROM {t}) AS n_rows"
+        for t in STAR_TABLES),
+)
+def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity loaded-row accounting over every registered stage —
+    the reference's COPY result summary (load_data.py:48-74) as one
+    distributed union-of-aggregates (no driver-side per-table counts)."""
+    dfs = load_tables(spark, sf_dir)
+    counts = [df.agg(F.count("*").alias("n_rows"))
+              .select(F.lit(name).alias("entity"), "n_rows")
+              for name, df in dfs.items()]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "q27_catalog_tables",
+    covers=("S9", "F10"),
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name" for t in sorted(STAR_TABLES)),
+)
+def q27_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES parity (reference create_tables.py:76-85 existence
+    verification): register the star as views, list them back through
+    the catalog API."""
+    register_star_views(spark, sf_dir)
+    listed = sorted(t.name for t in spark.catalog.listTables()
+                    if t.name in STAR_TABLES)
+    return spark.createDataFrame([(n,) for n in listed], "table_name string")
+
+
+_FACT_ORACLE = """
+    WITH dim_customer AS (
+        SELECT c_custkey AS custkey,
+               ROW_NUMBER() OVER (ORDER BY c_custkey) + 1 AS dim_customer_id
+        FROM customer),
+    dim_supplier AS (
+        SELECT s_suppkey AS suppkey,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) + 1 AS dim_supplier_id
+        FROM supplier),
+    dim_part AS (
+        SELECT p_partkey AS partkey,
+               ROW_NUMBER() OVER (ORDER BY p_partkey) + 1 AS dim_part_id
+        FROM part)
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           COALESCE(c.dim_customer_id, 1) AS dim_customer_id,
+           COALESCE(s.dim_supplier_id, 1) AS dim_supplier_id,
+           COALESCE(p.dim_part_id, 1) AS dim_part_id,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS dim_sale_date_id,
+           CAST(l.l_quantity AS DOUBLE) AS sale_quantity,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS gross_amount,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS sale_amount,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               * CAST(l.l_tax AS DOUBLE) AS tax_amount,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               / NULLIF(CAST(l.l_quantity AS DOUBLE), 0) AS sale_unit_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN dim_customer c ON o.o_custkey = c.custkey
+    LEFT JOIN dim_supplier s ON l.l_suppkey = s.suppkey
+    LEFT JOIN dim_part p ON l.l_partkey = p.partkey
+"""
+
+
+@query("q28_fact_sales_build", covers=("S7", "J3", "F1", "F2", "F7"),
+       oracle=_FACT_ORACLE)
+def q28_fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fact_SalesActual build (§2.10) end-to-end: salesdetail ⋈
+    salesheader analog, broadcast surrogate-key resolution with
+    COALESCE(key,1) unknown fallback, YYYYMMDD date keys, derived
+    measures — every row of the fact checked against the oracle."""
+    t = load_tables(spark, sf_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem"))
+    dim_location = star_build.build_dim_location(spark, t)
+    dim_customer = star_build.build_dim_customer(spark, t, dim_location)
+    dim_supplier = star_build.build_dim_supplier(spark, t, dim_location)
+    dim_part = star_build.build_dim_part(spark, t)
+    return star_build.build_fact_sales(spark, t, dim_customer, dim_supplier,
+                                       dim_part)
+
+
+@query(
+    "q29_warehouse_rowcounts",
+    covers=("R1", "R3", "S4", "S5", "U1"),
+    oracle="""
+    SELECT 'dim_customer' AS table_name,
+           (SELECT COUNT(*) + 1 FROM customer) AS n_rows
+    UNION ALL SELECT 'dim_supplier', (SELECT COUNT(*) + 1 FROM supplier)
+    UNION ALL SELECT 'dim_part', (SELECT COUNT(*) + 1 FROM part)
+    UNION ALL SELECT 'dim_location',
+        (SELECT COUNT(DISTINCT n_nationkey) + 1 FROM nation
+         WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+            OR n_nationkey IN (SELECT s_nationkey FROM supplier))
+    UNION ALL SELECT 'dim_date',
+        (SELECT date_diff('day',
+                          make_date(CAST(year(MIN(o_orderdate)) AS INT), 1, 1),
+                          make_date(CAST(year(MAX(o_orderdate)) AS INT), 12, 31))
+                + 1 FROM orders)
+    UNION ALL SELECT 'fact_sales', (SELECT COUNT(*) FROM lineitem)
+    UNION ALL SELECT 'fact_sales_target',
+        (SELECT COUNT(*) FROM (SELECT l_partkey, year(o_orderdate)
+                               FROM lineitem l
+                               JOIN orders o ON l.l_orderkey = o.o_orderkey
+                               GROUP BY 1, 2))
+    """,
+)
+def q29_warehouse_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dimensional DAG (build_star) evaluated lazily with
+    per-table row accounting — the reference's end-to-end acceptance
+    signal (post-load COUNT(*) after every dim/fact insert,
+    load_dimension_tables.py:117-264) as one query."""
+    star = star_build.build_star(spark, sf_dir)
+    counts = [df.agg(F.count("*").alias("n_rows"))
+              .select(F.lit(name).alias("table_name"), "n_rows")
+              for name, df in star.items()]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1,0 +1,192 @@
+"""End-to-end warehouse build + DDL/COPY engine features (SURVEY §7
+Phase B/D): golden counts, unknown members, derived measures,
+idempotency, COPY accounting with ON_ERROR=CONTINUE, catalog surface.
+
+Mirrors the reference's own acceptance style — row-count accounting and
+sample verification (SURVEY §5) — but automated, with DuckDB computing
+the expected counts from the same inputs."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_azure_etl_spark.warehouse import copy_loader, ddl, runner
+from snowflake_azure_etl_spark.warehouse.runner import (
+    EtlRun, EtlStepError, run_warehouse_build)
+from snowflake_azure_etl_spark.warehouse.star_build import UNKNOWN_KEY
+
+DB = "wh_test"
+
+
+@pytest.fixture(scope="module")
+def report(spark, sf_dir):
+    return run_warehouse_build(spark, sf_dir, database=DB)
+
+
+@pytest.fixture(scope="module")
+def expected(sf_dir):
+    con = duckdb.connect()
+    g = lambda q: con.sql(q).fetchone()[0]  # noqa: E731
+    pq = lambda t: f"read_parquet('{sf_dir}/{t}.parquet')"  # noqa: E731
+    return {
+        "customers": g(f"SELECT count(*) FROM {pq('customer')}"),
+        "suppliers": g(f"SELECT count(*) FROM {pq('supplier')}"),
+        "parts": g(f"SELECT count(*) FROM {pq('part')}"),
+        "lineitems": g(f"SELECT count(*) FROM {pq('lineitem')}"),
+        "locations": g(f"""
+            SELECT count(DISTINCT n_nationkey) FROM {pq('nation')} n
+            WHERE n_nationkey IN (SELECT c_nationkey FROM {pq('customer')})
+               OR n_nationkey IN (SELECT s_nationkey FROM {pq('supplier')})"""),
+        "years": g(f"""
+            SELECT year(max(o_orderdate)) - year(min(o_orderdate)) + 1
+            FROM {pq('orders')}"""),
+        "target_rows": g(f"""
+            SELECT count(*) FROM (
+              SELECT l_partkey, year(o_orderdate)
+              FROM {pq('lineitem')} l JOIN {pq('orders')} o
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2)"""),
+    }
+
+
+def test_golden_counts(spark, report, expected):
+    """Dim counts = business-key count + 1 unknown member; fact count =
+    source grain count (same acceptance the reference logs — FIXTURES §2)."""
+    counts = report.table_counts
+    assert counts[f"{DB}.dim_customer"] == expected["customers"] + 1
+    assert counts[f"{DB}.dim_supplier"] == expected["suppliers"] + 1
+    assert counts[f"{DB}.dim_part"] == expected["parts"] + 1
+    assert counts[f"{DB}.dim_location"] == expected["locations"] + 1
+    assert counts[f"{DB}.fact_sales"] == expected["lineitems"]
+    assert counts[f"{DB}.fact_sales_target"] == expected["target_rows"]
+
+
+def test_dim_date_spans_whole_years(spark, report):
+    n = report.table_counts[f"{DB}.dim_date"]
+    assert n % 365 in (0, 1, 2)  # whole years incl. leap days
+    assert n >= 365
+
+
+def test_unknown_members_seeded(spark, report):
+    for dim, name_col in [("dim_customer", "customer_name"),
+                          ("dim_supplier", "supplier_name"),
+                          ("dim_part", "part_name"),
+                          ("dim_location", "nation_name")]:
+        row = (spark.table(f"{DB}.{dim}")
+               .filter(F.col(f"{dim}_id") == UNKNOWN_KEY).collect())
+        assert len(row) == 1, f"{dim} missing unknown member"
+        assert row[0][name_col] == "Unknown"
+
+
+def test_surrogate_keys_unique_and_offset(spark, report):
+    dim = spark.table(f"{DB}.dim_customer")
+    n = dim.count()
+    assert dim.select("dim_customer_id").distinct().count() == n
+    assert dim.agg(F.min("dim_customer_id")).collect()[0][0] == UNKNOWN_KEY
+
+
+def test_fact_measures_consistent(spark, report):
+    """Derived-measure contract: sale_amount = gross×(1-disc) ≥ 0,
+    unit_price×qty ≈ sale_amount (the reference's SaleUnitPrice =
+    Amount/Quantity — FIXTURES §2 spot check 418.50/30 = 13.95)."""
+    bad = (spark.table(f"{DB}.fact_sales")
+           .filter(F.col("sale_quantity") > 0)
+           .filter(F.abs(F.col("sale_unit_price") * F.col("sale_quantity")
+                         - F.col("sale_amount")) > 1e-6).count())
+    assert bad == 0
+
+
+def test_fact_date_key_is_yyyymmdd(spark, report):
+    """SURVEY §1.4.1: engine standardizes on YYYYMMDD int keys, joinable
+    to dim_date.date_pkey (the reference's latent YYMMDD bug fixed)."""
+    fact = spark.table(f"{DB}.fact_sales")
+    dd = spark.table(f"{DB}.dim_date")
+    unmatched = (fact.join(dd, fact.dim_sale_date_id == dd.date_pkey,
+                           "left_anti").count())
+    assert unmatched == 0
+
+
+def test_passthrough_views(spark, report):
+    vw = spark.table(f"{DB}.vw_fact_sales")
+    assert vw.columns[0] == "orderkey"
+    assert vw.count() == spark.table(f"{DB}.fact_sales").count()
+
+
+def test_idempotent_rerun(spark, sf_dir, report):
+    """R6: CREATE OR REPLACE everywhere — a second run must succeed and
+    produce identical counts."""
+    again = run_warehouse_build(spark, sf_dir, database=DB)
+    assert again.table_counts == report.table_counts
+
+
+def test_abort_on_failure():
+    run = EtlRun("boom")
+    with pytest.raises(EtlStepError):
+        run.step("explode", lambda: (_ for _ in ()).throw(ValueError("x")))
+    assert run.report.steps == []  # failed step not recorded as success
+
+
+def test_catalog_surface(spark, report):
+    assert ddl.database_exists(spark, DB)
+    tables = ddl.list_tables(spark, DB)
+    assert "fact_sales" in tables and "dim_date" in tables
+    desc = ddl.describe_table(spark, f"{DB}.fact_sales")
+    assert "sale_amount" in [r.col_name for r in desc.collect()]
+    assert ddl.engine_version(spark) == spark.version
+    rows, n = ddl.sample_table(spark, f"{DB}.dim_part", n=5)
+    assert len(rows) == 5 and n == spark.table(f"{DB}.dim_part").count()
+
+
+# ---------------------------------------------------------------- COPY --
+
+CSV_SCHEMA = T.StructType([
+    T.StructField("id", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("amount", T.DoubleType()),
+])
+
+
+@pytest.fixture()
+def stage_dir(spark):
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "part1.csv"), "w") as f:
+            f.write("id,name,amount\n1,alpha,10.5\n2,NULL,20.0\n"
+                    "3,null,30.25\n4,,7.75\n")
+        with open(os.path.join(d, "part2.csv"), "w") as f:
+            # row 'oops' is malformed for the int id column
+            f.write("id,name,amount\n5,echo,1.0\noops,not,an_int,extra\n"
+                    "6,fox,2.0\n")
+        yield d
+
+
+def test_list_stage(spark, stage_dir):
+    listing = copy_loader.list_stage(spark, f"{stage_dir}/*.csv")
+    assert len(listing) == 2
+    assert all(size > 0 for _, size in listing)
+    assert copy_loader.list_stage(spark, f"{stage_dir}/*.parquet") == []
+
+
+def test_copy_on_error_continue(spark, stage_dir):
+    """S3: malformed rows are counted and dropped, clean rows load; NULL
+    semantics ('NULL'/'null'/empty → NULL) applied."""
+    ddl.create_table(spark, "copy_test", CSV_SCHEMA)
+    rep = copy_loader.load_stage_if_present(
+        spark, f"{stage_dir}/*.csv", CSV_SCHEMA, "copy_test")
+    assert rep is not None
+    assert rep.rows_loaded == 6
+    assert rep.rows_rejected == 1
+    got = spark.table("copy_test")
+    assert got.count() == 6
+    # NULL_IF both cases + empty-field-as-null
+    assert got.filter(F.col("name").isNull()).count() == 3
+
+
+def test_copy_skip_if_empty(spark, stage_dir):
+    assert copy_loader.load_stage_if_present(
+        spark, f"{stage_dir}/*.tsv", CSV_SCHEMA, "copy_test") is None
