@@ -1,0 +1,108 @@
+"""Structured Streaming tests (SURVEY §7 Phase E): the streaming jobs
+must agree with their batch twins — the strongest check available for
+an incremental engine (same input, same grouping, two execution modes).
+
+The events parquet stores nanosecond timestamps the streaming parquet
+source can't read directly, so a staging step rewrites it to
+microsecond parquet split into multiple files — which also gives the
+file source real multi-batch increments (maxFilesPerTrigger=1)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.sources.registry import load_tables
+from snowflake_azure_etl_spark.streaming import events as sev
+from snowflake_azure_etl_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def staged_events_dir(spark, sf_dir):
+    """Normalize events to micros-ts parquet in 4 files (4 micro-batches)."""
+    d = tempfile.mkdtemp(prefix="events_stage_")
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run(df, name, mode):
+    q = (df.writeStream.outputMode(mode).format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def _rounded(df, cols, key_cols):
+    rows = sorted(
+        tuple(round(r[c], 4) if isinstance(r[c], float) else r[c]
+              for c in key_cols + cols)
+        for r in df.collect())
+    return rows
+
+
+def test_tumbling_stream_matches_batch(spark, staged_events_dir):
+    """Incremental tumbling-window agg == batch agg over the same data
+    (exact columns only; approx_count_distinct excluded by design)."""
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    got = _run(sev.tumbling_counts(stream), "t_tumbling", "complete")
+
+    batch = spark.read.parquet(staged_events_dir)
+    want = (batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+    got_rows = _rounded(got.select("window_start", "event_type", "n_events",
+                                   "total_value"),
+                        ["n_events", "total_value"],
+                        ["window_start", "event_type"])
+    want_rows = _rounded(want, ["n_events", "total_value"],
+                         ["window_start", "event_type"])
+    assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_session_window_stream_runs(spark, staged_events_dir):
+    """session_window streaming job completes and produces sane sessions
+    (every session ≥1 event, end ≥ start)."""
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "2")
+              .load(staged_events_dir))
+    got = _run(sev.session_aggregates(stream), "t_sessions", "complete")
+    assert got.count() > 0
+    assert got.filter(F.col("n_events") < 1).count() == 0
+    assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_running_totals(spark, staged_events_dir):
+    """applyInPandasWithState across 4 micro-batches: final per-user
+    running totals == batch groupBy (state carried between batches)."""
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    out = _run(running_user_totals(stream), "t_stateful", "update")
+    # memory sink in update mode appends every emission; the *last*
+    # emission per user is the final running total
+    final = (out.withColumn("_rn", F.monotonically_increasing_id())
+             .groupBy("user_id")
+             .agg(F.max_by("n_events", "_rn").alias("n_events"),
+                  F.max_by("total_value", "_rn").alias("total_value")))
+
+    batch = spark.read.parquet(staged_events_dir)
+    want = (batch.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value")))
+    got_rows = _rounded(final, ["n_events", "total_value"], ["user_id"])
+    want_rows = _rounded(want, ["n_events", "total_value"], ["user_id"])
+    assert got_rows == want_rows and len(got_rows) > 0
