@@ -83,64 +83,155 @@ def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFra
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
                         rows: int = 4, max_bucket: int = 10000,
-                        salt: int = 32) -> DataFrame:
+                        parallelism: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
-    Buckets wider than max_bucket are dropped whole (deterministic guard
-    against quadratic blowup on degenerate corpora — see module doc).
+    Plan choices (the pair set is the hot output — often ≫ corpus):
 
-    Skew handling: a wide bucket generates O(width²) pairs from a single
-    join key, which lands on a single task (and AQE, seeing a *small
-    input*, may coalesce the whole join to one partition). The b-side is
-    therefore salted on id % salt and the a-side replicated `salt` ways —
-    the pair set is identical, but each bucket's quadratic work spreads
-    over `salt` tasks. Input inflation is salt× on the (tiny) key list,
-    output is unchanged.
+    - **First-match-only emission, no dedup shuffle**: a pair matching
+      in several bands would classically be emitted per band and
+      DISTINCTed — a full shuffle of the pair set (the largest
+      intermediate in the whole pipeline). Instead each side carries its
+      *earlier* band keys, and band b emits a pair only if no earlier
+      band already matched — a per-row filter inside the join. The union
+      over bands is exactly the distinct pair set, and pairs stream to
+      the consumer with no exchange.
+    - **Band keys as xxhash64 longs** (internal only — never leaves the
+      operator): 8-byte join keys instead of 128-char md5 concats.
+    - **Bucket-width guard**: buckets wider than max_bucket are dropped
+      whole — deterministic quadratic-blowup protection on degenerate
+      corpora (standard production mitigation; the oracle mirrors it).
+    - **Explicit stream-side repartition**: both join inputs are tiny
+      (id + keys per doc) but the output is quadratic-in-bucket; AQE
+      sizes by *input* bytes and would coalesce the pair build to one
+      task. repartition(parallelism) on the stream side pins the fanout
+      across the cluster; round-robin spreads each wide bucket's rows
+      uniformly, so per-task pair counts stay balanced.
     """
-    keys = lsh_band_keys(sig, id_col, bands, rows)
-    sizes = keys.groupBy("band", "band_key").agg(F.count("*").alias("_bw"))
-    keys = (keys.join(sizes, ["band", "band_key"])
-            .filter(F.col("_bw") <= max_bucket).drop("_bw"))
-    a = (keys.select(F.col("band"), F.col("band_key"),
-                     F.col(id_col).alias("id_a"))
-         .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))))
-    b = keys.select(F.col("band"), F.col("band_key"),
-                    F.col(id_col).alias("id_b"),
-                    (F.col(id_col) % salt).cast("int").alias("_salt"))
-    return (a.join(b, ["band", "band_key", "_salt"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    key_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        .alias(f"_k{b}")
+        for b in range(bands)
+    ]
+    keys = sig.select(F.col(id_col).alias("_id"), *key_cols)
+    nparts = parallelism or sig.sparkSession.sparkContext.defaultParallelism
+    out = None
+    for b in range(bands):
+        kb = keys
+        # per-band bucket-width guard
+        sizes = (keys.groupBy(f"_k{b}")
+                 .agg(F.count("*").alias("_bw"))
+                 .filter(F.col("_bw") <= max_bucket)
+                 .drop("_bw"))
+        kb = kb.join(F.broadcast(sizes), f"_k{b}")
+        a = kb.select(F.col("_id").alias("id_a"),
+                      *[F.col(f"_k{i}").alias(f"_ka{i}") for i in range(b + 1)])
+        bb = kb.select(F.col("_id").alias("id_b"),
+                       *[F.col(f"_k{i}").alias(f"_kb{i}") for i in range(b + 1)])
+        cond = (F.col(f"_ka{b}") == F.col(f"_kb{b}")) & \
+               (F.col("id_a") < F.col("id_b"))
+        for i in range(b):  # not already emitted by an earlier band
+            cond = cond & (F.col(f"_ka{i}") != F.col(f"_kb{i}"))
+        pairs_b = (a.repartition(nparts)
+                   .join(F.broadcast(bb), cond)
+                   .select("id_a", "id_b"))
+        out = pairs_b if out is None else out.unionByName(pairs_b)
+    return out
+
+
+BITSET_MAX_VOCAB = 4096  # 64 longs per doc; above this, hashed arrays win
 
 
 def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
-                  text_col: str) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs.
+                  text_col: str,
+                  bitset_max_vocab: int = BITSET_MAX_VOCAB) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs — adaptive plan.
 
-    Joins the (compact) per-doc distinct-token arrays onto the pair list
-    and intersects per pair with array_intersect — per-pair work is
-    O(|A|+|B|), no exploded-token shuffle. The token-array side is a
-    projection of the corpus (id + small array): broadcast when it fits
-    (it always does for the dedup use case where candidates, not docs,
-    are the big side); the candidate list itself never re-shuffles.
+    The per-pair intersect dominates (candidate count × per-pair cost),
+    so the representation of a token set is the whole game:
+
+    - **Small global vocabulary** (≤ bitset_max_vocab distinct tokens
+      corpus-wide — template/boilerplate-heavy corpora, exactly the ones
+      that produce quadratic candidate sets): dictionary-encode tokens
+      and pack each doc's set into ⌈V/64⌉ longs; per pair the intersect
+      is bit_count(a&b) per word — a handful of ALU ops, ~100× cheaper
+      than a hash-set intersect and no allocation.
+    - **Large vocabulary**: per-doc sorted distinct xxhash64 arrays +
+      array_intersect — O(|A|+|B|) per pair, comparing longs not strings
+      (64-bit collision inside one pair's tokens: P ≈ 1e-15, far below
+      float noise).
+
+    Either way the (small) per-doc side broadcasts; the (large)
+    candidate list streams and never re-shuffles. The vocabulary probe
+    is one tiny count job on data already needed for the masks.
     """
-    # Token sets as 64-bit hashes: the per-pair intersect then compares
-    # longs, not strings (~10× cheaper). Counts are identical to the
-    # string-set intersect barring a 64-bit collision inside one pair's
-    # ~10² tokens (P ≈ 1e-15 — far below float-comparison noise).
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(F.transform(ws_tokens(text_col),
-                                     lambda t: F.xxhash64(t))).alias("_toks"))
-    a = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
-    b = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
-    shared = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+        F.explode(F.array_distinct(ws_tokens(text_col))).alias("_tok"))
+    vocab = toks.select("_tok").distinct()
+    n_vocab = vocab.count()
+    if n_vocab <= bitset_max_vocab:
+        sets = _bitset_masks(toks, n_vocab, vocab)
+        n_words = (n_vocab + 63) // 64
+        shared = _popcount_and(n_words)
+    else:
+        sets = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.transform(ws_tokens(text_col),
+                                         lambda t: F.xxhash64(t))).alias("_s"))
+        shared = lambda a, b: F.size(F.array_intersect(a, b))  # noqa: E731
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"),
+                    F.col("_n").alias("size_a") if "_n" in sets.columns
+                    else F.size("_s").alias("size_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"),
+                    F.col("_n").alias("size_b") if "_n" in sets.columns
+                    else F.size("_s").alias("size_b"))
+    sh = shared(F.col("_sa"), F.col("_sb"))
     return (candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-            .select("id_a", "id_b", shared.alias("shared"),
-                    F.size("_ta").alias("size_a"),
-                    F.size("_tb").alias("size_b"))
+            .select("id_a", "id_b", sh.cast("int").alias("shared"),
+                    "size_a", "size_b")
             .withColumn("jaccard",
                         F.col("shared").cast("double")
                         / (F.col("size_a") + F.col("size_b") - F.col("shared"))))
+
+
+def _bitset_masks(toks: DataFrame, n_vocab: int, vocab: DataFrame) -> DataFrame:
+    """(_id, _s: array<long> packed bitset, _n: set size) per doc.
+
+    Dense token ids come from a row_number over the (tiny) vocab; each
+    doc's tokens are distinct, so SUM of 1<<bit per word == bitwise OR.
+    """
+    from pyspark.sql import Window
+    n_words = (n_vocab + 63) // 64
+    ids = vocab.withColumn(
+        "_tid", F.row_number().over(Window.orderBy("_tok")) - 1)
+    tagged = (toks.join(F.broadcast(ids), "_tok")
+              .withColumn("_w", (F.col("_tid") / 64).cast("int"))
+              .withColumn("_bit", F.col("_tid") % 64))
+    word_aggs = [
+        F.sum(F.when(F.col("_w") == w,
+                     F.expr("shiftleft(cast(1 as bigint), _bit)"))
+              .otherwise(F.lit(0).cast("long"))).alias(f"_m{w}")
+        for w in range(n_words)
+    ]
+    masks = tagged.groupBy("_id").agg(*word_aggs,
+                                      F.count("*").alias("_cnt"))
+    return masks.select(
+        "_id",
+        F.array(*[F.col(f"_m{w}") for w in range(n_words)]).alias("_s"),
+        F.col("_cnt").cast("int").alias("_n"))
+
+
+def _popcount_and(n_words: int):
+    """shared(a, b) = Σ_w bit_count(a[w] & b[w]) — unrolled, codegen'd."""
+    def shared(a: Column, b: Column) -> Column:
+        terms = [F.bit_count(a.getItem(w).bitwiseAND(b.getItem(w)))
+                 for w in range(n_words)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return shared
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
