@@ -45,9 +45,15 @@ UNKNOWN_KEY = 1  # reference seeds the unknown member at surrogate key 1
 def _with_unknown_member(spark: SparkSession, members: DataFrame,
                          key_col: str, unknown_row: dict) -> DataFrame:
     """Prepend the hand-seeded unknown member (key 1 — reference
-    create_dimension_tables.py:91-130) to a keyed dim."""
+    create_dimension_tables.py:91-130) to a keyed dim.
+
+    Built as a JVM-side one-row plan (range+lit), not createDataFrame:
+    shipping a Python row spins up a Python worker for the scan —
+    measurable fixed cost on an otherwise all-JVM plan."""
     row = {**unknown_row, key_col: UNKNOWN_KEY}
-    unknown = spark.createDataFrame([row], members.schema)
+    unknown = spark.range(1).select(*[
+        F.lit(row.get(f.name)).cast(f.dataType).alias(f.name)
+        for f in members.schema.fields])
     return unknown.unionByName(members)
 
 

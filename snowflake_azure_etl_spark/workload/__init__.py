@@ -19,5 +19,6 @@ from . import window_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import etl_queries  # noqa: E402,F401
+from . import extension_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "WorkloadQuery", "query"]

@@ -1,0 +1,320 @@
+"""Beyond-reference extension workload (SURVEY §2 notes these as
+"not present in reference — built-in if extended"; the north star asks
+for them as first-class): as-of join, range join, hypertable-style
+multi-grain rollup, a deterministic KMV distinct sketch, window frames,
+lag/lead, ROLLUP, INTERSECT/EXCEPT. Every query keeps the DuckDB-oracle
+contract — including the as-of join, checked against DuckDB's native
+ASOF JOIN."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec
+from ..operators import asof
+from ..sources.registry import load_tables
+from ._registry import query
+
+
+@query(
+    "q44_asof_join",
+    covers=("X-ASOF",),
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    v0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+           FROM events WHERE event_type = 'view'),
+    v AS (SELECT user_id, ts, max_by(value, event_id) AS view_value
+          FROM v0 GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(v.ts) AS view_ts_us,
+           v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase gets the user's most recent
+    view at-or-before it (operators.asof — union+window plan, one
+    shuffle, no range blowup), checked against DuckDB's native ASOF
+    JOIN."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id",
+                     F.col("value").alias("view_value")))
+    views = asof.dedupe_right(views, ["user_id"], "ts", "event_id")
+    joined = asof.asof_join_backward(purchases, views, ["user_id"],
+                                     "ts", "ts")
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("asof_ts").alias("view_ts_us"),
+        "view_value")
+
+
+@query(
+    "q45_range_join",
+    covers=("X-RANGEJOIN", "J6"),
+    oracle="""
+    WITH bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo FROM events),
+    iv AS (SELECT CAST(lo AS TIMESTAMP) + k.k * INTERVAL 1 DAY AS start_ts,
+                  CAST(lo AS TIMESTAMP) + (k.k + 1) * INTERVAL 1 DAY AS end_ts
+           FROM bounds
+           CROSS JOIN (SELECT unnest(generate_series(0, 40)) AS k) k),
+    j AS (SELECT iv.start_ts, e.value
+          FROM events e JOIN iv
+            ON CAST(e.ts AS TIMESTAMP) >= iv.start_ts
+           AND CAST(e.ts AS TIMESTAMP) < iv.end_ts)
+    SELECT strftime(start_ts, '%Y-%m-%d') AS interval_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM j GROUP BY start_ts
+    """,
+)
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join: events against a generated
+    interval dim via (ts >= start AND ts < end). The interval side is
+    dim-sized and broadcast → BroadcastNestedLoopJoin, which is the
+    right plan at this shape; for big×big range joins the scale path is
+    coarse-bucket equi-join + residual predicate (SCALE.md)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    lo = e.agg(F.date_trunc("day", F.min("ts")).alias("lo")).collect()[0]["lo"]
+    iv = (spark.range(41)
+          .select((F.lit(lo) + F.make_interval(days=F.col("id").cast("int")))
+                  .alias("start_ts"))
+          .withColumn("end_ts",
+                      F.col("start_ts") + F.expr("interval 1 day")))
+    j = e.join(F.broadcast(iv),
+               (e.ts >= iv.start_ts) & (e.ts < iv.end_ts))
+    return (j.groupBy("start_ts")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(dec("value")).cast("double").alias("total_value"))
+            .select(F.date_format("start_ts", "yyyy-MM-dd")
+                    .alias("interval_start"), "n_events", "total_value"))
+
+
+@query(
+    "q46_hypertable_rollup",
+    covers=("X-ROLLUP-TIME",),
+    oracle="""
+    SELECT 'hour' AS grain,
+           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                           '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
+                             '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+def q46_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the same measure
+    aggregated at hour/day/month grains, unioned with a grain tag (the
+    continuous-aggregate pattern; at scale each grain materializes
+    incrementally from the next-finer one instead of from raw)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    outs = []
+    for grain in ("hour", "day", "month"):
+        outs.append(
+            e.groupBy(F.date_trunc(grain, "ts").alias("bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(dec("value")).cast("double").alias("total_value"))
+            .select(F.lit(grain).alias("grain"),
+                    F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket_start"),
+                    "n_events", "total_value"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+KMV_K = 16
+
+
+@query(
+    "q47_kmv_sketch",
+    covers=("X-SKETCH-KMV",),
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                      md5(CAST(user_id AS VARCHAR)) AS hv
+               FROM events),
+    r AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+          FROM h)
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS exact_users,
+           CAST({KMV_K} - 1 AS DOUBLE)
+               / (CAST(CAST('0x' || substr(hv, 1, 8) AS BIGINT) AS DOUBLE)
+                  / 4294967296.0) AS kmv_estimate
+    FROM r WHERE rn = {KMV_K}
+    """,
+)
+def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (deterministic, portable —
+    unlike HLL whose register layout is engine-specific): estimate =
+    (k-1)/fraction(k-th smallest hash). Mergeable across partitions/
+    time ranges by keeping the k smallest hashes — the sketch property
+    that matters at 100 TB. Exact count carried for error inspection."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    h = (e.select("event_type",
+                  F.md5(F.col("user_id").cast("string")).alias("hv"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = (h.withColumn("rn", F.row_number().over(w))
+         .withColumn("n_exact",
+                     F.count("*").over(Window.partitionBy("event_type"))))
+    frac = (F.conv(F.substring("hv", 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0))
+    return (r.filter(F.col("rn") == KMV_K)
+            .select("event_type",
+                    F.col("n_exact").cast("long").alias("exact_users"),
+                    (F.lit(float(KMV_K - 1)) / frac).alias("kmv_estimate")))
+
+
+@query(
+    "q35_window_frame_rolling",
+    covers=("W5",),
+    oracle="""
+    WITH daily AS (
+        SELECT l_suppkey AS suppkey, l_shipdate AS ship_date,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem WHERE l_suppkey % 20 = 0
+        GROUP BY 1, 2)
+    SELECT suppkey, strftime(ship_date, '%Y-%m-%d') AS ship_date,
+           CAST(SUM(rev) OVER (PARTITION BY suppkey ORDER BY ship_date
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_7_rev
+    FROM daily
+    """,
+)
+def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW):
+    7-row rolling revenue per supplier over daily aggregates — frames
+    the reference never uses (SURVEY §2.5 'not present')."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    daily = (li.filter(F.col("l_suppkey") % 20 == 0)
+             .groupBy(F.col("l_suppkey").alias("suppkey"),
+                      F.col("l_shipdate").alias("ship_date"))
+             .agg(F.sum(dec("l_extendedprice")).alias("rev")))
+    w = (Window.partitionBy("suppkey").orderBy("ship_date")
+         .rowsBetween(-6, 0))
+    return daily.select(
+        "suppkey", F.date_format("ship_date", "yyyy-MM-dd").alias("ship_date"),
+        F.sum("rev").over(w).cast("double").alias("rolling_7_rev"))
+
+
+@query(
+    "q36_lag_lead_delta",
+    covers=("W6",),
+    oracle="""
+    WITH monthly AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(strftime(l_shipdate, '%Y%m') AS INT) AS ship_month,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem WHERE l_suppkey % 50 = 0
+        GROUP BY 1, 2)
+    SELECT suppkey, ship_month, CAST(rev AS DOUBLE) AS rev,
+           CAST(rev - LAG(rev) OVER w AS DOUBLE) AS delta_prev,
+           CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next
+    FROM monthly WINDOW w AS (PARTITION BY suppkey ORDER BY ship_month)
+    """,
+)
+def q36_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead month-over-month deltas over exact-decimal monthly
+    sums (not present in the reference's window surface)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    monthly = (li.filter(F.col("l_suppkey") % 50 == 0)
+               .groupBy(F.col("l_suppkey").alias("suppkey"),
+                        F.date_format("l_shipdate", "yyyyMM").cast("int")
+                        .alias("ship_month"))
+               .agg(F.sum(dec("l_extendedprice")).alias("rev")))
+    w = Window.partitionBy("suppkey").orderBy("ship_month")
+    return monthly.select(
+        "suppkey", "ship_month", F.col("rev").cast("double").alias("rev"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double")
+        .alias("delta_prev"),
+        (F.lead("rev").over(w) - F.col("rev")).cast("double")
+        .alias("delta_next"))
+
+
+@query(
+    "q37_rollup_hierarchy",
+    covers=("A9",),
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           COUNT(c_custkey) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the region→nation hierarchy: subtotal rows
+    at every level incl. the grand total (SURVEY §2.4 'not present in
+    reference' — stock Spark rollup())."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    j = (t["customer"]
+         .join(F.broadcast(t["nation"]),
+               t["customer"].c_nationkey == t["nation"].n_nationkey)
+         .join(F.broadcast(t["region"]),
+               t["nation"].n_regionkey == t["region"].r_regionkey))
+    return (j.rollup(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.count("c_custkey").alias("n_customers"),
+                 F.sum(dec("c_acctbal")).cast("double")
+                 .alias("total_balance")))
+
+
+@query(
+    "q38_intersect_except",
+    covers=("U3",),
+    oracle="""
+    SELECT 'both' AS op, n_nationkey AS nationkey FROM (
+        SELECT n_nationkey FROM nation
+        WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        INTERSECT
+        SELECT n_nationkey FROM nation
+        WHERE n_nationkey IN (SELECT s_nationkey FROM supplier))
+    UNION ALL
+    SELECT 'customer_only', n_nationkey FROM (
+        SELECT n_nationkey FROM nation
+        WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        EXCEPT
+        SELECT n_nationkey FROM nation
+        WHERE n_nationkey IN (SELECT s_nationkey FROM supplier))
+    """,
+)
+def q38_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics) over customer- vs
+    supplier-present nations (SURVEY §2.7 'not present in reference')."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier", "nation"))
+    cust_n = (t["nation"].join(
+        t["customer"].select(F.col("c_nationkey").alias("n_nationkey"))
+        .distinct(), "n_nationkey", "leftsemi").select("n_nationkey"))
+    supp_n = (t["nation"].join(
+        t["supplier"].select(F.col("s_nationkey").alias("n_nationkey"))
+        .distinct(), "n_nationkey", "leftsemi").select("n_nationkey"))
+    both = (cust_n.intersect(supp_n)
+            .select(F.lit("both").alias("op"),
+                    F.col("n_nationkey").alias("nationkey")))
+    conly = (cust_n.exceptAll(supp_n).distinct()
+             .select(F.lit("customer_only").alias("op"),
+                     F.col("n_nationkey").alias("nationkey")))
+    return both.unionByName(conly)

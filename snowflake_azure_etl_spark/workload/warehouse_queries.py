@@ -58,9 +58,11 @@ def q23_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("c_name").alias("customer_name"),
                  F.coalesce("c_mktsegment", F.lit("Unknown")).alias("segment")),
         "dim_customer_id", order_by=["custkey"], offset=1)
-    unknown = spark.createDataFrame(
-        [(None, "Unknown", "Unknown", 1)],
-        "custkey long, customer_name string, segment string, dim_customer_id long")
+    unknown = spark.range(1).select(
+        F.lit(None).cast("long").alias("custkey"),
+        F.lit("Unknown").alias("customer_name"),
+        F.lit("Unknown").alias("segment"),
+        F.lit(1).cast("long").alias("dim_customer_id"))
     cols = ["dim_customer_id", "custkey", "customer_name", "segment"]
     return unknown.select(*cols).unionByName(members.select(*cols))
 
