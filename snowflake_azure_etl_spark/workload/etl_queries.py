@@ -50,7 +50,10 @@ def q27_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_star_views(spark, sf_dir)
     listed = sorted(t.name for t in spark.catalog.listTables()
                     if t.name in STAR_TABLES)
-    return spark.createDataFrame([(n,) for n in listed], "table_name string")
+    # JVM-only literal plan (no Python-worker scan for a 10-row result)
+    out = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in listed])).alias("table_name"))
+    return out
 
 
 _FACT_ORACLE = """
