@@ -1,0 +1,110 @@
+"""Physical-plan shape tests (SCALE.md contract): the scale-critical
+plan properties — pushdown, pruning, broadcast joins, shuffle-free
+narrow ops, top-k operators — asserted on `.explain` output so a
+regression that silently changes the plan (not the result) still fails
+CI."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from snowflake_azure_etl_spark.workload import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_scan_project_filter")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan          # predicate reached the scan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan" in pushed
+    # projection pruned to the 6 referenced columns, not all 16
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_sales_summary")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle
+    # partial + final HashAggregate around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fact_build_broadcasts_all_dim_lookups(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q28_fact_sales_build")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/supplier/part
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_theta_join_is_bnl(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q09_theta_or_isnull_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_text_stats_no_shuffle_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q57_text_stats")
+    assert "Exchange" not in plan       # pure per-row projection
+    assert "Python" not in plan         # no UDF tax in the hot path
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    import re
+    plan = plan_of(spark, sf_dir, "q50_dedup_exact")
+    # one exchange total (the groupBy hash partitioning), nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan
+
+
+def test_lsh_pairs_no_pairset_shuffle(spark, sf_dir):
+    """The candidate pair set must stream out of the band join — no
+    distinct/exchange over the (quadratic) pair set; the only exchanges
+    are on the doc-sized inputs."""
+    plan = plan_of(spark, sf_dir, "q51_dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    after_join = plan.split("BroadcastHashJoin", 1)[0]
+    # formatted plan lists operators leaf-last; the pair-consuming side
+    # (above the join in the tree prefix) must not re-aggregate
+    assert "HashAggregate" not in after_join.split("Union")[0].split("(1)")[0]
+
+
+def test_multimodal_uses_arrow_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q60_multimodal_decode_stub")
+    assert "MapInPandas" in plan        # Arrow-batched, not row UDF
+    assert "BatchEvalPython" not in plan
+
+
+def test_window_after_aggregate(spark, sf_dir):
+    """W1-W4 contract: the window runs over the aggregated frame, so a
+    HashAggregate appears below the Window in the plan."""
+    plan = plan_of(spark, sf_dir, "q30_window_rank_over_agg")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate") or \
+        "AdaptiveSparkPlan" in plan
+
+
+@pytest.mark.parametrize("name", ["q44_asof_join"])
+def test_asof_join_single_shuffle(spark, sf_dir, name):
+    """The as-of union+window plan: exchanges only for the key
+    partitioning (+ the right-side dedupe), never a range-join blowup."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
