@@ -75,3 +75,64 @@ def decode_media(media: DataFrame, stub: bool = True) -> DataFrame:
             })
 
     return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = ("doc_id long, media_type string, width int, height int, "
+                  "out_width int, out_height int")
+
+
+def resize_media(media: DataFrame, max_dim: int = 64,
+                 stub: bool = True) -> DataFrame:
+    """Resize pass: scale each item so its longest side is max_dim,
+    preserving aspect ratio (truncating division — engine-portable).
+    Real resampling is stubbed (no PIL); geometry + plumbing are real."""
+    if not stub:
+        raise NotImplementedError("real resize requires an image library; "
+                                  "use stub=True")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_fake_decode)
+            w = decoded.map(lambda t: t[1])
+            h = decoded.map(lambda t: t[2])
+            longest = pd.concat([w, h], axis=1).max(axis=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_width": (w * max_dim // longest).astype("int32"),
+                "out_height": (h * max_dim // longest).astype("int32"),
+            })
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_sig string"
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4,
+                 stub: bool = True) -> DataFrame:
+    """Frame-sampling pass (video analog): emit n_frames rows per item,
+    each with a deterministic per-frame signature md5(payload ++ ':i').
+    One input batch → n× output rows, all inside the Arrow stream —
+    the fan-out never touches the driver."""
+    if not stub:
+        raise NotImplementedError("real frame extraction requires ffmpeg; "
+                                  "use stub=True")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for i in range(n_frames):
+                sig = pdf["payload"].map(
+                    lambda p, i=i: hashlib.md5(p + f":{i}".encode())
+                    .hexdigest()[:8])
+                frames.append(pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": i,
+                    "frame_sig": sig,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return media.mapInPandas(op, schema=FRAMES_SCHEMA)

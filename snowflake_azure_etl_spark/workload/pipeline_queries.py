@@ -371,3 +371,48 @@ def q60_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.to_media_table(docs)
     return multimodal.decode_media(media, stub=True)
+
+
+@query(
+    "q61_multimodal_resize",
+    covers=("X-MULTIMODAL",),
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS w,
+               64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h
+        FROM documents)
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * 64 // greatest(w, h) AS INT) AS out_width,
+           CAST(h * 64 // greatest(w, h) AS INT) AS out_height
+    FROM d
+    """,
+)
+def q61_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry over the media table
+    (operators.multimodal.resize_media — stubbed resampler, real
+    Arrow-batched plumbing; truncating division keeps the geometry
+    engine-portable)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.to_media_table(docs)
+    return multimodal.resize_media(media, max_dim=64, stub=True)
+
+
+@query(
+    "q62_multimodal_frame_sample",
+    covers=("X-MULTIMODAL",),
+    oracle="""
+    SELECT doc_id, CAST(k.k AS INT) AS frame_idx,
+           substr(md5(text || ':' || k.k), 1, 8) AS frame_sig
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    """,
+)
+def q62_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item frame sampling fan-out (operators.multimodal.frame_sample):
+    4 deterministic frame signatures per media item, generated inside the
+    Arrow stream (video frame-extraction stand-in)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = multimodal.to_media_table(docs)
+    return multimodal.frame_sample(media, n_frames=4, stub=True)

@@ -1,0 +1,48 @@
+"""Python-reference checks for operators not covered by a DuckDB oracle:
+the polynomial rolling hash (q59 keeps it out of its oracle — DuckDB's
+list_reduce dialect differs) and the partition-parallel surrogate-key
+assigner (plans.surrogate.zip_with_index_keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators.text import (ROLLING_BASE,
+                                                      ROLLING_MOD,
+                                                      rolling_hash)
+from snowflake_azure_etl_spark.plans.surrogate import zip_with_index_keys
+from snowflake_azure_etl_spark.sources.registry import load_tables
+
+
+def py_rolling_hash(s: str, base: int = ROLLING_BASE,
+                    mod: int = ROLLING_MOD) -> int:
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def test_rolling_hash_matches_python_reference(spark, sf_dir):
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .limit(50))
+    got = {r["doc_id"]: r["h"]
+           for r in docs.select("doc_id",
+                                rolling_hash("text").alias("h")).collect()}
+    want = {r["doc_id"]: py_rolling_hash(r["text"])
+            for r in docs.select("doc_id", "text").collect()}
+    assert got == want and len(got) == 50
+
+
+def test_rolling_hash_empty_and_ascii_edge(spark):
+    df = spark.range(1).select(F.lit("").alias("t"))
+    assert df.select(rolling_hash("t").alias("h")).collect()[0]["h"] == 0
+
+
+def test_zip_with_index_keys_unique_and_offset(spark, sf_dir):
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    keyed = zip_with_index_keys(c.repartition(7), "k", offset=1)
+    n = c.count()
+    rows = keyed.select("k").collect()
+    keys = sorted(r["k"] for r in rows)
+    # unique, dense, starting above the unknown-member offset
+    assert keys == list(range(2, n + 2))
