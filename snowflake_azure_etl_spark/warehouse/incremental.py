@@ -1,0 +1,56 @@
+"""Incremental dimension loading (SURVEY §4.3.2's append contract).
+
+The reference's IDENTITY-keyed dims renumber if ever reloaded; the
+documented contract for this engine is stronger: appends assign new
+surrogate keys strictly above the current maximum, existing members
+keep their keys, and re-presenting known business keys is a no-op
+(SCD type-0/insert-only semantics — the pattern the reference's
+unknown-member + stable-key design implies but its tooling can't do).
+
+Scale: the anti-join against existing members broadcasts the (small)
+business-key projection of the dim; the max-key probe is one scalar
+aggregate. New members per batch are dim-sized, so the surrogate
+window stays cheap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.surrogate import with_surrogate_key
+
+
+@dataclass
+class AppendReport:
+    table: str
+    candidates: int
+    inserted: int
+
+    @property
+    def skipped(self) -> int:
+        return self.candidates - self.inserted
+
+
+def append_new_members(spark: SparkSession, table: str,
+                       candidates: DataFrame, key_col: str,
+                       business_keys: list[str],
+                       order_by: list[str] | None = None) -> AppendReport:
+    """Insert members whose business key is not yet in `table`, keyed
+    from max(existing key) upward; returns the accounting."""
+    existing = spark.table(table)
+    max_key = existing.agg(F.max(key_col).alias("m")).collect()[0]["m"] or 0
+    n_cand = candidates.count()
+    fresh = candidates.join(
+        F.broadcast(existing.select(*business_keys).distinct()),
+        business_keys, "left_anti")
+    keyed = with_surrogate_key(
+        fresh, key_col, order_by=order_by or business_keys,
+        offset=max_key)
+    keyed = keyed.select(*existing.columns)  # column order of the table
+    n_new = keyed.count()
+    if n_new:
+        keyed.write.mode("append").format("parquet").insertInto(table)
+    return AppendReport(table=table, candidates=n_cand, inserted=n_new)

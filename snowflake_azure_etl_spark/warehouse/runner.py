@@ -123,6 +123,8 @@ def run_warehouse_build(spark: SparkSession, sf_dir: str,
         run.step(f"load {name}",
                  lambda n=name: _materialize(spark, database, n, star[n]))
     run.step("create views", lambda: create_passthrough_views(spark, database))
+    run.step("create analytical views",
+             lambda: create_analytical_views(spark, database))
     return run.report
 
 
@@ -154,4 +156,124 @@ def create_passthrough_views(spark: SparkSession,
         col_list = ", ".join(cols)
         spark.sql(f"CREATE OR REPLACE VIEW {database}.{view} AS "
                   f"SELECT {col_list} FROM {database}.{table}")
+    return {}
+
+
+# The 7 analytical views (reference create_views.py:144-515), re-expressed
+# over this warehouse's star. Each mirrors the original's operator shape —
+# star joins, multi-key group-bys, conditional aggs, windows over
+# aggregates, CTE classification, HAVING, theta join — as plain SQL text
+# executed through Spark (views stay lazy; Catalyst inlines them).
+ANALYTICAL_VIEWS: dict[str, str] = {
+    # VW_SalesPerformanceSummary (:144-171): star join + multi-agg
+    "vw_sales_performance_summary": """
+        SELECT d.year_num AS sale_year, d.quarter_num AS sale_quarter,
+               p.brand,
+               SUM(f.sale_quantity) AS total_qty,
+               SUM(f.sale_amount) AS total_revenue,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT f.orderkey) AS n_orders,
+               SUM(f.sale_amount) / NULLIF(SUM(f.sale_quantity), 0)
+                   AS revenue_per_unit
+        FROM {db}.fact_sales f
+        JOIN {db}.dim_part p ON f.dim_part_id = p.dim_part_id
+        JOIN {db}.dim_date d ON f.dim_sale_date_id = d.date_pkey
+        GROUP BY d.year_num, d.quarter_num, p.brand
+    """,
+    # VW_CustomerSalesAnalysis (:174-200): customer+location star
+    "vw_customer_sales_analysis": """
+        SELECT c.segment, l.region_name,
+               COUNT(DISTINCT c.custkey) AS n_customers,
+               SUM(f.sale_amount) AS total_revenue,
+               SUM(f.sale_amount) / NULLIF(COUNT(DISTINCT c.custkey), 0)
+                   AS revenue_per_customer
+        FROM {db}.fact_sales f
+        JOIN {db}.dim_customer c ON f.dim_customer_id = c.dim_customer_id
+        JOIN {db}.dim_location l ON c.dim_location_id = l.dim_location_id
+        GROUP BY c.segment, l.region_name
+    """,
+    # VW_TargetVsActual (:203-265): date-spine LEFT-join chain + HAVING
+    "vw_target_vs_actual": """
+        SELECT d.year_num, p.brand,
+               SUM(t.target_quantity) AS target_qty,
+               SUM(CASE WHEN f.sale_quantity IS NOT NULL
+                        THEN f.sale_quantity ELSE 0 END) AS actual_qty
+        FROM {db}.dim_date d
+        LEFT JOIN {db}.fact_sales_target t
+               ON t.dim_target_date_id = d.date_pkey
+        LEFT JOIN {db}.dim_part p ON t.dim_part_id = p.dim_part_id
+        LEFT JOIN {db}.fact_sales f
+               ON f.dim_part_id = t.dim_part_id
+              AND f.dim_sale_date_id = d.date_pkey
+        WHERE d.day_num_in_month = 1
+        GROUP BY d.year_num, p.brand
+        HAVING SUM(t.target_quantity) IS NOT NULL
+    """,
+    # VW_Store58Analysis (:268-310): IN-list filtered star
+    "vw_store58_analysis": """
+        SELECT s.store_label, d.year_num,
+               SUM(f.sale_amount) AS total_revenue,
+               COUNT(*) AS n_lines
+        FROM {db}.fact_sales f
+        JOIN {db}.dim_supplier s ON f.dim_supplier_id = s.dim_supplier_id
+        JOIN {db}.dim_date d ON f.dim_sale_date_id = d.date_pkey
+        WHERE s.store_label IN ('Store 5', 'Store 8')
+        GROUP BY s.store_label, d.year_num
+    """,
+    # VW_ProductTypeBonus (:313-362): rank + share-of-total windows
+    "vw_product_bonus": """
+        SELECT brand, year_num, brand_revenue,
+               RANK() OVER (PARTITION BY year_num
+                            ORDER BY brand_revenue DESC) AS sales_rank,
+               ROUND(100 * brand_revenue
+                     / SUM(brand_revenue) OVER (PARTITION BY year_num),
+                     2) AS revenue_share_pct
+        FROM (SELECT p.brand, d.year_num,
+                     SUM(f.sale_amount) AS brand_revenue
+              FROM {db}.fact_sales f
+              JOIN {db}.dim_part p ON f.dim_part_id = p.dim_part_id
+              JOIN {db}.dim_date d ON f.dim_sale_date_id = d.date_pkey
+              WHERE p.part_type != 'Unknown'
+              GROUP BY p.brand, d.year_num)
+    """,
+    # VW_StoreCountByState-style CTE classification (:420-435)
+    "vw_supplier_count_by_region": """
+        WITH counts AS (
+            SELECT l.region_name,
+                   COUNT(DISTINCT s.suppkey) AS n_suppliers
+            FROM {db}.dim_supplier s
+            JOIN {db}.dim_location l ON s.dim_location_id = l.dim_location_id
+            WHERE s.suppkey IS NOT NULL
+            GROUP BY l.region_name)
+        SELECT region_name, n_suppliers,
+               CASE WHEN n_suppliers >= 100 THEN 'multi'
+                    WHEN n_suppliers > 1 THEN 'several'
+                    ELSE 'single' END AS supplier_class
+        FROM counts
+    """,
+    # VW_MultiVsSingle (:438-496): conditional window average
+    "vw_segment_vs_year_avg": """
+        SELECT segment, year_num, seg_revenue,
+               AVG(seg_revenue) OVER (PARTITION BY year_num)
+                   AS year_avg_revenue,
+               seg_revenue - AVG(seg_revenue) OVER (PARTITION BY year_num)
+                   AS vs_year_avg
+        FROM (SELECT c.segment, d.year_num,
+                     SUM(f.sale_amount) AS seg_revenue
+              FROM {db}.fact_sales f
+              JOIN {db}.dim_customer c
+                ON f.dim_customer_id = c.dim_customer_id
+              JOIN {db}.dim_date d ON f.dim_sale_date_id = d.date_pkey
+              GROUP BY c.segment, d.year_num)
+    """,
+}
+
+
+def create_analytical_views(spark: SparkSession,
+                            database: str) -> dict[str, int]:
+    """The 7-analytical-view BI layer (Phase C; reference
+    run_views_etl)."""
+    for view, body in ANALYTICAL_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE VIEW {database}.{view} AS "
+                  + body.format(db=database))
     return {}

@@ -177,7 +177,12 @@ def build_fact_sales(spark: SparkSession, t: dict[str, DataFrame],
     cust_keys = dim_customer.select("custkey", "dim_customer_id")
     supp_keys = dim_supplier.select("suppkey", "dim_supplier_id")
     part_keys = dim_part.select("partkey", "dim_part_id")
-    net = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(18,4)"))
+    # net on scaled longs (cents × basis-points → exact scale-6 integer):
+    # per-row long codegen instead of BigDecimal; the /1e6 double convert
+    # is correctly rounded, bit-identical to the decimal→double cast
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")      # s2
+    dbp = F.round(F.col("l_discount") * 10000).cast("long")         # s4
+    net = (epc * (10000 - dbp)).cast("double") / F.lit(1000000.0)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
             .join(F.broadcast(cust_keys),
                   orders.o_custkey == cust_keys.custkey, "left")
@@ -196,15 +201,10 @@ def build_fact_sales(spark: SparkSession, t: dict[str, DataFrame],
                            F.lit(UNKNOWN_KEY)).alias("dim_part_id"),
                 date_key("o_orderdate").alias("dim_sale_date_id"),
                 F.col("l_quantity").cast("double").alias("sale_quantity"),
-                dec("l_extendedprice").cast("double").alias("gross_amount"),
-                net.cast("double").alias("sale_amount"),
-                # double multiply (not decimal): a single IEEE op is
-                # bit-deterministic cross-engine; decimal would overflow
-                # precision 38 and round engine-specifically
-                (net.cast("double") * F.col("l_tax").cast("double"))
-                    .alias("tax_amount"),
-                safe_div(net.cast("double"),
-                         F.col("l_quantity").cast("double"))
+                (epc.cast("double") / 100.0).alias("gross_amount"),
+                net.alias("sale_amount"),
+                (net * F.col("l_tax").cast("double")).alias("tax_amount"),
+                safe_div(net, F.col("l_quantity").cast("double"))
                     .alias("sale_unit_price")))
 
 

@@ -509,13 +509,16 @@ def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_views.py:159-160, 343-346)."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
-    ext, disc = dec("l_extendedprice"), dec("l_discount")
+    # scaled-long money math (see q01): exact, codegen-friendly
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .groupBy(p.p_brand.alias("brand"))
-            .agg(safe_div(F.sum(ext * disc).cast("double"),
-                          F.sum(dec("l_quantity")).cast("double"))
+            .agg(safe_div(F.sum(epc * dc).cast("double") / 10000.0,
+                          F.sum(qc).cast("double") / 100.0)
                  .alias("discount_per_unit"),
-                 F.round(safe_div(F.sum(dec("l_quantity")).cast("double"),
+                 F.round(safe_div(F.sum(qc).cast("double") / 100.0,
                                   F.countDistinct("l_orderkey")), 2)
                  .alias("qty_per_order")))
 

@@ -190,3 +190,76 @@ def test_copy_on_error_continue(spark, stage_dir):
 def test_copy_skip_if_empty(spark, stage_dir):
     assert copy_loader.load_stage_if_present(
         spark, f"{stage_dir}/*.tsv", CSV_SCHEMA, "copy_test") is None
+
+
+# ---------------------------------------------------------- incremental --
+
+def test_incremental_append(spark, sf_dir, report):
+    """Appends insert only unseen business keys, keyed above the current
+    max; re-presenting known keys is a no-op (insert-only contract)."""
+    from snowflake_azure_etl_spark.warehouse.incremental import (
+        append_new_members)
+
+    table = f"{DB}.dim_customer"
+    before = spark.table(table)
+    n_before = before.count()
+    max_before = before.agg(F.max("dim_customer_id")).collect()[0][0]
+
+    # 3 known members + 2 genuinely new business keys
+    known = before.filter(F.col("custkey").isNotNull()).limit(3)
+    new = (known.limit(2)
+           .withColumn("custkey", F.col("custkey") + 1_000_000)
+           .withColumn("customer_name", F.lit("New Member")))
+    rep = append_new_members(spark, table, known.unionByName(new),
+                             "dim_customer_id", ["custkey"])
+    assert rep.candidates == 5 and rep.inserted == 2 and rep.skipped == 3
+
+    after = spark.table(table)
+    assert after.count() == n_before + 2
+    added = after.filter(F.col("custkey") >= 1_000_000)
+    assert added.count() == 2
+    assert added.agg(F.min("dim_customer_id")).collect()[0][0] > max_before
+    # keys still unique; second run is a no-op
+    assert after.select("dim_customer_id").distinct().count() == after.count()
+    rep2 = append_new_members(spark, table, known.unionByName(new),
+                              "dim_customer_id", ["custkey"])
+    assert rep2.inserted == 0
+
+
+# ---------------------------------------------------- analytical views --
+
+def test_analytical_views_run(spark, report):
+    """All 7 analytical views exist and evaluate (lazy until queried —
+    same behavior as Snowflake view expansion)."""
+    from snowflake_azure_etl_spark.warehouse.runner import ANALYTICAL_VIEWS
+    for view in ANALYTICAL_VIEWS:
+        n = spark.table(f"{DB}.{view}").count()
+        assert n > 0, f"{view} returned no rows"
+
+
+def test_analytical_view_matches_dataframe_equivalent(spark, report):
+    """vw_sales_performance_summary == the same plan written with the
+    DataFrame API (view layer adds no semantic drift)."""
+    vw = spark.table(f"{DB}.vw_sales_performance_summary")
+    f = spark.table(f"{DB}.fact_sales")
+    p = spark.table(f"{DB}.dim_part")
+    d = spark.table(f"{DB}.dim_date")
+    df = (f.join(p, "dim_part_id").join(d, f.dim_sale_date_id == d.date_pkey)
+          .groupBy("year_num", "quarter_num", "brand")
+          .agg(F.count("*").alias("n_lines")))
+    got = {(r.sale_year, r.sale_quarter, r.brand): r.n_lines
+           for r in vw.select("sale_year", "sale_quarter", "brand",
+                              "n_lines").collect()}
+    want = {(r.year_num, r.quarter_num, r.brand): r.n_lines
+            for r in df.collect()}
+    assert got == want
+
+
+def test_rank_window_view_sane(spark, report):
+    vw = spark.table(f"{DB}.vw_product_bonus")
+    top = vw.filter(F.col("sales_rank") == 1)
+    years = vw.select("year_num").distinct().count()
+    assert top.count() == years  # exactly one rank-1 brand per year
+    shares = (vw.groupBy("year_num")
+              .agg(F.sum("revenue_share_pct").alias("s")).collect())
+    assert all(abs(r.s - 100.0) < 0.5 for r in shares)
