@@ -90,12 +90,29 @@ class SourceRegistry:
 
 def load_tables(spark: SparkSession, sf_dir: str,
                 tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
-    """Read the testdata star as DataFrames keyed by table name."""
-    if "events" in tables:
-        # runtime-settable; required to read the nanos-timestamp parquet
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reg = SourceRegistry.for_star_dir(sf_dir, tables)
-    return {t: reg.read(spark, t) for t in tables}
+    """Read the testdata star as DataFrames keyed by table name.
+
+    Resolved DataFrames (plans, not data) are cached on the session —
+    the engine's relation-catalog cache. Resolving a parquet relation
+    costs a driver-side footer read per table; a workload of dozens of
+    queries over the same stages would otherwise pay it per query. The
+    cache dies with the session, so a restarted session (tests) never
+    sees stale plans.
+    """
+    cache: dict = getattr(spark, "_sae_relation_cache", None) or {}
+    if not hasattr(spark, "_sae_relation_cache"):
+        spark._sae_relation_cache = cache
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        key = (sf_dir, t)
+        if key not in cache:
+            if t == "events":
+                # runtime-settable; required to read nanos-timestamp parquet
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            reg = SourceRegistry.for_star_dir(sf_dir, (t,))
+            cache[key] = reg.read(spark, t)
+        out[t] = cache[key]
+    return out
 
 
 def register_star_views(spark: SparkSession, sf_dir: str,
