@@ -318,3 +318,36 @@ def q38_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("customer_only").alias("op"),
                      F.col("n_nationkey").alias("nationkey")))
     return both.unionByName(conly)
+
+
+@query(
+    "q48_salted_skew_join",
+    covers=("X-SALT", "J1", "A1", "A2"),
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (plans/layout.py::salted_join): lineitem's
+    supplier key is split across 16 deterministic salt buckets and
+    supplier is replicated 16-fold, so a hot key's rows land on 16
+    reducers instead of one. Semantically identical to the plain join —
+    the oracle IS the plain join."""
+    from ..plans.layout import salted_join
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    big = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"),
+        (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("_rev"))
+    small = t["supplier"].select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    joined = salted_join(big, small, on=["suppkey"], how="inner", salt=16)
+    return (joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("_rev").cast("double").alias("revenue")))
