@@ -103,6 +103,79 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rn").cast("int").alias("rn")))
 
 
+def _centroid_literals(emb: DataFrame, id_col: str, vec_col: str,
+                       n_cells: int) -> list[tuple[int, Column]]:
+    """Deterministic seed centroids: the `n_cells` lowest-id vectors,
+    fetched once to the driver (bounded, cells-not-corpus sized) and
+    inlined as literal arrays — the coarse quantizer is metadata, like
+    an IVF index's trained centroids. Swap in k-means-trained centroids
+    by replacing this function; every plan downstream is unchanged."""
+    rows = (emb.select(F.col(id_col).cast("long").alias("i"),
+                       as_double_vec(vec_col).alias("v"))
+            .filter(F.col("i") < n_cells).orderBy("i").collect())
+    return [(int(r.i), F.array(*[F.lit(float(x)) for x in r.v]))
+            for r in rows]
+
+
+def _cell_scores(vec: Column, cents: list[tuple[int, Column]]) -> Column:
+    """Array of (cos_sim, -cell_id) structs — one per centroid, computed
+    row-locally (no shuffle, no join; the centroid norms constant-fold).
+    Max = best cell with ties to the smallest cell id."""
+    return F.array(*[
+        F.struct(cosine(vec, cv).alias("s"), F.lit(-cid).alias("nid"))
+        for cid, cv in cents
+    ])
+
+
+def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
+                 cents: list[tuple[int, Column]]) -> DataFrame:
+    """IVF cell assignment: argmax-cosine centroid per vector, as a pure
+    projection — at 100 TB this is a narrow map over the corpus."""
+    v = as_double_vec(vec_col)
+    return emb.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("cv"),
+        (-F.array_max(_cell_scores(v, cents)).getField("nid"))
+        .cast("int").alias("cell_id"))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 3, n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF-style approximate top-k: corpus partitioned into `n_cells`
+    centroid cells, each query probes its `nprobe` nearest cells, and
+    only those cells' vectors are scored.
+
+    The scale shape (the IVF trade): assignment is a shuffle-free
+    projection; the candidate join is an equi-join on cell_id (queries
+    broadcast), so per-query work drops from O(N) to O(N·nprobe/n_cells).
+    `n_cells` ↗ ⇒ recall ↘ cost ↘ — same knob family as the sign-bucket
+    LSH variant, but with data-adaptive (trainable) partitions.
+    """
+    from pyspark.sql import Window
+    cents = _centroid_literals(emb, id_col, vec_col, n_cells)
+    assigned = assign_cells(emb, id_col, vec_col, cents)
+    qv = as_double_vec(vec_col)
+    probes = (queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"),
+        # ascending struct sort ⇒ the last `nprobe` entries are the
+        # best cells (ties resolved to the smaller cell id via -id)
+        F.slice(F.array_sort(_cell_scores(qv, cents)), -nprobe, nprobe)
+        .alias("best"))
+        .select("query_id", "qv",
+                F.explode(F.transform("best", lambda s: -s.getField("nid")))
+                .alias("cell_id"))
+        .withColumn("cell_id", F.col("cell_id").cast("int")))
+    scored = (assigned.join(F.broadcast(probes), "cell_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rn").cast("int").alias("rn")))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95, bits: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within sign buckets

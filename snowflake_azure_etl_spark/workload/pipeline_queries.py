@@ -416,3 +416,59 @@ def q62_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.to_media_table(docs)
     return multimodal.frame_sample(media, n_frames=4, stub=True)
+
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))")
+
+@query(
+    "q63_ann_ivf_topk",
+    covers=("X-ANN-IVF",),
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 8),
+    corpus AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    corpus_scored AS (
+        SELECT c.neighbor_id, c.v, ct.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.neighbor_id
+                   ORDER BY {_COS.format(a='c.v', b='ct.cv')} DESC,
+                            ct.cell_id) AS crn
+        FROM corpus c CROSS JOIN cent ct),
+    assigned AS (SELECT neighbor_id, v, cell_id FROM corpus_scored
+                 WHERE crn = 1),
+    qset AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id % 50 = 0),
+    q_scored AS (
+        SELECT q.query_id, q.qv, ct.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a='q.qv', b='ct.cv')} DESC,
+                            ct.cell_id) AS qrn
+        FROM qset q CROSS JOIN cent ct),
+    probes AS (SELECT query_id, qv, cell_id FROM q_scored WHERE qrn <= 2),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_COS.format(a='a.v', b='p.qv')} AS cos_sim
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.neighbor_id != p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3 (operators.similarity.ivf_topk):
+    corpus partitioned into 8 centroid cells (deterministic seed
+    centroids standing in for a trained coarse quantizer), each query
+    probes its 2 nearest cells — assignment is a shuffle-free
+    projection, candidates come from a cell_id equi-join."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                               k=3, n_cells=8, nprobe=2)
