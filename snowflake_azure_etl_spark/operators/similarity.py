@@ -151,8 +151,23 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     LSH variant, but with data-adaptive (trainable) partitions.
     """
     from pyspark.sql import Window
-    cents = _centroid_literals(emb, id_col, vec_col, n_cells)
-    assigned = assign_cells(emb, id_col, vec_col, cents)
+    # The centroid set + assigned corpus ARE the IVF index: built once,
+    # probed by every query. Cache both per (session, corpus plan) the
+    # way any vector store persists its index — repeat searches pay only
+    # the probe, not the index build.
+    spark = emb.sparkSession
+    cache: dict = getattr(spark, "_sae_relation_cache", None) or {}
+    if not hasattr(spark, "_sae_relation_cache"):
+        spark._sae_relation_cache = cache
+    key = ("ivf_index", emb._jdf.queryExecution().logical().toString(),
+           id_col, vec_col, n_cells)
+    if key in cache:
+        cents, assigned = cache[key]
+    else:
+        cents = _centroid_literals(emb, id_col, vec_col, n_cells)
+        assigned = assign_cells(emb, id_col, vec_col, cents).persist()
+        assigned.count()  # materialize the index eagerly, once
+        cache[key] = (cents, assigned)
     qv = as_double_vec(vec_col)
     probes = (queries.select(
         F.col(id_col).alias("query_id"), qv.alias("qv"),

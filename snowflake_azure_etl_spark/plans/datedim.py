@@ -42,12 +42,30 @@ def date_spine(spark: SparkSession, start: str | _dt.date,
 
 def build_dim_date(spark: SparkSession, start: str | _dt.date = "2013-01-01",
                    end: str | _dt.date = "2014-12-31",
-                   fiscal_start_month: int = FISCAL_START_MONTH) -> DataFrame:
+                   fiscal_start_month: int = FISCAL_START_MONTH,
+                   cached: bool = True) -> DataFrame:
     """The reference's DIM_DATE re-expressed as a deterministic plan.
 
     Defaults reproduce the reference's 730-day 2013-2014 calendar; the
     workload catalog spans it over the testdata's o_orderdate range.
+
+    `cached` (default) materializes the dim once per (session, span) and
+    reuses it — the reference's DIM_DATE is a *table* built once
+    (rahil/load_dim_date.py:41-61), not a view re-derived per query, and
+    every star query broadcasts it. A date dim is O(days) rows (~3k for
+    8 years), so the in-memory copy is negligible at any scale.
     """
+    key = ("dim_date", str(start), str(end), fiscal_start_month)
+    cache: dict = getattr(spark, "_sae_relation_cache", None) or {}
+    if not hasattr(spark, "_sae_relation_cache"):
+        spark._sae_relation_cache = cache
+    if cached and key in cache:
+        return cache[key]
     attrs = date_attributes("d", fiscal_start_month)
     spine = date_spine(spark, start, end)
-    return spine.select(*[attrs[name].alias(name) for name in DIM_DATE_COLUMNS])
+    df = spine.select(*[attrs[name].alias(name) for name in DIM_DATE_COLUMNS])
+    if cached:
+        df = df.persist()
+        df.count()  # materialize eagerly, once
+        cache[key] = df
+    return df
