@@ -108,3 +108,33 @@ def test_asof_join_single_shuffle(spark, sf_dir, name):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_is_equi_join_not_cross(spark, sf_dir):
+    """q63's candidate generation must be an equi-join on cell_id with
+    the probe side broadcast — never a corpus×queries cross join."""
+    plan = plan_of(spark, sf_dir, "q63_ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # corpus side must never shuffle
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF is approximate; assert its recall@3 against the exact
+    brute-force baseline stays high on the test corpus (nprobe=2 of 8
+    cells). A plan bug (wrong cell assignment, dropped probes) craters
+    this; the honest recall loss of probing 2/8 cells does not."""
+    from pyspark.sql import functions as F
+    from snowflake_azure_etl_spark.operators import similarity
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    approx = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                 k=3, n_cells=8, nprobe=2)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall@3 collapsed: {recall:.2f}"
