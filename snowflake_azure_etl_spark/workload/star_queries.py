@@ -262,13 +262,15 @@ def q07_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
                     ("lineitem", "orders", "customer", "nation", "region"))
     l, o, c = t["lineitem"], t["orders"], t["customer"]
     n, r = t["nation"], t["region"]
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # scaled-long revenue (see q01): exact scale-4 integer sums
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     return (l.join(o, l.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
-            .agg(F.sum(rev).cast("double").alias("revenue"),
+            .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"),
                  F.count("*").alias("n_lines")))
 
 
@@ -424,16 +426,28 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side aggregation makes the shuffle carry one row per
     (flag,status) per task."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    ext, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    # Scaled-long money math (see q01): the per-row products stay in
+    # whole-stage-codegen long arithmetic (~2.5× the BigDecimal path
+    # here). Sums are exact integers (scale-6 charge sums stay under
+    # 2^63 far past SF100); one double conversion per group matches the
+    # oracle's DECIMAL→DOUBLE cast bit-for-bit while the scaled sum is
+    # below 2^53 — true per (flag,status) group through bench scale.
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    txc = F.round(F.col("l_tax") * 100).cast("long")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
     return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(dsum("l_quantity").alias("sum_qty"),
-                 F.sum(ext).cast("double").alias("sum_base_price"),
-                 F.sum(ext * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-                 F.sum(ext * (F.lit(1) - disc) * (F.lit(1) + tax))
-                  .cast("double").alias("sum_charge"),
-                 davg("l_quantity").alias("avg_qty"),
-                 davg("l_discount").alias("avg_disc"),
+            .agg((F.sum(qc).cast("double") / 100.0).alias("sum_qty"),
+                 (F.sum(epc).cast("double") / 100.0).alias("sum_base_price"),
+                 (F.sum(epc * (100 - dc)).cast("double") / 10000.0)
+                 .alias("sum_disc_price"),
+                 (F.sum(epc * (100 - dc) * (100 + txc)).cast("double") / 1e6)
+                 .alias("sum_charge"),
+                 (F.sum(qc).cast("double") / 100.0
+                  / F.count("l_quantity")).alias("avg_qty"),
+                 (F.sum(dc).cast("double") / 100.0
+                  / F.count("l_discount")).alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
@@ -569,16 +583,21 @@ def q16_reagg_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst inlines it like Snowflake view expansion."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
+    # view carries the exact scale-2 integer sum (see q01); the re-agg
+    # SUM/MAX over longs hits the same integers the oracle's DECIMAL does
     inner = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
              .groupBy(p.p_brand.alias("brand"),
                       F.year("l_shipdate").alias("yr"))
-             .agg(F.sum(dec("l_extendedprice")).alias("revenue")))
+             .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")).alias("revenue")))
     inner.createOrReplaceTempView("vw_brand_year")
     return (spark.table("vw_brand_year")
             .groupBy("brand")
             .agg(F.count("*").alias("n_years"),
-                 F.sum("revenue").cast("double").alias("total_revenue"),
-                 F.max("revenue").cast("double").alias("best_year_revenue")))
+                 (F.sum("revenue").cast("double") / 100.0)
+                 .alias("total_revenue"),
+                 (F.max("revenue").cast("double") / 100.0)
+                 .alias("best_year_revenue")))
 
 
 # --------------------------------------------------------------------------
@@ -638,10 +657,12 @@ def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort materializes. Tie-broken by orderkey for determinism."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     li, o = t["lineitem"], t["orders"]
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # scaled-long revenue (see q01/q11): exact integer sums per order
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy(o.o_orderkey.alias("orderkey"))
-            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("orderkey"))
             .limit(20))
 

@@ -20,14 +20,20 @@ from ._registry import query
 
 
 def _brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scaled-long money math (see star_queries.q01): `_rev` is an exact
+    # integer at scale 4 (1e4 units/dollar), `_qty` at scale 2 — same
+    # integers the oracle's DECIMAL sums carry, ~2.5× faster per row.
+    # Consumers divide once per output value.
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .groupBy(F.year("l_shipdate").alias("yr"),
                      p.p_brand.alias("brand"))
-            .agg(F.sum(rev).alias("_rev"),
-                 F.sum(dec("l_quantity")).alias("_qty")))
+            .agg(F.sum(epc * (100 - dc)).alias("_rev"),
+                 F.sum(qc).alias("_qty")))
 
 
 _BRAND_YEAR_CTE = """
@@ -59,7 +65,8 @@ def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _brand_year_revenue(spark, sf_dir)
     w = Window.partitionBy("yr").orderBy(F.desc("_rev"), F.asc("brand"))
     return base.select(
-        "yr", "brand", F.col("_rev").cast("double").alias("revenue"),
+        "yr", "brand",
+        (F.col("_rev").cast("double") / 1e4).alias("revenue"),
         F.rank().over(w).alias("sales_rank"))
 
 
@@ -82,13 +89,12 @@ def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio divides two deterministic doubles."""
     base = _brand_year_revenue(spark, sf_dir)
     w = Window.partitionBy("yr")
-    tot = F.sum("_rev").over(w)
+    revd = F.col("_rev").cast("double") / 1e4
+    totd = F.sum("_rev").over(w).cast("double") / 1e4
     return base.select(
-        "yr", "brand", F.col("_rev").cast("double").alias("revenue"),
-        tot.cast("double").alias("year_revenue"),
-        (F.col("_rev").cast("double") * 100
-         / F.when(tot.cast("double") != 0, tot.cast("double")))
-        .alias("pct_of_year"))
+        "yr", "brand", revd.alias("revenue"),
+        totd.alias("year_revenue"),
+        (revd * 100 / F.when(totd != 0, totd)).alias("pct_of_year"))
 
 
 @query(
@@ -111,11 +117,13 @@ def q32_window_avg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     window SUM / window COUNT so both engines agree bit-for-bit."""
     base = _brand_year_revenue(spark, sf_dir)
     w = Window.partitionBy("yr")
-    avg_qty = F.sum("_qty").over(w).cast("double") / F.count("*").over(w)
+    qtyd = F.col("_qty").cast("double") / 100.0
+    avg_qty = (F.sum("_qty").over(w).cast("double") / 100.0
+               / F.count("*").over(w))
     return base.select(
-        "yr", "brand", F.col("_qty").cast("double").alias("total_qty"),
+        "yr", "brand", qtyd.alias("total_qty"),
         avg_qty.alias("avg_brand_qty"),
-        F.when(F.col("_qty") > avg_qty, "Above Average")
+        F.when(qtyd > avg_qty, "Above Average")
          .otherwise("Below Average").alias("vs_avg"))
 
 
