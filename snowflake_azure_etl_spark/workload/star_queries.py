@@ -167,27 +167,8 @@ def q03_filter_in_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "q04_join_region_nation",
-    covers=("J1",),
-    oracle="""
-    SELECT n.n_nationkey AS nationkey, n.n_name AS nation, r.r_name AS region
-    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-)
-def q04_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-key inner equi-join of two tiny dims — the
-    channel⋈channelcategory shape (load_dimension_tables.py:133-135).
-    Broadcast: zero shuffle."""
-    t = load_tables(spark, sf_dir, ("nation", "region"))
-    n, r = t["nation"], t["region"]
-    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-            .select(n.n_nationkey.alias("nationkey"),
-                    n.n_name.alias("nation"), r.r_name.alias("region")))
-
-
-@query(
     "q05_join_chain_3way",
-    covers=("J2", "F3"),
+    covers=("J1", "J2", "F3"),
     oracle="""
     SELECT s.s_suppkey AS suppkey,
            s.s_name || ' / ' || n.n_name || ' / ' || r.r_name AS supplier_geo,
@@ -200,7 +181,9 @@ def q04_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_join_chain_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way inner join chain + || concat — the
     product⋈producttype⋈productcategory shape
-    (load_dimension_tables.py:253-257)."""
+    (load_dimension_tables.py:253-257). Each hop is the J1 single-key
+    inner equi-join (channel⋈channelcategory, :133-135), both
+    broadcast: zero shuffle."""
     t = load_tables(spark, sf_dir, ("supplier", "nation", "region"))
     s, n, r = t["supplier"], t["nation"], t["region"]
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -484,7 +467,8 @@ def q12_two_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderstatus = 'O'
                          THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
                 AS DOUBLE) AS open_total,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
     FROM orders GROUP BY year(o_orderdate)
     """,
 )
