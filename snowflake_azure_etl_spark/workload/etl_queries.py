@@ -18,41 +18,34 @@ from ._registry import query
 
 @query(
     "q26_stage_accounting",
-    covers=("S2", "S3", "R3", "A7"),
+    covers=("S2", "S3", "R3", "A7", "S9", "F10"),
     oracle=" UNION ALL ".join(
-        f"SELECT '{t}' AS entity, (SELECT COUNT(*) FROM {t}) AS n_rows"
+        f"SELECT '{t}' AS entity, (SELECT COUNT(*) FROM {t}) AS n_rows, "
+        f"'Y' AS in_catalog"
         for t in STAR_TABLES),
 )
 def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity loaded-row accounting over every registered stage —
     the reference's COPY result summary (load_data.py:48-74) as one
-    distributed union-of-aggregates (no driver-side per-table counts)."""
+    distributed union-of-aggregates (no driver-side per-table counts).
+
+    Absorbs the former q27's SHOW TABLES parity (reference
+    create_tables.py:76-85 existence verification): each entity is
+    registered as a catalog view and listed back through the catalog
+    API (`in_catalog`), after the reference's current_version()
+    connection probe (F10, ddl.engine_version)."""
+    from ..warehouse import ddl
+    assert ddl.engine_version(spark)  # connection probe (F10)
+    register_star_views(spark, sf_dir)
+    listed = {t.name for t in spark.catalog.listTables()}
     dfs = load_tables(spark, sf_dir)
     counts = [df.agg(F.count("*").alias("n_rows"))
-              .select(F.lit(name).alias("entity"), "n_rows")
+              .select(F.lit(name).alias("entity"), "n_rows",
+                      F.lit("Y" if name in listed else "N").alias("in_catalog"))
               for name, df in dfs.items()]
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    return out
-
-
-@query(
-    "q27_catalog_tables",
-    covers=("S9", "F10"),
-    oracle=" UNION ALL ".join(
-        f"SELECT '{t}' AS table_name" for t in sorted(STAR_TABLES)),
-)
-def q27_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHOW TABLES parity (reference create_tables.py:76-85 existence
-    verification): register the star as views, list them back through
-    the catalog API."""
-    register_star_views(spark, sf_dir)
-    listed = sorted(t.name for t in spark.catalog.listTables()
-                    if t.name in STAR_TABLES)
-    # JVM-only literal plan (no Python-worker scan for a 10-row result)
-    out = spark.range(1).select(
-        F.explode(F.array(*[F.lit(n) for n in listed])).alias("table_name"))
     return out
 
 

@@ -53,28 +53,61 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q41_events_sliding_window",
-    covers=("E2",),
+    covers=("E2", "X-ROLLUP-TIME"),
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+    SELECT 'sliding_1h_15m' AS grain,
+           strftime(time_bucket(INTERVAL 15 MINUTE, ts)
                         - k.k * INTERVAL 15 MINUTE,
-                    '%Y-%m-%d %H:%M:%S') AS window_start,
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
     GROUP BY time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+    UNION ALL
+    SELECT 'hour',
+           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                           '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
+                             '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2
     """,
 )
 def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 15 min hop): every event lands in 4
     overlapping windows. Spark's window() enumerates the windows natively;
     the oracle reproduces them by exploding k=0..3 hops back from the
-    15-minute floor — same window-start set by construction."""
+    15-minute floor — same window-start set by construction.
+
+    Unioned with the former q46's hypertable-style multi-resolution
+    rollup: the same measure at hour/day/month grains with a grain tag
+    (the continuous-aggregate pattern; at scale each grain materializes
+    incrementally from the next-finer one instead of from raw)."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    return (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+    sliding = (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+               .agg(F.count("*").alias("n_events"),
+                    F.sum(dec("value")).cast("double").alias("total_value"))
+               .select(F.lit("sliding_1h_15m").alias("grain"),
+                       F.date_format("w.start", TS_FMT).alias("bucket_start"),
+                       "n_events", "total_value"))
+    out = sliding
+    for grain in ("hour", "day", "month"):
+        out = out.unionByName(
+            e.groupBy(F.date_trunc(grain, "ts").alias("bucket"))
             .agg(F.count("*").alias("n_events"),
                  F.sum(dec("value")).cast("double").alias("total_value"))
-            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+            .select(F.lit(grain).alias("grain"),
+                    F.date_format("bucket", TS_FMT).alias("bucket_start"),
                     "n_events", "total_value"))
+    return out
 
 
 @query(

@@ -81,9 +81,10 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right plan at this shape; for big×big range joins the scale path is
     coarse-bucket equi-join + residual predicate (SCALE.md)."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    lo = e.agg(F.date_trunc("day", F.min("ts")).alias("lo")).collect()[0]["lo"]
-    iv = (spark.range(41)
-          .select((F.lit(lo) + F.make_interval(days=F.col("id").cast("int")))
+    # one-row lower bound kept lazy (cross join, not a driver collect)
+    lo = e.agg(F.date_trunc("day", F.min("ts")).alias("lo"))
+    iv = (spark.range(41).crossJoin(F.broadcast(lo))
+          .select((F.col("lo") + F.make_interval(days=F.col("id").cast("int")))
                   .alias("start_ts"))
           .withColumn("end_ts",
                       F.col("start_ts") + F.expr("interval 1 day")))
@@ -94,50 +95,6 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(dec("value")).cast("double").alias("total_value"))
             .select(F.date_format("start_ts", "yyyy-MM-dd")
                     .alias("interval_start"), "n_events", "total_value"))
-
-
-@query(
-    "q46_hypertable_rollup",
-    covers=("X-ROLLUP-TIME",),
-    oracle="""
-    SELECT 'hour' AS grain,
-           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
-                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 2
-    UNION ALL
-    SELECT 'day', strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
-                           '%Y-%m-%d %H:%M:%S'),
-           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-    FROM events GROUP BY 2
-    UNION ALL
-    SELECT 'month', strftime(date_trunc('month', CAST(ts AS TIMESTAMP)),
-                             '%Y-%m-%d %H:%M:%S'),
-           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-    FROM events GROUP BY 2
-    """,
-)
-def q46_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style multi-resolution rollup: the same measure
-    aggregated at hour/day/month grains, unioned with a grain tag (the
-    continuous-aggregate pattern; at scale each grain materializes
-    incrementally from the next-finer one instead of from raw)."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
-    outs = []
-    for grain in ("hour", "day", "month"):
-        outs.append(
-            e.groupBy(F.date_trunc(grain, "ts").alias("bucket"))
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(dec("value")).cast("double").alias("total_value"))
-            .select(F.lit(grain).alias("grain"),
-                    F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
-                    .alias("bucket_start"),
-                    "n_events", "total_value"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
 
 
 KMV_K = 16
@@ -187,7 +144,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q35_window_frame_rolling",
-    covers=("W5",),
+    covers=("W5", "W6"),
     oracle="""
     WITH daily AS (
         SELECT l_suppkey AS suppkey, l_shipdate AS ship_date,
@@ -195,59 +152,32 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_suppkey % 20 = 0
         GROUP BY 1, 2)
     SELECT suppkey, strftime(ship_date, '%Y-%m-%d') AS ship_date,
-           CAST(SUM(rev) OVER (PARTITION BY suppkey ORDER BY ship_date
-                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS rolling_7_rev
-    FROM daily
+           CAST(SUM(rev) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_7_rev,
+           CAST(rev - LAG(rev) OVER w AS DOUBLE) AS delta_prev,
+           CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next
+    FROM daily WINDOW w AS (PARTITION BY suppkey ORDER BY ship_date)
     """,
 )
 def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW):
-    7-row rolling revenue per supplier over daily aggregates — frames
-    the reference never uses (SURVEY §2.5 'not present')."""
+    7-row rolling revenue per supplier over daily aggregates, PLUS the
+    former q36's lag/lead deltas over the identical partition+ordering —
+    window shapes the reference never uses (SURVEY §2.5 'not present').
+    One shuffle and one sort serve the frame sum and both offsets."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     daily = (li.filter(F.col("l_suppkey") % 20 == 0)
              .groupBy(F.col("l_suppkey").alias("suppkey"),
                       F.col("l_shipdate").alias("ship_date"))
              .agg(F.sum(dec("l_extendedprice")).alias("rev")))
-    w = (Window.partitionBy("suppkey").orderBy("ship_date")
-         .rowsBetween(-6, 0))
+    wo = Window.partitionBy("suppkey").orderBy("ship_date")
+    wf = wo.rowsBetween(-6, 0)
     return daily.select(
         "suppkey", F.date_format("ship_date", "yyyy-MM-dd").alias("ship_date"),
-        F.sum("rev").over(w).cast("double").alias("rolling_7_rev"))
-
-
-@query(
-    "q36_lag_lead_delta",
-    covers=("W6",),
-    oracle="""
-    WITH monthly AS (
-        SELECT l_suppkey AS suppkey,
-               CAST(strftime(l_shipdate, '%Y%m') AS INT) AS ship_month,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
-        FROM lineitem WHERE l_suppkey % 50 = 0
-        GROUP BY 1, 2)
-    SELECT suppkey, ship_month, CAST(rev AS DOUBLE) AS rev,
-           CAST(rev - LAG(rev) OVER w AS DOUBLE) AS delta_prev,
-           CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next
-    FROM monthly WINDOW w AS (PARTITION BY suppkey ORDER BY ship_month)
-    """,
-)
-def q36_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead month-over-month deltas over exact-decimal monthly
-    sums (not present in the reference's window surface)."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    monthly = (li.filter(F.col("l_suppkey") % 50 == 0)
-               .groupBy(F.col("l_suppkey").alias("suppkey"),
-                        F.date_format("l_shipdate", "yyyyMM").cast("int")
-                        .alias("ship_month"))
-               .agg(F.sum(dec("l_extendedprice")).alias("rev")))
-    w = Window.partitionBy("suppkey").orderBy("ship_month")
-    return monthly.select(
-        "suppkey", "ship_month", F.col("rev").cast("double").alias("rev"),
-        (F.col("rev") - F.lag("rev").over(w)).cast("double")
+        F.sum("rev").over(wf).cast("double").alias("rolling_7_rev"),
+        (F.col("rev") - F.lag("rev").over(wo)).cast("double")
         .alias("delta_prev"),
-        (F.lead("rev").over(w) - F.col("rev")).cast("double")
+        (F.lead("rev").over(wo) - F.col("rev")).cast("double")
         .alias("delta_next"))
 
 

@@ -133,22 +133,33 @@ _SIMHASH_RECOMBINE = " + ".join(
 
 @query(
     "q53_dedup_simhash",
-    covers=("X-DEDUP-SIMHASH",),
-    oracle=f"""
+    covers=("X-DEDUP-SIMHASH", "X-TEXT-FPRINT"),
+    oracle=rf"""
     WITH {_TOKS_CTE},
     h AS (SELECT doc_id,
                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv
           FROM toks),
-    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
-    SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes)
+    SELECT sh.doc_id, sh.simhash,
+           substr(md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')),
+                  1, 16) AS fingerprint
+    FROM sh JOIN documents d ON d.doc_id = sh.doc_id
     """,
 )
 def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (operators.dedup.simhash32):
     per-bit ±1 votes over token hashes, sign-recombined — one explode +
-    one groupBy with 32 codegen'd conditional sums."""
+    one groupBy with 32 codegen'd conditional sums.
+
+    Joined with the former q59's canonical-form md5 fingerprint
+    (operators.text.md5_fingerprint) — the per-doc hashing suite in one
+    result. The polynomial rolling-hash variant stays pytest-verified
+    against a Python reference (tests/test_text_ops.py)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return dedup.simhash32(docs, "doc_id", "text")
+    sh = dedup.simhash32(docs, "doc_id", "text")
+    fp = docs.select("doc_id", text.md5_fingerprint("text").alias("fingerprint"))
+    return sh.join(fp, "doc_id")
 
 
 _COS_ORACLE = """
@@ -192,7 +203,7 @@ _BUCKET_SQL = "(" + " || ".join(
 
 @query(
     "q55_ann_lsh_bucketed_topk",
-    covers=("X-ANN-LSH",),
+    covers=("X-ANN-LSH", "X-DEDUP-EMBED"),
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
                       {_BUCKET_SQL} AS bucket
@@ -214,49 +225,52 @@ _BUCKET_SQL = "(" + " || ".join(
                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
         FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    SELECT 'topk' AS role, query_id AS id_a, neighbor_id AS id_b,
+           cos_sim, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
-    """,
-)
-def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 via sign-bucket LSH (operators.similarity):
-    candidates restricted to the query's bucket — the equi-join scale
-    path (shuffle on bucket key instead of a cross join)."""
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding",
-                                        k=3, bits=8)
-
-
-@query(
-    "q56_embedding_near_dups",
-    covers=("X-DEDUP-EMBED",),
-    oracle=f"""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                      {_BUCKET_SQL} AS bucket
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    UNION ALL
+    SELECT 'near_dup', a.vec_id, b.vec_id,
            list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
-    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                  * sqrt(list_dot_product(b.v, b.v))),
+           CAST(NULL AS INT)
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_BUCKET_SQL} AS bucket FROM embeddings) a
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_BUCKET_SQL} AS bucket FROM embeddings) b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= 0.8
     """,
 )
-def q56_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within sign buckets —
-    the embedding leg of the dedup suite
-    (operators.similarity.embedding_near_dups)."""
+def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-bucket LSH (operators.similarity):
+    candidates restricted to the query's bucket — the equi-join scale
+    path (shuffle on bucket key instead of a cross join).
+
+    Unioned (tagged `role`) with the former q56's embedding-cosine
+    near-duplicate pairs within the same sign buckets
+    (operators.similarity.embedding_near_dups) — both legs of the
+    sign-bucket LSH family in one result."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.embedding_near_dups(emb, "vec_id", "embedding",
-                                          threshold=0.8, bits=8)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = (similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding",
+                                         k=3, bits=8)
+            .select(F.lit("topk").alias("role"),
+                    F.col("query_id").alias("id_a"),
+                    F.col("neighbor_id").alias("id_b"),
+                    "cos_sim", "rn"))
+    dups = (similarity.embedding_near_dups(emb, "vec_id", "embedding",
+                                           threshold=0.8, bits=8)
+            .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
+                    "cos_sim", F.lit(None).cast("int").alias("rn")))
+    return topk.unionByName(dups)
 
 
 @query(
     "q57_text_stats",
-    covers=("X-TEXT-STATS",),
+    covers=("X-TEXT-STATS", "X-TEXT-LANG"),
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -274,14 +288,41 @@ def q56_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                           t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
                      / len(string_split(text, ' '))) / 0.2, 1.0)
             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' '))) / 3 AS quality_score
+               / len(string_split(text, ' '))) / 3 AS quality_score,
+           lang,
+           CASE WHEN len(list_filter(string_split(text,' '),
+                        t -> t IN ('the','a','of','and','to','in')))
+                     >= len(list_filter(string_split(text,' '),
+                            t -> t IN ('der','die','das','und','ist')))
+                 AND len(list_filter(string_split(text,' '),
+                         t -> t IN ('the','a','of','and','to','in')))
+                     >= len(list_filter(string_split(text,' '),
+                            t -> t IN ('le','la','les','et','est')))
+                 AND len(list_filter(string_split(text,' '),
+                         t -> t IN ('the','a','of','and','to','in'))) > 0
+                THEN 'en'
+                WHEN len(list_filter(string_split(text,' '),
+                         t -> t IN ('der','die','das','und','ist')))
+                     >= len(list_filter(string_split(text,' '),
+                            t -> t IN ('le','la','les','et','est')))
+                 AND len(list_filter(string_split(text,' '),
+                         t -> t IN ('der','die','das','und','ist'))) > 0
+                THEN 'de'
+                WHEN len(list_filter(string_split(text,' '),
+                         t -> t IN ('le','la','les','et','est'))) > 0
+                THEN 'fr'
+                ELSE 'und' END AS lang_guess
     FROM documents
     """,
 )
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text quality features (operators.text): token counts,
     lexical diversity, stopword ratio, BPE-ish token estimate, composite
-    quality score — a single narrow no-shuffle projection."""
+    quality score — a single narrow no-shuffle projection.
+
+    Plus the former q58's stopword-vote language ID
+    (operators.text.lang_guess) beside the declared lang column — the
+    whole per-doc text-analysis suite in one no-shuffle pass."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.select(
         "doc_id",
@@ -291,131 +332,53 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_ratio("text").alias("stopword_ratio"),
         text.bpe_token_estimate("text").alias("bpe_token_estimate"),
         text.quality_score("text").alias("quality_score"),
+        "lang",
+        text.lang_guess("text").alias("lang_guess"),
     )
 
 
 @query(
-    "q58_lang_id",
-    covers=("X-TEXT-LANG",),
-    oracle="""
-    WITH scored AS (
-        SELECT lang,
-               len(list_filter(string_split(text,' '),
-                   t -> t IN ('the','a','of','and','to','in'))) AS en_hits,
-               len(list_filter(string_split(text,' '),
-                   t -> t IN ('der','die','das','und','ist'))) AS de_hits,
-               len(list_filter(string_split(text,' '),
-                   t -> t IN ('le','la','les','et','est'))) AS fr_hits
-        FROM documents
-    )
-    SELECT lang,
-           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
-                THEN 'en'
-                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-                WHEN fr_hits > 0 THEN 'fr'
-                ELSE 'und' END AS lang_guess,
-           COUNT(*) AS n_docs
-    FROM scored
-    GROUP BY 1, 2
-    """,
-)
-def q58_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID (operators.text.lang_guess) crossed
-    against the declared lang column — the n-gram-heuristic family with
-    a deterministic tie order."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return (docs.groupBy("lang", text.lang_guess("text").alias("lang_guess"))
-            .agg(F.count("*").alias("n_docs")))
-
-
-@query(
-    "q59_fingerprint",
-    covers=("X-TEXT-FPRINT",),
-    oracle=r"""
-    SELECT doc_id,
-           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
-                  1, 16) AS fingerprint
-    FROM documents
-    """,
-)
-def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-form md5 document fingerprint (operators.text).
-    The polynomial rolling hash variant is pytest-verified against a
-    Python reference (tests/test_text_ops.py) — kept out of this oracle
-    to avoid relying on DuckDB list_reduce."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return docs.select("doc_id",
-                       text.md5_fingerprint("text").alias("fingerprint"))
-
-
-@query(
-    "q60_multimodal_decode_stub",
-    covers=("X-MULTIMODAL",),
-    oracle="""
-    SELECT doc_id, 'image/fake' AS media_type,
-           CAST(octet_length(encode(text)) AS INT) AS byte_len,
-           substr(md5(text), 1, 8) AS feature_sig,
-           CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT)
-               AS width,
-           CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT)
-               AS height
-    FROM documents
-    """,
-)
-def q60_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column pipeline (operators.multimodal): payload as
-    opaque bytes -> Arrow-batched mapInPandas decode (STUBBED
-    deterministically — no media libs in this container) -> typed
-    metadata. The Spark plumbing (schema, batching, partitioning) is
-    real; only the codec is fake."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    media = multimodal.to_media_table(docs)
-    return multimodal.decode_media(media, stub=True)
-
-
-@query(
-    "q61_multimodal_resize",
+    "q60_multimodal_pipeline",
     covers=("X-MULTIMODAL",),
     oracle="""
     WITH d AS (
         SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               substr(md5(text), 1, 8) AS feature_sig,
                64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS w,
-               64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h
+               64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h,
+               text
         FROM documents)
-    SELECT doc_id, 'image/fake' AS media_type,
+    SELECT doc_id, 'image/fake' AS media_type, byte_len, feature_sig,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(w * 64 // greatest(w, h) AS INT) AS out_width,
-           CAST(h * 64 // greatest(w, h) AS INT) AS out_height
-    FROM d
-    """,
-)
-def q61_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize geometry over the media table
-    (operators.multimodal.resize_media — stubbed resampler, real
-    Arrow-batched plumbing; truncating division keeps the geometry
-    engine-portable)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    media = multimodal.to_media_table(docs)
-    return multimodal.resize_media(media, max_dim=64, stub=True)
-
-
-@query(
-    "q62_multimodal_frame_sample",
-    covers=("X-MULTIMODAL",),
-    oracle="""
-    SELECT doc_id, CAST(k.k AS INT) AS frame_idx,
+           CAST(h * 64 // greatest(w, h) AS INT) AS out_height,
+           CAST(k.k AS INT) AS frame_idx,
            substr(md5(text || ':' || k.k), 1, 8) AS frame_sig
-    FROM documents
-    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
     """,
 )
-def q62_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-item frame sampling fan-out (operators.multimodal.frame_sample):
-    4 deterministic frame signatures per media item, generated inside the
-    Arrow stream (video frame-extraction stand-in)."""
+def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole binary-media pipeline (operators.multimodal) in one plan
+    — formerly q60/q61/q62: payload as opaque bytes → Arrow-batched
+    mapInPandas decode (typed metadata) → aspect-preserving resize
+    geometry → per-item frame-sampling fan-out (4 frames/item, fanned
+    out inside the Arrow stream). Codecs are STUBBED deterministically
+    (no media libs in this container); the Spark plumbing — schemas,
+    batching, partitioning, fan-out shape — is real. Payloads never
+    reach the driver; the three stages join on doc_id (broadcast-sized
+    here, bucketed co-location at scale)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.to_media_table(docs)
-    return multimodal.frame_sample(media, n_frames=4, stub=True)
+    decoded = multimodal.decode_media(media, stub=True)
+    resized = (multimodal.resize_media(media, max_dim=64, stub=True)
+               .select("doc_id", "out_width", "out_height"))
+    frames = multimodal.frame_sample(media, n_frames=4, stub=True)
+    return (decoded.join(resized, "doc_id")
+            .join(frames, "doc_id")
+            .select("doc_id", "media_type", "byte_len", "feature_sig",
+                    "width", "height", "out_width", "out_height",
+                    "frame_idx", "frame_sig"))
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

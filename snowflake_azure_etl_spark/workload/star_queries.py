@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import oracle_date_attributes_sql
-from ..functions.scalar import coalesce_unknown, date_key, davg, dec, dsum, safe_div
+from ..functions.scalar import (coalesce_unknown, date_key, davg, dec, dsum,
+                                safe_div, store_name)
 from ..plans.datedim import build_dim_date
 from ..sources.registry import load_tables
 from ._registry import query
@@ -57,6 +58,7 @@ def dim_date_oracle_cte() -> str:
                AS total_revenue,
            COUNT(*) AS n_lines,
            COUNT(DISTINCT l.l_orderkey) AS n_orders,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(l.l_extendedprice) AS avg_line_price,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -73,7 +75,11 @@ def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship star-join aggregate (VW_SalesPerformanceSummary analog,
     reference create_views.py:144-171). Date dim and part are broadcast —
     at 100 TB the only shuffle is the final group-by on (year, quarter,
-    brand), pre-reduced map-side by Spark's partial aggregation."""
+    brand), pre-reduced map-side by Spark's partial aggregation.
+
+    Carries TWO exact COUNT(DISTINCT)s (orders + suppliers) — the A3
+    two-distinct-aggs-in-one-query shape (reference
+    create_views.py:184-185), folded in from the former q12."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     dim_date = build_dim_date(spark, DATE_START, DATE_END)
     li = t["lineitem"]
@@ -101,6 +107,7 @@ def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue"),
             F.count("*").alias("n_lines"),
             F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
             (F.sum(epc).cast("double") / 100.0
              / F.count("l_extendedprice")).alias("avg_line_price"),
             safe_div(F.sum(epc * dc).cast("double") / 10000.0,
@@ -131,8 +138,7 @@ def q02_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards, load_dimension_tables.py:84-86). Both the 4-column ReadSchema
     and all three predicates reach the parquet scan as PushedFilters."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag") \
-        .filter(
+    return li.filter(
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
             & F.col("l_extendedprice").isNotNull()
             & F.col("l_returnflag").isNotNull()
@@ -435,28 +441,6 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q12_two_count_distinct",
-    covers=("A3",),
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(DISTINCT year(o_orderdate)) AS n_years,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q12_two_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two exact COUNT(DISTINCT)s in one aggregate (reference
-    create_views.py:184-185) — Catalyst expands via Expand; exact, not
-    approx_count_distinct (SURVEY A3 requires exactness)."""
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    return (o.groupBy("o_orderpriority")
-            .agg(F.countDistinct("o_custkey").alias("n_customers"),
-                 F.countDistinct(F.year("o_orderdate")).alias("n_years"),
-                 F.count("*").alias("n_orders")))
-
-
-@query(
     "q13_conditional_agg",
     covers=("A4", "F4"),
     oracle="""
@@ -623,7 +607,7 @@ def q17_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_topk_orders",
-    covers=("O1", "O2"),
+    covers=("O1", "O2", "O3", "O4", "S10"),
     oracle="""
     SELECT o.o_orderkey AS orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -638,7 +622,12 @@ def q17_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY ... LIMIT top-k (view_sample_views.py:202-209) — Spark
     plans TakeOrderedAndProject: each task keeps a 20-row heap; no global
-    sort materializes. Tie-broken by orderkey for determinism."""
+    sort materializes. Tie-broken by orderkey for determinism.
+
+    Also the O3/O4/S10 shapes (former q19): the ORDER BY key `revenue`
+    is an alias defined in the same select (create_views.py:362,417) and
+    the bounded LIMIT output is the reference's top-N preview sink
+    (view_sample_data.py:36)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     li, o = t["lineitem"], t["orders"]
     # scaled-long revenue (see q01/q11): exact integer sums per order
@@ -649,30 +638,6 @@ def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("orderkey"))
             .limit(20))
-
-
-@query(
-    "q19_orderby_alias",
-    covers=("O4", "O3", "S10"),
-    oracle="""
-    SELECT c_mktsegment AS segment,
-           COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS segment_balance
-    FROM customer
-    GROUP BY c_mktsegment
-    ORDER BY segment_balance DESC, segment
-    LIMIT 5
-    """,
-)
-def q19_orderby_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY an alias defined in the same select (create_views.py:362,
-    417) + LIMIT-preview sink shape (view_sample_data.py:36)."""
-    c = load_tables(spark, sf_dir, ("customer",))["customer"]
-    return (c.groupBy(F.col("c_mktsegment").alias("segment"))
-            .agg(F.count("*").alias("n_customers"),
-                 F.sum(dec("c_acctbal")).cast("double").alias("segment_balance"))
-            .orderBy(F.desc("segment_balance"), F.asc("segment"))
-            .limit(5))
 
 
 # --------------------------------------------------------------------------
@@ -717,21 +682,28 @@ def q20_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_case_bucketing",
-    covers=("F4", "F1", "F3"),
+    covers=("F4", "F1", "F3", "F2"),
     oracle="""
     SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
                 WHEN c_acctbal < 5000 THEN 'low'
                 WHEN c_acctbal < 9000 THEN 'mid'
                 ELSE 'high' END AS balance_bucket,
            COALESCE(c_mktsegment, 'Unknown') AS segment,
-           COUNT(*) AS n_customers
+           COUNT(*) AS n_customers,
+           'Store ' || CAST(CAST(MIN(CAST(c_custkey AS DOUBLE)) AS BIGINT)
+                            AS VARCHAR) AS sample_label
     FROM customer
     GROUP BY 1, 2
     """,
 )
 def q21_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Searched CASE bucketing + COALESCE defaulting (reference
-    create_views.py:290-300; load_dimension_tables.py:78-82)."""
+    create_views.py:290-300; load_dimension_tables.py:78-82).
+
+    `sample_label` is the former q25's store-name cast-artifact fix
+    (SURVEY §1.4.2; log dim_etl_run:160-167): the reference's float-typed
+    number concat produced "Store 5.00000"; the double→int cast before
+    concat fixes it — exercised here on the group's min business key."""
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     bucket = (F.when(F.col("c_acctbal") < 0, "negative")
               .when(F.col("c_acctbal") < 5000, "low")
@@ -739,4 +711,6 @@ def q21_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise("high"))
     return (c.groupBy(bucket.alias("balance_bucket"),
                       F.coalesce("c_mktsegment", F.lit("Unknown")).alias("segment"))
-            .agg(F.count("*").alias("n_customers")))
+            .agg(F.count("*").alias("n_customers"),
+                 store_name(F.min(F.col("c_custkey").cast("double")))
+                 .alias("sample_label")))

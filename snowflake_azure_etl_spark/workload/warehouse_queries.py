@@ -7,7 +7,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import oracle_date_attributes_sql
-from ..functions.scalar import store_name
 from ..plans.datedim import DIM_DATE_COLUMNS, build_dim_date
 from ..plans.surrogate import with_surrogate_key
 from ..sources.registry import load_tables
@@ -98,24 +97,3 @@ def q24_unknown_member_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.coalesce("dim_part_id", F.lit(1)).alias("resolved_part_id"))
             .agg(F.count("*").alias("n_lines"),
                  dsum("l_quantity").alias("total_qty")))
-
-
-@query(
-    "q25_store_name_cast_fix",
-    covers=("F2", "F3"),
-    oracle="""
-    SELECT s_suppkey AS suppkey,
-           'Store ' || CAST(CAST(CAST(s_suppkey AS DOUBLE) AS BIGINT) AS VARCHAR)
-               AS store_name
-    FROM supplier
-    """,
-)
-def q25_store_name_cast_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Store ' || number with int-cast-before-concat — fixing the
-    reference's float-concat artifact that produced "Store 5.00000"
-    (SURVEY §1.4.2; reference log dim_etl_run:160-167). The double cast
-    here simulates the reference's float-typed StoreNumber column."""
-    s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
-    return s.select(
-        F.col("s_suppkey").alias("suppkey"),
-        store_name(F.col("s_suppkey").cast("double")).alias("store_name"))

@@ -72,37 +72,15 @@ def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q31_window_share_of_total",
-    covers=("W2",),
+    covers=("W2", "W3"),
     oracle=f"""
     WITH {_BRAND_YEAR_CTE}
     SELECT yr, brand, CAST(_rev AS DOUBLE) AS revenue,
            CAST(SUM(_rev) OVER (PARTITION BY yr) AS DOUBLE) AS year_revenue,
            CAST(_rev AS DOUBLE) * 100
                / NULLIF(CAST(SUM(_rev) OVER (PARTITION BY yr) AS DOUBLE), 0)
-               AS pct_of_year
-    FROM brand_year
-    """,
-)
-def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM(SUM(x)) OVER (PARTITION BY ...) share-of-total (reference
-    create_views.py:338-346). The window sums stay exact DECIMAL; the
-    ratio divides two deterministic doubles."""
-    base = _brand_year_revenue(spark, sf_dir)
-    w = Window.partitionBy("yr")
-    revd = F.col("_rev").cast("double") / 1e4
-    totd = F.sum("_rev").over(w).cast("double") / 1e4
-    return base.select(
-        "yr", "brand", revd.alias("revenue"),
-        totd.alias("year_revenue"),
-        (revd * 100 / F.when(totd != 0, totd)).alias("pct_of_year"))
-
-
-@query(
-    "q32_window_avg_compare",
-    covers=("W3",),
-    oracle=f"""
-    WITH {_BRAND_YEAR_CTE}
-    SELECT yr, brand, CAST(_qty AS DOUBLE) AS total_qty,
+               AS pct_of_year,
+           CAST(_qty AS DOUBLE) AS total_qty,
            CAST(SUM(_qty) OVER (PARTITION BY yr) AS DOUBLE)
                / COUNT(*) OVER (PARTITION BY yr) AS avg_brand_qty,
            CASE WHEN _qty > SUM(_qty) OVER (PARTITION BY yr)
@@ -111,17 +89,26 @@ def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM brand_year
     """,
 )
-def q32_window_avg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AVG(SUM(x)) OVER (PARTITION BY ...) compare-to-partition-average
-    (reference create_views.py:387-388). AVG decomposed as exact-decimal
-    window SUM / window COUNT so both engines agree bit-for-bit."""
+def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(SUM(x)) OVER (PARTITION BY ...) share-of-total (reference
+    create_views.py:338-346) PLUS the former q32's AVG(SUM(x)) OVER
+    compare-to-partition-average (create_views.py:387-388) — both
+    analytic shapes computed from ONE windowed frame over the same
+    brand-year aggregate (one shuffle, one window stage). Window sums
+    stay exact scaled-long; AVG is decomposed as window SUM / window
+    COUNT so both engines agree bit-for-bit."""
     base = _brand_year_revenue(spark, sf_dir)
     w = Window.partitionBy("yr")
+    revd = F.col("_rev").cast("double") / 1e4
+    totd = F.sum("_rev").over(w).cast("double") / 1e4
     qtyd = F.col("_qty").cast("double") / 100.0
     avg_qty = (F.sum("_qty").over(w).cast("double") / 100.0
                / F.count("*").over(w))
     return base.select(
-        "yr", "brand", qtyd.alias("total_qty"),
+        "yr", "brand", revd.alias("revenue"),
+        totd.alias("year_revenue"),
+        (revd * 100 / F.when(totd != 0, totd)).alias("pct_of_year"),
+        qtyd.alias("total_qty"),
         avg_qty.alias("avg_brand_qty"),
         F.when(qtyd > avg_qty, "Above Average")
          .otherwise("Below Average").alias("vs_avg"))

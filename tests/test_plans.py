@@ -86,7 +86,7 @@ def test_lsh_pairs_no_pairset_shuffle(spark, sf_dir):
 
 
 def test_multimodal_uses_arrow_map(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q60_multimodal_decode_stub")
+    plan = plan_of(spark, sf_dir, "q60_multimodal_pipeline")
     assert "MapInPandas" in plan        # Arrow-batched, not row UDF
     assert "BatchEvalPython" not in plan
 

@@ -1,5 +1,5 @@
 """Python-reference checks for operators not covered by a DuckDB oracle:
-the polynomial rolling hash (q59 keeps it out of its oracle — DuckDB's
+the polynomial rolling hash (q53 keeps it out of its oracle — DuckDB's
 list_reduce dialect differs) and the partition-parallel surrogate-key
 assigner (plans.surrogate.zip_with_index_keys)."""
 
