@@ -118,8 +118,9 @@ def run_warehouse_build(spark: SparkSession, sf_dir: str,
                       else _raise(f"database {database} missing after create")))
     star = build_star(spark, sf_dir)
     # dependency order: location first, then its referrers, then facts
-    for name in ("dim_location", "dim_customer", "dim_supplier", "dim_part",
-                 "dim_date", "fact_sales", "fact_sales_target"):
+    for name in ("dim_location", "dim_customer", "dim_supplier",
+                 "dim_channel", "dim_part", "dim_date", "fact_sales",
+                 "fact_sales_target", "fact_src_sales_target"):
         run.step(f"load {name}",
                  lambda n=name: _materialize(spark, database, n, star[n]))
     run.step("create views", lambda: create_passthrough_views(spark, database))

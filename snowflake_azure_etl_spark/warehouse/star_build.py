@@ -10,10 +10,12 @@ COALESCE(key, 1) and derived measures
 
 Role mapping (FIXTURES.md §3): customer→Dim_Customer,
 supplier→Dim_Supplier (store/reseller role), part→Dim_Part (product),
-nation⋈region→Dim_Location (shared, UNION-dedup'd across referrers),
+nation⋈region→Dim_Location (shared, UNION-dedup'd across referrers)
+and, in its channel role, →Dim_Channel (channel⋈channelcategory),
 generated Dim_Date spanning o_orderdate, lineitem⋈orders→Fact_Sales
 (salesdetail⋈salesheader), per-(part,year) aggregate→Fact_SalesTarget
-(targetdataproduct).
+(targetdataproduct), per-(store-or-reseller-name, channel, year)
+aggregate→Fact_SRCSalesTarget (targetdatachannel).
 
 Every builder returns a pure DataFrame (no writes) so the DAG is
 lazily composable; runner.py materializes in dependency order.
@@ -135,6 +137,28 @@ def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
          "dim_location_id": UNKNOWN_KEY})
 
 
+def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Channel-role dim: the reference's Dim_Channel = channel ⋈
+    channelcategory on the category id with COALESCE'd names + unknown
+    member (load_dimension_tables.py:126-142; the J1 single-key inner
+    equi-join). Role mapping (FIXTURES.md §3): nation≈channel,
+    region≈channelcategory."""
+    n, r = t["nation"], t["region"]
+    joined = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select(F.col("n_nationkey").alias("channelkey"),
+                      F.col("n_regionkey").alias("categorykey"),
+                      coalesce_unknown("n_name").alias("channel_name"),
+                      coalesce_unknown("r_name").alias("channel_category")))
+    keyed = with_surrogate_key(joined, "dim_channel_id",
+                               order_by=["channelkey"], offset=UNKNOWN_KEY)
+    return _with_unknown_member(
+        spark, keyed.select("dim_channel_id", "channelkey", "categorykey",
+                            "channel_name", "channel_category"),
+        "dim_channel_id",
+        {"channelkey": -1, "categorykey": -1, "channel_name": "Unknown",
+         "channel_category": "Unknown"})
+
+
 def build_dim_part(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Product dim: brand/type hierarchy attributes + COALESCE defaults
     (Dim_Product ← product⋈producttype⋈productcategory —
@@ -229,6 +253,69 @@ def build_fact_sales_target(spark: SparkSession, t: dict[str, DataFrame],
                     "target_quantity"))
 
 
+def build_fact_src_sales_target(spark: SparkSession, t: dict[str, DataFrame],
+                                dim_supplier: DataFrame,
+                                dim_channel: DataFrame) -> DataFrame:
+    """Fact_SRCSalesTarget analog (SURVEY §2.10; columns from
+    rahil/create_views.py:94-96 — DimStoreID, DimResellerID,
+    DimChannelID, DimTargetDateID, SalesTargetAmount).
+
+    Reference semantics: targetdatachannel rows carry a TargetName that
+    is EITHER a store name or a reseller name; the load name-resolves it
+    through Dim_Store AND Dim_Reseller with ⟕ joins, the non-matching
+    role falling back to unknown member 1 (log dim_etl_run:262-271 shows
+    store/reseller = 1 on the unmatched side). Here the target source is
+    synthesized from actuals per (target_name, channel, year) with a
+    deterministic store/reseller name split (even/odd suppkey), then
+    resolved the same way: ⟕ dim_supplier.store_label (store role),
+    ⟕ dim_supplier.supplier_name (reseller role), ⟕ dim_channel on the
+    channel name — every row resolves exactly one of store/reseller.
+    Target date key = YEAR×10000+0101 as the reference logs (§2.10).
+
+    Scale: the only wide exchange is lineitem⋈orders (bucketable); the
+    supplier/nation attach and all three name resolutions are broadcast
+    dim joins, and the group-by is pre-reduced map-side."""
+    li, orders, sup, nat = t["lineitem"], t["orders"], t["supplier"], t["nation"]
+    target_name = (F.when(F.col("s_suppkey") % 2 == 0,
+                          F.concat(F.lit("Store "),
+                                   F.col("s_suppkey").cast("long")
+                                   .cast("string")))
+                   .otherwise(F.col("s_name")))
+    src = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+           .groupBy(target_name.alias("target_name"),
+                    F.col("n_name").alias("channel_name"),
+                    F.year("o_orderdate").alias("target_year"))
+           .agg(F.sum(dec("l_extendedprice")).cast("double")
+                .alias("sales_target_amount")))
+    store_keys = dim_supplier.select(
+        F.col("store_label").alias("_store_name"),
+        F.col("dim_supplier_id").alias("_store_id"))
+    reseller_keys = dim_supplier.select(
+        F.col("supplier_name").alias("_reseller_name"),
+        F.col("dim_supplier_id").alias("_reseller_id"))
+    channel_keys = dim_channel.filter(F.col("dim_channel_id") != UNKNOWN_KEY) \
+        .select(F.col("channel_name").alias("_channel_name"),
+                F.col("dim_channel_id").alias("_channel_id"))
+    return (src
+            .join(F.broadcast(store_keys),
+                  src.target_name == F.col("_store_name"), "left")
+            .join(F.broadcast(reseller_keys),
+                  src.target_name == F.col("_reseller_name"), "left")
+            .join(F.broadcast(channel_keys),
+                  src.channel_name == F.col("_channel_name"), "left")
+            .select(F.coalesce("_store_id",
+                               F.lit(UNKNOWN_KEY)).alias("dim_store_id"),
+                    F.coalesce("_reseller_id",
+                               F.lit(UNKNOWN_KEY)).alias("dim_reseller_id"),
+                    F.coalesce("_channel_id",
+                               F.lit(UNKNOWN_KEY)).alias("dim_channel_id"),
+                    (F.col("target_year") * 10000 + F.lit(101))
+                    .cast("int").alias("dim_target_date_id"),
+                    "sales_target_amount"))
+
+
 def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The full dimensional DAG as lazy DataFrames, in dependency order
     (Location first — its referrers join to it, same as the reference)."""
@@ -238,18 +325,23 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dim_location = build_dim_location(spark, t)
     dim_customer = build_dim_customer(spark, t, dim_location)
     dim_supplier = build_dim_supplier(spark, t, dim_location)
+    dim_channel = build_dim_channel(spark, t)
     dim_part = build_dim_part(spark, t)
     start, end = orderdate_span(t)
     dim_date = build_dim_date(spark, start, end)
     fact_sales = build_fact_sales(spark, t, dim_customer, dim_supplier,
                                   dim_part)
     fact_target = build_fact_sales_target(spark, t, dim_part)
+    fact_src_target = build_fact_src_sales_target(spark, t, dim_supplier,
+                                                  dim_channel)
     return {
         "dim_location": dim_location,
         "dim_customer": dim_customer,
         "dim_supplier": dim_supplier,
+        "dim_channel": dim_channel,
         "dim_part": dim_part,
         "dim_date": dim_date,
         "fact_sales": fact_sales,
         "fact_sales_target": fact_target,
+        "fact_src_sales_target": fact_src_target,
     }

@@ -105,13 +105,70 @@ def q28_fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        dim_part)
 
 
+_SRC_TARGET_ORACLE = """
+    WITH dim_supplier AS (
+        SELECT s_suppkey,
+               COALESCE(CAST(s_name AS VARCHAR), 'Unknown') AS supplier_name,
+               'Store ' || CAST(s_suppkey AS VARCHAR) AS store_label,
+               ROW_NUMBER() OVER (ORDER BY s_suppkey) + 1 AS dim_supplier_id
+        FROM supplier),
+    dim_channel AS (
+        SELECT COALESCE(CAST(n_name AS VARCHAR), 'Unknown') AS channel_name,
+               ROW_NUMBER() OVER (ORDER BY n_nationkey) + 1 AS dim_channel_id
+        FROM nation),
+    src AS (
+        SELECT CASE WHEN s.s_suppkey % 2 = 0
+                    THEN 'Store ' || CAST(s.s_suppkey AS VARCHAR)
+                    ELSE s.s_name END AS target_name,
+               n.n_name AS channel_name,
+               year(o.o_orderdate) AS target_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sales_target_amount
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3)
+    SELECT COALESCE(st.dim_supplier_id, 1) AS dim_store_id,
+           COALESCE(rs.dim_supplier_id, 1) AS dim_reseller_id,
+           COALESCE(ch.dim_channel_id, 1) AS dim_channel_id,
+           CAST(src.target_year * 10000 + 101 AS INT) AS dim_target_date_id,
+           src.sales_target_amount
+    FROM src
+    LEFT JOIN dim_supplier st ON src.target_name = st.store_label
+    LEFT JOIN dim_supplier rs ON src.target_name = rs.supplier_name
+    LEFT JOIN dim_channel ch ON src.channel_name = ch.channel_name
+"""
+
+
+@query("q64_fact_src_target_build", covers=("S7", "J1", "J3", "F1", "A2"),
+       oracle=_SRC_TARGET_ORACLE)
+def q64_fact_src_target_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fact_SRCSalesTarget build (§2.10; reference columns
+    create_views.py:94-96) end-to-end: targetdatachannel analog
+    name-resolved through Dim_Store/Dim_Reseller/Dim_Channel ⟕ joins
+    with COALESCE(key, 1) unknown fallback — every row checked against
+    the oracle. Each target row matches exactly one of the store /
+    reseller roles; the other side lands on unknown member 1 (the
+    reference's logged behavior, dim_etl_run:262-271)."""
+    t = load_tables(spark, sf_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem"))
+    dim_location = star_build.build_dim_location(spark, t)
+    dim_supplier = star_build.build_dim_supplier(spark, t, dim_location)
+    dim_channel = star_build.build_dim_channel(spark, t)
+    return star_build.build_fact_src_sales_target(spark, t, dim_supplier,
+                                                  dim_channel)
+
+
 @query(
     "q29_warehouse_rowcounts",
-    covers=("R1", "R3", "S4", "S5", "U1"),
+    covers=("R1", "R3", "S4", "S5", "U1", "J1"),
     oracle="""
     SELECT 'dim_customer' AS table_name,
            (SELECT COUNT(*) + 1 FROM customer) AS n_rows
     UNION ALL SELECT 'dim_supplier', (SELECT COUNT(*) + 1 FROM supplier)
+    UNION ALL SELECT 'dim_channel', (SELECT COUNT(*) + 1 FROM nation)
     UNION ALL SELECT 'dim_part', (SELECT COUNT(*) + 1 FROM part)
     UNION ALL SELECT 'dim_location',
         (SELECT COUNT(DISTINCT n_nationkey) + 1 FROM nation
@@ -128,13 +185,20 @@ def q28_fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                                FROM lineitem l
                                JOIN orders o ON l.l_orderkey = o.o_orderkey
                                GROUP BY 1, 2))
+    UNION ALL SELECT 'fact_src_sales_target',
+        (SELECT COUNT(*) FROM (SELECT l_suppkey, year(o_orderdate)
+                               FROM lineitem l
+                               JOIN orders o ON l.l_orderkey = o.o_orderkey
+                               GROUP BY 1, 2))
     """,
 )
 def q29_warehouse_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole dimensional DAG (build_star) evaluated lazily with
     per-table row accounting — the reference's end-to-end acceptance
     signal (post-load COUNT(*) after every dim/fact insert,
-    load_dimension_tables.py:117-264) as one query."""
+    load_dimension_tables.py:117-264) as one query. Counts all 6 dims
+    (incl. the channel⋈channelcategory Dim_Channel, J1) and all 3 facts
+    (incl. Fact_SRCSalesTarget)."""
     star = star_build.build_star(spark, sf_dir)
     counts = [df.agg(F.count("*").alias("n_rows"))
               .select(F.lit(name).alias("table_name"), "n_rows")

@@ -52,6 +52,13 @@ def expected(sf_dir):
               FROM {pq('lineitem')} l JOIN {pq('orders')} o
                 ON l.l_orderkey = o.o_orderkey
               GROUP BY 1, 2)"""),
+        "channels": g(f"SELECT count(*) FROM {pq('nation')}"),
+        "src_target_rows": g(f"""
+            SELECT count(*) FROM (
+              SELECT l_suppkey, year(o_orderdate)
+              FROM {pq('lineitem')} l JOIN {pq('orders')} o
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2)"""),
     }
 
 
@@ -63,8 +70,10 @@ def test_golden_counts(spark, report, expected):
     assert counts[f"{DB}.dim_supplier"] == expected["suppliers"] + 1
     assert counts[f"{DB}.dim_part"] == expected["parts"] + 1
     assert counts[f"{DB}.dim_location"] == expected["locations"] + 1
+    assert counts[f"{DB}.dim_channel"] == expected["channels"] + 1
     assert counts[f"{DB}.fact_sales"] == expected["lineitems"]
     assert counts[f"{DB}.fact_sales_target"] == expected["target_rows"]
+    assert counts[f"{DB}.fact_src_sales_target"] == expected["src_target_rows"]
 
 
 def test_dim_date_spans_whole_years(spark, report):
@@ -77,7 +86,8 @@ def test_unknown_members_seeded(spark, report):
     for dim, name_col in [("dim_customer", "customer_name"),
                           ("dim_supplier", "supplier_name"),
                           ("dim_part", "part_name"),
-                          ("dim_location", "nation_name")]:
+                          ("dim_location", "nation_name"),
+                          ("dim_channel", "channel_name")]:
         row = (spark.table(f"{DB}.{dim}")
                .filter(F.col(f"{dim}_id") == UNKNOWN_KEY).collect())
         assert len(row) == 1, f"{dim} missing unknown member"
@@ -100,6 +110,23 @@ def test_fact_measures_consistent(spark, report):
            .filter(F.abs(F.col("sale_unit_price") * F.col("sale_quantity")
                          - F.col("sale_amount")) > 1e-6).count())
     assert bad == 0
+
+
+def test_src_target_name_resolution(spark, report):
+    """Fact_SRCSalesTarget semantics (SURVEY §2.10): every target row
+    name-resolves through EXACTLY one of the store/reseller roles; the
+    other side falls back to unknown member 1 (reference log
+    dim_etl_run:262-271), and the channel always resolves."""
+    f = spark.table(f"{DB}.fact_src_sales_target")
+    assert f.count() > 0
+    one_side = ((F.col("dim_store_id") == UNKNOWN_KEY)
+                != (F.col("dim_reseller_id") == UNKNOWN_KEY))
+    assert f.filter(~one_side).count() == 0
+    assert f.filter(F.col("dim_channel_id") == UNKNOWN_KEY).count() == 0
+    # target date keys are Jan-1 YYYYMMDD ints, joinable to dim_date
+    dd = spark.table(f"{DB}.dim_date")
+    assert f.join(dd, f.dim_target_date_id == dd.date_pkey,
+                  "left_anti").count() == 0
 
 
 def test_fact_date_key_is_yyyymmdd(spark, report):
