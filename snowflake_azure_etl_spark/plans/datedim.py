@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 from ..functions.dates import FISCAL_START_MONTH, date_attributes
 
 DIM_DATE_COLUMNS = (
+    # the reference's full 34-column contract (example_dim_date.sql:12-28
+    # + VW_Dim_Date, create_views.py:63-77), snake_cased; see
+    # functions.dates for the two deterministic SCD replacements
     "date_pkey", "date_value", "year_num", "quarter_num", "month_num",
     "day_num_in_month", "day_num_in_year", "week_num_in_year", "day_name",
     "day_abbrev", "month_name", "month_abbrev", "year_month", "yearmo_num",
     "is_weekday", "is_month_end", "is_holiday", "week_begin_date",
     "week_end_date", "fiscal_year_num", "fiscal_month_num",
     "fiscal_quarter_num", "fiscal_yearmo_num",
+    "full_date_desc", "day_num_in_week", "company_holiday_ind",
+    "week_begin_date_nkey", "week_end_date_nkey", "year_quarter_num",
+    "fiscal_week_num", "fiscal_year_quarter_num", "fiscal_half_year",
+    "current_row_ind", "expiration_date",
 )
 
 
