@@ -39,29 +39,41 @@ def with_surrogate_key(df: DataFrame, key_col: str, order_by: list[str | Column]
 
 
 def zip_with_index_keys(df: DataFrame, key_col: str, offset: int = 1) -> DataFrame:
-    """Partition-parallel key assignment for very large dims.
+    """Partition-parallel key assignment for very large dims — all
+    JVM-side (no Python row path anywhere):
 
-    Computes per-partition row counts, prefix-sums them on the driver
-    (one tiny collect of numPartitions ints), and assigns
-    offset + prefix + local_index without any global sort. Keys are unique
-    and stable for a fixed partitioning; document that re-partitioning
-    changes the assignment (the reference's IDENTITY makes the same
-    non-promise across reloads).
+    1. pin the partitioning (`_pid` = spark_partition_id) so both passes
+       see identical partition membership;
+    2. count rows per partition and prefix-sum the numPartitions counts
+       on the driver (one tiny collect of ints — bounded by cluster
+       parallelism, not data size);
+    3. assign offset + prefix[pid] + local row_number, where the window
+       partitions by `_pid` (each window group IS one data partition, so
+       the sort is per-partition with no skew beyond the input's own)
+       and orders by monotonically_increasing_id — increasing within a
+       partition, so input order is preserved.
+
+    Keys are unique and dense from offset+1; stable for a fixed
+    partitioning. Re-partitioning changes the assignment (the
+    reference's IDENTITY makes the same non-promise across reloads).
     """
-    sizes = df.rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]).collect()
-    prefix = {}
+    pinned = df.withColumn("_pid", F.spark_partition_id()) \
+               .withColumn("_mid", F.monotonically_increasing_id())
+    sizes = pinned.groupBy("_pid").count().collect()
+    if not sizes:  # empty input: keep the schema, no rows to key
+        return df.withColumn(key_col, F.lit(None).cast("long"))
+    prefix: dict[int, int] = {}
     acc = 0
-    for i, n in sorted(sizes):
-        prefix[i] = acc
-        acc += n
-
-    schema_names = df.columns
-
-    def assign(i, it):
-        base = offset + prefix[i]
-        for j, row in enumerate(it):
-            yield (*row, base + j + 1)
-
-    rdd = df.rdd.mapPartitionsWithIndex(assign)
-    return rdd.toDF(schema_names + [key_col])
+    for row in sorted(sizes, key=lambda r: r["_pid"]):
+        prefix[row["_pid"]] = acc
+        acc += row["count"]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid, base in sorted(prefix.items())
+                       for x in (pid, base)]),
+        F.col("_pid"))
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (pinned
+            .withColumn(key_col,
+                        (F.lit(offset) + offset_expr
+                         + F.row_number().over(w)).cast("long"))
+            .drop("_pid", "_mid"))

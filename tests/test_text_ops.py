@@ -46,3 +46,18 @@ def test_zip_with_index_keys_unique_and_offset(spark, sf_dir):
     keys = sorted(r["k"] for r in rows)
     # unique, dense, starting above the unknown-member offset
     assert keys == list(range(2, n + 2))
+
+
+def test_zip_with_index_keys_stays_jvm_side(spark, sf_dir):
+    """The big-dim key assigner must never serialize rows through
+    Python (it is the documented scale path for huge dims)."""
+    import contextlib
+    import io
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    keyed = zip_with_index_keys(c.repartition(7), "k", offset=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        keyed.explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan      # no BatchEvalPython / MapInPandas
+    assert "Scan ExistingRDD" not in plan  # not rebuilt from an RDD
