@@ -26,6 +26,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..plans.datedim import DIM_DATE_COLUMNS
 from . import ddl
 from .star_build import build_star
 
@@ -134,18 +135,39 @@ def _raise(msg: str) -> None:
 
 
 PASSTHROUGH_VIEWS = {
-    # explicit column lists — the reference's anti-SELECT* policy (P1;
-    # create_views.py:19-98 enumerates every column of every view)
+    # the reference's 10 pass-through views (create_views.py:19-134:
+    # 7 dims + 3 facts), explicit column lists per its anti-SELECT*
+    # policy (P1). dim_supplier serves both the store and reseller
+    # roles (VW_Dim_Store / VW_Dim_Reseller) with role-specific columns.
     "vw_dim_customer": ("dim_customer", ["dim_customer_id", "custkey",
                                         "customer_name", "segment",
-                                        "dim_location_id"]),
+                                        "dim_location_id", "acct_balance"]),
     "vw_dim_part": ("dim_part", ["dim_part_id", "partkey", "part_name",
-                                 "brand", "part_type", "size"]),
+                                 "brand", "part_type", "size",
+                                 "retail_price"]),
+    "vw_dim_location": ("dim_location", ["dim_location_id", "nationkey",
+                                         "nation_name", "region_name"]),
+    "vw_dim_channel": ("dim_channel", ["dim_channel_id", "channelkey",
+                                       "categorykey", "channel_name",
+                                       "channel_category"]),
+    "vw_dim_store": ("dim_supplier", ["dim_supplier_id", "suppkey",
+                                      "store_label", "dim_location_id"]),
+    "vw_dim_reseller": ("dim_supplier", ["dim_supplier_id", "suppkey",
+                                         "supplier_name",
+                                         "dim_location_id"]),
+    "vw_dim_date": ("dim_date", list(DIM_DATE_COLUMNS)),
     "vw_fact_sales": ("fact_sales", ["orderkey", "linenumber",
                                      "dim_customer_id", "dim_supplier_id",
                                      "dim_part_id", "dim_sale_date_id",
                                      "sale_quantity", "sale_amount",
                                      "sale_unit_price"]),
+    "vw_fact_sales_target": ("fact_sales_target",
+                             ["dim_part_id", "dim_target_date_id",
+                              "target_quantity"]),
+    "vw_fact_src_sales_target": ("fact_src_sales_target",
+                                 ["dim_store_id", "dim_reseller_id",
+                                  "dim_channel_id", "dim_target_date_id",
+                                  "sales_target_amount"]),
 }
 
 

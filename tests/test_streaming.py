@@ -71,6 +71,32 @@ def test_tumbling_stream_matches_batch(spark, staged_events_dir):
     assert got_rows == want_rows and len(got_rows) > 0
 
 
+def test_sliding_stream_matches_batch(spark, staged_events_dir):
+    """Incremental sliding-window agg (1 h window, 15 min hop) == batch
+    agg over the same data — every event must land in all 4 overlapping
+    windows in both execution modes."""
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    got = _run(sev.sliding_value_sums(stream), "t_sliding", "complete")
+
+    batch = spark.read.parquet(staged_events_dir)
+    want = (batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "total_value"))
+    got_rows = _rounded(got, ["n_events", "total_value"], ["window_start"])
+    want_rows = _rounded(want, ["n_events", "total_value"], ["window_start"])
+    assert got_rows == want_rows and len(got_rows) > 0
+    # 1h/15min hop => 4 overlapping windows per event: total window-rows
+    # must carry 4x the event count
+    n_events = batch.count()
+    assert sum(r[1] for r in got_rows) == 4 * n_events
+
+
 def test_session_window_stream_runs(spark, staged_events_dir):
     """session_window streaming job completes and produces sane sessions
     (every session ≥1 event, end ≥ start)."""

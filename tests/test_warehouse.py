@@ -140,9 +140,18 @@ def test_fact_date_key_is_yyyymmdd(spark, report):
 
 
 def test_passthrough_views(spark, report):
-    vw = spark.table(f"{DB}.vw_fact_sales")
-    assert vw.columns[0] == "orderkey"
-    assert vw.count() == spark.table(f"{DB}.fact_sales").count()
+    """All 10 reference pass-through views (create_views.py:19-134):
+    each exists, carries exactly its declared column list, and returns
+    the full base-table row count."""
+    from snowflake_azure_etl_spark.warehouse.runner import PASSTHROUGH_VIEWS
+    assert len(PASSTHROUGH_VIEWS) == 10
+    for view, (table, cols) in PASSTHROUGH_VIEWS.items():
+        vw = spark.table(f"{DB}.{view}")
+        assert vw.columns == cols, f"{view} column list drifted"
+        assert vw.count() == spark.table(f"{DB}.{table}").count(), view
+    # the two supplier role views expose disjoint role attributes
+    assert "store_label" in spark.table(f"{DB}.vw_dim_store").columns
+    assert "supplier_name" in spark.table(f"{DB}.vw_dim_reseller").columns
 
 
 def test_idempotent_rerun(spark, sf_dir, report):
