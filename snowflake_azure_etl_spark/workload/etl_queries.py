@@ -161,6 +161,59 @@ def q64_fact_src_target_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   dim_channel)
 
 
+_INCR_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey,
+               ROW_NUMBER() OVER (ORDER BY c_custkey) + 1 AS id
+        FROM customer WHERE c_custkey % 10 != 0),
+    appended AS (
+        SELECT c_custkey,
+               (SELECT COUNT(*) + 1 FROM customer WHERE c_custkey % 10 != 0)
+                   + ROW_NUMBER() OVER (ORDER BY c_custkey) AS id
+        FROM customer WHERE c_custkey % 10 = 0)
+    SELECT CAST(id AS BIGINT) AS dim_customer_id, c_custkey AS custkey,
+           'initial' AS phase
+    FROM base
+    UNION ALL
+    SELECT CAST(id AS BIGINT), c_custkey, 'appended' FROM appended
+"""
+
+
+@query("q65_incremental_append", covers=("X-SCD-APPEND", "S7", "R6"),
+       oracle=_INCR_ORACLE)
+def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only SCD appends (warehouse.incremental.append_new_members;
+    SURVEY §4.3.2's append contract): seed a dim with 90% of the
+    customers, present ALL customers as candidates — known business keys
+    are skipped, the unseen 10% insert with surrogate keys strictly
+    above the current max, in business-key order. The query rebuilds the
+    seed table (CREATE OR REPLACE semantics, R6) so it is idempotent and
+    every row is oracle-checked, including the exact appended key
+    values."""
+    from ..plans.surrogate import with_surrogate_key
+    from ..warehouse.incremental import append_new_members
+    from ..warehouse import ddl
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    members = c.select(F.col("c_custkey").alias("custkey"))
+    base = with_surrogate_key(members.filter(F.col("custkey") % 10 != 0),
+                              "dim_customer_id", order_by=["custkey"],
+                              offset=1)
+    db = "wh_incr"
+    ddl.create_database(spark, db)
+    table = f"{db}.dim_customer_incr"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ddl.drop_orphan_location(spark, table)
+    base.write.mode("overwrite").format("parquet").saveAsTable(table)
+    rep = append_new_members(spark, table, members, "dim_customer_id",
+                             ["custkey"], order_by=["custkey"])
+    assert rep.inserted > 0 and rep.skipped > 0
+    return spark.table(table).select(
+        "dim_customer_id", "custkey",
+        F.when(F.col("custkey") % 10 == 0, "appended")
+        .otherwise("initial").alias("phase"))
+
+
 @query(
     "q29_warehouse_rowcounts",
     covers=("R1", "R3", "S4", "S5", "U1", "J1"),
