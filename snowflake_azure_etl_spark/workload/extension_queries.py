@@ -1,10 +1,11 @@
 """Beyond-reference extension workload (SURVEY §2 notes these as
 "not present in reference — built-in if extended"; the north star asks
-for them as first-class): as-of join, range join, hypertable-style
-multi-grain rollup, a deterministic KMV distinct sketch, window frames,
-lag/lead, ROLLUP, INTERSECT/EXCEPT. Every query keeps the DuckDB-oracle
-contract — including the as-of join, checked against DuckDB's native
-ASOF JOIN."""
+for them as first-class): as-of join, range join, a deterministic KMV
+distinct sketch, window frames + lag/lead (one window stage, q35),
+ROLLUP, INTERSECT/EXCEPT, skew-salted join. The hypertable multi-grain
+rollup lives with its sibling event windows (events_queries.q41).
+Every query keeps the DuckDB-oracle contract — including the as-of
+join, checked against DuckDB's native ASOF JOIN."""
 
 from __future__ import annotations
 
