@@ -215,22 +215,49 @@ ANALYTICAL_VIEWS: dict[str, str] = {
         JOIN {db}.dim_location l ON c.dim_location_id = l.dim_location_id
         GROUP BY c.segment, l.region_name
     """,
-    # VW_TargetVsActual (:203-265): date-spine LEFT-join chain + HAVING
+    # VW_TargetVsActualPerformance (:203-265): the date-spine LEFT-join
+    # chain through BOTH target facts (product targets AND the
+    # store/reseller/channel SRC targets) + HAVING. The reference joins
+    # the raw facts straight off the spine (fact×fact fan-out per date);
+    # here each target fact is pre-aggregated to dim grain first —
+    # identical result shape, and the spine join stays dim-sized at any
+    # fact scale.
     "vw_target_vs_actual": """
-        SELECT d.year_num, p.brand,
-               SUM(t.target_quantity) AS target_qty,
-               SUM(CASE WHEN f.sale_quantity IS NOT NULL
-                        THEN f.sale_quantity ELSE 0 END) AS actual_qty
+        WITH prod_targets AS (
+            SELECT t.dim_target_date_id AS date_key, p.brand,
+                   SUM(t.target_quantity) AS target_qty
+            FROM {db}.fact_sales_target t
+            JOIN {db}.dim_part p ON t.dim_part_id = p.dim_part_id
+            GROUP BY t.dim_target_date_id, p.brand),
+        src_targets AS (
+            SELECT st.dim_target_date_id AS date_key, c.channel_name,
+                   SUM(st.sales_target_amount) AS src_target_amount
+            FROM {db}.fact_src_sales_target st
+            JOIN {db}.dim_channel c ON st.dim_channel_id = c.dim_channel_id
+            GROUP BY st.dim_target_date_id, c.channel_name),
+        actuals AS (
+            SELECT p.brand, f.dim_sale_date_id AS date_key,
+                   SUM(f.sale_quantity) AS actual_qty
+            FROM {db}.fact_sales f
+            JOIN {db}.dim_part p ON f.dim_part_id = p.dim_part_id
+            GROUP BY p.brand, f.dim_sale_date_id)
+        SELECT d.year_num, pt.brand, st.channel_name,
+               SUM(pt.target_qty) AS target_qty,
+               SUM(st.src_target_amount) AS src_target_amount,
+               SUM(COALESCE(a.actual_qty, 0)) AS actual_qty,
+               CASE WHEN SUM(pt.target_qty) > 0
+                    THEN SUM(COALESCE(a.actual_qty, 0))
+                         / SUM(pt.target_qty) * 100
+                    ELSE 0 END AS qty_achievement_pct
         FROM {db}.dim_date d
-        LEFT JOIN {db}.fact_sales_target t
-               ON t.dim_target_date_id = d.date_pkey
-        LEFT JOIN {db}.dim_part p ON t.dim_part_id = p.dim_part_id
-        LEFT JOIN {db}.fact_sales f
-               ON f.dim_part_id = t.dim_part_id
-              AND f.dim_sale_date_id = d.date_pkey
+        LEFT JOIN prod_targets pt ON pt.date_key = d.date_pkey
+        LEFT JOIN src_targets st ON st.date_key = d.date_pkey
+        LEFT JOIN actuals a ON a.brand = pt.brand
+                           AND a.date_key = d.date_pkey
         WHERE d.day_num_in_month = 1
-        GROUP BY d.year_num, p.brand
-        HAVING SUM(t.target_quantity) IS NOT NULL
+        GROUP BY d.year_num, pt.brand, st.channel_name
+        HAVING SUM(pt.target_qty) IS NOT NULL
+            OR SUM(st.src_target_amount) IS NOT NULL
     """,
     # VW_Store58Analysis (:268-310): IN-list filtered star
     "vw_store58_analysis": """
@@ -300,3 +327,39 @@ def create_analytical_views(spark: SparkSession,
         spark.sql(f"CREATE OR REPLACE VIEW {database}.{view} AS "
                   + body.format(db=database))
     return {}
+
+
+@dataclass
+class ViewSample:
+    """One row of the all-views verification sweep (reference
+    view_sample_views.py:10-92: per-view sample + count with a ✓/✗
+    tally)."""
+    view: str
+    ok: bool
+    rows: int
+    sample: list
+    error: str | None = None
+
+
+def sample_all_views(spark: SparkSession, database: str,
+                     limit: int = 5) -> list[ViewSample]:
+    """Sample + count every pass-through and analytical view, recording
+    per-view success/failure instead of aborting — the reference's
+    verify_all_views sweep. Returns the tally; logs a ✓/✗ line per view
+    and the summary footer."""
+    out: list[ViewSample] = []
+    for view in list(PASSTHROUGH_VIEWS) + list(ANALYTICAL_VIEWS):
+        full = f"{database}.{view}"
+        try:
+            df = spark.table(full)
+            sample = df.limit(limit).collect()
+            n = df.count()
+            out.append(ViewSample(view=view, ok=True, rows=n, sample=sample))
+            log.info("[views] ✓ %s: %d rows", full, n)
+        except Exception as exc:  # noqa: BLE001 — per-view isolation
+            out.append(ViewSample(view=view, ok=False, rows=0, sample=[],
+                                  error=str(exc)))
+            log.error("[views] ✗ %s: %s", full, exc)
+    n_ok = sum(1 for v in out if v.ok)
+    log.info("[views] %d/%d views verified", n_ok, len(out))
+    return out

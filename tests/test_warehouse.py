@@ -291,6 +291,30 @@ def test_analytical_view_matches_dataframe_equivalent(spark, report):
     assert got == want
 
 
+def test_target_vs_actual_joins_both_target_facts(spark, report):
+    """The reference's VW_TargetVsActualPerformance joins BOTH target
+    facts off the date spine (create_views.py:244-259); the analog must
+    surface product targets AND SRC channel targets in one view."""
+    vw = spark.table(f"{DB}.vw_target_vs_actual")
+    assert {"target_qty", "src_target_amount", "channel_name",
+            "actual_qty", "qty_achievement_pct"} <= set(vw.columns)
+    assert vw.filter(F.col("target_qty").isNotNull()).count() > 0
+    assert vw.filter(F.col("src_target_amount").isNotNull()).count() > 0
+
+
+def test_sample_all_views_sweep(spark, report):
+    """The all-views ✓/✗ verification sweep (reference
+    view_sample_views.py): every one of the 17 views samples and counts
+    successfully."""
+    from snowflake_azure_etl_spark.warehouse.runner import sample_all_views
+    tally = sample_all_views(spark, DB)
+    assert len(tally) == 17  # 10 pass-through + 7 analytical
+    bad = [v.view for v in tally if not v.ok]
+    assert not bad, f"views failed the sweep: {bad}"
+    assert all(v.rows > 0 for v in tally)
+    assert all(len(v.sample) <= 5 for v in tally)
+
+
 def test_rank_window_view_sane(spark, report):
     vw = spark.table(f"{DB}.vw_product_bonus")
     top = vw.filter(F.col("sales_rank") == 1)
