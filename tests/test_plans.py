@@ -48,6 +48,15 @@ def test_fact_build_broadcasts_all_dim_lookups(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_src_target_build_broadcasts_resolutions(spark, sf_dir):
+    """q64: the store/reseller/channel name resolutions are broadcast
+    left joins — the fact side must never shuffle for a dim lookup."""
+    plan = plan_of(spark, sf_dir, "q64_fact_src_target_build")
+    assert plan.count("BroadcastHashJoin") >= 5  # supplier/nation + 3 roles
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q18_topk_orders")
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
