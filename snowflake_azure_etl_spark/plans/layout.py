@@ -103,3 +103,31 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     small_s = small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return big_s.join(small_s, on + [salt_col], how).drop(salt_col)
+
+
+DEFAULT_MAX_BNL_BUILD_ROWS = 1_000_000
+
+
+def guarded_theta_join(left: DataFrame, right: DataFrame, cond,
+                       how: str = "inner",
+                       max_build_rows: int = DEFAULT_MAX_BNL_BUILD_ROWS
+                       ) -> DataFrame:
+    """Non-equi (theta) join with the quadratic-blowup guard SURVEY §7
+    commits to: the reference's OR-IS-NULL join shape
+    (create_views.py:253-258) forces BroadcastNestedLoopJoin, whose
+    cost is |left| × |right| — fine against a dim, catastrophic at
+    fact×fact scale. This helper asserts the build (right) side is
+    dim-sized BEFORE planning the join, with a bounded probe
+    (limit(n+1).count() — never a full scan of an oversized side).
+
+    For a genuinely big×big range/theta join the scale path is a
+    coarse-bucket equi-join + residual predicate (see q45's docstring),
+    not a bigger BNL.
+    """
+    n = right.limit(max_build_rows + 1).count()
+    if n > max_build_rows:
+        raise ValueError(
+            f"theta-join build side has >{max_build_rows} rows; a "
+            "BroadcastNestedLoopJoin at this size is quadratic — bucket "
+            "the condition into an equi-join + residual predicate instead")
+    return left.join(F.broadcast(right), cond, how)

@@ -339,13 +339,15 @@ def q08_date_spine_left_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_theta_or_isnull_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-IS-NULL theta join (reference create_views.py:253-258) —
     non-equi, so Spark executes BroadcastNestedLoopJoin. Correct and
-    cheap at dim cardinality; the engine guards against running this
-    shape at fact×fact scale (SURVEY §4.3.5)."""
+    cheap at dim cardinality; plans.layout.guarded_theta_join asserts
+    the build side is dim-sized before planning, refusing the shape at
+    fact×fact scale (SURVEY §4.3.5 / §7 hard-parts)."""
+    from ..plans.layout import guarded_theta_join
     t = load_tables(spark, sf_dir, ("supplier", "nation"))
     s, n = t["supplier"], t["nation"]
     cond = ((s.s_nationkey == n.n_nationkey) | s.s_nationkey.isNull()) \
         & (n.n_regionkey < 3)
-    return (s.join(F.broadcast(n), cond, "left")
+    return (guarded_theta_join(s, n, cond, "left")
             .groupBy(s.s_suppkey.alias("suppkey"))
             .agg(F.count(n.n_nationkey).alias("n_matches")))
 

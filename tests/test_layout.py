@@ -133,3 +133,25 @@ def test_salted_join_rejects_small_side_outer(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     with pytest.raises(ValueError):
         layout.salted_join(t["lineitem"], t["supplier"], ["x"], how="right")
+
+
+def test_guarded_theta_join_allows_dim_refuses_fact(spark, sf_dir):
+    """The BNL quadratic-blowup guard (SURVEY §7 hard-parts): a
+    dim-sized build side plans and matches the plain theta join; an
+    over-limit build side is refused before any join is planned."""
+    import pytest
+    from pyspark.sql import functions as F
+    from snowflake_azure_etl_spark.plans.layout import guarded_theta_join
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+
+    t = load_tables(spark, sf_dir, ("supplier", "nation", "lineitem"))
+    s, n = t["supplier"], t["nation"]
+    cond = (s.s_nationkey == n.n_nationkey) | s.s_nationkey.isNull()
+    got = guarded_theta_join(s, n, cond, "left").count()
+    want = s.join(F.broadcast(n), cond, "left").count()
+    assert got == want > 0
+
+    with pytest.raises(ValueError, match="quadratic"):
+        guarded_theta_join(s, t["lineitem"],
+                           s.s_suppkey == t["lineitem"].l_suppkey,
+                           max_build_rows=100)
