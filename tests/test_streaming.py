@@ -110,6 +110,47 @@ def test_session_window_stream_runs(spark, staged_events_dir):
     assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
 
 
+def test_idempotent_epoch_sink_survives_replay(spark, staged_events_dir):
+    """foreachBatch exactly-once-in-effect contract: a replayed epoch
+    overwrites its own partition instead of duplicating rows."""
+    from snowflake_azure_etl_spark.streaming.sinks import (
+        EPOCH_COL, idempotent_epoch_sink)
+
+    table = "default.sink_events_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from snowflake_azure_etl_spark.warehouse import ddl
+    ddl.drop_orphan_location(spark, table)
+
+    sink = idempotent_epoch_sink(table)
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_source = spark.read.parquet(staged_events_dir).count()
+    landed = spark.table(table)
+    assert landed.count() == n_source
+    epochs = [r[0] for r in landed.select(EPOCH_COL).distinct().collect()]
+    assert len(epochs) >= 2  # maxFilesPerTrigger=1 over 4 files
+
+    # simulate the at-least-once replay of one epoch: same batch, same
+    # epoch id, written again -> no duplicates, total unchanged
+    replay_epoch = min(epochs)
+    replay_rows = (landed.filter(F.col(EPOCH_COL) == replay_epoch)
+                   .drop(EPOCH_COL))
+    sink(replay_rows, replay_epoch)
+    assert spark.table(table).count() == n_source
+    # while an *append* sink would have duplicated it:
+    assert (spark.table(table)
+            .filter(F.col(EPOCH_COL) == replay_epoch).count()
+            == replay_rows.count())
+
+
 def test_stateful_running_totals(spark, staged_events_dir):
     """applyInPandasWithState across 4 micro-batches: final per-user
     running totals == batch groupBy (state carried between batches)."""
