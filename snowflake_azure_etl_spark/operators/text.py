@@ -59,6 +59,30 @@ def bpe_token_estimate(text: Column | str) -> Column:
                       F.ceil(F.length(c) / 4).cast("int"))
 
 
+# GPT-2-style pre-tokenizer pattern: contraction suffixes, letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed), then
+# residual whitespace. This is the segmentation BPE merges operate
+# WITHIN — counting its matches is the honest upper bound on BPE token
+# count, per-segment (a BPE token never crosses these boundaries).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def regex_token_count(text: Column | str,
+                      pattern: str = BPE_PRETOKEN_PATTERN) -> Column:
+    """Exact pre-tokenizer segment count via the JVM regex engine
+    (`regexp_count` — codegen'd, no UDF). Pairs with
+    `bpe_token_estimate`: estimate for cheap heuristics, this for the
+    exact segmentation grid a real BPE vocab would merge within."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern)).cast("int")
+
+
 def lang_guess(text: Column | str) -> Column:
     """Stopword-vote language ID: the language with the most stopword
     hits wins; 'und' (undetermined) when no list scores > 0. Determinism:

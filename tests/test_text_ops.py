@@ -38,6 +38,30 @@ def test_rolling_hash_empty_and_ascii_edge(spark):
     assert df.select(rolling_hash("t").alias("h")).collect()[0]["h"] == 0
 
 
+def test_regex_token_count_matches_python_re(spark, sf_dir):
+    """The BPE pre-tokenizer segment count (JVM regexp_count) must agree
+    with Python's regex engine over the real document corpus."""
+    import re
+    from snowflake_azure_etl_spark.operators.text import (
+        BPE_PRETOKEN_PATTERN, regex_token_count)
+
+    # Python re has no \p{L}; translate to unicode-aware classes
+    py_pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)"
+        r"| ?[^\W\d_]+"          # \p{L}
+        r"| ?\d+"                # \p{N}
+        r"| ?(?:[^\s\w]|_)+"     # [^\s\p{L}\p{N}] (underscore is not L/N)
+        r"|\s+")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rows = (docs.select("doc_id", "text",
+                        regex_token_count("text").alias("n"))
+            .collect())
+    assert len(rows) > 0
+    for r in rows:
+        want = len(py_pat.findall(r["text"]))
+        assert r["n"] == want, (r["doc_id"], r["n"], want)
+
+
 def test_zip_with_index_keys_unique_and_offset(spark, sf_dir):
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     keyed = zip_with_index_keys(c.repartition(7), "k", offset=1)
