@@ -39,6 +39,38 @@ def md5_seeded(seed: int, token: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), token))
 
 
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the canonical MinHash unit for
+    near-dup detection (unigram token sets under-penalize word
+    reordering; n-grams encode local order). Pure higher-order array
+    expressions: sequence over the token array, slice+concat per
+    window — no explode until the caller wants one, no UDF.
+
+    Documents shorter than n words yield their single full-text
+    shingle, so no document silently drops out of the pipeline."""
+    if n < 1:
+        raise ValueError("shingle width must be >= 1")
+    toks = ws_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature_shingled(df: DataFrame, id_col: str, text_col: str,
+                               k: int = 8, n: int = 3,
+                               hash_fn: Callable[[int, Column], Column]
+                               = md5_seeded) -> DataFrame:
+    """MinHash over word n-gram shingles instead of unigram tokens —
+    same k-min-aggregate plan shape (one shuffle on the doc id) as
+    `minhash_signature`, composable with the same LSH banding."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("tok"))
+    aggs = [F.min(hash_fn(i, F.col("tok"))).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash group-by: one row per distinct
     content with the keeper (min id) and the duplicate count.

@@ -62,6 +62,53 @@ def test_regex_token_count_matches_python_re(spark, sf_dir):
         assert r["n"] == want, (r["doc_id"], r["n"], want)
 
 
+def test_word_shingles_match_python(spark, sf_dir):
+    """n-gram shingling against a pure-Python reference over the real
+    corpus, incl. the shorter-than-n fallback."""
+    from snowflake_azure_etl_spark.operators.dedup import word_shingles
+
+    def py_shingles(text, n=3):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(max(len(toks) - n, 0) + 1)]
+        return sorted(set(grams))
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rows = (docs.select("doc_id", "text",
+                        F.array_sort(word_shingles("text", 3)).alias("sh"))
+            .collect())
+    assert len(rows) > 0
+    for r in rows:
+        assert r["sh"] == py_shingles(r["text"]), r["doc_id"]
+    # short-document fallback: 2 words, n=3 -> one full-text shingle
+    short = spark.range(1).select(F.lit("alpha beta").alias("t"))
+    got = short.select(word_shingles("t", 3).alias("sh")).collect()[0]["sh"]
+    assert got == ["alpha beta"]
+
+
+def test_shingled_minhash_finds_planted_dups(spark, sf_dir):
+    """Shingled MinHash + the existing LSH banding: a copied document
+    has an identical signature, so it must collide with its source in
+    every band — plant copies of 10 docs and assert all 10 pairs
+    surface as candidates."""
+    from snowflake_azure_etl_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"] \
+        .select("doc_id", "text")
+    planted = (docs.orderBy("doc_id").limit(10)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text"))
+    corpus = docs.unionByName(planted)
+    sig = dedup.minhash_signature_shingled(corpus, "doc_id", "text",
+                                           k=8, n=3)
+    cands = dedup.lsh_candidate_pairs(sig, "doc_id", bands=2, rows=4)
+    cand_pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    want = {(r["doc_id"], r["doc_id"] + 1_000_000)
+            for r in docs.orderBy("doc_id").limit(10).collect()}
+    missed = want - cand_pairs
+    assert not missed, f"planted dups missed by shingled LSH: {missed}"
+
+
 def test_zip_with_index_keys_unique_and_offset(spark, sf_dir):
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     keyed = zip_with_index_keys(c.repartition(7), "k", offset=1)
