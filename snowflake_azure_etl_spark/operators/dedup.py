@@ -26,6 +26,29 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Per-doc sides under this many rows may be broadcast; above it they
+#: must shuffle. ~1M rows × ~100 B/row ≈ 100 MB — the upper edge of a
+#: sane executor broadcast; corpus-scale tables are orders beyond it.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _maybe_broadcast(side: DataFrame, n_rows: int | None,
+                     max_rows: int = BROADCAST_MAX_ROWS) -> DataFrame:
+    """Size-conditional broadcast hint for corpus-proportional sides.
+
+    Every per-doc table in this module (band keys, bucket widths, token
+    sets) grows linearly with the corpus, so an unconditional
+    ``F.broadcast`` that is a win at test scale is an OOM at 100 TB.
+    Hint only when the caller attests the side is small (``n_rows`` is
+    known and under ``max_rows``); otherwise return the side un-hinted
+    so the join shuffles on its equi key — AQE may still convert to a
+    broadcast at runtime if the materialized side proves tiny, but the
+    *plan* never commits to holding a corpus-sized table in memory.
+    """
+    if n_rows is not None and n_rows <= max_rows:
+        return F.broadcast(side)
+    return side
+
 
 def ws_tokens(text: Column | str) -> Column:
     """Whitespace tokens; single-space split matches the oracle's
@@ -115,7 +138,10 @@ def lsh_band_keys(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFra
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
                         rows: int = 4, max_bucket: int = 10000,
-                        parallelism: int | None = None) -> DataFrame:
+                        parallelism: int | None = None,
+                        n_docs: int | None = None,
+                        broadcast_max_rows: int = BROADCAST_MAX_ROWS
+                        ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     Plan choices (the pair set is the hot output — often ≫ corpus):
@@ -133,12 +159,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
     - **Bucket-width guard**: buckets wider than max_bucket are dropped
       whole — deterministic quadratic-blowup protection on degenerate
       corpora (standard production mitigation; the oracle mirrors it).
-    - **Explicit stream-side repartition**: both join inputs are tiny
-      (id + keys per doc) but the output is quadratic-in-bucket; AQE
-      sizes by *input* bytes and would coalesce the pair build to one
-      task. repartition(parallelism) on the stream side pins the fanout
-      across the cluster; round-robin spreads each wide bucket's rows
-      uniformly, so per-task pair counts stay balanced.
+    - **Size-conditional build-side broadcast**: the per-doc band-key
+      table and the bucket-width guard both grow with the corpus. When
+      the caller attests the corpus is small (``n_docs`` ≤
+      ``broadcast_max_rows``) they broadcast and the stream side is
+      round-robin ``repartition(parallelism)``-ed to pin the quadratic
+      pair fanout across the cluster (AQE sizes by *input* bytes and
+      would otherwise coalesce the pair build to one task). Above the
+      threshold — the 100 TB regime — nothing broadcasts: both sides
+      shuffle-equi-join on the band key, the width guard keeps any one
+      bucket's pair fanout bounded, and AQE's skew-join split handles
+      residual bucket-size variance. The first-match band filter works
+      identically under either join strategy.
     """
     key_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -147,15 +179,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
     ]
     keys = sig.select(F.col(id_col).alias("_id"), *key_cols)
     nparts = parallelism or sig.sparkSession.sparkContext.defaultParallelism
+    small = n_docs is not None and n_docs <= broadcast_max_rows
     out = None
     for b in range(bands):
         kb = keys
-        # per-band bucket-width guard
+        # per-band bucket-width guard (distinct band keys ≤ n_docs, so
+        # the same size attestation governs its broadcast)
         sizes = (keys.groupBy(f"_k{b}")
                  .agg(F.count("*").alias("_bw"))
                  .filter(F.col("_bw") <= max_bucket)
                  .drop("_bw"))
-        kb = kb.join(F.broadcast(sizes), f"_k{b}")
+        kb = kb.join(_maybe_broadcast(sizes, n_docs, broadcast_max_rows),
+                     f"_k{b}")
         a = kb.select(F.col("_id").alias("id_a"),
                       *[F.col(f"_k{i}").alias(f"_ka{i}") for i in range(b + 1)])
         bb = kb.select(F.col("_id").alias("id_b"),
@@ -164,9 +199,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
                (F.col("id_a") < F.col("id_b"))
         for i in range(b):  # not already emitted by an earlier band
             cond = cond & (F.col(f"_ka{i}") != F.col(f"_kb{i}"))
-        pairs_b = (a.repartition(nparts)
-                   .join(F.broadcast(bb), cond)
-                   .select("id_a", "id_b"))
+        if small:
+            pairs_b = (a.repartition(nparts)
+                       .join(F.broadcast(bb), cond)
+                       .select("id_a", "id_b"))
+        else:
+            # corpus-scale: shuffle-equi-join on the band key; the
+            # round-robin repartition would only be re-exchanged away
+            pairs_b = a.join(bb, cond).select("id_a", "id_b")
         out = pairs_b if out is None else out.unionByName(pairs_b)
     return out
 
@@ -176,7 +216,9 @@ BITSET_MAX_VOCAB = 4096  # 64 longs per doc; above this, hashed arrays win
 
 def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
                   text_col: str,
-                  bitset_max_vocab: int = BITSET_MAX_VOCAB) -> DataFrame:
+                  bitset_max_vocab: int = BITSET_MAX_VOCAB,
+                  n_docs: int | None = None,
+                  broadcast_max_rows: int = BROADCAST_MAX_ROWS) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs — adaptive plan.
 
     The per-pair intersect dominates (candidate count × per-pair cost),
@@ -193,9 +235,15 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
       (64-bit collision inside one pair's tokens: P ≈ 1e-15, far below
       float noise).
 
-    Either way the (small) per-doc side broadcasts; the (large)
-    candidate list streams and never re-shuffles. The vocabulary probe
-    is one tiny count job on data already needed for the masks.
+    The per-doc token-set side is corpus-sized, so it broadcasts only
+    under the same size attestation as `lsh_candidate_pairs` (``n_docs``
+    ≤ ``broadcast_max_rows``); above it both lookups are shuffle
+    equi-joins on the doc id — the candidate list hash-partitions on
+    id_a then id_b, each doc's set co-locating with its pairs. The
+    vocabulary probe is one tiny count job on data already needed for
+    the masks (the dictionary broadcast inside `_bitset_masks` is
+    bounded by ``bitset_max_vocab``, not the corpus, so it is always
+    safe).
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -219,7 +267,9 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
                     F.col("_n").alias("size_b") if "_n" in sets.columns
                     else F.size("_s").alias("size_b"))
     sh = shared(F.col("_sa"), F.col("_sb"))
-    return (candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    a = _maybe_broadcast(a, n_docs, broadcast_max_rows)
+    b = _maybe_broadcast(b, n_docs, broadcast_max_rows)
+    return (candidates.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", sh.cast("int").alias("shared"),
                     "size_a", "size_b")
             .withColumn("jaccard",

@@ -18,6 +18,7 @@ from ._registry import query
 MINHASH_K = 8
 LSH_BANDS = 2
 LSH_ROWS = 4
+SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.7
 
 _TOKS_CTE = """
@@ -26,9 +27,23 @@ _TOKS_CTE = """
         FROM documents
     )"""
 
+# word n-gram shingles — mirrors operators.dedup.word_shingles: window i
+# starts at token i+1, width SHINGLE_N (clamped at the tail; docs shorter
+# than N yield their single full-text shingle)
+_SHINGLES_CTE = f"""
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(0, greatest(
+                       len(string_split(text, ' ')) - {SHINGLE_N}, 0)),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '),
+                                  i + 1, i + {SHINGLE_N}), ' ')))) AS tok
+        FROM documents
+    )"""
+
 _SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
     f"min(md5('{i}:' || tok)) AS h{i}" for i in range(MINHASH_K)
-) + " FROM toks GROUP BY doc_id)"
+) + " FROM sh GROUP BY doc_id)"
 
 _KEYS_CTE = ("keys AS (" + " UNION ALL ".join(
     "SELECT doc_id, {b} AS band, {concat} AS band_key FROM sig".format(
@@ -73,27 +88,33 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q51_dedup_minhash_lsh",
-    covers=("X-DEDUP-MINHASH",),
+    covers=("X-DEDUP-MINHASH", "X-DEDUP-SHINGLE"),
     oracle=f"""
-    WITH {_TOKS_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE}
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE}
     SELECT id_a, id_b FROM pairs
     """,
 )
 def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(2 bands × 4 rows) near-dup candidate pairs
-    (operators.dedup). shingle→minhash→band→bucket-join; portable
-    md5-seeded hashes make the whole pipeline oracle-checkable."""
+    """MinHash(k=8) over word 3-gram shingles + LSH(2 bands × 4 rows)
+    near-dup candidate pairs (operators.dedup):
+    shingle→minhash→band→bucket-join; portable md5-seeded hashes make
+    the whole pipeline oracle-checkable. The corpus row count is passed
+    as the broadcast-size attestation — small here, so the band join
+    broadcasts; above dedup.BROADCAST_MAX_ROWS the same plan
+    shuffle-equi-joins on the band key."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sig = dedup.minhash_signature(docs, "doc_id", "text", k=MINHASH_K)
+    sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
+                                           k=MINHASH_K, n=SHINGLE_N)
     return dedup.lsh_candidate_pairs(sig, "doc_id",
-                                     bands=LSH_BANDS, rows=LSH_ROWS)
+                                     bands=LSH_BANDS, rows=LSH_ROWS,
+                                     n_docs=docs.count())
 
 
 @query(
     "q52_dedup_jaccard_verify",
     covers=("X-DEDUP-JACCARD",),
     oracle=f"""
-    WITH {_TOKS_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE},
+    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE},
     tarr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
              FROM documents)
     SELECT c.id_a, c.id_b,
@@ -112,14 +133,18 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard verification of the LSH
+    """Exact token-set Jaccard verification of the (shingled) LSH
     candidates — the verify stage of the canonical near-dup pipeline.
-    Only candidate pairs pay the token join."""
+    Only candidate pairs pay the token join; the corpus count is the
+    broadcast-size attestation for both stages (see q51)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sig = dedup.minhash_signature(docs, "doc_id", "text", k=MINHASH_K)
+    n_docs = docs.count()
+    sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
+                                           k=MINHASH_K, n=SHINGLE_N)
     cands = dedup.lsh_candidate_pairs(sig, "doc_id",
-                                      bands=LSH_BANDS, rows=LSH_ROWS)
-    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text")
+                                      bands=LSH_BANDS, rows=LSH_ROWS,
+                                      n_docs=n_docs)
+    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text", n_docs=n_docs)
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -268,9 +293,12 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.unionByName(dups)
 
 
+_BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+
 @query(
     "q57_text_stats",
-    covers=("X-TEXT-STATS", "X-TEXT-LANG"),
+    covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE"),
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -283,6 +311,8 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(string_split(text, ' ')) AS stopword_ratio,
            GREATEST(CAST(len(string_split(text, ' ')) AS INT),
                     CAST(ceil(length(text) / 4) AS INT)) AS bpe_token_estimate,
+           CAST(len(regexp_extract_all(text, '""" + _BPE_PAT_SQL + """'))
+                AS INT) AS bpe_segments,
            (LEAST(CAST(length(text) AS DOUBLE) / 200, 1.0)
             + LEAST((CAST(len(list_filter(string_split(text, ' '),
                           t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
@@ -322,7 +352,11 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plus the former q58's stopword-vote language ID
     (operators.text.lang_guess) beside the declared lang column — the
-    whole per-doc text-analysis suite in one no-shuffle pass."""
+    whole per-doc text-analysis suite in one no-shuffle pass. The exact
+    GPT-2-style pre-tokenizer segment count (operators.text.
+    regex_token_count — JVM regexp_count, RE2-compatible pattern so the
+    DuckDB oracle counts the identical segmentation) rides along as
+    bpe_segments."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.select(
         "doc_id",
@@ -331,6 +365,7 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.type_token_ratio("text").alias("type_token_ratio"),
         text.stopword_ratio("text").alias("stopword_ratio"),
         text.bpe_token_estimate("text").alias("bpe_token_estimate"),
+        text.regex_token_count("text").alias("bpe_segments"),
         text.quality_score("text").alias("quality_score"),
         "lang",
         text.lang_guess("text").alias("lang_guess"),
