@@ -49,10 +49,15 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = asof.dedupe_right(views, ["user_id"], "ts", "event_id")
     joined = asof.asof_join_backward(purchases, views, ["user_id"],
                                      "ts", "ts")
+    # timestampdiff vs an NTZ epoch literal: works on both TIMESTAMP and
+    # TIMESTAMP_NTZ columns and never consults the session timezone
+    # (unix_micros rejects NTZ, and a cast would shift with the tz).
+    epoch_us = ("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', {})")
     return joined.select(
         "event_id", "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
-        F.unix_micros("asof_ts").alias("view_ts_us"),
+        F.expr(epoch_us.format("ts")).alias("purchase_ts_us"),
+        F.expr(epoch_us.format("asof_ts")).alias("view_ts_us"),
         "view_value")
 
 
@@ -124,20 +129,37 @@ KMV_K = 16
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch (deterministic, portable —
     unlike HLL whose register layout is engine-specific): estimate =
-    (k-1)/fraction(k-th smallest hash). Mergeable across partitions/
-    time ranges by keeping the k smallest hashes — the sketch property
-    that matters at 100 TB. Exact count carried for error inspection."""
+    (k-1)/fraction(k-th smallest hash).
+
+    Two-phase aggregate, no window: phase 1 buckets the hash space
+    (pmod(xxhash64(hv), B)) and keeps each bucket's k smallest hashes
+    via slice(array_sort(collect_set)); phase 2 merges the B candidate
+    arrays per group and re-slices to the global k smallest. The union
+    of per-bucket k-minima is a superset of the global k-minima, so the
+    merge is exact — and it is the sketch's own mergeability property
+    (keep the k smallest), which is what survives at 100 TB: per-group
+    merge state is k·B hashes, never the full distinct set sorting
+    through a single window partition. The exact count (carried for
+    error inspection) sums per-bucket distinct sizes — buckets
+    partition the hash space, so sizes add without double-counting."""
+    n_buckets = 64
     e = load_tables(spark, sf_dir, ("events",))["events"]
     h = (e.select("event_type",
                   F.md5(F.col("user_id").cast("string")).alias("hv"))
-         .distinct())
-    w = Window.partitionBy("event_type").orderBy("hv")
-    r = (h.withColumn("rn", F.row_number().over(w))
-         .withColumn("n_exact",
-                     F.count("*").over(Window.partitionBy("event_type"))))
-    frac = (F.conv(F.substring("hv", 1, 8), 16, 10).cast("double")
+         .withColumn("bkt", F.pmod(F.xxhash64("hv"), F.lit(n_buckets))))
+    partial = (h.groupBy("event_type", "bkt")
+               .agg(F.collect_set("hv").alias("hs"))
+               .select("event_type",
+                       F.slice(F.array_sort("hs"), 1, KMV_K).alias("mins"),
+                       F.size("hs").alias("n_bucket")))
+    merged = (partial.groupBy("event_type")
+              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
+                           1, KMV_K).alias("mins"),
+                   F.sum("n_bucket").alias("n_exact")))
+    kth = F.element_at("mins", KMV_K)
+    frac = (F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
             / F.lit(4294967296.0))
-    return (r.filter(F.col("rn") == KMV_K)
+    return (merged.filter(F.size("mins") >= KMV_K)
             .select("event_type",
                     F.col("n_exact").cast("long").alias("exact_users"),
                     (F.lit(float(KMV_K - 1)) / frac).alias("kmv_estimate")))
