@@ -1,0 +1,70 @@
+"""Session-scoped cache for derived index relations.
+
+Several operators build a bounded *index artifact* from the corpus —
+IVF centroid assignments (`similarity.ivf_topk`), MinHash band keys
+(`dedup.lsh_candidate_pairs`) — that (a) is referenced several times
+inside one plan and (b) is probed again by the next query in the same
+session (build candidates, then verify them). Production systems write
+these artifacts to a table once; the engine-side analog is persist +
+session cache, keyed by the logical plan that defines the artifact, so
+an identical rebuild request returns the already-materialized relation.
+
+The cache dies with the session (same lifecycle as
+`sources.registry.load_tables`'s relation-catalog cache — in fact the
+same per-session dict, with distinct key shapes).
+
+Scale note (100 TB): everything cached here is O(corpus rows) × a few
+fixed-width columns — signatures, band keys, cell ids — never the text
+or media payload. MEMORY_AND_DISK spills instead of OOMing, and the
+artifact is exactly what a real pipeline would persist to the lake.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def session_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, "_sae_relation_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sae_relation_cache = cache
+    return cache
+
+
+def plan_key(df: DataFrame) -> str:
+    """Stable identity for 'the same derived relation': its analyzed
+    logical plan string (what ReusedExchange keys on, one level up)."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def cached_relation(df: DataFrame, tag: str, *extra,
+                    eager: bool = True) -> DataFrame:
+    """Persist `df` once per (tag, plan, extra) and reuse it.
+
+    `eager` forces materialization with one count job so that the many
+    downstream references (join sides, size guards) all hit the cache
+    instead of racing to compute partitions.
+    """
+    spark = df.sparkSession
+    cache = session_cache(spark)
+    key = (tag, plan_key(df)) + tuple(extra)
+    if key not in cache:
+        p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            p.count()
+        cache[key] = p
+    return cache[key]
+
+
+def cached_build(spark: SparkSession, key: tuple,
+                 build: Callable[[], object]) -> object:
+    """Generic memoized build for non-DataFrame index artifacts
+    (e.g. a centroid list + its assigned-corpus relation)."""
+    cache = session_cache(spark)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]

@@ -62,35 +62,74 @@ def md5_seeded(seed: int, token: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), token))
 
 
+def md5_digest_seeded(seed: int, digest: Column) -> Column:
+    """Seeded hash derived from a precomputed md5 digest:
+    md5('<seed>:' || digest). Hashing the variable-width shingle ONCE
+    and deriving the k seeded values from the fixed 32-hex digest keeps
+    the per-shingle cost at k+1 single-block md5 compressions no matter
+    how wide the shingle is (a k-gram shingle at k·avg_word width would
+    otherwise pay multi-block hashing k times). Identical expression in
+    the DuckDB oracle: md5('<seed>:' || md5(tok))."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), digest))
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles — the canonical MinHash unit for
     near-dup detection (unigram token sets under-penalize word
     reordering; n-grams encode local order). Pure higher-order array
-    expressions: sequence over the token array, slice+concat per
-    window — no explode until the caller wants one, no UDF.
+    expressions, no explode until the caller wants one, no UDF.
+
+    Construction is a zip_with chain over n-1 shifted views of the
+    token array (toks ⊗ toks[1:] ⊗ … ⊗ toks[n-1:]) — each step is one
+    linear pass appending one word per window. The naive
+    sequence→per-window slice→concat form allocates a sliced array per
+    window inside the interpreted higher-order path and measured ~3×
+    slower at sf0.1; output is element-identical (the shifted views run
+    out exactly at window start > size-n, and those windows are
+    null-filtered).
 
     Documents shorter than n words yield their single full-text
     shingle, so no document silently drops out of the pipeline."""
     if n < 1:
         raise ValueError("shingle width must be >= 1")
     toks = ws_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    if n == 1:
+        return F.array_distinct(toks)
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1,
+                          F.greatest(F.size(toks) - j, F.lit(1)))
+        if j < n - 1:
+            # inner windows: every later word present implies this one is
+            acc = F.zip_with(acc, shifted,
+                             lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            # last word decides window validity (zip_with null-pads)
+            acc = F.zip_with(acc, shifted,
+                             lambda a, b: F.when(b.isNull(), None)
+                             .otherwise(F.concat_ws(" ", a, b)))
+    grams = F.filter(acc, lambda x: x.isNotNull())
+    out = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(out)
 
 
 def minhash_signature_shingled(df: DataFrame, id_col: str, text_col: str,
                                k: int = 8, n: int = 3,
                                hash_fn: Callable[[int, Column], Column]
-                               = md5_seeded) -> DataFrame:
+                               = md5_digest_seeded) -> DataFrame:
     """MinHash over word n-gram shingles instead of unigram tokens —
     same k-min-aggregate plan shape (one shuffle on the doc id) as
-    `minhash_signature`, composable with the same LSH banding."""
+    `minhash_signature`, composable with the same LSH banding.
+
+    Each shingle is md5'd once; the k seeded hashes derive from that
+    fixed-width digest (`md5_digest_seeded`), so widening the shingle
+    does not multiply the hashed bytes by k."""
     sh = df.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("tok"))
-    aggs = [F.min(hash_fn(i, F.col("tok"))).alias(f"h{i}") for i in range(k)]
+        F.explode(F.transform(word_shingles(text_col, n), F.md5))
+        .alias("dig"))
+    aggs = [F.min(hash_fn(i, F.col("dig"))).alias(f"h{i}") for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -140,8 +179,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
                         rows: int = 4, max_bucket: int = 10000,
                         parallelism: int | None = None,
                         n_docs: int | None = None,
-                        broadcast_max_rows: int = BROADCAST_MAX_ROWS
-                        ) -> DataFrame:
+                        broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+                        cache_keys: bool = True) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     Plan choices (the pair set is the hot output — often ≫ corpus):
@@ -171,13 +210,28 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
       bucket's pair fanout bounded, and AQE's skew-join split handles
       residual bucket-size variance. The first-match band filter works
       identically under either join strategy.
+    - **Band-key relation materialized once** (``cache_keys``): the
+      (id, band keys…) table is referenced 3·bands times in this plan
+      (per-band width guard + both join sides) and again by the verify
+      query that consumes the candidates — without persistence the
+      whole upstream signature stage (explode + k min-aggregates over
+      every shingle) is re-executed per reference. The table is
+      (bands+1) fixed-width columns per doc — the MinHash *index
+      artifact* a production pipeline writes to a table — persisted
+      MEMORY_AND_DISK via the session relation cache
+      (`operators._cache`), so a same-session rebuild (e.g. the
+      Jaccard-verify stage re-deriving candidates from the same
+      signature plan) reuses the materialized relation.
     """
+    from ._cache import cached_relation
     key_cols = [
         F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
         .alias(f"_k{b}")
         for b in range(bands)
     ]
     keys = sig.select(F.col(id_col).alias("_id"), *key_cols)
+    if cache_keys:
+        keys = cached_relation(keys, "lsh_band_keys", eager=False)
     nparts = parallelism or sig.sparkSession.sparkContext.defaultParallelism
     small = n_docs is not None and n_docs <= broadcast_max_rows
     out = None

@@ -1,12 +1,20 @@
 """Multimodal column handling (north-star extension).
 
 Images / audio / video are opaque `binary` columns with typed metadata.
-The Spark-side plumbing here is real and tested — schemas, Arrow-batched
-mapInPandas operators, partitioning — while the actual media decode is
-STUBBED: the container has no image/audio libraries, so `decode_media`
-raises NotImplementedError unless `stub=True`, in which case it produces
-a deterministic fake derived from the payload's md5 (so the pipeline is
-end-to-end testable and oracle-checkable).
+The Spark-side plumbing — schemas, Arrow-batched mapInPandas operators,
+partitioning, per-item fan-out — is real and tested, and the decode step
+has two paths:
+
+- ``stub=True``: deterministic fake derived from the payload md5 (so any
+  payload, including wrapped text corpora, runs end-to-end and is
+  oracle-checkable);
+- ``stub=False``: a REAL pure-Python decoder for the two classic
+  uncompressed raster formats, binary PPM (P6) and BMP — header parse,
+  pixel extraction, nearest-neighbor resample, frame/row sampling — no
+  media libraries required. Compressed formats (JPEG/PNG/MP4) would
+  need codec libs not present in this container and raise ValueError;
+  swapping `_real_decode` for a PIL/ffmpeg call changes nothing in the
+  Spark plan shape.
 
 Scale design: mapInPandas streams Arrow batches through Python — the
 only sane shape for per-blob CPU work (decode, resize, frame-sample) at
@@ -18,6 +26,7 @@ driver. Feature extraction downstream of decode stays columnar.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -40,6 +49,29 @@ def to_media_table(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def to_ppm_media_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Wrap a text corpus as a table of VALID binary-PPM (P6) payloads,
+    built entirely JVM-side (concat/repeat — no UDF): dimensions follow
+    the same md5-derived formula as `_fake_decode` (64 + digest-byte %
+    64, so oracles stay aligned), pixel body is a constant fill of
+    exactly w·h·3 bytes. The payloads exercise the REAL decoder path
+    (`decode_media(stub=False)`) end-to-end without media libraries."""
+    dig = F.md5(F.col(text_col))
+    w = F.lit(64) + F.conv(F.substring(dig, 1, 2), 16, 10).cast("int") % 64
+    h = F.lit(64) + F.conv(F.substring(dig, 3, 2), 16, 10).cast("int") % 64
+    d = docs.select(F.col(id_col), F.col(text_col),
+                    w.alias("_w"), h.alias("_h"))
+    payload = F.concat(
+        F.lit("P6\n"), F.col("_w").cast("string"), F.lit(" "),
+        F.col("_h").cast("string"), F.lit("\n255\n"),
+        F.expr("repeat('x', _w * _h * 3)"))
+    return d.select(
+        F.col(id_col),
+        F.encode(payload, "UTF-8").alias("payload"),
+        F.lit("image/ppm").alias("media_type"))
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     """Deterministic stand-in for a real decoder: 8-hex-char feature
     signature + fake dimensions, all derived from the payload md5."""
@@ -49,61 +81,171 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return digest[:8], width, height
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6) header parse: magic, then width/height/maxval as
+    whitespace-separated ASCII ints with '#' comments allowed, then one
+    whitespace byte, then w·h·3 pixel bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    i, fields = 2, []
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            i = nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError("only 8-bit PPM supported")
+    pixels = payload[i:i + w * h * 3]
+    if len(pixels) < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pixels
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed BMP: BITMAPFILEHEADER ('BM', pixel-data offset at
+    byte 10) + BITMAPINFOHEADER (width int32 LE at 18, height at 22 —
+    negative height = top-down, same pixel bytes)."""
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError("compressed BMP not supported")
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = abs(struct.unpack_from("<i", payload, 22)[0])
+    if data_off > len(payload):
+        raise ValueError("truncated BMP payload")
+    return w, h, payload[data_off:]
+
+
+def _real_decode(payload: bytes) -> tuple[str, str, int, int, bytes]:
+    """(media_type, feature_sig, width, height, pixels) from real bytes.
+    feature_sig = md5 of the decoded pixel data (not the container), so
+    re-encodings of the same image fingerprint identically."""
+    if payload.startswith(b"P6"):
+        w, h, px = _parse_ppm(payload)
+        return "image/ppm", hashlib.md5(px).hexdigest()[:8], w, h, px
+    if payload.startswith(b"BM"):
+        w, h, px = _parse_bmp(payload)
+        return "image/bmp", hashlib.md5(px).hexdigest()[:8], w, h, px
+    raise ValueError(
+        "unsupported media format (pure-Python path decodes PPM/BMP; "
+        "compressed formats need codec libraries)")
+
+
 def decode_media(media: DataFrame, stub: bool = True) -> DataFrame:
     """Decode/feature-extract pass over a media table via mapInPandas.
 
-    stub=False is the real-decoder path and raises NotImplementedError
-    (no PIL/ffmpeg in this environment); stub=True runs the
-    deterministic fake so partitioning, batch shape, and schema are
-    exercised for real.
+    stub=True runs the deterministic md5 fake over any payload;
+    stub=False runs the real PPM/BMP decoder (`_real_decode`) — header
+    parse + pixel-data fingerprint. Either way the plan is one
+    Arrow-batched narrow map, no shuffle, payloads never on the driver.
     """
-    if not stub:
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this environment; use stub=True")
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = pdf["payload"].map(_fake_decode)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "byte_len": pdf["payload"].map(len).astype("int32"),
-                "feature_sig": decoded.map(lambda t: t[0]),
-                "width": decoded.map(lambda t: t[1]).astype("int32"),
-                "height": decoded.map(lambda t: t[2]).astype("int32"),
-            })
+    if stub:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                decoded = pdf["payload"].map(_fake_decode)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "feature_sig": decoded.map(lambda t: t[0]),
+                    "width": decoded.map(lambda t: t[1]).astype("int32"),
+                    "height": decoded.map(lambda t: t[2]).astype("int32"),
+                })
+    else:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                decoded = pdf["payload"].map(_real_decode)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "media_type": decoded.map(lambda t: t[0]),
+                    "byte_len": pdf["payload"].map(len).astype("int32"),
+                    "feature_sig": decoded.map(lambda t: t[1]),
+                    "width": decoded.map(lambda t: t[2]).astype("int32"),
+                    "height": decoded.map(lambda t: t[3]).astype("int32"),
+                })
 
     return media.mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = ("doc_id long, media_type string, width int, height int, "
-                  "out_width int, out_height int")
+                  "out_width int, out_height int, resized_sig string")
+
+
+def _resize_nn(pixels: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+    """Nearest-neighbor RGB resample — pure Python over the pixel bytes."""
+    out = bytearray()
+    for oy in range(oh):
+        base = (oy * h // oh) * w * 3
+        for ox in range(ow):
+            sx = base + (ox * w // ow) * 3
+            out += pixels[sx:sx + 3]
+    return bytes(out)
 
 
 def resize_media(media: DataFrame, max_dim: int = 64,
                  stub: bool = True) -> DataFrame:
     """Resize pass: scale each item so its longest side is max_dim,
     preserving aspect ratio (truncating division — engine-portable).
-    Real resampling is stubbed (no PIL); geometry + plumbing are real."""
-    if not stub:
-        raise NotImplementedError("real resize requires an image library; "
-                                  "use stub=True")
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = pdf["payload"].map(_fake_decode)
-            w = decoded.map(lambda t: t[1])
-            h = decoded.map(lambda t: t[2])
-            longest = pd.concat([w, h], axis=1).max(axis=1)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "width": w.astype("int32"),
-                "height": h.astype("int32"),
-                "out_width": (w * max_dim // longest).astype("int32"),
-                "out_height": (h * max_dim // longest).astype("int32"),
-            })
+    stub=True fakes dimensions from the payload md5 and fingerprints
+    the geometry; stub=False really decodes (PPM/BMP) and really
+    resamples (nearest-neighbor), fingerprinting the resampled pixels.
+    """
+
+    def geometry(w: pd.Series, h: pd.Series) -> tuple[pd.Series, pd.Series]:
+        longest = pd.concat([w, h], axis=1).max(axis=1)
+        return (w * max_dim // longest), (h * max_dim // longest)
+
+    if stub:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                decoded = pdf["payload"].map(_fake_decode)
+                w = decoded.map(lambda t: t[1])
+                h = decoded.map(lambda t: t[2])
+                ow, oh = geometry(w, h)
+                sig = pdf["payload"].map(
+                    lambda p: hashlib.md5(p + b":resize").hexdigest()[:8])
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": ow.astype("int32"),
+                    "out_height": oh.astype("int32"),
+                    "resized_sig": sig,
+                })
+    else:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    mt, _, w, h, px = _real_decode(payload)
+                    longest = max(w, h)
+                    ow, oh = w * max_dim // longest, h * max_dim // longest
+                    resized = _resize_nn(px, w, h, ow, oh)
+                    rows.append((doc_id, mt, w, h, ow, oh,
+                                 hashlib.md5(resized).hexdigest()[:8]))
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "out_width", "out_height", "resized_sig"])
 
     return media.mapInPandas(op, schema=RESIZED_SCHEMA)
 
@@ -114,25 +256,40 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_sig string"
 def frame_sample(media: DataFrame, n_frames: int = 4,
                  stub: bool = True) -> DataFrame:
     """Frame-sampling pass (video analog): emit n_frames rows per item,
-    each with a deterministic per-frame signature md5(payload ++ ':i').
-    One input batch → n× output rows, all inside the Arrow stream —
-    the fan-out never touches the driver."""
-    if not stub:
-        raise NotImplementedError("real frame extraction requires ffmpeg; "
-                                  "use stub=True")
+    each with a deterministic per-frame signature. One input batch → n×
+    output rows, all inside the Arrow stream — the fan-out never touches
+    the driver.
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            frames = []
-            for i in range(n_frames):
-                sig = pdf["payload"].map(
-                    lambda p, i=i: hashlib.md5(p + f":{i}".encode())
-                    .hexdigest()[:8])
-                frames.append(pd.DataFrame({
-                    "doc_id": pdf["doc_id"],
-                    "frame_idx": i,
-                    "frame_sig": sig,
-                }))
-            yield pd.concat(frames, ignore_index=True)
+    stub=True: frame_sig = md5(payload ++ ':i'). stub=False: frames are
+    n evenly-spaced pixel ROWS of the really-decoded image (the raster
+    analog of video frame sampling), frame_sig = md5 of that row's
+    bytes."""
+    if stub:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                frames = []
+                for i in range(n_frames):
+                    sig = pdf["payload"].map(
+                        lambda p, i=i: hashlib.md5(p + f":{i}".encode())
+                        .hexdigest()[:8])
+                    frames.append(pd.DataFrame({
+                        "doc_id": pdf["doc_id"],
+                        "frame_idx": i,
+                        "frame_sig": sig,
+                    }))
+                yield pd.concat(frames, ignore_index=True)
+    else:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    _, _, w, h, px = _real_decode(payload)
+                    for i in range(n_frames):
+                        y = i * h // n_frames
+                        row = px[y * w * 3:(y + 1) * w * 3]
+                        rows.append((doc_id, i,
+                                     hashlib.md5(row).hexdigest()[:8]))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_idx", "frame_sig"])
 
     return media.mapInPandas(op, schema=FRAMES_SCHEMA)

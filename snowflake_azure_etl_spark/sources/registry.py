@@ -115,6 +115,31 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def stage_row_count(sf_dir: str, table: str) -> int | None:
+    """Exact row count from parquet footer metadata — no Spark job, no
+    data read. This is what a lake catalog/metastore hands out for free;
+    operators that need a corpus-size attestation (broadcast gating in
+    `operators.dedup`) use it instead of running a count() job per
+    query. Returns None when the source isn't local parquet (caller
+    falls back to count())."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(root, f)).num_rows
+                for root, _, files in os.walk(path)
+                for f in files if f.endswith(".parquet"))
+        return pq.read_metadata(path).num_rows
+    except (OSError, ValueError):
+        return None
+
+
 def register_star_views(spark: SparkSession, sf_dir: str,
                         tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
     """Load the star and register each table as a temp view (SQL surface)."""

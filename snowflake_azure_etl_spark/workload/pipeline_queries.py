@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
-from ..sources.registry import load_tables
+from ..sources.registry import load_tables, stage_row_count
 from ._registry import query
 
 MINHASH_K = 8
@@ -41,8 +41,11 @@ _SHINGLES_CTE = f"""
         FROM documents
     )"""
 
+# hash-once-derive-seeds: the shingle is md5'd once, the k seeded
+# hashes derive from the fixed-width digest (operators.dedup.
+# md5_digest_seeded) — identical expression on both engines
 _SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
-    f"min(md5('{i}:' || tok)) AS h{i}" for i in range(MINHASH_K)
+    f"min(md5('{i}:' || md5(tok))) AS h{i}" for i in range(MINHASH_K)
 ) + " FROM sh GROUP BY doc_id)"
 
 _KEYS_CTE = ("keys AS (" + " UNION ALL ".join(
@@ -98,16 +101,18 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) over word 3-gram shingles + LSH(2 bands × 4 rows)
     near-dup candidate pairs (operators.dedup):
     shingle→minhash→band→bucket-join; portable md5-seeded hashes make
-    the whole pipeline oracle-checkable. The corpus row count is passed
-    as the broadcast-size attestation — small here, so the band join
-    broadcasts; above dedup.BROADCAST_MAX_ROWS the same plan
-    shuffle-equi-joins on the band key."""
+    the whole pipeline oracle-checkable. The corpus row count for the
+    broadcast-size attestation comes from parquet footer metadata (no
+    count job) — small here, so the band join broadcasts; above
+    dedup.BROADCAST_MAX_ROWS the same plan shuffle-equi-joins on the
+    band key."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
                                            k=MINHASH_K, n=SHINGLE_N)
     return dedup.lsh_candidate_pairs(sig, "doc_id",
                                      bands=LSH_BANDS, rows=LSH_ROWS,
-                                     n_docs=docs.count())
+                                     n_docs=n_docs)
 
 
 @query(
@@ -135,10 +140,13 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard verification of the (shingled) LSH
     candidates — the verify stage of the canonical near-dup pipeline.
-    Only candidate pairs pay the token join; the corpus count is the
-    broadcast-size attestation for both stages (see q51)."""
+    Only candidate pairs pay the token join; the corpus count (parquet
+    footer metadata) is the broadcast-size attestation for both stages
+    (see q51). The candidate stage's band-key relation comes back from
+    the session relation cache when q51 already materialized it — the
+    verify stage probes the index, it does not rebuild it."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n_docs = docs.count()
+    n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
                                            k=MINHASH_K, n=SHINGLE_N)
     cands = dedup.lsh_candidate_pairs(sig, "doc_id",
@@ -378,13 +386,15 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS INT) AS byte_len,
-               substr(md5(text), 1, 8) AS feature_sig,
                64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS w,
                64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h,
                text
         FROM documents)
-    SELECT doc_id, 'image/fake' AS media_type, byte_len, feature_sig,
+    SELECT doc_id, 'image/ppm' AS media_type,
+           CAST(octet_length(encode(
+                'P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                || chr(10))) + w * h * 3 AS INT) AS byte_len,
+           substr(md5(repeat('x', w * h * 3)), 1, 8) AS feature_sig,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(w * 64 // greatest(w, h) AS INT) AS out_width,
            CAST(h * 64 // greatest(w, h) AS INT) AS out_height,
@@ -398,14 +408,21 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     — formerly q60/q61/q62: payload as opaque bytes → Arrow-batched
     mapInPandas decode (typed metadata) → aspect-preserving resize
     geometry → per-item frame-sampling fan-out (4 frames/item, fanned
-    out inside the Arrow stream). Codecs are STUBBED deterministically
-    (no media libs in this container); the Spark plumbing — schemas,
-    batching, partitioning, fan-out shape — is real. Payloads never
-    reach the driver; the three stages join on doc_id (broadcast-sized
-    here, bucketed co-location at scale)."""
+    out inside the Arrow stream).
+
+    The decode stage is NOT stubbed: each doc is wrapped as a valid
+    binary PPM (`to_ppm_media_table`, JVM-side construction) and parsed
+    by the real pure-Python P6 decoder (`decode_media(stub=False)`) —
+    header parse + pixel fingerprint, oracle-mirrored (the oracle
+    recomputes header length and md5 of the pixel fill). Resize
+    geometry and frame sampling run the stubbed codec over the raw-text
+    media (compressed real formats would need codec libs). Payloads
+    never reach the driver; the three stages join on doc_id
+    (broadcast-sized here, bucketed co-location at scale)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     media = multimodal.to_media_table(docs)
-    decoded = multimodal.decode_media(media, stub=True)
+    ppm = multimodal.to_ppm_media_table(docs)
+    decoded = multimodal.decode_media(ppm, stub=False)
     resized = (multimodal.resize_media(media, max_dim=64, stub=True)
                .select("doc_id", "out_width", "out_height"))
     frames = multimodal.frame_sample(media, n_frames=4, stub=True)

@@ -1,0 +1,110 @@
+"""Real (non-stubbed) media decode path: pure-Python PPM/BMP parsing,
+nearest-neighbor resample, frame/row sampling — verified bit-for-bit
+against hand-built binary payloads."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from snowflake_azure_etl_spark.operators import multimodal as mm
+
+
+def make_ppm(w: int, h: int, comment: bool = False) -> tuple[bytes, bytes]:
+    """A valid P6 payload with varied pixel bytes; returns (payload, pixels)."""
+    pixels = bytes((x * 7 + 13) % 256 for x in range(w * h * 3))
+    header = b"P6\n"
+    if comment:
+        header += b"# generated test image\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + pixels, pixels
+
+
+def make_bmp(w: int, h: int) -> tuple[bytes, bytes]:
+    """Minimal uncompressed 24-bit BMP; returns (payload, pixel bytes)."""
+    pixels = bytes((x * 11 + 5) % 256 for x in range(w * h * 3))
+    data_off = 54
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0,
+                                  data_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixels), 0, 0, 0, 0))
+    return header + pixels, pixels
+
+
+def test_parse_ppm_roundtrip():
+    payload, pixels = make_ppm(5, 4, comment=True)
+    w, h, px = mm._parse_ppm(payload)
+    assert (w, h) == (5, 4)
+    assert px == pixels
+
+
+def test_parse_ppm_rejects_truncated():
+    payload, _ = make_ppm(5, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._parse_ppm(payload[:-1])
+
+
+def test_parse_bmp_roundtrip():
+    payload, pixels = make_bmp(6, 3)
+    w, h, px = mm._parse_bmp(payload)
+    assert (w, h) == (6, 3)
+    assert px == pixels
+
+
+def test_real_decode_rejects_unknown():
+    with pytest.raises(ValueError, match="unsupported"):
+        mm._real_decode(b"\x89PNG....")
+
+
+def test_decode_media_real_on_generated_payloads(spark):
+    ppm, ppm_px = make_ppm(8, 6)
+    bmp, bmp_px = make_bmp(4, 4)
+    df = spark.createDataFrame(
+        [(1, ppm, "?"), (2, bmp, "?")],
+        "doc_id long, payload binary, media_type string")
+    rows = {r.doc_id: r for r in mm.decode_media(df, stub=False).collect()}
+    assert rows[1].media_type == "image/ppm"
+    assert (rows[1].width, rows[1].height) == (8, 6)
+    assert rows[1].byte_len == len(ppm)
+    assert rows[1].feature_sig == hashlib.md5(ppm_px).hexdigest()[:8]
+    assert rows[2].media_type == "image/bmp"
+    assert (rows[2].width, rows[2].height) == (4, 4)
+    assert rows[2].feature_sig == hashlib.md5(bmp_px).hexdigest()[:8]
+
+
+def test_resize_media_real_nearest_neighbor(spark):
+    payload, pixels = make_ppm(8, 4)
+    df = spark.createDataFrame([(1, payload, "?")],
+                               "doc_id long, payload binary, media_type string")
+    row = mm.resize_media(df, max_dim=4, stub=False).collect()[0]
+    assert (row.width, row.height) == (8, 4)
+    assert (row.out_width, row.out_height) == (4, 2)
+    expected = mm._resize_nn(pixels, 8, 4, 4, 2)
+    assert len(expected) == 4 * 2 * 3
+    assert row.resized_sig == hashlib.md5(expected).hexdigest()[:8]
+
+
+def test_frame_sample_real_rows(spark):
+    payload, pixels = make_ppm(5, 8)
+    df = spark.createDataFrame([(1, payload, "?")],
+                               "doc_id long, payload binary, media_type string")
+    rows = sorted(mm.frame_sample(df, n_frames=4, stub=False).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    for i, r in enumerate(rows):
+        y = i * 8 // 4
+        expected_row = pixels[y * 5 * 3:(y + 1) * 5 * 3]
+        assert r.frame_sig == hashlib.md5(expected_row).hexdigest()[:8]
+
+
+def test_to_ppm_media_table_produces_valid_ppm(spark, sf_dir):
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(5)
+    payloads = mm.to_ppm_media_table(docs).collect()
+    assert payloads
+    for r in payloads:
+        w, h, px = mm._parse_ppm(bytes(r.payload))
+        assert 64 <= w < 128 and 64 <= h < 128
+        assert px == b"x" * (w * h * 3)
