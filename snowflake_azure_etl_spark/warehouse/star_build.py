@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import coalesce_unknown, date_key, dec, safe_div
 from ..plans.datedim import build_dim_date
 from ..plans.surrogate import with_surrogate_key
-from ..sources.registry import load_tables
+from ..sources.registry import load_tables, stage_row_count
 
 UNKNOWN_KEY = 1  # reference seeds the unknown member at surrogate key 1
 
@@ -59,7 +59,8 @@ def _with_unknown_member(spark: SparkSession, members: DataFrame,
     return unknown.unionByName(members)
 
 
-def build_dim_location(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+def build_dim_location(spark: SparkSession, t: dict[str, DataFrame],
+                       n_rows: int | None = None) -> DataFrame:
     """Shared location dim: UNION (distinct!) of customer- and
     supplier-referenced (nation, region) addresses + unknown member —
     the reference's Dim_Location pattern (load_dimension_tables.py:72-115:
@@ -79,7 +80,7 @@ def build_dim_location(spark: SparkSession, t: dict[str, DataFrame]) -> DataFram
     locs = cust_locs.union(supp_locs).distinct()
     keyed = with_surrogate_key(locs, "dim_location_id",
                                order_by=["nation_name", "nationkey"],
-                               offset=UNKNOWN_KEY)
+                               offset=UNKNOWN_KEY, n_rows=n_rows)
     return _with_unknown_member(
         spark, keyed.select("dim_location_id", "nationkey", "nation_name",
                             "region_name"),
@@ -88,7 +89,8 @@ def build_dim_location(spark: SparkSession, t: dict[str, DataFrame]) -> DataFram
 
 
 def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
-                       dim_location: DataFrame) -> DataFrame:
+                       dim_location: DataFrame,
+                       n_rows: int | None = None) -> DataFrame:
     """Customer dim: staging ⟕ Dim_Location on the COALESCE-normalized
     location key (J3 pattern — load_dimension_tables.py:158-163), unknown
     fallback, surrogate keys in business-key order."""
@@ -103,7 +105,8 @@ def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
                                  F.lit(UNKNOWN_KEY)).alias("dim_location_id"),
                       dec("c_acctbal").cast("double").alias("acct_balance")))
     keyed = with_surrogate_key(joined, "dim_customer_id",
-                               order_by=["custkey"], offset=UNKNOWN_KEY)
+                               order_by=["custkey"], offset=UNKNOWN_KEY,
+                               n_rows=n_rows)
     return _with_unknown_member(
         spark, keyed.select("dim_customer_id", "custkey", "customer_name",
                             "segment", "dim_location_id", "acct_balance"),
@@ -113,7 +116,8 @@ def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
 
 
 def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
-                       dim_location: DataFrame) -> DataFrame:
+                       dim_location: DataFrame,
+                       n_rows: int | None = None) -> DataFrame:
     """Supplier dim (store/reseller role): same J3 location resolution +
     the store-name concat with the float artifact *fixed* (SURVEY §1.4.2)."""
     s = t["supplier"]
@@ -128,7 +132,8 @@ def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
                       F.coalesce("dim_location_id",
                                  F.lit(UNKNOWN_KEY)).alias("dim_location_id")))
     keyed = with_surrogate_key(joined, "dim_supplier_id",
-                               order_by=["suppkey"], offset=UNKNOWN_KEY)
+                               order_by=["suppkey"], offset=UNKNOWN_KEY,
+                               n_rows=n_rows)
     return _with_unknown_member(
         spark, keyed.select("dim_supplier_id", "suppkey", "supplier_name",
                             "store_label", "dim_location_id"),
@@ -137,7 +142,8 @@ def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
          "dim_location_id": UNKNOWN_KEY})
 
 
-def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame],
+                      n_rows: int | None = None) -> DataFrame:
     """Channel-role dim: the reference's Dim_Channel = channel ⋈
     channelcategory on the category id with COALESCE'd names + unknown
     member (load_dimension_tables.py:126-142; the J1 single-key inner
@@ -150,7 +156,8 @@ def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame
                       coalesce_unknown("n_name").alias("channel_name"),
                       coalesce_unknown("r_name").alias("channel_category")))
     keyed = with_surrogate_key(joined, "dim_channel_id",
-                               order_by=["channelkey"], offset=UNKNOWN_KEY)
+                               order_by=["channelkey"], offset=UNKNOWN_KEY,
+                               n_rows=n_rows)
     return _with_unknown_member(
         spark, keyed.select("dim_channel_id", "channelkey", "categorykey",
                             "channel_name", "channel_category"),
@@ -159,7 +166,8 @@ def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame
          "channel_category": "Unknown"})
 
 
-def build_dim_part(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+def build_dim_part(spark: SparkSession, t: dict[str, DataFrame],
+                   n_rows: int | None = None) -> DataFrame:
     """Product dim: brand/type hierarchy attributes + COALESCE defaults
     (Dim_Product ← product⋈producttype⋈productcategory —
     load_dimension_tables.py:253-257; hierarchy is in-row for part)."""
@@ -171,7 +179,8 @@ def build_dim_part(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                      F.coalesce("p_size", F.lit(0)).alias("size"),
                      dec("p_retailprice").cast("double").alias("retail_price"))
     keyed = with_surrogate_key(attrs, "dim_part_id",
-                               order_by=["partkey"], offset=UNKNOWN_KEY)
+                               order_by=["partkey"], offset=UNKNOWN_KEY,
+                               n_rows=n_rows)
     return _with_unknown_member(
         spark, keyed.select("dim_part_id", "partkey", "part_name", "brand",
                             "part_type", "size", "retail_price"),
@@ -322,11 +331,19 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     t = load_tables(spark, sf_dir,
                     ("region", "nation", "customer", "supplier", "part",
                      "orders", "lineitem"))
-    dim_location = build_dim_location(spark, t)
-    dim_customer = build_dim_customer(spark, t, dim_location)
-    dim_supplier = build_dim_supplier(spark, t, dim_location)
-    dim_channel = build_dim_channel(spark, t)
-    dim_part = build_dim_part(spark, t)
+    # upper-bound row attestations from parquet footers (what a catalog
+    # provides for free): each dim is bounded by its staging source, so
+    # a big source flips its build to the partition-parallel keying path
+    # (plans.surrogate) with identical keys
+    n = {tbl: stage_row_count(sf_dir, tbl)
+         for tbl in ("nation", "customer", "supplier", "part")}
+    dim_location = build_dim_location(spark, t, n_rows=n["nation"])
+    dim_customer = build_dim_customer(spark, t, dim_location,
+                                      n_rows=n["customer"])
+    dim_supplier = build_dim_supplier(spark, t, dim_location,
+                                      n_rows=n["supplier"])
+    dim_channel = build_dim_channel(spark, t, n_rows=n["nation"])
+    dim_part = build_dim_part(spark, t, n_rows=n["part"])
     start, end = orderdate_span(t)
     dim_date = build_dim_date(spark, start, end)
     fact_sales = build_fact_sales(spark, t, dim_customer, dim_supplier,
