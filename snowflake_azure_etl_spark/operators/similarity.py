@@ -103,18 +103,65 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rn").cast("int").alias("rn")))
 
 
+#: Above this many cells the coarse quantizer is kept as a broadcast
+#: DataFrame (data), below it as inlined plan literals (a narrow
+#: shuffle-free projection). 10^4 cells x 128 dims as literals would
+#: blow up the expression tree; 64 cells is comfortably inside codegen.
+LITERAL_CENTROID_BUDGET = 64
+
+
 def _centroid_literals(emb: DataFrame, id_col: str, vec_col: str,
                        n_cells: int) -> list[tuple[int, Column]]:
     """Deterministic seed centroids: the `n_cells` lowest-id vectors,
     fetched once to the driver (bounded, cells-not-corpus sized) and
     inlined as literal arrays — the coarse quantizer is metadata, like
     an IVF index's trained centroids. Swap in k-means-trained centroids
-    by replacing this function; every plan downstream is unchanged."""
+    by replacing this function; every plan downstream is unchanged.
+
+    Only used up to LITERAL_CENTROID_BUDGET cells; above that the
+    centroids stay distributed (`_centroid_frame`) and assignment goes
+    through a broadcast join — plan size stays O(1) in n_cells."""
     rows = (emb.select(F.col(id_col).cast("long").alias("i"),
                        as_double_vec(vec_col).alias("v"))
             .filter(F.col("i") < n_cells).orderBy("i").collect())
     return [(int(r.i), F.array(*[F.lit(float(x)) for x in r.v]))
             for r in rows]
+
+
+def _centroid_frame(emb: DataFrame, id_col: str, vec_col: str,
+                    n_cells: int) -> DataFrame:
+    """The coarse quantizer as a relation: (cell_id, ctv). Cell-count
+    sized — always broadcastable, never a plan literal."""
+    return (emb.select(F.col(id_col).cast("long").alias("cell_id"),
+                       as_double_vec(vec_col).alias("ctv"))
+            .filter(F.col("cell_id") < n_cells)
+            .withColumn("cell_id", F.col("cell_id").cast("int")))
+
+
+def _best_cells_join(side: DataFrame, id_alias: str, vec_alias: str,
+                     cents_df: DataFrame, n_best: int) -> DataFrame:
+    """Nearest `n_best` cells per vector via broadcast-join + rank:
+    side x broadcast(centroids) scored row-locally, then per-vector
+    top-n. For n_best=1 the rank is an aggregate argmax (max of a
+    (score, -cell_id, …) struct — partial map-side, one corpus-row
+    shuffle); for n_best>1 (query probes — the small side) a window.
+    Ties resolve to the smaller cell id, matching the literal path."""
+    scored = (side.crossJoin(F.broadcast(cents_df))
+              .withColumn("_s", cosine(F.col(vec_alias), F.col("ctv"))))
+    if n_best == 1:
+        best = (scored.groupBy(id_alias)
+                .agg(F.max(F.struct(
+                    F.col("_s").alias("s"),
+                    (-F.col("cell_id")).alias("nid"),
+                    F.col(vec_alias).alias("v"))).alias("_m")))
+        return best.select(
+            F.col(id_alias), F.col("_m.v").alias(vec_alias),
+            (-F.col("_m.nid")).cast("int").alias("cell_id"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_alias).orderBy(F.desc("_s"), F.asc("cell_id"))
+    return (scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n_best)
+            .select(id_alias, vec_alias, "cell_id"))
 
 
 def _cell_scores(vec: Column, cents: list[tuple[int, Column]]) -> Column:
@@ -139,46 +186,71 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             k: int = 3, n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+             k: int = 3, n_cells: int = 8, nprobe: int = 2,
+             literal_budget: int = LITERAL_CENTROID_BUDGET) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into `n_cells`
     centroid cells, each query probes its `nprobe` nearest cells, and
     only those cells' vectors are scored.
 
-    The scale shape (the IVF trade): assignment is a shuffle-free
-    projection; the candidate join is an equi-join on cell_id (queries
-    broadcast), so per-query work drops from O(N) to O(N·nprobe/n_cells).
-    `n_cells` ↗ ⇒ recall ↘ cost ↘ — same knob family as the sign-bucket
-    LSH variant, but with data-adaptive (trainable) partitions.
+    The scale shape (the IVF trade): the candidate join is an equi-join
+    on cell_id (queries broadcast), so per-query work drops from O(N)
+    to O(N·nprobe/n_cells). `n_cells` ↗ ⇒ recall ↘ cost ↘ — same knob
+    family as the sign-bucket LSH variant, but with data-adaptive
+    (trainable) partitions.
+
+    Two assignment strategies, switched on `literal_budget`:
+
+    - **n_cells ≤ budget**: centroids inline as plan literals —
+      assignment is a shuffle-free narrow projection (`assign_cells`);
+    - **n_cells > budget**: centroids stay a DataFrame (`_centroid_frame`,
+      cell-count sized) broadcast-joined against the corpus, argmax'd
+      with a map-side-partial aggregate — ONE corpus-row shuffle, plan
+      size independent of n_cells (a 10⁴-cell × 128-dim quantizer as
+      literals would explode the expression tree; as data it is a ~5 MB
+      broadcast). Identical output, including smaller-cell-id
+      tie-breaks.
     """
     from pyspark.sql import Window
+
+    from ._cache import cached_build, plan_key
     # The centroid set + assigned corpus ARE the IVF index: built once,
     # probed by every query. Cache both per (session, corpus plan) the
     # way any vector store persists its index — repeat searches pay only
     # the probe, not the index build.
     spark = emb.sparkSession
-    cache: dict = getattr(spark, "_sae_relation_cache", None) or {}
-    if not hasattr(spark, "_sae_relation_cache"):
-        spark._sae_relation_cache = cache
-    key = ("ivf_index", emb._jdf.queryExecution().logical().toString(),
-           id_col, vec_col, n_cells)
-    if key in cache:
-        cents, assigned = cache[key]
-    else:
-        cents = _centroid_literals(emb, id_col, vec_col, n_cells)
-        assigned = assign_cells(emb, id_col, vec_col, cents).persist()
+    as_literals = n_cells <= literal_budget
+    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells,
+           as_literals)
+
+    def build():
+        if as_literals:
+            cents = _centroid_literals(emb, id_col, vec_col, n_cells)
+            assigned = assign_cells(emb, id_col, vec_col, cents).persist()
+        else:
+            cents = _centroid_frame(emb, id_col, vec_col, n_cells).persist()
+            corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                                as_double_vec(vec_col).alias("cv"))
+            assigned = _best_cells_join(corpus, "neighbor_id", "cv",
+                                        cents, 1).persist()
         assigned.count()  # materialize the index eagerly, once
-        cache[key] = (cents, assigned)
+        return cents, assigned
+
+    cents, assigned = cached_build(spark, key, build)
     qv = as_double_vec(vec_col)
-    probes = (queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("qv"),
-        # ascending struct sort ⇒ the last `nprobe` entries are the
-        # best cells (ties resolved to the smaller cell id via -id)
-        F.slice(F.array_sort(_cell_scores(qv, cents)), -nprobe, nprobe)
-        .alias("best"))
-        .select("query_id", "qv",
-                F.explode(F.transform("best", lambda s: -s.getField("nid")))
-                .alias("cell_id"))
-        .withColumn("cell_id", F.col("cell_id").cast("int")))
+    if as_literals:
+        probes = (queries.select(
+            F.col(id_col).alias("query_id"), qv.alias("qv"),
+            # ascending struct sort ⇒ the last `nprobe` entries are the
+            # best cells (ties resolved to the smaller cell id via -id)
+            F.slice(F.array_sort(_cell_scores(qv, cents)), -nprobe, nprobe)
+            .alias("best"))
+            .select("query_id", "qv",
+                    F.explode(F.transform("best", lambda s: -s.getField("nid")))
+                    .alias("cell_id"))
+            .withColumn("cell_id", F.col("cell_id").cast("int")))
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+        probes = _best_cells_join(q, "query_id", "qv", cents, nprobe)
     scored = (assigned.join(F.broadcast(probes), "cell_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
