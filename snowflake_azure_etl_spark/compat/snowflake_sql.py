@@ -21,6 +21,9 @@ enumerates so a reference user can feed their scripts to
   (two statements; Spark's catalogs lack atomic replace for empty
   tables)
 - `COMMENT = '...'` trailing table options → stripped
+- bare `VARCHAR` (no length — Snowflake's 16 MB default,
+  private_ddl/example_staging_table.sql) → `STRING` (Spark's VARCHAR
+  requires a length)
 
 Deliberately regex-based and transparent: the goal is the documented
 delta list, not a full SQL parser — statements outside it pass through
@@ -44,6 +47,7 @@ class Translated:
 _NUMBER = re.compile(r"\bNUMBER\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
                      re.IGNORECASE)
 _BARE_NUMBER = re.compile(r"\bNUMBER\b(?!\s*\()", re.IGNORECASE)
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 _IDENTITY = re.compile(
     r"\s+(?:IDENTITY\s*\(\s*\d+\s*,\s*\d+\s*\)|IDENTITY|AUTOINCREMENT)",
     re.IGNORECASE)
@@ -88,6 +92,7 @@ def translate_statement(sql: str) -> Translated:
     s = _NUMBER.sub(
         lambda m: f"DECIMAL({m.group(1)},{m.group(2) or 0})", s)
     s = _BARE_NUMBER.sub("DECIMAL(38,0)", s)
+    s = _BARE_VARCHAR.sub("STRING", s)
     if _SECURE_VIEW.search(s):
         s = _SECURE_VIEW.sub("VIEW", s)
         out.notes.append("SECURE VIEW degraded to plain VIEW (no analog)")
@@ -108,7 +113,10 @@ def translate_statement(sql: str) -> Translated:
 def translate_script(sql_text: str) -> list[Translated]:
     """Split a script on top-level semicolons (string-literal aware —
     the reference escapes quotes as '' inside literals) and translate
-    each statement. Line comments (--) are dropped."""
+    each statement. Line comments (--) and /* */ block comments are
+    dropped (the reference's DDL headers are block comments that would
+    otherwise hide the leading CREATE from the statement rewrites)."""
+    sql_text = re.sub(r"/\*.*?\*/", "", sql_text, flags=re.S)
     lines = []
     for ln in sql_text.splitlines():
         # strip -- comments not inside a string literal
