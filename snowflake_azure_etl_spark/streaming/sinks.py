@@ -42,9 +42,15 @@ def idempotent_epoch_sink(table: str,
         out = batch_df.withColumn(epoch_col,
                                   F.lit(int(epoch_id)).cast("long"))
         if not spark.catalog.tableExists(table):
-            (out.write.partitionBy(epoch_col).format("parquet")
+            # Bootstrap = schema DDL only (ADVICE r4): register the
+            # table EMPTY (overwrite clears any half-written leftovers
+            # from a crashed earlier bootstrap), then fall through to
+            # the same per-epoch overwrite path as every other epoch —
+            # so a replayed first epoch is idempotent too, with no
+            # ErrorIfExists window between data write and registration.
+            (out.limit(0).write.mode("overwrite")
+             .partitionBy(epoch_col).format("parquet")
              .saveAsTable(table))
-            return
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_key, "static")
         spark.conf.set(mode_key, "dynamic")

@@ -218,10 +218,15 @@ ANALYTICAL_VIEWS: dict[str, str] = {
     # VW_TargetVsActualPerformance (:203-265): the date-spine LEFT-join
     # chain through BOTH target facts (product targets AND the
     # store/reseller/channel SRC targets) + HAVING. The reference joins
-    # the raw facts straight off the spine (fact×fact fan-out per date);
-    # here each target fact is pre-aggregated to dim grain first —
-    # identical result shape, and the spine join stays dim-sized at any
-    # fact scale.
+    # the raw facts straight off the spine; here each target fact is
+    # pre-aggregated to dim grain first so the spine join stays
+    # dim-sized at any fact scale. Result GRAIN (ADVICE r4): one row
+    # per (year, brand, channel_name) — joining two independent target
+    # facts through the shared date spine is a brand × channel
+    # cross-match per date by construction (the reference's view has
+    # the same fan-out); src_target_amount repeats across the brands
+    # of a channel-year and vice versa, so consumers must not re-sum
+    # across the other axis.
     "vw_target_vs_actual": """
         WITH prod_targets AS (
             SELECT t.dim_target_date_id AS date_key, p.brand,

@@ -35,7 +35,9 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     API (`in_catalog`), after the reference's current_version()
     connection probe (F10, ddl.engine_version)."""
     from ..warehouse import ddl
-    assert ddl.engine_version(spark)  # connection probe (F10)
+    if not ddl.engine_version(spark):  # connection probe (F10) — an
+        # explicit raise, not `assert` (stripped under python -O)
+        raise RuntimeError("engine version probe returned empty")
     register_star_views(spark, sf_dir)
     listed = {t.name for t in spark.catalog.listTables()}
     dfs = load_tables(spark, sf_dir)

@@ -18,6 +18,20 @@ from ..sources.registry import load_tables
 from ._registry import query
 
 
+def _epoch_us(df: DataFrame, colname: str):
+    """Timezone-stable epoch microseconds, dispatched by column type
+    (ADVICE r4): for TIMESTAMP (LTZ — an absolute instant) unix_micros
+    is the tz-independent form; for TIMESTAMP_NTZ (wall clock, which
+    unix_micros rejects and a cast would shift with the session tz) the
+    NTZ-epoch timestampdiff is. Using the NTZ expression on an LTZ
+    column would re-interpret the instant in the session zone — only
+    session.py's pinned UTC masked that."""
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        return F.expr("timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})")
+    return F.unix_micros(F.col(colname))
+
+
 @query(
     "q44_asof_join",
     covers=("X-ASOF",),
@@ -49,15 +63,10 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = asof.dedupe_right(views, ["user_id"], "ts", "event_id")
     joined = asof.asof_join_backward(purchases, views, ["user_id"],
                                      "ts", "ts")
-    # timestampdiff vs an NTZ epoch literal: works on both TIMESTAMP and
-    # TIMESTAMP_NTZ columns and never consults the session timezone
-    # (unix_micros rejects NTZ, and a cast would shift with the tz).
-    epoch_us = ("timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ '1970-01-01 00:00:00', {})")
     return joined.select(
         "event_id", "user_id",
-        F.expr(epoch_us.format("ts")).alias("purchase_ts_us"),
-        F.expr(epoch_us.format("asof_ts")).alias("view_ts_us"),
+        _epoch_us(joined, "ts").alias("purchase_ts_us"),
+        _epoch_us(joined, "asof_ts").alias("view_ts_us"),
         "view_value")
 
 
@@ -136,10 +145,16 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     via slice(array_sort(collect_set)); phase 2 merges the B candidate
     arrays per group and re-slices to the global k smallest. The union
     of per-bucket k-minima is a superset of the global k-minima, so the
-    merge is exact — and it is the sketch's own mergeability property
-    (keep the k smallest), which is what survives at 100 TB: per-group
-    merge state is k·B hashes, never the full distinct set sorting
-    through a single window partition. The exact count (carried for
+    merge is exact.
+
+    State honesty (ADVICE r4): phase 2's merge state is bounded at k·B
+    hashes per group, but phase 1's collect_set still buffers each
+    (group × bucket)'s distinct hashes — ≈ distinct/B per aggregation
+    state — before the slice. B is the knob that divides peak state
+    (vs. the removed single-partition window sort, which held the full
+    distinct set in ONE task); a fully-bounded phase 1 needs a k-minima
+    UDAF that drops non-minima during partial aggregation, the
+    documented production upgrade path. The exact count (carried for
     error inspection) sums per-bucket distinct sizes — buckets
     partition the hash space, so sizes add without double-counting."""
     n_buckets = 64

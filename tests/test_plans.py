@@ -135,8 +135,13 @@ def test_kmv_two_phase_no_window(spark, sf_dir):
     the full distinct set through a per-group Window."""
     plan = plan_of(spark, sf_dir, "q47_kmv_sketch")
     assert "Window" not in plan
-    # two aggregate phases: per-bucket partial + per-group merge
-    assert plan.count("Aggregate") >= 2
+    # two SHUFFLED aggregate phases (per-bucket + per-group merge), each
+    # compiling to partial+final HashAggregate — a regression to one
+    # un-bucketed groupBy(...).agg(collect_set(...)) would count only 2
+    # (ADVICE r4: >= 2 couldn't tell the difference)
+    assert plan.count("Aggregate") >= 4
+    # and the bucketing column must actually be in the plan
+    assert "pmod" in plan and "xxhash64" in plan
 
 
 def test_multimodal_uses_arrow_map(spark, sf_dir):
