@@ -299,11 +299,17 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
     bounded by ``bitset_max_vocab``, not the corpus, so it is always
     safe).
     """
+    from ._cache import cached_build, plan_key
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("_tok"))
     vocab = toks.select("_tok").distinct()
-    n_vocab = vocab.count()
+    # the vocabulary-size probe is one distinct-count job over the
+    # corpus — memoized per corpus plan (session cache) so repeated
+    # verify calls against the same corpus don't re-scan it
+    n_vocab = cached_build(df.sparkSession,
+                           ("jaccard_vocab", plan_key(toks)),
+                           vocab.count)
     if n_vocab <= bitset_max_vocab:
         sets = _bitset_masks(toks, n_vocab, vocab)
         n_words = (n_vocab + 63) // 64

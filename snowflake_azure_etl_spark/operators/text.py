@@ -115,6 +115,60 @@ def md5_fingerprint(text: Column | str, prefix_len: int = 16) -> Column:
     return F.substring(F.md5(canon), 1, prefix_len)
 
 
+def n_chunks(text: Column | str, size: int = 128,
+             stride: int = 96) -> Column:
+    """How many overlapping token windows a document yields under
+    (size, stride) chunking: 1 + ceil(max(n_tokens - size, 0) / stride).
+    Pure arithmetic — the per-doc planning column for the chunker
+    below, and trivially oracle-expressible."""
+    extra = F.greatest(n_tokens(text) - size, F.lit(0))
+    return (F.lit(1) + F.ceil(extra.cast("double") / stride)).cast("int")
+
+
+def chunk_texts(text: Column | str, size: int = 128,
+                stride: int = 96) -> Column:
+    """Overlapping token-window chunks — the canonical pre-training
+    prep op (fixed context windows with overlap so no span is split
+    across chunk boundaries unseen). Returns array<string>; window i
+    covers tokens [i*stride, i*stride + size). All higher-order array
+    expressions, no UDF, no shuffle — the 100 TB path is explode →
+    write, embarrassingly parallel."""
+    if size < 1 or stride < 1:
+        raise ValueError("chunk size and stride must be >= 1")
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks(text, size, stride) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, size)))
+
+
+def chunk_documents(docs, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 128,
+                    stride: int = 96):
+    """(doc_id, chunk_idx, chunk_text, chunk_tokens) — one row per
+    chunk, fanned out executor-side (posexplode)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunk_texts(text_col, size, stride))
+        .alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def split_assign(id_col: Column | str, train_pct: int = 80,
+                 val_pct: int = 10, salt: str = "split") -> Column:
+    """Deterministic train/val/test assignment by hashed id — the
+    standard leakage-safe splitter (a document's split never depends
+    on corpus order or size, so re-runs and incremental loads agree).
+    Bucket = first 8 md5 hex chars of '<salt>:<id>' mod 100."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                   c.cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+    return (F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test"))
+
+
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,
                  mod: int = ROLLING_MOD) -> Column:
     """Polynomial rolling hash over characters:

@@ -306,7 +306,8 @@ _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 @query(
     "q57_text_stats",
-    covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE"),
+    covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
+            "X-TEXT-CHUNK", "X-SPLIT-ASSIGN"),
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -321,6 +322,13 @@ _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
                     CAST(ceil(length(text) / 4) AS INT)) AS bpe_token_estimate,
            CAST(len(regexp_extract_all(text, '""" + _BPE_PAT_SQL + """'))
                 AS INT) AS bpe_segments,
+           CAST(1 + ceil(greatest(len(string_split(text, ' ')) - 128, 0)
+                         / 96.0) AS INT) AS n_chunks,
+           CASE WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
            (LEAST(CAST(length(text) AS DOUBLE) / 200, 1.0)
             + LEAST((CAST(len(list_filter(string_split(text, ' '),
                           t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
@@ -364,7 +372,14 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-2-style pre-tokenizer segment count (operators.text.
     regex_token_count — JVM regexp_count, RE2-compatible pattern so the
     DuckDB oracle counts the identical segmentation) rides along as
-    bpe_segments."""
+    bpe_segments.
+
+    Round-5 additions: `n_chunks` — the (size=128, stride=96)
+    overlapping-window chunk count (the planning column for
+    operators.text.chunk_documents, whose full fan-out is
+    pytest-verified against a Python reference) — and `split`, the
+    deterministic hashed-id train/val/test assignment
+    (operators.text.split_assign), both oracle-mirrored exactly."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return docs.select(
         "doc_id",
@@ -374,6 +389,8 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_ratio("text").alias("stopword_ratio"),
         text.bpe_token_estimate("text").alias("bpe_token_estimate"),
         text.regex_token_count("text").alias("bpe_segments"),
+        text.n_chunks("text", size=128, stride=96).alias("n_chunks"),
+        text.split_assign("doc_id").alias("split"),
         text.quality_score("text").alias("quality_score"),
         "lang",
         text.lang_guess("text").alias("lang_guess"),

@@ -1,0 +1,79 @@
+"""Streaming exact dedup (streaming/dedup.py): the incremental engine
+must keep exactly one row per distinct content hash — same distinct set
+as the batch dedup operator over identical input, across real
+multi-micro-batch execution."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_azure_etl_spark.operators import dedup as bdedup
+from snowflake_azure_etl_spark.sources.registry import load_tables
+from snowflake_azure_etl_spark.streaming.dedup import dedup_stream
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+@pytest.fixture(scope="module")
+def staged_docs_dir(spark, sf_dir):
+    """Documents (+ planted exact duplicates and a synthetic arrival ts)
+    rewritten as 4 parquet files = 4 micro-batches."""
+    d = tempfile.mkdtemp(prefix="docs_stage_")
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    dups = (docs.limit(25)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    (docs.unionByName(dups)
+     .withColumn("ts", F.timestamp_seconds(F.lit(1700000000)
+                                           + F.col("doc_id") % 3600))
+     .repartition(4).write.mode("overwrite").parquet(d))
+    return d
+
+
+def _run_stream(df, name):
+    q = (df.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def test_stream_dedup_matches_batch_distincts(spark, staged_docs_dir):
+    stream = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").load(staged_docs_dir))
+    got = _run_stream(dedup_stream(stream, "text"), "t_dedup_plain")
+
+    batch = spark.read.parquet(staged_docs_dir)
+    want = bdedup.exact_dedup_groups(batch, "doc_id", "text")
+    got_hashes = [r.content_hash for r in got.collect()]
+    want_hashes = {r.content_hash for r in want.collect()}
+    # exactly one survivor per distinct content, same distinct set
+    assert len(got_hashes) == len(want_hashes)
+    assert set(got_hashes) == want_hashes
+    # and the planted duplicates were actually exercised
+    assert batch.count() > len(want_hashes)
+
+
+def test_stream_dedup_watermarked_state_pruning_path(spark, staged_docs_dir):
+    """The watermarked variant (bounded state) must also keep one row
+    per distinct hash when all duplicates arrive within the delay —
+    the contract it is designed for."""
+    stream = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").load(staged_docs_dir))
+    got = _run_stream(dedup_stream(stream, "text", ts_col="ts",
+                                   watermark="2 hours"), "t_dedup_wm")
+    batch = spark.read.parquet(staged_docs_dir)
+    n_distinct = batch.select(F.md5("text")).distinct().count()
+    hashes = [r.content_hash for r in got.collect()]
+    assert len(hashes) == len(set(hashes)) == n_distinct
