@@ -102,6 +102,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
     cache: dict = getattr(spark, "_sae_relation_cache", None) or {}
     if not hasattr(spark, "_sae_relation_cache"):
         spark._sae_relation_cache = cache
+    # Engine date/timestamp semantics are UTC (SURVEY session posture;
+    # oracle timestamps are naive-UTC). get_spark pins this for its own
+    # sessions, but the workload also runs on DRIVER-provided sessions
+    # whose tz may differ — year()/date_trunc()/window() over LTZ
+    # columns are session-tz dependent, so pin it here, at relation
+    # resolution, the one gate every query passes through
+    # (runtime-settable conf, like nanosAsLong below).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for t in tables:
         key = (sf_dir, t)

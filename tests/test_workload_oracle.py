@@ -37,3 +37,18 @@ def test_query_runs(spark, sf_dir, name):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_time_queries_survive_non_utc_session(spark, sf_dir):
+    """Engine semantics are UTC regardless of the session a driver
+    hands us (ADVICE r4): load_tables pins the session tz, so
+    tz-dependent expressions (window/year/date_trunc over LTZ) stay
+    oracle-stable even if the caller set another zone."""
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        load_tables(spark, sf_dir, ("events",))
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
