@@ -1,0 +1,94 @@
+"""End-to-end training-corpus preparation (north-star extension): the
+composition every LLM data pipeline runs — exact dedup → near-dup
+removal → quality/language filtering → chunking → split assignment —
+as ONE lazy DataFrame plan built from the engine's own operators.
+
+Each stage is the already-verified primitive (`operators.dedup`,
+`operators.text`); this module contributes the canonical wiring and the
+keeper semantics (min-id survives, mirroring `exact_dedup_groups` /
+the LSH pair convention id_a < id_b).
+
+Scale design: the exact-dedup keeper join is an aggregate + self-join
+on the uniform content hash; near-dup removal reuses the
+size-attested LSH pipeline (`n_docs` gates every broadcast); filtering
+and chunking are narrow projections; nothing here adds a shuffle
+beyond the primitives' own. The output is the explode of kept docs
+into chunk rows — at 100 TB this is the write-side fan-out, perfectly
+parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+def exact_keepers(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the min-id copy of each distinct
+    content (the `exact_dedup_groups` keeper contract)."""
+    keepers = (dedup.exact_dedup_groups(docs, id_col, text_col)
+               .select(F.col("keeper_id").alias(id_col)))
+    return docs.join(keepers, id_col, "inner")
+
+
+def near_dup_losers(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", threshold: float = 0.7,
+                    n_docs: int | None = None, k: int = 8,
+                    bands: int = 2, rows: int = 4,
+                    shingle_n: int = 3) -> DataFrame:
+    """Ids to DROP under near-dup removal: for every verified pair with
+    shingle-Jaccard >= threshold, the larger id loses (id_a < id_b by
+    the LSH convention, so keeping id_a keeps the min of each pair —
+    transitively the min of a dup cluster discovered through pairs)."""
+    sig = dedup.minhash_signature_shingled(docs, id_col, text_col,
+                                           k=k, n=shingle_n)
+    cands = dedup.lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
+                                      n_docs=n_docs)
+    jac = dedup.exact_jaccard(docs, cands, id_col, text_col,
+                              n_docs=n_docs, shingle_n=shingle_n)
+    return (jac.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_b").alias(id_col)).distinct())
+
+
+def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_quality: float = 0.0,
+                            langs: tuple[str, ...] | None = None,
+                            near_dup_threshold: float | None = 0.7,
+                            n_docs: int | None = None,
+                            chunk_size: int = 128,
+                            chunk_stride: int = 96,
+                            lsh_bands: int = 4,
+                            lsh_rows: int = 2) -> DataFrame:
+    """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
+
+    Stages (all lazy, one composed plan):
+    1. exact dedup (min-id keeper per content hash);
+    2. near-dup removal at `near_dup_threshold` shingle-Jaccard
+       (None disables);
+    3. quality floor (`text.quality_score` >= min_quality) and
+       language allow-list (`text.lang_guess` in langs);
+    4. overlapping-window chunking (`text.chunk_documents`);
+    5. deterministic hashed-id train/val/test split.
+
+    LSH banding defaults to 4 bands × 2 rows here (recall-leaning: a
+    0.9-Jaccard pair is caught w.p. ~1-2e-4) — removal wants high
+    recall, where the candidate-survey defaults (2×4) lean precision.
+    """
+    kept = exact_keepers(docs, id_col, text_col)
+    if near_dup_threshold is not None:
+        losers = near_dup_losers(docs, id_col, text_col,
+                                 threshold=near_dup_threshold,
+                                 n_docs=n_docs,
+                                 bands=lsh_bands, rows=lsh_rows)
+        kept = kept.join(losers, id_col, "left_anti")
+    if min_quality > 0.0:
+        kept = kept.filter(text.quality_score(text_col) >= min_quality)
+    if langs:
+        kept = kept.filter(text.lang_guess(text_col).isin(*langs))
+    chunks = text.chunk_documents(kept, id_col, text_col,
+                                  size=chunk_size, stride=chunk_stride)
+    return chunks.withColumn("split", text.split_assign(id_col))

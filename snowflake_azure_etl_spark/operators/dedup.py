@@ -272,8 +272,15 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
                   text_col: str,
                   bitset_max_vocab: int = BITSET_MAX_VOCAB,
                   n_docs: int | None = None,
-                  broadcast_max_rows: int = BROADCAST_MAX_ROWS) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs — adaptive plan.
+                  broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+                  shingle_n: int | None = None) -> DataFrame:
+    """Exact set-Jaccard for candidate pairs — adaptive plan.
+
+    The set unit is whitespace unigrams by default; pass ``shingle_n``
+    to verify over word n-gram shingles instead (X-DEDUP-NGRAM-JACCARD
+    — the same unit `minhash_signature_shingled` approximates, so the
+    verify stage measures exactly the similarity the LSH stage
+    estimated).
 
     The per-pair intersect dominates (candidate count × per-pair cost),
     so the representation of a token set is the whole game:
@@ -300,9 +307,11 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
     safe).
     """
     from ._cache import cached_build, plan_key
+    unit = (word_shingles(text_col, shingle_n) if shingle_n
+            else F.array_distinct(ws_tokens(text_col)))
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(ws_tokens(text_col))).alias("_tok"))
+        F.explode(unit).alias("_tok"))
     vocab = toks.select("_tok").distinct()
     # the vocabulary-size probe is one distinct-count job over the
     # corpus — memoized per corpus plan (session cache) so repeated
@@ -317,8 +326,8 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
     else:
         sets = df.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(F.transform(ws_tokens(text_col),
-                                         lambda t: F.xxhash64(t))).alias("_s"))
+            F.array_distinct(F.transform(unit, lambda t: F.xxhash64(t)))
+            .alias("_s"))
         shared = lambda a, b: F.size(F.array_intersect(a, b))  # noqa: E731
     a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"),
                     F.col("_n").alias("size_a") if "_n" in sets.columns

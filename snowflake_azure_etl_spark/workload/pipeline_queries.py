@@ -30,14 +30,16 @@ _TOKS_CTE = """
 # word n-gram shingles — mirrors operators.dedup.word_shingles: window i
 # starts at token i+1, width SHINGLE_N (clamped at the tail; docs shorter
 # than N yield their single full-text shingle)
-_SHINGLES_CTE = f"""
-    sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
+_SHINGLE_ARRAY_SQL = f"""list_distinct(list_transform(
                    generate_series(0, greatest(
                        len(string_split(text, ' ')) - {SHINGLE_N}, 0)),
                    i -> array_to_string(
                        list_slice(string_split(text, ' '),
-                                  i + 1, i + {SHINGLE_N}), ' ')))) AS tok
+                                  i + 1, i + {SHINGLE_N}), ' ')))"""
+
+_SHINGLES_CTE = f"""
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLE_ARRAY_SQL}) AS tok
         FROM documents
     )"""
 
@@ -117,10 +119,10 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q52_dedup_jaccard_verify",
-    covers=("X-DEDUP-JACCARD",),
+    covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD"),
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE},
-    tarr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    tarr AS (SELECT doc_id, {_SHINGLE_ARRAY_SQL} AS toks
              FROM documents)
     SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS shared,
@@ -138,13 +140,15 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard verification of the (shingled) LSH
-    candidates — the verify stage of the canonical near-dup pipeline.
-    Only candidate pairs pay the token join; the corpus count (parquet
-    footer metadata) is the broadcast-size attestation for both stages
-    (see q51). The candidate stage's band-key relation comes back from
-    the session relation cache when q51 already materialized it — the
-    verify stage probes the index, it does not rebuild it."""
+    """Exact n-gram-Jaccard verification of the shingled LSH candidates
+    (X-DEDUP-NGRAM-JACCARD) — the verify stage measures similarity over
+    the SAME 3-gram shingle sets the MinHash stage approximated, the
+    canonical near-dup pipeline contract. Only candidate pairs pay the
+    set join; the corpus count (parquet footer metadata) is the
+    broadcast-size attestation for both stages (see q51). The candidate
+    stage's band-key relation comes back from the session relation
+    cache when q51 already materialized it — the verify stage probes
+    the index, it does not rebuild it."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
@@ -152,7 +156,8 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.lsh_candidate_pairs(sig, "doc_id",
                                       bands=LSH_BANDS, rows=LSH_ROWS,
                                       n_docs=n_docs)
-    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text", n_docs=n_docs)
+    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text", n_docs=n_docs,
+                              shingle_n=SHINGLE_N)
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 

