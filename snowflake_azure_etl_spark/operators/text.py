@@ -169,6 +169,33 @@ def split_assign(id_col: Column | str, train_pct: int = 80,
             .otherwise("test"))
 
 
+def token_vocab(docs, text_col: str = "text", min_doc_freq: int = 1,
+                top_k: int | None = None):
+    """Corpus token vocabulary — the tokenizer-training prep step:
+    (token, doc_freq, total_freq, rank), rank by total_freq desc with
+    token tiebreak (deterministic). One explode + one groupBy (map-side
+    partial) — the shuffle key is the token, uniform for natural text;
+    `top_k` compiles to TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    from pyspark.sql import Window
+    # doc_freq needs per-doc distinctness; total_freq counts every use.
+    # The doc discriminator is a per-row unique id (values are
+    # partition-dependent but countDistinct only needs uniqueness), so
+    # two documents with identical text still count separately.
+    per = docs.withColumn("_doc", F.monotonically_increasing_id()) \
+        .select(F.posexplode(tokens(text_col)).alias("_p", "token"), "_doc")
+    agg = (per.groupBy("token")
+           .agg(F.countDistinct("_doc").alias("doc_freq"),
+                F.count("*").alias("total_freq"))
+           .filter(F.col("doc_freq") >= min_doc_freq))
+    w = Window.orderBy(F.desc("total_freq"), F.asc("token"))
+    if top_k is not None:
+        # rank only the kept head: orderBy+limit → TakeOrderedAndProject
+        head = agg.orderBy(F.desc("total_freq"), F.asc("token")).limit(top_k)
+        return head.withColumn("rank", F.row_number().over(w))
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,
                  mod: int = ROLLING_MOD) -> Column:
     """Polynomial rolling hash over characters:

@@ -73,3 +73,31 @@ def test_split_assign_deterministic_and_python_equal(spark, sf_dir):
 def test_chunk_validation():
     with pytest.raises(ValueError):
         T.chunk_texts("text", size=0)
+
+
+def test_token_vocab_matches_python(spark, sf_dir):
+    from collections import Counter
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(100)
+    rows = docs.select("text").collect()
+    total, by_doc = Counter(), Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        total.update(toks)
+        by_doc.update(set(toks))
+    got = {r.token: (r.doc_freq, r.total_freq, r.rank)
+           for r in T.token_vocab(docs, top_k=20).collect()}
+    assert len(got) == 20
+    want_order = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for rank, (tok, tf) in enumerate(want_order, start=1):
+        assert got[tok] == (by_doc[tok], tf, rank), tok
+
+
+def test_token_vocab_top_k_avoids_global_sort(spark, sf_dir):
+    import contextlib
+    import io
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    head = T.token_vocab(docs, top_k=50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        head.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
