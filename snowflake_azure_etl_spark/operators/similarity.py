@@ -103,91 +103,58 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                     F.col("rn").cast("int").alias("rn")))
 
 
-#: Above this many cells the coarse quantizer is kept as a broadcast
-#: DataFrame (data), below it as inlined plan literals (a narrow
-#: shuffle-free projection). 10^4 cells x 128 dims as literals would
-#: blow up the expression tree; 64 cells is comfortably inside codegen.
-LITERAL_CENTROID_BUDGET = 64
-
-
-def _centroid_literals(emb: DataFrame, id_col: str, vec_col: str,
-                       n_cells: int) -> list[tuple[int, Column]]:
-    """Deterministic seed centroids: the `n_cells` lowest-id vectors,
-    fetched once to the driver (bounded, cells-not-corpus sized) and
-    inlined as literal arrays — the coarse quantizer is metadata, like
-    an IVF index's trained centroids. Swap in k-means-trained centroids
-    by replacing this function; every plan downstream is unchanged.
-
-    Only used up to LITERAL_CENTROID_BUDGET cells; above that the
-    centroids stay distributed (`_centroid_frame`) and assignment goes
-    through a broadcast join — plan size stays O(1) in n_cells."""
-    rows = (emb.select(F.col(id_col).cast("long").alias("i"),
-                       as_double_vec(vec_col).alias("v"))
-            .filter(F.col("i") < n_cells).orderBy("i").collect())
-    return [(int(r.i), F.array(*[F.lit(float(x)) for x in r.v]))
-            for r in rows]
-
-
 def _centroid_frame(emb: DataFrame, id_col: str, vec_col: str,
                     n_cells: int) -> DataFrame:
-    """The coarse quantizer as a relation: (cell_id, ctv). Cell-count
-    sized — always broadcastable, never a plan literal."""
+    """The coarse quantizer as a relation: (cell_id, ctv) —
+    deterministic seed centroids (the `n_cells` lowest-id vectors)
+    standing in for a trained quantizer. Cell-count sized, never a plan
+    literal. Swap in k-means-trained centroids by replacing this
+    function; every plan downstream is unchanged."""
     return (emb.select(F.col(id_col).cast("long").alias("cell_id"),
                        as_double_vec(vec_col).alias("ctv"))
             .filter(F.col("cell_id") < n_cells)
             .withColumn("cell_id", F.col("cell_id").cast("int")))
 
 
-def _best_cells_join(side: DataFrame, id_alias: str, vec_alias: str,
-                     cents_df: DataFrame, n_best: int) -> DataFrame:
-    """Nearest `n_best` cells per vector via broadcast-join + rank:
-    side x broadcast(centroids) scored row-locally, then per-vector
-    top-n. For n_best=1 the rank is an aggregate argmax (max of a
-    (score, -cell_id, …) struct — partial map-side, one corpus-row
-    shuffle); for n_best>1 (query probes — the small side) a window.
-    Ties resolve to the smaller cell id, matching the literal path."""
-    scored = (side.crossJoin(F.broadcast(cents_df))
-              .withColumn("_s", cosine(F.col(vec_alias), F.col("ctv"))))
-    if n_best == 1:
-        best = (scored.groupBy(id_alias)
-                .agg(F.max(F.struct(
-                    F.col("_s").alias("s"),
-                    (-F.col("cell_id")).alias("nid"),
-                    F.col(vec_alias).alias("v"))).alias("_m")))
-        return best.select(
-            F.col(id_alias), F.col("_m.v").alias(vec_alias),
-            (-F.col("_m.nid")).cast("int").alias("cell_id"))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_alias).orderBy(F.desc("_s"), F.asc("cell_id"))
-    return (scored.withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") <= n_best)
-            .select(id_alias, vec_alias, "cell_id"))
+def _centroid_array(cents_df: DataFrame) -> DataFrame:
+    """The quantizer packed into ONE row: array<struct<cell_id, ctv>>
+    sorted by cell_id. Broadcast-crossJoined to any side, every vector
+    scores all cells row-locally — no corpus shuffle (the vectors never
+    cross the wire), and the plan is O(1) in n_cells (the centroids are
+    DATA in a broadcast variable, not literals in the expression
+    tree)."""
+    return cents_df.agg(
+        F.array_sort(F.collect_list(F.struct("cell_id", "ctv")))
+        .alias("_cents"))
 
 
-def _cell_scores(vec: Column, cents: list[tuple[int, Column]]) -> Column:
+def _cell_scores(vec: Column, cents: Column) -> Column:
     """Array of (cos_sim, -cell_id) structs — one per centroid, computed
-    row-locally (no shuffle, no join; the centroid norms constant-fold).
-    Max = best cell with ties to the smallest cell id."""
-    return F.array(*[
-        F.struct(cosine(vec, cv).alias("s"), F.lit(-cid).alias("nid"))
-        for cid, cv in cents
-    ])
+    row-locally against the broadcast centroid array. Max = best cell
+    with ties to the smallest cell id."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(cosine(vec, c.getField("ctv")).alias("s"),
+                           (-c.getField("cell_id")).alias("nid")))
 
 
 def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
-                 cents: list[tuple[int, Column]]) -> DataFrame:
-    """IVF cell assignment: argmax-cosine centroid per vector, as a pure
-    projection — at 100 TB this is a narrow map over the corpus."""
+                 cent_arr: DataFrame) -> DataFrame:
+    """IVF cell assignment: argmax-cosine centroid per vector — a
+    narrow map over the corpus (crossJoin with the ONE-row broadcast
+    centroid array adds no exchange on the corpus side). At 100 TB this
+    is the property that matters: the corpus vectors are scored in
+    place and never shuffle."""
     v = as_double_vec(vec_col)
-    return emb.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("cv"),
-        (-F.array_max(_cell_scores(v, cents)).getField("nid"))
-        .cast("int").alias("cell_id"))
+    return (emb.crossJoin(F.broadcast(cent_arr))
+            .select(
+                F.col(id_col).alias("neighbor_id"), v.alias("cv"),
+                (-F.array_max(_cell_scores(v, F.col("_cents")))
+                 .getField("nid")).cast("int").alias("cell_id")))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             k: int = 3, n_cells: int = 8, nprobe: int = 2,
-             literal_budget: int = LITERAL_CENTROID_BUDGET) -> DataFrame:
+             k: int = 3, n_cells: int = 8, nprobe: int = 2) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into `n_cells`
     centroid cells, each query probes its `nprobe` nearest cells, and
     only those cells' vectors are scored.
@@ -198,17 +165,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     family as the sign-bucket LSH variant, but with data-adaptive
     (trainable) partitions.
 
-    Two assignment strategies, switched on `literal_budget`:
-
-    - **n_cells ≤ budget**: centroids inline as plan literals —
-      assignment is a shuffle-free narrow projection (`assign_cells`);
-    - **n_cells > budget**: centroids stay a DataFrame (`_centroid_frame`,
-      cell-count sized) broadcast-joined against the corpus, argmax'd
-      with a map-side-partial aggregate — ONE corpus-row shuffle, plan
-      size independent of n_cells (a 10⁴-cell × 128-dim quantizer as
-      literals would explode the expression tree; as data it is a ~5 MB
-      broadcast). Identical output, including smaller-cell-id
-      tie-breaks.
+    The coarse quantizer is DATA at every size: a one-row broadcast
+    array<struct<cell_id, vector>> (`_centroid_array`), argmax'd
+    row-locally with higher-order expressions. The plan is O(1) in
+    n_cells (no literal expression tree — a 10⁴-cell × 128-dim
+    quantizer is a ~5 MB broadcast variable) AND assignment adds no
+    corpus shuffle (the vectors are scored in place and never cross
+    the wire — at 100 TB of embeddings, the property that matters).
+    Ties resolve to the smaller cell id.
     """
     from pyspark.sql import Window
 
@@ -218,39 +182,29 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     # way any vector store persists its index — repeat searches pay only
     # the probe, not the index build.
     spark = emb.sparkSession
-    as_literals = n_cells <= literal_budget
-    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells,
-           as_literals)
+    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells)
 
     def build():
-        if as_literals:
-            cents = _centroid_literals(emb, id_col, vec_col, n_cells)
-            assigned = assign_cells(emb, id_col, vec_col, cents).persist()
-        else:
-            cents = _centroid_frame(emb, id_col, vec_col, n_cells).persist()
-            corpus = emb.select(F.col(id_col).alias("neighbor_id"),
-                                as_double_vec(vec_col).alias("cv"))
-            assigned = _best_cells_join(corpus, "neighbor_id", "cv",
-                                        cents, 1).persist()
+        cent_arr = _centroid_array(
+            _centroid_frame(emb, id_col, vec_col, n_cells)).persist()
+        assigned = assign_cells(emb, id_col, vec_col, cent_arr).persist()
         assigned.count()  # materialize the index eagerly, once
-        return cents, assigned
+        return cent_arr, assigned
 
-    cents, assigned = cached_build(spark, key, build)
+    cent_arr, assigned = cached_build(spark, key, build)
     qv = as_double_vec(vec_col)
-    if as_literals:
-        probes = (queries.select(
-            F.col(id_col).alias("query_id"), qv.alias("qv"),
-            # ascending struct sort ⇒ the last `nprobe` entries are the
-            # best cells (ties resolved to the smaller cell id via -id)
-            F.slice(F.array_sort(_cell_scores(qv, cents)), -nprobe, nprobe)
-            .alias("best"))
-            .select("query_id", "qv",
-                    F.explode(F.transform("best", lambda s: -s.getField("nid")))
-                    .alias("cell_id"))
-            .withColumn("cell_id", F.col("cell_id").cast("int")))
-    else:
-        q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
-        probes = _best_cells_join(q, "query_id", "qv", cents, nprobe)
+    probes = (queries.crossJoin(F.broadcast(cent_arr))
+              .select(
+                  F.col(id_col).alias("query_id"), qv.alias("qv"),
+                  # ascending struct sort ⇒ the last `nprobe` entries are
+                  # the best cells (ties to the smaller cell id via -id)
+                  F.slice(F.array_sort(_cell_scores(qv, F.col("_cents"))),
+                          -nprobe, nprobe).alias("best"))
+              .select("query_id", "qv",
+                      F.explode(F.transform(
+                          "best", lambda s: -s.getField("nid")))
+                      .alias("cell_id"))
+              .withColumn("cell_id", F.col("cell_id").cast("int")))
     scored = (assigned.join(F.broadcast(probes), "cell_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",

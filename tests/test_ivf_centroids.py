@@ -1,7 +1,8 @@
-"""IVF coarse-quantizer representation (VERDICT r4 #2): above the
-literal budget the centroids must be DATA (a broadcast-joined relation),
-not plan literals — plan size stays O(1) in n_cells — and the two
-strategies must produce identical results."""
+"""IVF coarse-quantizer representation (VERDICT r4 #2, finished in r5):
+the centroids are DATA at every size — a one-row broadcast array —
+so the plan is O(1) in n_cells AND cell assignment adds no corpus
+shuffle. Correctness is pinned by q63's DuckDB oracle (hash-exact IVF
+semantics recomputed independently in SQL) plus the shape tests here."""
 
 from __future__ import annotations
 
@@ -27,43 +28,46 @@ def _emb_queries(spark, sf_dir):
     return emb, emb.filter(F.col("vec_id") % 50 == 0)
 
 
-def test_join_path_matches_literal_path(spark, sf_dir):
-    emb, queries = _emb_queries(spark, sf_dir)
-    lit = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
-                              k=3, n_cells=8, nprobe=2,
-                              literal_budget=64)
-    join = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
-                               k=3, n_cells=8, nprobe=2,
-                               literal_budget=0)  # force the data path
-    a = {(r.query_id, r.neighbor_id, r.rn, round(r.cos_sim, 9))
-         for r in lit.collect()}
-    b = {(r.query_id, r.neighbor_id, r.rn, round(r.cos_sim, 9))
-         for r in join.collect()}
-    assert a == b
+def test_assignment_adds_no_corpus_shuffle(spark, sf_dir):
+    """The 100 TB property: scoring every vector against the broadcast
+    centroid array is a narrow map — no Exchange on the corpus side."""
+    emb, _ = _emb_queries(spark, sf_dir)
+    cent_arr = similarity._centroid_array(
+        similarity._centroid_frame(emb, "vec_id", "embedding", 8))
+    assigned = similarity.assign_cells(emb, "vec_id", "embedding", cent_arr)
+    plan = explain_str(assigned)
+    # the only exchanges allowed are for the one-row centroid aggregate
+    # + its broadcast; the corpus side must join via BNL on a scan
+    corpus_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange" not in corpus_side
 
 
 def test_no_plan_blowup_at_256_cells(spark, sf_dir):
-    """256 cells × 64 dims = 16k doubles: as literals that's a 16k-node
-    expression forest; as data it must stay a broadcast join whose plan
-    neither embeds the vectors nor grows with n_cells."""
+    """256 cells × 64 dims = 16k doubles: as literals that would be a
+    16k-node expression forest; as a broadcast array the plan must not
+    grow with n_cells."""
     emb, queries = _emb_queries(spark, sf_dir)
     t0 = time.time()
     out = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
                               k=3, n_cells=256, nprobe=2)
     plan = explain_str(out)
     assert time.time() - t0 < 60  # planning+explain stays sane
-    # centroid side joins as a relation, not as inlined array literals
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert len(plan) < 200_000
-    # and it actually runs
+    small_plan = explain_str(similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_cells=8, nprobe=2))
+    # plan size essentially independent of n_cells
+    assert abs(len(plan) - len(small_plan)) < 0.2 * len(small_plan)
     assert out.count() > 0
 
 
-def test_default_small_path_is_projection(spark, sf_dir):
-    """n_cells=8 (q63's config) keeps the narrow literal projection —
-    no extra corpus shuffle for cell assignment."""
-    emb, _ = _emb_queries(spark, sf_dir)
-    cents = similarity._centroid_literals(emb, "vec_id", "embedding", 8)
-    assigned = similarity.assign_cells(emb, "vec_id", "embedding", cents)
-    plan = explain_str(assigned)
-    assert "Exchange" not in plan
+def test_probes_respect_nprobe_and_ties(spark, sf_dir):
+    emb, queries = _emb_queries(spark, sf_dir)
+    out = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                              k=3, n_cells=8, nprobe=3)
+    # every query returns at most k ranked neighbors, ranks contiguous
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rn)
+    for q, rns in by_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
