@@ -176,7 +176,11 @@ def token_vocab(docs, text_col: str = "text", min_doc_freq: int = 1,
     token tiebreak (deterministic). One explode + one groupBy (map-side
     partial) — the shuffle key is the token, uniform for natural text;
     `top_k` compiles to TakeOrderedAndProject (per-partition heaps),
-    never a global sort."""
+    never a global sort; the full-vocabulary ranking goes through the
+    partition-parallel ranged keying plan (`plans.surrogate.
+    ranged_dense_keys`) — a real vocabulary is millions of rows, and a
+    single-partition rank window would be the classic hidden
+    bottleneck."""
     from pyspark.sql import Window
     # doc_freq needs per-doc distinctness; total_freq counts every use.
     # The doc discriminator is a per-row unique id (values are
@@ -188,12 +192,16 @@ def token_vocab(docs, text_col: str = "text", min_doc_freq: int = 1,
            .agg(F.countDistinct("_doc").alias("doc_freq"),
                 F.count("*").alias("total_freq"))
            .filter(F.col("doc_freq") >= min_doc_freq))
-    w = Window.orderBy(F.desc("total_freq"), F.asc("token"))
+    order = [F.desc("total_freq"), F.asc("token")]
     if top_k is not None:
-        # rank only the kept head: orderBy+limit → TakeOrderedAndProject
-        head = agg.orderBy(F.desc("total_freq"), F.asc("token")).limit(top_k)
-        return head.withColumn("rank", F.row_number().over(w))
-    return agg.withColumn("rank", F.row_number().over(w))
+        # rank only the kept head: orderBy+limit → TakeOrderedAndProject,
+        # then a k-row window (k-sized, not vocab-sized)
+        head = agg.orderBy(*order).limit(top_k)
+        return head.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)))
+    from ..plans.surrogate import ranged_dense_keys
+    ranked = ranged_dense_keys(agg, "rank", order_by=order, offset=0)
+    return ranked.withColumn("rank", F.col("rank").cast("int"))
 
 
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,

@@ -101,3 +101,19 @@ def test_token_vocab_top_k_avoids_global_sort(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         head.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_token_vocab_full_rank_parallel_and_correct(spark, sf_dir):
+    """Full-vocabulary ranking must use the range-partitioned parallel
+    plan (no single-partition window) and agree with the top-k head."""
+    import contextlib
+    import io
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(100)
+    full = T.token_vocab(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain("formatted")
+    assert "rangepartitioning" in buf.getvalue().lower()
+    head = {r.token: r.rank for r in T.token_vocab(docs, top_k=10).collect()}
+    full_ranks = {r.token: r.rank for r in full.collect() if r.rank <= 10}
+    assert head == full_ranks
