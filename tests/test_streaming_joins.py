@@ -1,0 +1,73 @@
+"""Stream-stream time-bounded join (streaming/joins.py): the
+incremental join across real micro-batches must produce exactly the
+batch join's row set, and the plan must carry watermarks on both sides
+(the state-pruning contract)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.sources.registry import load_tables
+from snowflake_azure_etl_spark.streaming import events as sev
+from snowflake_azure_etl_spark.streaming.joins import (
+    purchases_with_recent_views)
+
+
+@pytest.fixture(scope="module")
+def staged_events_dir(spark, sf_dir):
+    """Files are TIME-RANGED (file k+1 strictly after file k) so the
+    stream arrives in order, as a real ingest does — a randomly
+    scattered file split would make whole hours arrive later than the
+    watermark allows, and the engine would (correctly) drop them."""
+    d = tempfile.mkdtemp(prefix="events_ssj_")
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    (e.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(d))
+    return d
+
+
+def _sides(df):
+    p = (df.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    v = (df.filter(F.col("event_type") == "view")
+         .select("event_id", "user_id", "ts", "value"))
+    return p, v
+
+
+def test_stream_stream_join_matches_batch(spark, staged_events_dir):
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    sp, sv = _sides(stream)
+    joined = purchases_with_recent_views(sp, sv)
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("t_ssj").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.purchase_id, r.view_id)
+           for r in spark.table("t_ssj").collect()}
+
+    batch = spark.read.parquet(staged_events_dir)
+    bp, bv = _sides(batch)
+    want = {(r.purchase_id, r.view_id)
+            for r in purchases_with_recent_views(bp, bv).collect()}
+    assert got == want
+    assert got, "no purchase/view pairs within the window — fixture dead"
+
+
+def test_stream_stream_join_state_is_watermarked(spark, staged_events_dir):
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "2")
+              .load(staged_events_dir))
+    sp, sv = _sides(stream)
+    joined = purchases_with_recent_views(sp, sv)
+    # both inputs must carry event-time watermarks into the join node
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
