@@ -323,3 +323,24 @@ def test_rank_window_view_sane(spark, report):
     shares = (vw.groupBy("year_num")
               .agg(F.sum("revenue_share_pct").alias("s")).collect())
     assert all(abs(r.s - 100.0) < 0.5 for r in shares)
+
+
+def test_stage_registry_reads_json_and_orc(spark, sf_dir, tmp_path):
+    """The Stage record is format-generic (CREATE STAGE ... FILE_FORMAT
+    analog): the same registry resolves JSON and ORC stages with
+    declared schemas, not just the parquet/CSV used elsewhere."""
+    from snowflake_azure_etl_spark.sources.registry import (Stage,
+                                                            SourceRegistry,
+                                                            load_tables)
+    nat = load_tables(spark, sf_dir, ("nation",))["nation"]
+    jdir, odir = str(tmp_path / "nation_json"), str(tmp_path / "nation_orc")
+    nat.write.mode("overwrite").json(jdir)
+    nat.write.mode("overwrite").orc(odir)
+    reg = SourceRegistry()
+    reg.register(Stage(name="nation_json", path=jdir, format="json",
+                       schema=nat.schema))
+    reg.register(Stage(name="nation_orc", path=odir, format="orc"))
+    want = {r.n_nationkey for r in nat.collect()}
+    for st in ("nation_json", "nation_orc"):
+        got = {r.n_nationkey for r in reg.read(spark, st).collect()}
+        assert got == want, st
