@@ -66,10 +66,8 @@ def test_partition_drift_raises_not_nulls(spark):
     (ADVICE r4: element_at returns NULL on missing key — the guard has
     to fail loudly)."""
     df = spark.range(10).withColumn("_pid", F.spark_partition_id())
-    # poison the map: offsets only for an impossible pid
-    expr = surrogate._prefix_offset_expr.__wrapped__ \
-        if hasattr(surrogate._prefix_offset_expr, "__wrapped__") else None
-    # build the guard directly with a map that misses every real pid
+    # build the guard directly with a poisoned map (offsets only for an
+    # impossible pid), the exact shape _prefix_offset_expr emits
     mapped = F.element_at(F.create_map(F.lit(-999), F.lit(0)), F.col("_pid"))
     guarded = F.when(
         mapped.isNull(),
