@@ -39,18 +39,23 @@ def near_dup_losers(docs: DataFrame, id_col: str = "doc_id",
                     n_docs: int | None = None, k: int = 8,
                     bands: int = 2, rows: int = 4,
                     shingle_n: int = 3) -> DataFrame:
-    """Ids to DROP under near-dup removal: for every verified pair with
-    shingle-Jaccard >= threshold, the larger id loses (id_a < id_b by
-    the LSH convention, so keeping id_a keeps the min of each pair —
-    transitively the min of a dup cluster discovered through pairs)."""
+    """Ids to DROP under near-dup removal: the verified pairs (Jaccard
+    >= threshold) are resolved into similarity COMPONENTS
+    (`operators.graph.dup_clusters`, min-label propagation), and every
+    member except the component's min id loses. Transitively correct:
+    a chain A~B~C keeps exactly A, regardless of which pairwise
+    verdicts the LSH stage happened to surface."""
     sig = dedup.minhash_signature_shingled(docs, id_col, text_col,
                                            k=k, n=shingle_n)
     cands = dedup.lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
                                       n_docs=n_docs)
     jac = dedup.exact_jaccard(docs, cands, id_col, text_col,
                               n_docs=n_docs, shingle_n=shingle_n)
-    return (jac.filter(F.col("jaccard") >= threshold)
-            .select(F.col("id_b").alias(id_col)).distinct())
+    verified = jac.filter(F.col("jaccard") >= threshold)
+    from .graph import dup_clusters
+    clusters = dup_clusters(verified)
+    return (clusters.filter(F.col("id") != F.col("keeper"))
+            .select(F.col("id").alias(id_col)))
 
 
 def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,88 @@
+"""Connected components by min-label propagation (north-star
+extension): the dup-CLUSTER resolution step of a near-dup pipeline.
+Pairwise removal (drop id_b of every similar pair) collapses chains
+A~B~C correctly only by accident of id ordering; the principled
+operator labels every document with the minimum id of its similarity
+component, in O(component diameter) supersteps.
+
+This is the brief's 'iterative algorithm' class — genuinely not
+SQL-expressible in one statement; it is a driver-controlled loop of
+DataFrame joins, the Pregel/GraphX superstep pattern expressed on the
+DataFrame API:
+
+  label(v) ← min(label(v), label(label(v)), min_{u∈N(v)} label(u))
+
+until fixpoint. The label(label(v)) term is pointer-doubling
+(Shiloach-Vishkin shortcutting): each superstep halves every
+label-chain, so convergence is O(log diameter) supersteps, not
+O(diameter) — a 10⁶-long pathological chain resolves in ~20 rounds.
+
+Scale design:
+- each superstep is two equi-joins (edges ⋈ labels on the neighbor
+  id; labels ⋈ labels for the shortcut hop) + one groupBy-min — all
+  shuffle on node ids, partial-aggregated map-side; no all-pairs
+  anything;
+- the convergence probe is ONE scalar count per superstep (standard
+  Pregel halting), the only driver-side data;
+- lineage is cut with an eager localCheckpoint EVERY superstep —
+  measured: with lineage allowed to grow even 3 rounds, Catalyst
+  re-analysis of the iterated join plan dwarfs the actual work;
+- near-dup similarity graphs are overwhelmingly tiny star/clique
+  clusters (diameter ≤ ~3), so 2-3 supersteps converge in practice.
+  `max_iter` bounds adversarial inputs, loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 1
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(id, component) for every node in `edges`, component = min node
+    id reachable through the (undirected) edge set. Nodes with no edges
+    are not emitted (callers left-join and COALESCE to own id)."""
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    # materialize the edge set ONCE: every superstep references it, and
+    # its upstream (e.g. the whole LSH+Jaccard verify pipeline when
+    # called from near-dup removal) must not re-execute per round
+    sym = (e.unionByName(e.select(F.col("d").alias("s"),
+                                  F.col("s").alias("d")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("s").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for it in range(max_iter):
+        neigh = (sym.join(labels, sym.d == labels.id)
+                 .select(F.col("s").alias("id"), "label"))
+        # pointer doubling: inherit my current label's own label
+        hop = (labels.alias("a")
+               .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
+               .select(F.col("a.id").alias("id"),
+                       F.col("b.label").alias("label")))
+        new_labels = (labels.unionByName(neigh).unionByName(hop)
+                      .groupBy("id").agg(F.min("label").alias("label")))
+        if it % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} supersteps "
+        "— component diameter exceeds the bound; raise max_iter")
+
+
+def dup_clusters(pairs: DataFrame, src: str = "id_a",
+                 dst: str = "id_b") -> DataFrame:
+    """(id, keeper) per document appearing in any near-dup pair:
+    keeper = min id of the document's similarity component (transitive
+    closure of the pairwise verdicts). Documents in no pair keep
+    themselves and are not emitted."""
+    return (connected_components(pairs, src, dst)
+            .select("id", F.col("component").alias("keeper")))
