@@ -26,6 +26,15 @@ def staged_events_dir(spark, sf_dir):
     e = load_tables(spark, sf_dir, ("events",))["events"]
     (e.repartitionByRange(4, "ts").sortWithinPartitions("ts")
      .write.mode("overwrite").parquet(d))
+    # the file source orders batches by modification time; the parallel
+    # write finishes part files in racy order, so pin mtimes to the
+    # range order or arrival can be time-disordered past the watermark
+    import glob
+    import os
+    import time as _time
+    base = _time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{d}/part-*"))):
+        os.utime(f, (base + i, base + i))
     return d
 
 
