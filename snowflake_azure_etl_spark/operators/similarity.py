@@ -217,19 +217,73 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                     F.col("rn").cast("int").alias("rn")))
 
 
+#: Widest bucket the near-dup self-join will pay for: a bucket of w
+#: vectors yields w·(w-1)/2 pairs, so 10k ⇒ ≤ 5·10⁷ pairs per bucket —
+#: bounded work per task. Wider buckets are dropped whole
+#: (deterministic), same contract as dedup.lsh_candidate_pairs.
+EMBED_MAX_BUCKET = 10_000
+EMBED_MIN_BITS = 8
+#: sign_bucket reads the first `bits` dimensions, so auto-scaling is
+#: capped here — callers with wider embeddings can raise it.
+EMBED_MAX_BITS = 24
+
+
+def scaled_bits(n_rows: int | None, target_bucket: int = 1024,
+                min_bits: int = EMBED_MIN_BITS,
+                max_bits: int = EMBED_MAX_BITS) -> int:
+    """Bucket-width-driven bits choice: enough sign bits that the
+    EXPECTED bucket holds ≈ target_bucket vectors (2^bits ≈
+    n_rows / target_bucket). A fixed 2^8 grid that is fine at 10⁶
+    vectors puts ~4M vectors per bucket at 10⁹ — quadratic pair blowup;
+    scaling bits with the attested corpus size keeps per-bucket work
+    constant as the corpus grows. Unattested (None) falls back to
+    min_bits."""
+    import math
+    if n_rows is None or n_rows <= 0:
+        return min_bits
+    want = math.ceil(math.log2(max(n_rows / target_bucket, 1.0)))
+    return min(max_bits, max(min_bits, want))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
-                        threshold: float = 0.95, bits: int = 8) -> DataFrame:
+                        threshold: float = 0.95, bits: int | None = 8,
+                        max_bucket: int = EMBED_MAX_BUCKET,
+                        n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within sign buckets
     (id_a < id_b, cosine >= threshold) — the embedding leg of the
-    dedup suite."""
+    dedup suite.
+
+    Scale guards (mirroring the text-side `dedup.lsh_candidate_pairs`):
+
+    - **Bucket-width guard**: buckets wider than ``max_bucket`` are
+      dropped whole before the self-join — deterministic protection
+      against the quadratic blowup of one degenerate bucket (embeddings
+      clustered in a single orthant). The width relation has ≤ 2^bits
+      rows — bucket-count sized, never corpus sized — so it always
+      broadcasts safely.
+    - **Size-attested self-join strategy**: the per-vector sides are
+      corpus-sized, so the build side broadcasts only when the caller
+      attests ``n_rows`` ≤ ``dedup.BROADCAST_MAX_ROWS``; otherwise both
+      sides shuffle-equi-join on the bucket key (AQE's skew-join split
+      handles residual width variance under the cap).
+    - **Corpus-scaled bits**: pass ``bits=None`` to derive the bucket
+      grid from the attested corpus size (`scaled_bits`), keeping the
+      expected bucket width constant as the corpus grows.
+    """
+    from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
+    if bits is None:
+        bits = scaled_bits(n_rows)
     c = emb.select(F.col(id_col).alias("_id"),
                    as_double_vec(vec_col).alias("v"),
                    sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    widths = (c.groupBy("bucket").agg(F.count("*").alias("_bw"))
+              .filter(F.col("_bw") <= max_bucket).drop("_bw"))
+    c = c.join(F.broadcast(widths), "bucket")
     a = c.select(F.col("bucket"), F.col("_id").alias("id_a"),
                  F.col("v").alias("va"))
     b = c.select(F.col("bucket"), F.col("_id").alias("id_b"),
                  F.col("v").alias("vb"))
-    return (a.join(b, "bucket")
+    return (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS), "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     cosine(F.col("va"), F.col("vb")).alias("cos_sim"))

@@ -121,6 +121,12 @@ def n_chunks(text: Column | str, size: int = 128,
     (size, stride) chunking: 1 + ceil(max(n_tokens - size, 0) / stride).
     Pure arithmetic — the per-doc planning column for the chunker
     below, and trivially oracle-expressible."""
+    if size < 1 or stride < 1:
+        raise ValueError("chunk size and stride must be >= 1")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): chunk windows "
+            "must overlap or abut so no token span is skipped")
     extra = F.greatest(n_tokens(text) - size, F.lit(0))
     return (F.lit(1) + F.ceil(extra.cast("double") / stride)).cast("int")
 
@@ -135,6 +141,14 @@ def chunk_texts(text: Column | str, size: int = 128,
     write, embarrassingly parallel."""
     if size < 1 or stride < 1:
         raise ValueError("chunk size and stride must be >= 1")
+    if stride > size:
+        # The overlap contract: windows tile the token sequence with no
+        # uncovered gap, which requires stride <= size. (stride > size
+        # would also let the window formula emit an empty trailing
+        # chunk whose start is past the last token.)
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): chunk windows "
+            "must overlap or abut so no token span is skipped")
     toks = tokens(text)
     return F.transform(
         F.sequence(F.lit(0), n_chunks(text, size, stride) - 1),

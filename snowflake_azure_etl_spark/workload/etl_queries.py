@@ -209,7 +209,11 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.write.mode("overwrite").format("parquet").saveAsTable(table)
     rep = append_new_members(spark, table, members, "dim_customer_id",
                              ["custkey"], order_by=["custkey"])
-    assert rep.inserted > 0 and rep.skipped > 0
+    if rep.inserted <= 0 or rep.skipped <= 0:
+        raise RuntimeError(
+            "incremental append attestation failed: expected both "
+            f"inserted and skipped rows, got inserted={rep.inserted} "
+            f"skipped={rep.skipped}")
     return spark.table(table).select(
         "dim_customer_id", "custkey",
         F.when(F.col("custkey") % 10 == 0, "appended")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, similarity, text
 from ..sources.registry import load_tables, stage_row_count
 from ._registry import query
 
@@ -119,36 +119,61 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q52_dedup_jaccard_verify",
-    covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD"),
+    covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD", "X-GRAPH-CC"),
     oracle=f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE},
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE},
+    {_PAIRS_CTE},
     tarr AS (SELECT doc_id, {_SHINGLE_ARRAY_SQL} AS toks
-             FROM documents)
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS shared,
-           CAST(len(a.toks) AS INT) AS size_a,
-           CAST(len(b.toks) AS INT) AS size_b,
-           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-               AS jaccard
-    FROM pairs c
-    JOIN tarr a ON a.doc_id = c.id_a
-    JOIN tarr b ON b.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-          >= {JACCARD_THRESHOLD}
+             FROM documents),
+    vp AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS shared,
+               CAST(len(a.toks) AS INT) AS size_a,
+               CAST(len(b.toks) AS INT) AS size_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM pairs c
+        JOIN tarr a ON a.doc_id = c.id_a
+        JOIN tarr b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM vp
+            UNION SELECT id_b, id_a FROM vp),
+    reach AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    ),
+    comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
+             FROM reach GROUP BY s)
+    SELECT vp.id_a, vp.id_b, vp.shared, vp.size_a, vp.size_b, vp.jaccard,
+           CAST(comp.keeper AS BIGINT) AS keeper
+    FROM vp JOIN comp ON comp.id = vp.id_a
     """,
 )
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard verification of the shingled LSH candidates
-    (X-DEDUP-NGRAM-JACCARD) — the verify stage measures similarity over
-    the SAME 3-gram shingle sets the MinHash stage approximated, the
-    canonical near-dup pipeline contract. Only candidate pairs pay the
-    set join; the corpus count (parquet footer metadata) is the
-    broadcast-size attestation for both stages (see q51). The candidate
-    stage's band-key relation comes back from the session relation
-    cache when q51 already materialized it — the verify stage probes
-    the index, it does not rebuild it."""
+    (X-DEDUP-JACCARD / X-DEDUP-NGRAM-JACCARD) — the verify stage
+    measures similarity over the SAME 3-gram shingle sets the MinHash
+    stage approximated, the canonical near-dup pipeline contract. Only
+    candidate pairs pay the set join; the corpus count (parquet footer
+    metadata) is the broadcast-size attestation for both stages (see
+    q51). The candidate stage's band-key relation comes back from the
+    session relation cache when q51 already materialized it — the
+    verify stage probes the index, it does not rebuild it.
+
+    Each verified pair additionally carries `keeper`: the
+    cluster-resolved keeper of the pair's similarity component
+    (operators.graph.dup_clusters — iterative min-label propagation
+    with pointer-doubling), so transitive chains A~B~C resolve to ONE
+    keeper (min id of the component), not the accidental pairwise
+    winner. The oracle mirrors the transitive closure with a recursive
+    CTE — connected components is driver-attested here, not just
+    pytest-verified."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
@@ -158,7 +183,16 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_docs=n_docs)
     jac = dedup.exact_jaccard(docs, cands, "doc_id", "text", n_docs=n_docs,
                               shingle_n=SHINGLE_N)
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    from ..operators._cache import cached_relation
+    # the verified pair set is referenced twice (cluster edges + final
+    # join) and the CC supersteps would otherwise re-execute the whole
+    # LSH+Jaccard pipeline per reference — materialize it once, like
+    # the band-key index relation it derives from
+    verified = cached_relation(
+        jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD), "verified_pairs")
+    clusters = graph.dup_clusters(verified.select("id_a", "id_b"))
+    return verified.join(
+        clusters.select(F.col("id").alias("id_a"), "keeper"), "id_a")
 
 
 _SIMHASH_VOTES = ", ".join(
@@ -272,10 +306,16 @@ _BUCKET_SQL = "(" + " || ".join(
                / (sqrt(list_dot_product(a.v, a.v))
                   * sqrt(list_dot_product(b.v, b.v))),
            CAST(NULL AS INT)
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                 {_BUCKET_SQL} AS bucket FROM embeddings) a
-    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                 {_BUCKET_SQL} AS bucket FROM embeddings) b
+    FROM (SELECT vec_id, v, bucket FROM (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_BUCKET_SQL} AS bucket,
+                     COUNT(*) OVER (PARTITION BY {_BUCKET_SQL}) AS bw
+              FROM embeddings) WHERE bw <= 10000) a
+    JOIN (SELECT vec_id, v, bucket FROM (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_BUCKET_SQL} AS bucket,
+                     COUNT(*) OVER (PARTITION BY {_BUCKET_SQL}) AS bw
+              FROM embeddings) WHERE bw <= 10000) b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
@@ -290,8 +330,13 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unioned (tagged `role`) with the former q56's embedding-cosine
     near-duplicate pairs within the same sign buckets
     (operators.similarity.embedding_near_dups) — both legs of the
-    sign-bucket LSH family in one result."""
+    sign-bucket LSH family in one result. The near-dup leg carries the
+    same scale guards as its text sibling: buckets wider than
+    EMBED_MAX_BUCKET are dropped whole (oracle-mirrored), and the
+    self-join build side broadcasts only under the parquet-footer
+    corpus-size attestation."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     topk = (similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding",
                                          k=3, bits=8)
@@ -300,7 +345,8 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("neighbor_id").alias("id_b"),
                     "cos_sim", "rn"))
     dups = (similarity.embedding_near_dups(emb, "vec_id", "embedding",
-                                           threshold=0.8, bits=8)
+                                           threshold=0.8, bits=8,
+                                           n_rows=n_vecs)
             .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
                     "cos_sim", F.lit(None).cast("int").alias("rn")))
     return topk.unionByName(dups)
@@ -400,6 +446,40 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         text.lang_guess("text").alias("lang_guess"),
     )
+
+
+@query(
+    "q58_token_vocab",
+    covers=("X-TEXT-VOCAB",),
+    oracle="""
+    WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    agg AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
+                   COUNT(*) AS total_freq
+            FROM per GROUP BY token),
+    ranked AS (SELECT token, doc_freq, total_freq,
+                      ROW_NUMBER() OVER (ORDER BY total_freq DESC, token)
+                          AS rank
+               FROM agg)
+    SELECT token, doc_freq, total_freq, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-vocabulary build (operators.text.token_vocab) — the
+    tokenizer-training prep step: (token, doc_freq, total_freq, rank)
+    for the top-100 tokens by total frequency (token-asc tiebreak, so
+    the head is a deterministic total order on both engines).
+
+    One explode + one groupBy (map-side partial; shuffle key = token,
+    uniform for natural text); `top_k` compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort) and the
+    rank window runs over the k-row head only — k-sized, never
+    vocab-sized. The doc discriminator is a per-row unique id, so
+    doc_freq matches COUNT(DISTINCT doc_id) exactly while never
+    assuming the caller's id column is dense."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.token_vocab(docs, "text", top_k=100)
 
 
 @query(

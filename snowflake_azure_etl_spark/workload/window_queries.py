@@ -50,32 +50,12 @@ _BRAND_YEAR_CTE = """
 
 @query(
     "q30_window_rank_over_agg",
-    covers=("W1", "A1"),
+    covers=("W1", "W2", "W3", "A1"),
     oracle=f"""
     WITH {_BRAND_YEAR_CTE}
     SELECT yr, brand, CAST(_rev AS DOUBLE) AS revenue,
            CAST(RANK() OVER (PARTITION BY yr ORDER BY _rev DESC, brand) AS INT)
-               AS sales_rank
-    FROM brand_year
-    """,
-)
-def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANK() OVER (PARTITION BY ... ORDER BY SUM(x) DESC) — ranking over
-    an aggregate (reference create_views.py:334-335, 391)."""
-    base = _brand_year_revenue(spark, sf_dir)
-    w = Window.partitionBy("yr").orderBy(F.desc("_rev"), F.asc("brand"))
-    return base.select(
-        "yr", "brand",
-        (F.col("_rev").cast("double") / 1e4).alias("revenue"),
-        F.rank().over(w).alias("sales_rank"))
-
-
-@query(
-    "q31_window_share_of_total",
-    covers=("W2", "W3"),
-    oracle=f"""
-    WITH {_BRAND_YEAR_CTE}
-    SELECT yr, brand, CAST(_rev AS DOUBLE) AS revenue,
+               AS sales_rank,
            CAST(SUM(_rev) OVER (PARTITION BY yr) AS DOUBLE) AS year_revenue,
            CAST(_rev AS DOUBLE) * 100
                / NULLIF(CAST(SUM(_rev) OVER (PARTITION BY yr) AS DOUBLE), 0)
@@ -89,15 +69,19 @@ def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM brand_year
     """,
 )
-def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM(SUM(x)) OVER (PARTITION BY ...) share-of-total (reference
-    create_views.py:338-346) PLUS the former q32's AVG(SUM(x)) OVER
-    compare-to-partition-average (create_views.py:387-388) — both
-    analytic shapes computed from ONE windowed frame over the same
-    brand-year aggregate (one shuffle, one window stage). Window sums
-    stay exact scaled-long; AVG is decomposed as window SUM / window
-    COUNT so both engines agree bit-for-bit."""
+def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK() OVER (PARTITION BY ... ORDER BY SUM(x) DESC) — ranking over
+    an aggregate (reference create_views.py:334-335, 391) — PLUS the
+    former q31's share-of-total SUM(SUM(x)) OVER (create_views.py:
+    338-346) and the former q32's AVG(SUM(x)) OVER
+    compare-to-partition-average (create_views.py:387-388): all three
+    reference analytic shapes over ONE brand-year aggregate. Both
+    window specs share the yr partition key, so Catalyst plans one
+    exchange + one sort feeding both window stages. Window sums stay
+    exact scaled-long; AVG is decomposed as window SUM / window COUNT
+    so both engines agree bit-for-bit."""
     base = _brand_year_revenue(spark, sf_dir)
+    wr = Window.partitionBy("yr").orderBy(F.desc("_rev"), F.asc("brand"))
     w = Window.partitionBy("yr")
     revd = F.col("_rev").cast("double") / 1e4
     totd = F.sum("_rev").over(w).cast("double") / 1e4
@@ -106,6 +90,7 @@ def q31_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                / F.count("*").over(w))
     return base.select(
         "yr", "brand", revd.alias("revenue"),
+        F.rank().over(wr).alias("sales_rank"),
         totd.alias("year_revenue"),
         (revd * 100 / F.when(totd != 0, totd)).alias("pct_of_year"),
         qtyd.alias("total_qty"),

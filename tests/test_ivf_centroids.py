@@ -71,3 +71,56 @@ def test_probes_respect_nprobe_and_ties(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rn)
     for q, rns in by_q.items():
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_embed_near_dup_bucket_guard(spark):
+    """VERDICT r5 #2: one degenerate bucket (all embeddings in one
+    orthant) must not produce a quadratic self-join — overwide buckets
+    drop whole, deterministically, like dedup.lsh_candidate_pairs."""
+    pos = [(i, [1.0, 1.0, float(i)]) for i in range(10)]       # bucket 11
+    neg = [(100 + i, [-1.0, 1.0, 2.0]) for i in range(2)]      # bucket 01
+    df = spark.createDataFrame(pos + neg, ["vec_id", "embedding"])
+    # every vector in one overwide bucket: nothing survives the guard
+    only_pos = spark.createDataFrame(pos, ["vec_id", "embedding"])
+    none = similarity.embedding_near_dups(only_pos, "vec_id", "embedding",
+                                          threshold=-1.0, bits=2,
+                                          max_bucket=3)
+    assert none.count() == 0
+    # mixed: the 10-wide bucket drops, the 2-wide bucket's pair survives
+    some = similarity.embedding_near_dups(df, "vec_id", "embedding",
+                                          threshold=-1.0, bits=2,
+                                          max_bucket=3).collect()
+    assert [(r.id_a, r.id_b) for r in some] == [(100, 101)]
+
+
+def test_embed_near_dup_no_corpus_broadcast_above_threshold(spark, sf_dir):
+    """The self-join sides are corpus-sized: above the size attestation
+    they must shuffle-equi-join on the bucket key (broadcast of a
+    corpus-sized side is an OOM at 100 TB). The ONLY broadcasts allowed
+    are the bucket-width guard — ≤ 2^bits rows, bucket-count sized."""
+    emb, _ = _emb_queries(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = similarity.embedding_near_dups(emb, "vec_id", "embedding",
+                                             threshold=0.8, n_rows=10**9)
+        plan = explain_str(big)
+        assert "SortMergeJoin" in plan          # the pair join shuffles
+        # width-guard joins are the only broadcast hash joins (formatted
+        # explain prints each node twice: tree line + detail block)
+        assert plan.count("BroadcastHashJoin") <= 4
+        small = similarity.embedding_near_dups(emb, "vec_id", "embedding",
+                                               threshold=0.8, n_rows=100)
+        assert "SortMergeJoin" not in explain_str(small)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scaled_bits():
+    """bits=None derives the bucket grid from the attested corpus size:
+    expected bucket width stays ~target as the corpus grows."""
+    assert similarity.scaled_bits(None) == 8
+    assert similarity.scaled_bits(1000) == 8                  # floor
+    assert similarity.scaled_bits(2**30, target_bucket=1024) == 20
+    assert similarity.scaled_bits(2**40) == 24                # cap
+    assert similarity.scaled_bits(2**21, target_bucket=1024) == 11
