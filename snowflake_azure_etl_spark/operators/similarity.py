@@ -116,6 +116,57 @@ def _centroid_frame(emb: DataFrame, id_col: str, vec_col: str,
             .withColumn("cell_id", F.col("cell_id").cast("int")))
 
 
+#: Fixed-point scale for the k-means centroid update: per-dimension
+#: sums accumulate floor(val·2^20) as exact longs, so the mean is
+#: identical under ANY row order / partitioning / engine — the property
+#: that makes a trained quantizer oracle-checkable. 2^20 ≈ 6 decimal
+#: digits, far below float32 input noise.
+KMEANS_SCALE = 1 << 20
+
+
+def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
+                     n_cells: int, n_iter: int = 2,
+                     scale: int = KMEANS_SCALE) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means coarse quantizer as DataFrame
+    aggregations — (cell_id, ctv) after `n_iter` assign/update rounds
+    from the deterministic seed centroids (`_centroid_frame`).
+
+    Each round: assign = the existing `assign_cells` plan (argmax
+    cosine against the one-row broadcast centroid array — corpus never
+    shuffles), update = posexplode to (cell, dim, val) → groupBy
+    (cell, dim) summing fixed-point longs (exact, order-independent —
+    see `KMEANS_SCALE`) → re-pack per cell via
+    array_sort(collect_list(struct(dim, mean))). The (cell × dim)
+    grouping is k·d rows — quantizer-sized, never corpus-sized; the
+    only corpus-proportional work per round is the narrow assignment
+    map + one shuffle of (cell, dim, val) triples with map-side
+    partial sums. Production pipelines train on a corpus sample; pass
+    a filtered `emb` for that — the plan is source-agnostic.
+
+    Cells that attract no vectors in a round are dropped (both engines
+    mirror this); ties in assignment resolve to the smaller cell id.
+    Fixed iteration count (no convergence probe) keeps the whole
+    training loop oracle-expressible in SQL."""
+    cents = _centroid_frame(emb, id_col, vec_col, n_cells)
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, id_col, vec_col,
+                                _centroid_array(cents))
+        ex = assigned.select(
+            "cell_id", F.posexplode("cv").alias("dim", "val"))
+        mean = ((F.col("s").cast("double") / F.col("n"))
+                / F.lit(float(scale))).alias("v")
+        cents = (ex.groupBy("cell_id", "dim")
+                 .agg(F.sum(F.floor(F.col("val") * scale).cast("long"))
+                      .alias("s"),
+                      F.count("*").alias("n"))
+                 .groupBy("cell_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("dim"), mean))),
+                     lambda st: st.getField("v")).alias("ctv")))
+    return cents
+
+
 def _centroid_array(cents_df: DataFrame) -> DataFrame:
     """The quantizer packed into ONE row: array<struct<cell_id, ctv>>
     sorted by cell_id. Broadcast-crossJoined to any side, every vector
@@ -154,7 +205,8 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             k: int = 3, n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+             k: int = 3, n_cells: int = 8, nprobe: int = 2,
+             train_iters: int = 0) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into `n_cells`
     centroid cells, each query probes its `nprobe` nearest cells, and
     only those cells' vectors are scored.
@@ -173,6 +225,11 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     corpus shuffle (the vectors are scored in place and never cross
     the wire — at 100 TB of embeddings, the property that matters).
     Ties resolve to the smaller cell id.
+
+    ``train_iters`` > 0 trains the quantizer with that many Lloyd's
+    k-means rounds (`kmeans_centroids` — fixed-point deterministic, so
+    still oracle-expressible) before indexing; 0 keeps the raw seed
+    centroids.
     """
     from pyspark.sql import Window
 
@@ -182,11 +239,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     # way any vector store persists its index — repeat searches pay only
     # the probe, not the index build.
     spark = emb.sparkSession
-    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells)
+    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells, train_iters)
 
     def build():
-        cent_arr = _centroid_array(
-            _centroid_frame(emb, id_col, vec_col, n_cells)).persist()
+        cents = (kmeans_centroids(emb, id_col, vec_col, n_cells,
+                                  n_iter=train_iters) if train_iters > 0
+                 else _centroid_frame(emb, id_col, vec_col, n_cells))
+        cent_arr = _centroid_array(cents).persist()
         assigned = assign_cells(emb, id_col, vec_col, cent_arr).persist()
         assigned.count()  # materialize the index eagerly, once
         return cent_arr, assigned

@@ -538,33 +538,58 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))")
 
+# One Lloyd's round as CTEs (mirrors similarity.kmeans_centroids):
+# assign to the argmax-cosine centroid of `prev`, then per-(cell, dim)
+# fixed-point mean — floor(val·2^20) summed as exact BIGINTs, so the
+# update is order-independent and bit-identical across engines.
+_KM_SCALE = similarity.KMEANS_SCALE  # 1048576
+
+
+def _kmeans_round_cte(it: int, prev: str) -> str:
+    return f"""
+    a{it} AS (SELECT nid, v, cell_id FROM (
+        SELECT c.nid, c.v, ct.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.nid
+                   ORDER BY {_COS.format(a='c.v', b='ct.cv')} DESC,
+                            ct.cell_id) AS rn
+        FROM corpus c CROSS JOIN {prev} ct) WHERE rn = 1),
+    e{it} AS (SELECT cell_id, unnest(v) AS val,
+                     unnest(generate_series(1, len(v))) AS dim
+              FROM a{it}),
+    s{it} AS (SELECT cell_id, dim,
+                     SUM(CAST(floor(val * {_KM_SCALE}.0) AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM e{it} GROUP BY cell_id, dim),
+    c{it} AS (SELECT cell_id,
+                     list((CAST(s AS DOUBLE) / n) / {_KM_SCALE}.0
+                          ORDER BY dim) AS cv
+              FROM s{it} GROUP BY cell_id)"""
+
+
 @query(
     "q63_ann_ivf_topk",
-    covers=("X-ANN-IVF",),
+    covers=("X-ANN-IVF", "X-ANN-KMEANS"),
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-                  FROM embeddings WHERE vec_id < 8),
-    corpus AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-    corpus_scored AS (
-        SELECT c.neighbor_id, c.v, ct.cell_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY c.neighbor_id
+    WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+    c0 AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+    {_kmeans_round_cte(1, 'c0')},
+    {_kmeans_round_cte(2, 'c1')},
+    assigned AS (SELECT nid AS neighbor_id, v, cell_id FROM (
+        SELECT c.nid, c.v, ct.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.nid
                    ORDER BY {_COS.format(a='c.v', b='ct.cv')} DESC,
                             ct.cell_id) AS crn
-        FROM corpus c CROSS JOIN cent ct),
-    assigned AS (SELECT neighbor_id, v, cell_id FROM corpus_scored
-                 WHERE crn = 1),
+        FROM corpus c CROSS JOIN c2 ct) WHERE crn = 1),
     qset AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              FROM embeddings WHERE vec_id % 50 = 0),
-    q_scored AS (
+    probes AS (SELECT query_id, qv, cell_id FROM (
         SELECT q.query_id, q.qv, ct.cell_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.query_id
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
                    ORDER BY {_COS.format(a='q.qv', b='ct.cv')} DESC,
                             ct.cell_id) AS qrn
-        FROM qset q CROSS JOIN cent ct),
-    probes AS (SELECT query_id, qv, cell_id FROM q_scored WHERE qrn <= 2),
+        FROM qset q CROSS JOIN c2 ct) WHERE qrn <= 2),
     scored AS (
         SELECT p.query_id, a.neighbor_id,
                {_COS.format(a='a.v', b='p.qv')} AS cos_sim
@@ -580,12 +605,16 @@ _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-3 (operators.similarity.ivf_topk):
-    corpus partitioned into 8 centroid cells (deterministic seed
-    centroids standing in for a trained coarse quantizer), each query
-    probes its 2 nearest cells — assignment is a shuffle-free
-    projection, candidates come from a cell_id equi-join."""
+    """IVF approximate top-3 (operators.similarity.ivf_topk) with a
+    TRAINED coarse quantizer: 2 Lloyd's k-means rounds
+    (similarity.kmeans_centroids — assign via the broadcast centroid
+    array, update via fixed-point per-dimension means, both
+    deterministic and order-independent) from the 8 seed centroids,
+    then each query probes its 2 nearest trained cells. Assignment is
+    a shuffle-free projection; candidates come from a cell_id
+    equi-join; the oracle re-runs the identical 2-round training loop
+    in SQL, so the trained quantizer itself is hash-checked."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(emb, queries, "vec_id", "embedding",
-                               k=3, n_cells=8, nprobe=2)
+                               k=3, n_cells=8, nprobe=2, train_iters=2)
