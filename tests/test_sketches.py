@@ -1,0 +1,76 @@
+"""KMV bounded-state merge tree (VERDICT r5 #4): every aggregation
+state is bounded given the row-count attestation — level 0 by the
+state budget (expected, via hash-space bucketing), the merge levels by
+k·fan-in structurally — and the tree is exact for any shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import sketches
+
+
+def test_fine_buckets_sizing():
+    assert sketches.fine_buckets(None) == 64            # unattested
+    assert sketches.fine_buckets(10_000) == 64          # clamp floor
+    assert sketches.fine_buckets(100_000) == 128
+    assert sketches.fine_buckets(2**30) == 2**20        # budget 1024
+    assert sketches.fine_buckets(10**18) == 2**20       # cap
+    for n in (10_000, 10**6, 10**9, 10**12):
+        f = sketches.fine_buckets(n)
+        assert f % sketches.KMV_COARSE == 0             # nests
+        assert f & (f - 1) == 0                         # power of two
+
+
+def _hashes(spark):
+    rows = [(f"g{j}", f"user{i % (37 * (j + 1))}")
+            for j in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    return df.select("g", F.md5("u").alias("hv"))
+
+
+def test_kmv_merge_tree_is_exact(spark):
+    """A tiny state budget forces the full three-level tree (fine=512
+    ≫ coarse); the k-minima and exact counts must match the direct
+    single-state aggregation bit for bit."""
+    h = _hashes(spark)
+    out = sketches.kmv_mins(h, "g", "hv", 8, n_rows=1500, state_budget=4)
+    direct = h.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_set("hv")), 1, 8).alias("mins"),
+        F.size(F.collect_set("hv")).alias("n_exact"))
+    got = {r.g: (r.mins, r.n_exact) for r in out.collect()}
+    want = {r.g: (r.mins, r.n_exact) for r in direct.collect()}
+    assert got == want
+
+
+def test_kmv_state_bounds(spark):
+    """Level-0 states hold ~budget distincts (hash-uniform, so assert
+    with slack), and the merge levels are structurally ≤ k·fan-in —
+    the 'provably bounded' contract of VERDICT r5 #4."""
+    h = _hashes(spark)
+    n_rows, budget, k = 1500, 4, 8
+    fine = sketches.fine_buckets(n_rows, budget)
+    assert fine > sketches.KMV_COARSE                   # 3-level path
+    bucketed = h.withColumn("_bf", F.pmod(F.xxhash64("hv"), F.lit(fine)))
+    max_state = (bucketed.groupBy("g", "_bf")
+                 .agg(F.countDistinct("hv").alias("c"))
+                 .agg(F.max("c")).first()[0])
+    assert max_state <= 8 * budget                      # uniformity slack
+    # merge-level states: k-sized arrays × fan-in, data-independent
+    assert k * (fine // sketches.KMV_COARSE) == 64
+    assert k * sketches.KMV_COARSE == 512
+
+
+def test_kmv_three_level_plan_no_window(spark):
+    """The bounded tree stays windows-free and partial-aggregating:
+    three shuffled hash-aggregate phases when fine > coarse."""
+    import contextlib
+    import io
+    h = _hashes(spark)
+    out = sketches.kmv_mins(h, "g", "hv", 8, n_rows=1500, state_budget=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 6   # 3 phases × partial+final
