@@ -110,37 +110,64 @@ def translate_statement(sql: str) -> Translated:
     return out
 
 
+def _scan_statements(sql_text: str) -> list[str]:
+    """ONE literal-aware scan (ADVICE r5): drops -- line comments and
+    /* */ block comments and splits on semicolons, all tracking the
+    same in-quote state — so comment markers INSIDE string literals
+    (DEFAULT 'a /* b */ c', 'it''s -- fine') are data, not comments.
+    Doubled '' quote escapes exit-and-reenter the literal, which nets
+    out for scanning purposes. An unterminated block comment outside a
+    literal is malformed input and raises rather than silently
+    swallowing statements."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(sql_text)
+    in_str = False
+    while i < n:
+        ch = sql_text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+            i += 1
+            continue
+        if sql_text.startswith("--", i):
+            nl = sql_text.find("\n", i)
+            i = n if nl < 0 else nl          # the newline survives
+            continue
+        if sql_text.startswith("/*", i):
+            end = sql_text.find("*/", i + 2)
+            if end < 0:
+                raise ValueError(
+                    "unterminated /* block comment in SQL script")
+            i = end + 2
+            continue
+        if ch == ";":
+            stmts.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        stmts.append("".join(cur))
+    return stmts
+
+
 def translate_script(sql_text: str) -> list[Translated]:
     """Split a script on top-level semicolons (string-literal aware —
     the reference escapes quotes as '' inside literals) and translate
     each statement. Line comments (--) and /* */ block comments are
-    dropped (the reference's DDL headers are block comments that would
-    otherwise hide the leading CREATE from the statement rewrites)."""
-    sql_text = re.sub(r"/\*.*?\*/", "", sql_text, flags=re.S)
-    lines = []
-    for ln in sql_text.splitlines():
-        # strip -- comments not inside a string literal
-        pos, in_str = 0, False
-        for i in range(len(ln) - 1):
-            if ln[i] == "'":
-                in_str = not in_str
-            elif ln[i:i + 2] == "--" and not in_str:
-                ln = ln[:i]
-                break
-        lines.append(ln)
-    text = "\n".join(lines)
-    stmts, cur, in_str = [], [], False
-    for ch in text:
-        if ch == "'":
-            in_str = not in_str
-        if ch == ";" and not in_str:
-            stmts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if "".join(cur).strip():
-        stmts.append("".join(cur))
-    return [t for t in (translate_statement(s) for s in stmts)
+    dropped in the same literal-aware scan (the reference's DDL headers
+    are block comments that would otherwise hide the leading CREATE
+    from the statement rewrites)."""
+    return [t for t in (translate_statement(s)
+                        for s in _scan_statements(sql_text))
             if t.statements]
 
 

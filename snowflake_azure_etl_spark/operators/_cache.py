@@ -17,10 +17,19 @@ Scale note (100 TB): everything cached here is O(corpus rows) × a few
 fixed-width columns — signatures, band keys, cell ids — never the text
 or media payload. MEMORY_AND_DISK spills instead of OOMing, and the
 artifact is exactly what a real pipeline would persist to the lake.
+
+Staleness contract (ADVICE r5): entries are keyed by the LOGICAL plan
+(a digest of the analyzed-plan string), so a cached relation reflects
+the underlying files AS OF first materialization — exactly like a
+persisted index table. If source files change within a session, call
+`clear_cache(spark)` (unpersists everything and empties the registry);
+a long session sweeping many corpora/parameter combinations should do
+the same between sweeps to cap executor storage.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,9 +45,33 @@ def session_cache(spark: SparkSession) -> dict:
 
 
 def plan_key(df: DataFrame) -> str:
-    """Stable identity for 'the same derived relation': its analyzed
-    logical plan string (what ReusedExchange keys on, one level up)."""
-    return df._jdf.queryExecution().analyzed().toString()
+    """Stable identity for 'the same derived relation': an md5 digest
+    of its analyzed logical plan string (what ReusedExchange keys on,
+    one level up). Digested so keys stay small — a corpus plan string
+    can run to tens of kB."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(plan.encode()).hexdigest()
+
+
+def _unpersist(obj: object) -> None:
+    if isinstance(obj, DataFrame):
+        obj.unpersist(blocking=False)
+    elif isinstance(obj, (tuple, list)):
+        for item in obj:
+            _unpersist(item)
+
+
+def clear_cache(spark: SparkSession) -> int:
+    """Unpersist every cached relation/artifact (including DataFrames
+    inside composite index artifacts) and empty the registry. Returns
+    the number of evicted entries. The hook for file-change staleness
+    and for bounding executor storage in long multi-corpus sessions."""
+    cache = session_cache(spark)
+    n = len(cache)
+    for value in cache.values():
+        _unpersist(value)
+    cache.clear()
+    return n
 
 
 def cached_relation(df: DataFrame, tag: str, *extra,

@@ -115,23 +115,47 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def _parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
-    """Uncompressed BMP: BITMAPFILEHEADER ('BM', pixel-data offset at
-    byte 10) + BITMAPINFOHEADER (width int32 LE at 18, height at 22 —
-    negative height = top-down, same pixel bytes)."""
+    """Uncompressed 24-bit BMP → (w, h, pixels) with the pixels
+    NORMALIZED to the PPM convention — top-down rows, RGB channel
+    order, no row padding — so the same image re-encoded as PPM or BMP
+    fingerprints identically (the claim `_real_decode` makes).
+
+    Standards handling (ADVICE r5): bpp at offset 28 must be 24
+    (16/32-bpp layouts would silently mis-slice), each stored row is
+    padded to a 4-byte stride (((w·3+3)//4)·4) and sliced back to w·3,
+    positive height means bottom-up row order (flipped here; negative
+    height is already top-down), and BMP's BGR channels are swapped to
+    RGB."""
     if not payload.startswith(b"BM") or len(payload) < 54:
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
     if hdr_size < 40:
         raise ValueError("unsupported BMP header")
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported (got {bpp} bpp)")
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0:
         raise ValueError("compressed BMP not supported")
     w = struct.unpack_from("<i", payload, 18)[0]
-    h = abs(struct.unpack_from("<i", payload, 22)[0])
-    if data_off > len(payload):
+    h_raw = struct.unpack_from("<i", payload, 22)[0]
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = ((w * 3 + 3) // 4) * 4
+    if data_off + stride * h > len(payload):
         raise ValueError("truncated BMP payload")
-    return w, h, payload[data_off:]
+    rows = [payload[data_off + y * stride:data_off + y * stride + w * 3]
+            for y in range(h)]
+    if h_raw > 0:                       # bottom-up storage → top-down
+        rows.reverse()
+    bgr = b"".join(rows)
+    rgb = bytearray(len(bgr))           # vectorized BGR → RGB swap
+    rgb[0::3] = bgr[2::3]
+    rgb[1::3] = bgr[1::3]
+    rgb[2::3] = bgr[0::3]
+    return w, h, bytes(rgb)
 
 
 def _real_decode(payload: bytes) -> tuple[str, str, int, int, bytes]:

@@ -35,7 +35,15 @@ def dedup_stream(stream: DataFrame, content_col: str = "text",
     `dropDuplicatesWithinWatermark` so the state store evicts hashes
     once the watermark passes them (bounded state); otherwise plain
     stateful `dropDuplicates` (exact over the whole stream, state =
-    distinct hashes)."""
+    distinct hashes).
+
+    Eviction boundary (pinned by
+    test_stream_dedup_watermark_eviction_replays_late_duplicate): a
+    duplicate separated from its original by MORE than the delay is
+    emitted again after the state is pruned — the deliberate
+    bounded-state trade. Cleanup runs at micro-batch END, after that
+    batch's lookups, so suppression still applies within the batch
+    that first observes the advanced watermark."""
     hashed = stream.withColumn("content_hash",
                                F.md5(F.col(content_col)))
     if ts_col is not None and watermark is not None:

@@ -1,0 +1,44 @@
+"""Session relation-cache contract (ADVICE r5): digest keys, reuse,
+and the clear/unpersist eviction hook."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import _cache
+
+
+def test_cached_relation_reuses_and_clears(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    a = _cache.cached_relation(df, "t")
+    # the same logical plan (same relation instance — what load_tables'
+    # relation catalog guarantees in the workload) hits the cache
+    b = _cache.cached_relation(df, "t")
+    assert a is b
+    assert a.storageLevel.useMemory
+    n = _cache.clear_cache(spark)
+    assert n >= 1
+    assert _cache.session_cache(spark) == {}
+    c = _cache.cached_relation(df, "t")  # re-request re-registers
+    assert c.storageLevel.useMemory
+    assert len(_cache.session_cache(spark)) == 1
+
+
+def test_clear_cache_unpersists_composite_artifacts(spark):
+    def build():
+        x = spark.range(10).persist()
+        y = spark.range(20).persist()
+        x.count(), y.count()
+        return x, y
+    x, y = _cache.cached_build(spark, ("composite", "k"), build)
+    assert x.storageLevel.useMemory and y.storageLevel.useMemory
+    _cache.clear_cache(spark)
+    assert _cache.session_cache(spark) == {}
+
+
+def test_plan_key_is_digest_sized(spark):
+    wide = spark.range(1000)
+    for i in range(30):
+        wide = wide.withColumn(f"c{i}", F.col("id") + i)
+    key = _cache.plan_key(wide)
+    assert len(key) == 32               # md5 hex, not the plan text

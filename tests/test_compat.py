@@ -88,6 +88,37 @@ def test_script_split_respects_literals():
     assert "Men''s Casual" in parts[1].statements[0]
 
 
+def test_comment_markers_inside_literals_are_data():
+    """ADVICE r5: /* */ and -- inside string literals must survive —
+    the scan tracks quote state for comments and semicolons alike."""
+    script = ("SELECT 'a /* not a comment */ b' AS x; "
+              "SELECT 'dash -- data' AS y; "
+              "/* real comment; SELECT 'gone' */ SELECT 'kept' AS z")
+    parts = translate_script(script)
+    assert len(parts) == 3
+    assert "a /* not a comment */ b" in parts[0].statements[0]
+    assert "dash -- data" in parts[1].statements[0]
+    assert "kept" in parts[2].statements[0]
+    assert "gone" not in " ".join(parts[2].statements)
+
+
+def test_unmatched_open_comment_in_literal_does_not_swallow():
+    """The r5 failure mode: an unmatched '/*' inside one literal must
+    not swallow statements up to a later '*/'."""
+    script = ("SELECT 'open /* only' AS a; SELECT 1 AS b; "
+              "SELECT 'close */ only' AS c")
+    parts = translate_script(script)
+    assert len(parts) == 3
+    assert "open /* only" in parts[0].statements[0]
+    assert "close */ only" in parts[2].statements[0]
+
+
+def test_unterminated_block_comment_raises():
+    import pytest
+    with pytest.raises(ValueError, match="unterminated"):
+        translate_script("SELECT 1; /* never closed")
+
+
 def test_end_to_end_execution(spark):
     """The translated reference-style DDL + view + insert actually runs
     on Spark and behaves (|| concat, typed columns, view query)."""

@@ -22,15 +22,32 @@ def make_ppm(w: int, h: int, comment: bool = False) -> tuple[bytes, bytes]:
     return header + pixels, pixels
 
 
-def make_bmp(w: int, h: int) -> tuple[bytes, bytes]:
-    """Minimal uncompressed 24-bit BMP; returns (payload, pixel bytes)."""
-    pixels = bytes((x * 11 + 5) % 256 for x in range(w * h * 3))
+def make_bmp(w: int, h: int, top_down: bool = False,
+             rgb: bytes | None = None) -> tuple[bytes, bytes]:
+    """STANDARDS-COMPLIANT uncompressed 24-bit BMP (ADVICE r5): rows
+    stored bottom-up (unless top_down), BGR channel order, each row
+    padded to a 4-byte stride. Returns (payload, top-down RGB pixels —
+    the normalized form _parse_bmp must recover)."""
+    if rgb is None:
+        rgb = bytes((x * 11 + 5) % 256 for x in range(w * h * 3))
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - w * 3)
+    rows = []
+    for y in range(h):
+        row = rgb[y * w * 3:(y + 1) * w * 3]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + pad)
+    if not top_down:
+        rows.reverse()
+    body = b"".join(rows)
     data_off = 54
-    header = (b"BM" + struct.pack("<IHHI", data_off + len(pixels), 0, 0,
+    header = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
                                   data_off)
-              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                            len(pixels), 0, 0, 0, 0))
-    return header + pixels, pixels
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            -h if top_down else h, 1, 24, 0,
+                            len(body), 0, 0, 0, 0))
+    return header + body, rgb
 
 
 def test_parse_ppm_roundtrip():
@@ -47,10 +64,41 @@ def test_parse_ppm_rejects_truncated():
 
 
 def test_parse_bmp_roundtrip():
+    # w=6 → 18 bytes/row, stride 20: exercises real row padding
     payload, pixels = make_bmp(6, 3)
     w, h, px = mm._parse_bmp(payload)
     assert (w, h) == (6, 3)
     assert px == pixels
+
+
+def test_parse_bmp_top_down_matches_bottom_up():
+    """Negative height (top-down) and positive height (bottom-up)
+    encodings of the same image normalize to the same pixels."""
+    up, pixels = make_bmp(5, 4, top_down=False)
+    down, _ = make_bmp(5, 4, top_down=True)
+    assert mm._parse_bmp(up) == mm._parse_bmp(down) == (5, 4, pixels)
+
+
+def test_bmp_and_ppm_reencodings_fingerprint_identically():
+    """The _real_decode contract: feature_sig hashes the DECODED
+    pixels, so the same image as PPM and as BMP (padded, bottom-up,
+    BGR) yields the same signature."""
+    w, h = 7, 5                        # 21 bytes/row → stride 24
+    rgb = bytes((x * 7 + 13) % 256 for x in range(w * h * 3))
+    ppm = b"P6\n" + f"{w} {h}\n255\n".encode() + rgb
+    bmp, _ = make_bmp(w, h, rgb=rgb)
+    ppm_dec = mm._real_decode(ppm)
+    bmp_dec = mm._real_decode(bmp)
+    assert ppm_dec[1] == bmp_dec[1]    # feature_sig
+    assert ppm_dec[2:] == bmp_dec[2:]  # (w, h, pixels)
+
+
+def test_parse_bmp_rejects_non_24bpp():
+    payload, _ = make_bmp(4, 4)
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, 28, 32)
+    with pytest.raises(ValueError, match="24-bit"):
+        mm._parse_bmp(bytes(bad))
 
 
 def test_real_decode_rejects_unknown():
