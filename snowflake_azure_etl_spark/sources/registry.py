@@ -148,6 +148,64 @@ def stage_row_count(sf_dir: str, table: str) -> int | None:
         return None
 
 
+#: Only inputs this small are ever rebalanced — above it, the natural
+#: splits are the right parallelism and a blind repartition would be a
+#: full-table shuffle.
+REBALANCE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def stage_scan_splits(sf_dir: str, table: str) -> tuple[int, int] | None:
+    """(row_groups, bytes) from the parquet footer — the scan's REAL
+    parallelism bound: Spark assigns byte-range splits, but a split
+    only materializes row groups whose midpoint it covers, so a
+    single-row-group file is read by exactly one task no matter how
+    many splits the planner cuts. None for non-local/non-parquet."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        return (pq.read_metadata(path).num_row_groups,
+                os.path.getsize(path))
+    except (OSError, ValueError):
+        return None
+
+
+def rebalance_single_split(spark: SparkSession, df: DataFrame,
+                           sf_dir: str, table: str,
+                           max_bytes: int = REBALANCE_MAX_BYTES) -> DataFrame:
+    """Round-robin-rebalance a SMALL stage relation whose parquet layout
+    caps scan parallelism below the cluster (testdata files are written
+    as one row group, so every downstream map-stage operator — joins,
+    expands, partial aggregates — runs in ONE task while 31 cores
+    idle). The exchange moves only the pruned/pushed-down scan output
+    once, and the explicit partition count keeps AQE from coalescing
+    it back to one. Footer-attested and size-gated: inputs with proper
+    row-group layout, or above `max_bytes`, keep their natural splits
+    — at 100 TB this helper is a no-op by construction, the way a real
+    engine's adaptive split compaction only kicks in on pathological
+    small-file/monolith layouts.
+
+    The rebalanced relation is persisted via the session relation
+    cache (the warehouse-landing-table analog: compact once, reuse):
+    the serial single-split scan is paid once per session, and every
+    later use reads the already-balanced in-memory partitions. Safe by
+    the same size gate that allows the rebalance at all."""
+    meta = stage_scan_splits(sf_dir, table)
+    if meta is None:
+        return df
+    row_groups, nbytes = meta
+    par = spark.sparkContext.defaultParallelism
+    if row_groups >= par or nbytes > max_bytes:
+        return df
+    from ..operators._cache import cached_relation
+    return cached_relation(df.repartition(par), "rebalanced_stage", table,
+                           eager=False)
+
+
 def register_star_views(spark: SparkSession, sf_dir: str,
                         tables: Iterable[str] = STAR_TABLES) -> dict[str, DataFrame]:
     """Load the star and register each table as a temp view (SQL surface)."""

@@ -331,6 +331,15 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     t = load_tables(spark, sf_dir,
                     ("region", "nation", "customer", "supplier", "part",
                      "orders", "lineitem"))
+    # single-split stage layouts serialize the fact builds' map stages
+    # (lineitem⋈orders feeds all three facts) — rebalance the two fact
+    # sources when the footer attests the layout caps parallelism (see
+    # sources.registry.rebalance_single_split; no-op on real layouts)
+    from ..sources.registry import rebalance_single_split
+    t = dict(t)
+    for fact_src in ("lineitem", "orders"):
+        t[fact_src] = rebalance_single_split(spark, t[fact_src],
+                                             sf_dir, fact_src)
     # upper-bound row attestations from parquet footers (what a catalog
     # provides for free): each dim is bounded by its staging source, so
     # a big source flips its build to the partition-parallel keying path

@@ -79,10 +79,18 @@ def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Carries TWO exact COUNT(DISTINCT)s (orders + suppliers) — the A3
     two-distinct-aggs-in-one-query shape (reference
-    create_views.py:184-185), folded in from the former q12."""
+    create_views.py:184-185), folded in from the former q12.
+
+    The fact scan is rebalanced when the stage file's parquet layout
+    caps scan parallelism below the cluster (footer-attested,
+    size-gated — see sources.registry.rebalance_single_split): the
+    two-distinct expand triples the rows into the partial aggregate,
+    and on a single-row-group file that whole map stage would
+    otherwise run in one task."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     dim_date = build_dim_date(spark, DATE_START, DATE_END)
-    li = t["lineitem"]
+    from ..sources.registry import rebalance_single_split
+    li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
     # Money math on scaled longs (cents), not DecimalType: the per-row
     # products stay in whole-stage-codegen long arithmetic (~2× faster
     # than the BigDecimal path) and the results are still exact — sums
@@ -415,8 +423,12 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key hash aggregate with 7 measures (TPC-H Q1 shape; the
     reference's A1/A2 groupings, create_views.py:167-170). Partial
     map-side aggregation makes the shuffle carry one row per
-    (flag,status) per task."""
+    (flag,status) per task. The fact scan shares q01's rebalanced
+    relation when the stage layout caps scan parallelism (see
+    sources.registry.rebalance_single_split)."""
+    from ..sources.registry import rebalance_single_split
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li = rebalance_single_split(spark, li, sf_dir, "lineitem")
     # Scaled-long money math (see q01): the per-row products stay in
     # whole-stage-codegen long arithmetic (~2.5× the BigDecimal path
     # here). Sums are exact integers (scale-6 charge sums stay under
@@ -490,9 +502,13 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLIF-guarded ratio-of-aggregates + ROUND (reference
-    create_views.py:159-160, 343-346)."""
+    create_views.py:159-160, 343-346). Shares q01's rebalanced fact
+    relation (countDistinct expands rows into the partial aggregate —
+    the map stage must not serialize on a single-split scan)."""
+    from ..sources.registry import rebalance_single_split
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
+    li = rebalance_single_split(spark, li, sf_dir, "lineitem")
     # scaled-long money math (see q01): exact, codegen-friendly
     epc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
