@@ -218,6 +218,74 @@ def token_vocab(docs, text_col: str = "text", min_doc_freq: int = 1,
     return ranked.withColumn("rank", F.col("rank").cast("int"))
 
 
+# --------------------------------------------------------------------------
+# Repetition / composition heuristics (Gopher-rule family) and PII
+# signals — the standard pre-training quality filters, all single
+# narrow-projection Catalyst expressions (no UDF, no shuffle).
+# --------------------------------------------------------------------------
+
+def bigrams(text: Column | str) -> Column:
+    """NON-distinct word bigrams (repetition measurement needs the
+    duplicates that `word_shingles`' distinct unit deliberately
+    drops): zip_with over the shifted token view, null-padded tail
+    filtered out. Documents under 2 tokens yield an empty array."""
+    toks = tokens(text)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    joined = F.zip_with(toks, shifted,
+                        lambda a, b: F.when(b.isNull(), None)
+                        .otherwise(F.concat_ws(" ", a, b)))
+    return F.filter(joined, lambda x: x.isNotNull())
+
+
+def repeated_bigram_fraction(text: Column | str) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram —
+    the Gopher-style repetition signal (high ⇒ boilerplate/loops).
+    0.0 for documents with fewer than 2 tokens."""
+    bg = bigrams(text)
+    n = F.size(bg)
+    return F.when(n < 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / n)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    """Mean characters per whitespace token (very low ⇒ symbol soup,
+    very high ⇒ minified/concatenated junk — both Gopher cut rules)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def symbol_ratio(text: Column | str) -> Column:
+    """Non-alphanumeric-non-space characters / total characters —
+    the symbol-to-word family compressed to one JVM regex pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(c)
+
+
+#: RE2-safe (and java.util.regex-safe) email shape — the same pattern
+#: string runs verbatim in the DuckDB oracle.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_email_count(text: Column | str,
+                    pattern: str = EMAIL_PATTERN) -> Column:
+    """Count of email-shaped spans (the canonical PII screen's cheapest
+    signal; swap the pattern for phones/IDs — same plan)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern)).cast("int")
+
+
+def redact_pii(text: Column | str, pattern: str = EMAIL_PATTERN,
+               replacement: str = "<PII>") -> Column:
+    """Replace every PII-shaped span with a fixed tag — the scrub step
+    a corpus runs before training. regexp_replace is global and
+    JVM-side; composes per-row with chunking/splitting downstream."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, pattern, replacement)
+
+
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,
                  mod: int = ROLLING_MOD) -> Column:
     """Polynomial rolling hash over characters:

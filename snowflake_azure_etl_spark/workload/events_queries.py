@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec
-from ..sources.registry import load_tables
+from ..sources.registry import (load_tables,
+                                rebalance_single_split)
 from ._registry import query
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -42,7 +43,9 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling_counts job (streaming/events.py). window() is a built-in
     Catalyst expression; with a watermark the same plan runs incremental
     state cleanup under Structured Streaming."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -91,7 +94,9 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup: the same measure at hour/day/month grains with a grain tag
     (the continuous-aggregate pattern; at scale each grain materializes
     incrementally from the next-finer one instead of from raw)."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     sliding = (e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
                .agg(F.count("*").alias("n_events"),
                     F.sum(dec("value")).cast("double").alias("total_value"))
@@ -141,7 +146,9 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session ids, then per-session rollup — the batch twin of streaming
     session_window(ts, '30 minutes'). Scale: both stages partition by
     user_id, so one shuffle serves the window and the final group-by."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     sess = (e.withColumn(
@@ -172,7 +179,9 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON field extraction + cast +
     group — get_json_object stays JVM-side (no UDF)."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (e.groupBy("event_type", (k % 10).alias("k_mod"))
             .agg(F.count("*").alias("n_events")))

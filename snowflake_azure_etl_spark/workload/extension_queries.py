@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import dec
 from ..operators import asof
-from ..sources.registry import load_tables
+from ..sources.registry import (load_tables,
+                                rebalance_single_split)
 from ._registry import query
 
 
@@ -54,7 +55,9 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     view at-or-before it (operators.asof — union+window plan, one
     shuffle, no range blowup), checked against DuckDB's native ASOF
     JOIN."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     purchases = (e.filter(F.col("event_type") == "purchase")
                  .select("event_id", "user_id", "ts"))
     views = (e.filter(F.col("event_type") == "view")
@@ -95,7 +98,9 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-sized and broadcast → BroadcastNestedLoopJoin, which is the
     right plan at this shape; for big×big range joins the scale path is
     coarse-bucket equi-join + residual predicate (SCALE.md)."""
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     # one-row lower bound kept lazy (cross join, not a driver collect)
     lo = e.agg(F.date_trunc("day", F.min("ts")).alias("lo"))
     iv = (spark.range(41).crossJoin(F.broadcast(lo))
@@ -154,7 +159,9 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counting."""
     from ..operators.sketches import kmv_mins
     from ..sources.registry import stage_row_count
-    e = load_tables(spark, sf_dir, ("events",))["events"]
+    e = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("events",))["events"],
+        sf_dir, "events")
     n_rows = stage_row_count(sf_dir, "events")
     h = e.select("event_type",
                  F.md5(F.col("user_id").cast("string")).alias("hv"))
@@ -191,7 +198,9 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     former q36's lag/lead deltas over the identical partition+ordering —
     window shapes the reference never uses (SURVEY §2.5 'not present').
     One shuffle and one sort serve the frame sum and both offsets."""
-    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("lineitem",))["lineitem"],
+        sf_dir, "lineitem")
     daily = (li.filter(F.col("l_suppkey") % 20 == 0)
              .groupBy(F.col("l_suppkey").alias("suppkey"),
                       F.col("l_shipdate").alias("ship_date"))

@@ -12,8 +12,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, similarity, text
-from ..sources.registry import load_tables, stage_row_count
+from ..sources.registry import (load_tables, rebalance_single_split,
+                                stage_row_count)
 from ._registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus, rebalanced when the stage layout caps scan
+    parallelism (footer-attested no-op on real layouts): every query
+    here runs corpus-wide per-row work (shingling, hashing, Arrow
+    decode), which must not serialize on a single-row-group file."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return rebalance_single_split(spark, docs, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return rebalance_single_split(spark, emb, sf_dir, "embeddings")
 
 MINHASH_K = 8
 LSH_BANDS = 2
@@ -87,7 +102,7 @@ _PAIRS_CTE = """
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (operators.dedup): one
     uniform shuffle at any corpus size."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
 
 
@@ -108,7 +123,7 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     count job) — small here, so the band join broadcasts; above
     dedup.BROADCAST_MAX_ROWS the same plan shuffle-equi-joins on the
     band key."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
                                            k=MINHASH_K, n=SHINGLE_N)
@@ -174,7 +189,7 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner. The oracle mirrors the transitive closure with a recursive
     CTE — connected components is driver-attested here, not just
     pytest-verified."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
                                            k=MINHASH_K, n=SHINGLE_N)
@@ -228,7 +243,7 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.text.md5_fingerprint) — the per-doc hashing suite in one
     result. The polynomial rolling-hash variant stays pytest-verified
     against a Python reference (tests/test_text_ops.py)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     sh = dedup.simhash32(docs, "doc_id", "text")
     fp = docs.select("doc_id", text.md5_fingerprint("text").alias("fingerprint"))
     return sh.join(fp, "doc_id")
@@ -263,7 +278,7 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 = 0) — the ANN exactness baseline
     (operators.similarity.brute_force_topk); queries broadcast, corpus
     never shuffles."""
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
 
@@ -335,7 +350,7 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     EMBED_MAX_BUCKET are dropped whole (oracle-mirrored), and the
     self-join build side broadcasts only under the parquet-footer
     corpus-size attestation."""
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = _emb(spark, sf_dir)
     n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     topk = (similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding",
@@ -358,9 +373,24 @@ _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
 @query(
     "q57_text_stats",
     covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
-            "X-TEXT-CHUNK", "X-SPLIT-ASSIGN"),
-    oracle="""
+            "X-TEXT-CHUNK", "X-SPLIT-ASSIGN", "X-TEXT-REPETITION",
+            "X-TEXT-PII"),
+    oracle=f"""
     SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' '
+                              || string_split(text, ' ')[i + 1]))) AS DOUBLE)
+                     / (len(string_split(text, ' ')) - 1) END
+               AS repeated_bigram_fraction,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        t -> length(t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_token_length,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS symbol_ratio,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_PATTERN}'))
+                AS INT) AS pii_email_count,""" + """
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INT)
                AS n_distinct_tokens,
@@ -430,10 +460,21 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.text.chunk_documents, whose full fan-out is
     pytest-verified against a Python reference) — and `split`, the
     deterministic hashed-id train/val/test assignment
-    (operators.text.split_assign), both oracle-mirrored exactly."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    (operators.text.split_assign), both oracle-mirrored exactly.
+
+    Round-6 additions (X-TEXT-REPETITION / X-TEXT-PII): the
+    Gopher-rule repetition and composition signals —
+    repeated-bigram fraction, mean token length, symbol ratio — and
+    the email-shaped PII count (the scrub step's redact_pii twin is
+    pytest-verified; its regexp_replace is the same JVM pass)."""
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
+        text.repeated_bigram_fraction("text")
+            .alias("repeated_bigram_fraction"),
+        text.mean_token_length("text").alias("mean_token_length"),
+        text.symbol_ratio("text").alias("symbol_ratio"),
+        text.pii_email_count("text").alias("pii_email_count"),
         text.n_tokens("text").alias("n_tokens"),
         text.n_distinct_tokens("text").alias("n_distinct_tokens"),
         text.type_token_ratio("text").alias("type_token_ratio"),
@@ -478,7 +519,7 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized. The doc discriminator is a per-row unique id, so
     doc_freq matches COUNT(DISTINCT doc_id) exactly while never
     assuming the caller's id column is dense."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     return text.token_vocab(docs, "text", top_k=100)
 
 
@@ -521,7 +562,7 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     media (compressed real formats would need codec libs). Payloads
     never reach the driver; the three stages join on doc_id
     (broadcast-sized here, bucketed co-location at scale)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _docs(spark, sf_dir)
     media = multimodal.to_media_table(docs)
     ppm = multimodal.to_ppm_media_table(docs)
     decoded = multimodal.decode_media(ppm, stub=False)
@@ -614,7 +655,7 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle-free projection; candidates come from a cell_id
     equi-join; the oracle re-runs the identical 2-round training loop
     in SQL, so the trained quantizer itself is hash-checked."""
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(emb, queries, "vec_id", "embedding",
                                k=3, n_cells=8, nprobe=2, train_iters=2)

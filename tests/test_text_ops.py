@@ -132,3 +132,42 @@ def test_zip_with_index_keys_stays_jvm_side(spark, sf_dir):
     plan = buf.getvalue()
     assert "Python" not in plan      # no BatchEvalPython / MapInPandas
     assert "Scan ExistingRDD" not in plan  # not rebuilt from an RDD
+
+
+def test_repetition_and_pii_signals_match_python(spark):
+    """Gopher-rule repetition/composition signals + email PII count and
+    redaction (r6) vs a direct Python reference on crafted edges:
+    repeats, single-token docs, symbol soup, multiple emails."""
+    import re
+
+    from snowflake_azure_etl_spark.operators import text as T
+
+    rows = [
+        (1, "the cat sat on the cat sat on the mat"),
+        (2, "one"),
+        (3, "a b a b a b a b"),
+        (4, "!!! ### $$$ %%%"),
+        (5, "mail me at a.b@x.co or c_d%e@y-z.example.org thanks"),
+        (6, "no pii here just words and words and words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in df.select(
+        "doc_id",
+        T.repeated_bigram_fraction("text").alias("rep"),
+        T.mean_token_length("text").alias("mtl"),
+        T.symbol_ratio("text").alias("sym"),
+        T.pii_email_count("text").alias("pii"),
+        T.redact_pii("text").alias("red")).collect()}
+    email = re.compile(T.EMAIL_PATTERN)
+    for doc_id, s in rows:
+        toks = s.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        rep = 1.0 - len(set(bgs)) / len(bgs) if bgs else 0.0
+        r = got[doc_id]
+        assert abs(r.rep - rep) < 1e-12, doc_id
+        assert abs(r.mtl - sum(map(len, toks)) / len(toks)) < 1e-12
+        assert abs(r.sym - len(re.sub(r"[A-Za-z0-9 ]", "", s)) / len(s)) \
+            < 1e-12
+        assert r.pii == len(email.findall(s))
+        assert r.red == email.sub("<PII>", s)
+    assert got[5].pii == 2 and "@" not in got[5].red
