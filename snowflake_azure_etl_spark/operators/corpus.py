@@ -67,17 +67,24 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             chunk_size: int = 128,
                             chunk_stride: int = 96,
                             lsh_bands: int = 4,
-                            lsh_rows: int = 2) -> DataFrame:
+                            lsh_rows: int = 2,
+                            max_repeated_bigram_fraction: float | None = None,
+                            scrub_pii: bool = False) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
     Stages (all lazy, one composed plan):
     1. exact dedup (min-id keeper per content hash);
     2. near-dup removal at `near_dup_threshold` shingle-Jaccard
        (None disables);
-    3. quality floor (`text.quality_score` >= min_quality) and
-       language allow-list (`text.lang_guess` in langs);
-    4. overlapping-window chunking (`text.chunk_documents`);
-    5. deterministic hashed-id train/val/test split.
+    3. quality floor (`text.quality_score` >= min_quality), language
+       allow-list (`text.lang_guess` in langs), and the Gopher-rule
+       repetition cut (`text.repeated_bigram_fraction` ≤
+       `max_repeated_bigram_fraction`, None disables);
+    4. PII scrub (`text.redact_pii` — after filtering so quality
+       signals see the original text, before chunking so no chunk
+       straddles a redaction);
+    5. overlapping-window chunking (`text.chunk_documents`);
+    6. deterministic hashed-id train/val/test split.
 
     LSH banding defaults to 4 bands × 2 rows here (recall-leaning: a
     0.9-Jaccard pair is caught w.p. ~1-2e-4) — removal wants high
@@ -94,6 +101,11 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
         kept = kept.filter(text.quality_score(text_col) >= min_quality)
     if langs:
         kept = kept.filter(text.lang_guess(text_col).isin(*langs))
+    if max_repeated_bigram_fraction is not None:
+        kept = kept.filter(text.repeated_bigram_fraction(text_col)
+                           <= max_repeated_bigram_fraction)
+    if scrub_pii:
+        kept = kept.withColumn(text_col, text.redact_pii(text_col))
     chunks = text.chunk_documents(kept, id_col, text_col,
                                   size=chunk_size, stride=chunk_stride)
     return chunks.withColumn("split", text.split_assign(id_col))

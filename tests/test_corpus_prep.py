@@ -72,3 +72,25 @@ def test_prepare_training_corpus_end_to_end(spark, salted_docs):
     split_of = {}
     for r in rows:
         assert split_of.setdefault(r.doc_id, r.split) == r.split
+
+
+def test_prepare_corpus_scrub_and_repetition_cut(spark):
+    """r6 stages: the repetition cut drops boilerplate docs and the PII
+    scrub removes email-shaped spans from every emitted chunk, while
+    clean docs pass through byte-identical."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "spam ham spam ham spam ham spam ham spam ham spam ham"),
+        (3, "contact me at leak@example.com for the details ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.prepare_training_corpus(
+        docs, near_dup_threshold=None, n_docs=3,
+        chunk_size=16, chunk_stride=12,
+        max_repeated_bigram_fraction=0.5, scrub_pii=True).collect()
+    ids = {r.doc_id for r in out}
+    assert 2 not in ids                    # repetition cut
+    assert {1, 3} <= ids
+    chunks = {r.doc_id: r.chunk_text for r in out}
+    assert "@" not in chunks[3] and "<PII>" in chunks[3]
+    assert chunks[1] == rows[0][1]         # clean doc untouched
