@@ -156,3 +156,21 @@ def test_to_ppm_media_table_produces_valid_ppm(spark, sf_dir):
         w, h, px = mm._parse_ppm(bytes(r.payload))
         assert 64 <= w < 128 and 64 <= h < 128
         assert px == b"x" * (w * h * 3)
+
+
+def test_parse_bmp_property_roundtrip():
+    """Property sweep: any dims × row order round-trips to the same
+    normalized top-down RGB pixels (stride padding + BGR swap + flip
+    all exercised as width mod 4 varies)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 13), h=st.integers(1, 7),
+           top_down=st.booleans(), seed=st.integers(0, 255))
+    def check(w, h, top_down, seed):
+        rgb = bytes((x * 31 + seed) % 256 for x in range(w * h * 3))
+        payload, _ = make_bmp(w, h, top_down=top_down, rgb=rgb)
+        assert mm._parse_bmp(payload) == (w, h, rgb)
+
+    check()
