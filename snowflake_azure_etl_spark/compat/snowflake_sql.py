@@ -116,7 +116,8 @@ def _scan_statements(sql_text: str) -> list[str]:
     same in-quote state — so comment markers INSIDE string literals
     (DEFAULT 'a /* b */ c', 'it''s -- fine') are data, not comments.
     Doubled '' quote escapes exit-and-reenter the literal, which nets
-    out for scanning purposes. An unterminated block comment outside a
+    out for scanning purposes. Block comments nest, as Snowflake's do
+    (and ANSI's don't). An unterminated block comment outside a
     literal is malformed input and raises rather than silently
     swallowing statements."""
     stmts: list[str] = []
@@ -141,11 +142,19 @@ def _scan_statements(sql_text: str) -> list[str]:
             i = n if nl < 0 else nl          # the newline survives
             continue
         if sql_text.startswith("/*", i):
-            end = sql_text.find("*/", i + 2)
-            if end < 0:
+            # Snowflake block comments NEST (unlike ANSI): track depth
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql_text.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql_text.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            if depth:
                 raise ValueError(
                     "unterminated /* block comment in SQL script")
-            i = end + 2
+            i = j
             continue
         if ch == ";":
             stmts.append("".join(cur))

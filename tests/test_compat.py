@@ -119,6 +119,19 @@ def test_unterminated_block_comment_raises():
         translate_script("SELECT 1; /* never closed")
 
 
+def test_nested_block_comments_snowflake_style():
+    """Snowflake block comments nest; the scan must consume the whole
+    nested region, not stop at the first '*/'."""
+    parts = translate_script(
+        "/* outer /* inner */ still comment */ SELECT 'kept' AS x")
+    assert len(parts) == 1
+    assert "kept" in parts[0].statements[0]
+    assert "still comment" not in parts[0].statements[0]
+    import pytest
+    with pytest.raises(ValueError, match="unterminated"):
+        translate_script("/* outer /* inner */ SELECT 1")
+
+
 def test_end_to_end_execution(spark):
     """The translated reference-style DDL + view + insert actually runs
     on Spark and behaves (|| concat, typed columns, view query)."""
