@@ -306,7 +306,7 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
     bounded by ``bitset_max_vocab``, not the corpus, so it is always
     safe).
     """
-    from ._cache import cached_build, plan_key
+    from ._cache import cached_build, cached_relation, plan_key
     unit = (word_shingles(text_col, shingle_n) if shingle_n
             else F.array_distinct(ws_tokens(text_col)))
     toks = df.select(
@@ -329,6 +329,12 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
             F.array_distinct(F.transform(unit, lambda t: F.xxhash64(t)))
             .alias("_s"))
         shared = lambda a, b: F.size(F.array_intersect(a, b))  # noqa: E731
+    # the per-doc set relation is referenced as BOTH join sides below,
+    # and Spark does not CSE across join sides — without persistence
+    # the whole shingle/hash upstream executes twice per verify. Like
+    # the band-key relation, it is a fixed-width-per-doc index artifact
+    # (the session cache's staleness/eviction contract applies).
+    sets = cached_relation(sets, "jaccard_sets", eager=False)
     a = sets.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"),
                     F.col("_n").alias("size_a") if "_n" in sets.columns
                     else F.size("_s").alias("size_a"))
