@@ -81,3 +81,27 @@ def test_dup_clusters_keeper_is_component_min(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.id: r.keeper for r in graph.dup_clusters(df).collect()}
     assert got == {7: 7, 55: 7, 100: 7, 200: 200, 201: 200}
+
+
+def test_dup_clusters_resolve_embedding_near_dups(spark):
+    """graph.dup_clusters is pair-source-agnostic: the embedding
+    near-dup leg feeds it exactly like the text leg. A planted chain
+    of near-identical vectors (A~B, B~C but NOT A~C at the threshold)
+    must still collapse to ONE keeper — the transitive contract."""
+    from snowflake_azure_etl_spark.operators import similarity
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (10, base),
+        (11, [1.0, 0.14, 0.0, 0.0]),     # ~0.990 to 10
+        (12, [1.0, 0.28, 0.0, 0.0]),     # ~0.990 to 11, ~0.963 to 10
+        (99, [0.0, 0.0, 1.0, 0.0]),      # unrelated
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dups(emb, "vec_id", "embedding",
+                                           threshold=0.97, bits=2)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(10, 11), (11, 12)}    # chain, no (10,12)
+    clusters = {r.id: r.keeper
+                for r in graph.dup_clusters(pairs).collect()}
+    assert clusters == {10: 10, 11: 10, 12: 10}

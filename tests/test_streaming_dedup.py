@@ -133,3 +133,29 @@ def test_stream_dedup_watermarked_state_pruning_path(spark, staged_docs_dir):
     n_distinct = batch.select(F.md5("text")).distinct().count()
     hashes = [r.content_hash for r in got.collect()]
     assert len(hashes) == len(set(hashes)) == n_distinct
+
+
+def test_stream_dedup_composes_with_quality_filter_and_scrub(spark,
+                                                             staged_docs_dir):
+    """The corpus-prep stages are stateless projections, so they
+    compose onto the dedup stream unchanged: streaming output ==
+    batch pipeline over identical input (dedup → quality floor →
+    PII scrub)."""
+    from snowflake_azure_etl_spark.operators import text as T
+
+    stream = (spark.readStream.format("parquet").schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").load(staged_docs_dir))
+    out = (dedup_stream(stream, "text")
+           .filter(T.quality_score("text") >= 0.3)
+           .withColumn("text", T.redact_pii("text")))
+    got = _run_stream(out, "t_dedup_compose")
+
+    batch = spark.read.parquet(staged_docs_dir)
+    want = (batch.withColumn("content_hash", F.md5("text"))
+            .dropDuplicates(["content_hash"])
+            .filter(T.quality_score("text") >= 0.3)
+            .withColumn("text", T.redact_pii("text")))
+    got_rows = {(r.content_hash, r.text) for r in got.collect()}
+    want_rows = {(r.content_hash, r.text) for r in want.collect()}
+    assert {h for h, _ in got_rows} == {h for h, _ in want_rows}
+    assert {t for _, t in got_rows} == {t for _, t in want_rows}
