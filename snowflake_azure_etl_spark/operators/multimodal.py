@@ -214,14 +214,18 @@ RESIZED_SCHEMA = ("doc_id long, media_type string, width int, height int, "
 
 
 def _resize_nn(pixels: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
-    """Nearest-neighbor RGB resample — pure Python over the pixel bytes."""
-    out = bytearray()
-    for oy in range(oh):
-        base = (oy * h // oh) * w * 3
-        for ox in range(ow):
-            sx = base + (ox * w // ow) * 3
-            out += pixels[sx:sx + 3]
-    return bytes(out)
+    """Nearest-neighbor RGB resample. Vectorized with numpy fancy
+    indexing (source row = oy·h//oh, source col = ox·w//ow — the same
+    truncating-division grid as the scalar definition, which the test
+    suite checks against an independent Python loop); the per-item
+    cost is what lets the REAL resample run inside q60's Arrow batches
+    at bench scale instead of only in unit tests."""
+    import numpy as np
+    arr = np.frombuffer(pixels, dtype=np.uint8)[:w * h * 3]
+    arr = arr.reshape(h, w, 3)
+    rows = (np.arange(oh) * h) // oh
+    cols = (np.arange(ow) * w) // ow
+    return arr[rows][:, cols].tobytes()
 
 
 def resize_media(media: DataFrame, max_dim: int = 64,

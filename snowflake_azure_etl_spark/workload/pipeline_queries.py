@@ -541,39 +541,45 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(w * 64 // greatest(w, h) AS INT) AS out_width,
            CAST(h * 64 // greatest(w, h) AS INT) AS out_height,
+           substr(md5(repeat('x', (w * 64 // greatest(w, h))
+                                  * (h * 64 // greatest(w, h)) * 3)), 1, 8)
+               AS resized_sig,
            CAST(k.k AS INT) AS frame_idx,
-           substr(md5(text || ':' || k.k), 1, 8) AS frame_sig
+           substr(md5(repeat('x', w * 3)), 1, 8) AS frame_sig
     FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
     """,
 )
 def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole binary-media pipeline (operators.multimodal) in one plan
     — formerly q60/q61/q62: payload as opaque bytes → Arrow-batched
-    mapInPandas decode (typed metadata) → aspect-preserving resize
-    geometry → per-item frame-sampling fan-out (4 frames/item, fanned
-    out inside the Arrow stream).
+    mapInPandas decode (typed metadata) → aspect-preserving
+    nearest-neighbor resample → per-item frame-sampling fan-out
+    (4 frames/item, fanned out inside the Arrow stream).
 
-    The decode stage is NOT stubbed: each doc is wrapped as a valid
-    binary PPM (`to_ppm_media_table`, JVM-side construction) and parsed
-    by the real pure-Python P6 decoder (`decode_media(stub=False)`) —
-    header parse + pixel fingerprint, oracle-mirrored (the oracle
-    recomputes header length and md5 of the pixel fill). Resize
-    geometry and frame sampling run the stubbed codec over the raw-text
-    media (compressed real formats would need codec libs). Payloads
-    never reach the driver; the three stages join on doc_id
-    (broadcast-sized here, bucketed co-location at scale)."""
+    ALL THREE stages run the REAL codec (r6; decode alone was real in
+    r5): each doc is wrapped as a valid binary PPM
+    (`to_ppm_media_table`, JVM-side construction), parsed by the
+    pure-Python P6 decoder, resampled by the numpy nearest-neighbor
+    grid, and row-frame sampled — and every stage's output is
+    oracle-mirrored, because the constant pixel fill makes the real
+    resample/frame signatures closed-form (md5 of 'x'·n). The varied-
+    pixel behavior of the same code paths is pytest-verified against
+    an independent scalar reference (`test_multimodal_real`).
+    Compressed formats (JPEG/MP4) stay honestly gated — no codec libs
+    in the container. Payloads never reach the driver; the three
+    stages join on doc_id (broadcast-sized here, bucketed co-location
+    at scale)."""
     docs = _docs(spark, sf_dir)
-    media = multimodal.to_media_table(docs)
     ppm = multimodal.to_ppm_media_table(docs)
     decoded = multimodal.decode_media(ppm, stub=False)
-    resized = (multimodal.resize_media(media, max_dim=64, stub=True)
-               .select("doc_id", "out_width", "out_height"))
-    frames = multimodal.frame_sample(media, n_frames=4, stub=True)
+    resized = (multimodal.resize_media(ppm, max_dim=64, stub=False)
+               .select("doc_id", "out_width", "out_height", "resized_sig"))
+    frames = multimodal.frame_sample(ppm, n_frames=4, stub=False)
     return (decoded.join(resized, "doc_id")
             .join(frames, "doc_id")
             .select("doc_id", "media_type", "byte_len", "feature_sig",
                     "width", "height", "out_width", "out_height",
-                    "frame_idx", "frame_sig"))
+                    "resized_sig", "frame_idx", "frame_sig"))
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

@@ -122,6 +122,17 @@ def test_decode_media_real_on_generated_payloads(spark):
     assert rows[2].feature_sig == hashlib.md5(bmp_px).hexdigest()[:8]
 
 
+def py_resize_nn(pixels: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+    """Independent scalar-loop reference for the numpy resample."""
+    out = bytearray()
+    for oy in range(oh):
+        base = (oy * h // oh) * w * 3
+        for ox in range(ow):
+            sx = base + (ox * w // ow) * 3
+            out += pixels[sx:sx + 3]
+    return bytes(out)
+
+
 def test_resize_media_real_nearest_neighbor(spark):
     payload, pixels = make_ppm(8, 4)
     df = spark.createDataFrame([(1, payload, "?")],
@@ -129,9 +140,28 @@ def test_resize_media_real_nearest_neighbor(spark):
     row = mm.resize_media(df, max_dim=4, stub=False).collect()[0]
     assert (row.width, row.height) == (8, 4)
     assert (row.out_width, row.out_height) == (4, 2)
-    expected = mm._resize_nn(pixels, 8, 4, 4, 2)
+    expected = py_resize_nn(pixels, 8, 4, 4, 2)
     assert len(expected) == 4 * 2 * 3
+    assert mm._resize_nn(pixels, 8, 4, 4, 2) == expected
     assert row.resized_sig == hashlib.md5(expected).hexdigest()[:8]
+
+
+def test_resize_nn_matches_loop_reference_property():
+    """The numpy fancy-index resample computes the exact truncating-
+    division NN grid of the scalar definition, for any dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 9),
+           ow=st.integers(1, 12), oh=st.integers(1, 9),
+           seed=st.integers(0, 255))
+    def check(w, h, ow, oh, seed):
+        px = bytes((x * 13 + seed) % 256 for x in range(w * h * 3))
+        assert mm._resize_nn(px, w, h, ow, oh) == py_resize_nn(
+            px, w, h, ow, oh)
+
+    check()
 
 
 def test_frame_sample_real_rows(spark):
