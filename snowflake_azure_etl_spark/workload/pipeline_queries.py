@@ -100,8 +100,11 @@ _PAIRS_CTE = """
     """,
 )
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content-hash groupBy (operators.dedup): one
-    uniform shuffle at any corpus size."""
+    """Exact dedup via content-hash groupBy (operators.dedup): ONE
+    hash shuffle (uniform 128-bit key) at any corpus size — the only
+    other exchange the plan may carry is the declared round-robin
+    split compaction on pathological test layouts (no-op at scale;
+    see sources.registry.rebalance_single_split)."""
     docs = _docs(spark, sf_dir)
     return dedup.exact_dedup_groups(docs, "doc_id", "text")
 

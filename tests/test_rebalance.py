@@ -70,3 +70,17 @@ def test_missing_footer_is_a_noop(spark):
     df = spark.range(10).withColumn("v", F.col("id") * 2)
     out = registry.rebalance_single_split(spark, df, "/nonexistent", "nope")
     assert out is df
+
+
+def test_rebalanced_partitions_survive_aqe(spark):
+    """The explicit partition count must not be coalesced away by AQE
+    (an advisory-size coalesce back to ~1 partition would undo the
+    whole point): the materialized relation really has cluster-width
+    partitions."""
+    d = tempfile.mkdtemp(prefix="rebal_")
+    _write(d, "aqe")
+    df = spark.read.parquet(f"{d}/aqe.parquet")
+    out = registry.rebalance_single_split(spark, df, d, "aqe")
+    out.count()                             # materialize the cache
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == par
