@@ -391,6 +391,47 @@ def _popcount_and(n_words: int):
     return shared
 
 
+def simhash_near_dups(sig: DataFrame, id_col: str = "doc_id",
+                      sim_col: str = "simhash", max_hamming: int = 3,
+                      bands: int = 4, max_bucket: int = 10000,
+                      n_docs: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming
+    — the Manku-style SimHash dedup leg over `simhash32` output.
+
+    Pigeonhole: a pair within `max_hamming` ≤ bands-1 bit flips must
+    agree exactly on at least one of `bands` equal-width bit bands, so
+    candidates come from band-equality buckets and only candidates pay
+    the Hamming verify (bit_count(xor) — one codegen'd op). The
+    banding IS `lsh_candidate_pairs` with rows=1 over the band bytes:
+    same first-match-only emission (no pair-set dedup shuffle), same
+    deterministic bucket-width guard, same size-attested
+    broadcast/shuffle switch — one machine for both text-LSH and
+    SimHash candidate generation."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) "
+            "for the pigeonhole band guarantee to hold")
+    width = 32 // bands
+    sim = F.col(sim_col)
+    band_cols = [
+        (F.shiftright(sim, b * width)
+         .bitwiseAND((1 << width) - 1)).alias(f"h{b}")
+        for b in range(bands)
+    ]
+    keyed = sig.select(F.col(id_col), sim.alias("_sim"), *band_cols)
+    cands = lsh_candidate_pairs(keyed, id_col, bands=bands, rows=1,
+                                max_bucket=max_bucket, n_docs=n_docs)
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_sa"))
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_sb"))
+    return (cands
+            .join(_maybe_broadcast(a, n_docs), "id_a")
+            .join(_maybe_broadcast(b, n_docs), "id_b")
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash over whitespace tokens.
 

@@ -221,35 +221,103 @@ _SIMHASH_RECOMBINE = " + ".join(
     for i in range(32))
 
 
+_SIMHASH_BANDS = 4
+# The synthetic corpus is SimHash-DENSE (generated text over a small
+# vocabulary concentrates 32-bit fingerprints): at sf0.1, Hamming ≤ 3
+# relates 12.6% of ALL doc pairs (1.57M) and even exact collisions
+# number 84k. The catalog leg therefore demonstrates the operator on a
+# deterministic 1-in-10 subsample at distance 0 (a stable, nonzero,
+# bounded pair set at every SF); the operator itself takes any
+# (bands, max_hamming) and the distance-3 verify path is pinned by
+# tests/test_simhash_pairs.py on controlled fingerprints.
+_SIMHASH_MAX_HAMMING = 0
+_SIMHASH_SUBSET_MOD = 10
+
+_SIMHASH_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * 8}) & 255 AS bk FROM sh "
+    f"WHERE doc_id % {_SIMHASH_SUBSET_MOD} = 0"
+    for b in range(_SIMHASH_BANDS))
+
+
 @query(
     "q53_dedup_simhash",
-    covers=("X-DEDUP-SIMHASH", "X-TEXT-FPRINT"),
+    covers=("X-DEDUP-SIMHASH", "X-DEDUP-SIMHASH-PAIRS", "X-TEXT-FPRINT"),
     oracle=rf"""
     WITH {_TOKS_CTE},
     h AS (SELECT doc_id,
                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv
           FROM toks),
     votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes)
-    SELECT sh.doc_id, sh.simhash,
+    sh AS (SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes),
+    keys AS ({_SIMHASH_KEYS}),
+    keys_f AS (
+        SELECT doc_id, simhash, band, bk FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bw
+            FROM keys) WHERE bw <= 10000),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM keys_f a
+        JOIN keys_f b ON a.band = b.band AND a.bk = b.bk
+                      AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+              <= {_SIMHASH_MAX_HAMMING})
+    SELECT 'doc' AS role, sh.doc_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b,
+           sh.simhash AS metric,
            substr(md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')),
                   1, 16) AS fingerprint
     FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+    UNION ALL
+    SELECT 'near_dup', id_a, id_b, CAST(hamming AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM pairs
     """,
 )
 def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (operators.dedup.simhash32):
     per-bit ±1 votes over token hashes, sign-recombined — one explode +
-    one groupBy with 32 codegen'd conditional sums.
-
-    Joined with the former q59's canonical-form md5 fingerprint
+    one groupBy with 32 codegen'd conditional sums. Joined with the
+    former q59's canonical-form md5 fingerprint
     (operators.text.md5_fingerprint) — the per-doc hashing suite in one
     result. The polynomial rolling-hash variant stays pytest-verified
-    against a Python reference (tests/test_text_ops.py)."""
+    against a Python reference (tests/test_text_ops.py).
+
+    Unioned (tagged `role`, r6) with the SimHash near-duplicate PAIRS
+    (operators.dedup.simhash_near_dups, X-DEDUP-SIMHASH-PAIRS): the
+    Manku-style leg — 4×8-bit band candidates (pigeonhole: ≤ bands-1
+    flips leave ≥1 band intact), Hamming verify via one
+    bit_count(xor). Candidate generation reuses the
+    lsh_candidate_pairs machinery (first-match-only emission, width
+    guard, size-attested joins) with rows=1 over the band bytes. The
+    catalog leg runs a deterministic subsample at distance 0 — see
+    _SIMHASH_MAX_HAMMING for why this corpus forces that."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.simhash32(docs, "doc_id", "text")
-    fp = docs.select("doc_id", text.md5_fingerprint("text").alias("fingerprint"))
-    return sh.join(fp, "doc_id")
+    n_docs = stage_row_count(sf_dir, "documents") or docs.count()
+    from ..operators._cache import cached_relation
+    # the signature relation is referenced by both legs and by the
+    # pair leg's band/verify sides — one (doc_id, simhash) row per doc,
+    # the same index-artifact shape as the band-key/token-set caches
+    sh = cached_relation(dedup.simhash32(docs, "doc_id", "text"),
+                         "simhash32", eager=False)
+    fp = docs.select("doc_id",
+                     text.md5_fingerprint("text").alias("fingerprint"))
+    doc_leg = (sh.join(fp, "doc_id")
+               .select(F.lit("doc").alias("role"),
+                       F.col("doc_id").alias("id_a"),
+                       F.lit(None).cast("long").alias("id_b"),
+                       F.col("simhash").alias("metric"),
+                       "fingerprint"))
+    pair_leg = (dedup.simhash_near_dups(
+                    sh.filter(F.col("doc_id") % _SIMHASH_SUBSET_MOD == 0),
+                    "doc_id", "simhash",
+                    max_hamming=_SIMHASH_MAX_HAMMING,
+                    bands=_SIMHASH_BANDS, n_docs=n_docs)
+                .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
+                        F.col("hamming").cast("long").alias("metric"),
+                        F.lit(None).cast("string").alias("fingerprint")))
+    return doc_leg.unionByName(pair_leg)
 
 
 _COS_ORACLE = """
