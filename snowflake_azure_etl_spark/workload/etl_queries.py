@@ -172,29 +172,79 @@ _INCR_ORACLE = """
         SELECT c_custkey,
                (SELECT COUNT(*) + 1 FROM customer WHERE c_custkey % 10 != 0)
                    + ROW_NUMBER() OVER (ORDER BY c_custkey) AS id
-        FROM customer WHERE c_custkey % 10 = 0)
-    SELECT CAST(id AS BIGINT) AS dim_customer_id, c_custkey AS custkey,
-           'initial' AS phase
-    FROM base
+        FROM customer WHERE c_custkey % 10 = 0),
+    append_leg AS (
+        SELECT CAST(id AS BIGINT) AS surrogate_id, c_custkey AS business_key,
+               'initial' AS phase
+        FROM base
+        UNION ALL
+        SELECT CAST(id AS BIGINT), c_custkey, 'appended' FROM appended),
+    -- SCD2 leg over supplier: v1 segment from nationkey, batch 1 moves
+    -- every 7th member and introduces new business keys for every 13th
+    sup AS (
+        SELECT s_suppkey AS bk, CAST(s_nationkey % 5 AS VARCHAR) AS segment
+        FROM supplier),
+    seed AS (
+        SELECT bk, segment, ROW_NUMBER() OVER (ORDER BY bk) + 1 AS k
+        FROM sup),
+    fresh AS (
+        SELECT bk, 'moved' AS segment FROM sup WHERE bk % 7 = 0
+        UNION ALL
+        SELECT bk + 1000000, 'new' FROM sup WHERE bk % 13 = 0),
+    keyed AS (
+        SELECT bk, segment,
+               (SELECT MAX(k) FROM seed) + ROW_NUMBER() OVER (ORDER BY bk)
+                   AS k
+        FROM fresh),
+    scd2_leg AS (
+        SELECT CAST(k AS BIGINT) AS surrogate_id, bk AS business_key,
+               segment AS attr,
+               CASE WHEN bk % 7 = 0 THEN 'closed' ELSE 'current' END AS phase,
+               0 AS valid_from,
+               CASE WHEN bk % 7 = 0 THEN 1 ELSE NULL END AS valid_to,
+               bk % 7 != 0 AS is_current
+        FROM seed
+        UNION ALL
+        SELECT CAST(k AS BIGINT), bk, segment, 'current', 1, NULL, TRUE
+        FROM keyed)
+    SELECT 'append' AS leg, surrogate_id, business_key,
+           CAST(NULL AS VARCHAR) AS attr, phase,
+           0 AS valid_from, CAST(NULL AS INT) AS valid_to,
+           TRUE AS is_current
+    FROM append_leg
     UNION ALL
-    SELECT CAST(id AS BIGINT), c_custkey, 'appended' FROM appended
+    SELECT 'scd2', surrogate_id, business_key, attr, phase,
+           valid_from, valid_to, is_current
+    FROM scd2_leg
 """
 
 
-@query("q65_incremental_append", covers=("X-SCD-APPEND", "S7", "R6"),
+@query("q65_incremental_append",
+       covers=("X-SCD-APPEND", "X-SCD2", "X-MERGE", "S7", "R6"),
        oracle=_INCR_ORACLE)
 def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Insert-only SCD appends (warehouse.incremental.append_new_members;
-    SURVEY §4.3.2's append contract): seed a dim with 90% of the
-    customers, present ALL customers as candidates — known business keys
-    are skipped, the unseen 10% insert with surrogate keys strictly
-    above the current max, in business-key order. The query rebuilds the
-    seed table (CREATE OR REPLACE semantics, R6) so it is idempotent and
-    every row is oracle-checked, including the exact appended key
-    values."""
+    """Dimension maintenance end-to-end, both write patterns the
+    reference's insert-only tooling implies but cannot run:
+
+    **Append leg** (warehouse.incremental.append_new_members; SURVEY
+    §4.3.2's append contract): seed a dim with 90% of the customers,
+    present ALL customers as candidates — known business keys are
+    skipped, the unseen 10% insert with surrogate keys strictly above
+    the current max, in business-key order. The query rebuilds the seed
+    table (CREATE OR REPLACE semantics, R6) so it is idempotent and
+    every row is oracle-checked, including the exact appended keys.
+
+    **SCD2 leg** (warehouse.scd.scd2_apply — MERGE with versioning):
+    seed suppliers as version-1 rows, apply one update batch that
+    changes every 7th member's tracked attribute and introduces new
+    business keys for every 13th; the merged state is snapshot-written
+    (the copy-on-write MERGE execution), read back, and every closed
+    version, new current version, and new member row — keys, validity
+    range, current flag — is oracle-checked against a DuckDB mirror of
+    the same merge."""
     from ..plans.surrogate import with_surrogate_key
     from ..warehouse.incremental import append_new_members
-    from ..warehouse import ddl
+    from ..warehouse import ddl, scd
 
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     members = c.select(F.col("c_custkey").alias("custkey"))
@@ -214,10 +264,41 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "incremental append attestation failed: expected both "
             f"inserted and skipped rows, got inserted={rep.inserted} "
             f"skipped={rep.skipped}")
-    return spark.table(table).select(
-        "dim_customer_id", "custkey",
+    append_leg = spark.table(table).select(
+        F.lit("append").alias("leg"),
+        F.col("dim_customer_id").alias("surrogate_id"),
+        F.col("custkey").alias("business_key"),
+        F.lit(None).cast("string").alias("attr"),
         F.when(F.col("custkey") % 10 == 0, "appended")
-        .otherwise("initial").alias("phase"))
+        .otherwise("initial").alias("phase"),
+        F.lit(0).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+
+    s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+    sup = s.select(F.col("s_suppkey").alias("bk"),
+                   (F.col("s_nationkey") % 5).cast("string").alias("segment"))
+    state = scd.scd2_seed(sup, key_col="k", business_keys=["bk"])
+    batch = (sup.filter(F.col("bk") % 7 == 0)
+             .select("bk", F.lit("moved").alias("segment"))
+             .unionByName(sup.filter(F.col("bk") % 13 == 0)
+                          .select((F.col("bk") + 1000000).alias("bk"),
+                                  F.lit("new").alias("segment"))))
+    merged = scd.scd2_apply(state, batch, key_col="k", business_keys=["bk"],
+                            tracked_cols=["segment"], batch_id=1)
+    scd_table = f"{db}.dim_supplier_scd2"
+    spark.sql(f"DROP TABLE IF EXISTS {scd_table}")
+    ddl.drop_orphan_location(spark, scd_table)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(scd_table)
+    scd2_leg = spark.table(scd_table).select(
+        F.lit("scd2").alias("leg"),
+        F.col("k").alias("surrogate_id"),
+        F.col("bk").alias("business_key"),
+        F.col("segment").alias("attr"),
+        F.when(F.col("is_current"), "current").otherwise("closed")
+        .alias("phase"),
+        "valid_from", "valid_to", "is_current")
+    return append_leg.unionByName(scd2_leg)
 
 
 @query(
