@@ -218,9 +218,10 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_rollup_hierarchy",
-    covers=("A9",),
+    covers=("A9", "X-CUBE"),
     oracle="""
-    SELECT r_name AS region_name, n_name AS nation_name,
+    SELECT 'rollup' AS scope, r_name AS dim1, n_name AS dim2,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
            COUNT(c_custkey) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                AS total_balance
@@ -228,23 +229,53 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
+    UNION ALL
+    SELECT 'cube', c_mktsegment, r_name,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(r_name) AS INT),
+           COUNT(c_custkey),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(c_mktsegment, r_name)
     """,
 )
 def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP over the region→nation hierarchy: subtotal rows
-    at every level incl. the grand total (SURVEY §2.4 'not present in
-    reference' — stock Spark rollup())."""
+    """Multi-dimensional subtotal aggregation (SURVEY §2.4 'not present
+    in reference'): GROUP BY ROLLUP over the region→nation hierarchy
+    AND GROUP BY CUBE over the independent segment×region pair, each
+    with explicit GROUPING() markers (gid disambiguates a genuine NULL
+    dim value from a subtotal row — the standard cube-consumer
+    contract). Both legs are stock Spark rollup()/cube(): one Expand +
+    one hash aggregate each, subtotals computed in the same shuffle as
+    the leaves (map-side partials carry every grouping-set id), which
+    is why cube beats N re-aggregations at any scale."""
     t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
     j = (t["customer"]
          .join(F.broadcast(t["nation"]),
                t["customer"].c_nationkey == t["nation"].n_nationkey)
          .join(F.broadcast(t["region"]),
                t["nation"].n_regionkey == t["region"].r_regionkey))
-    return (j.rollup(F.col("r_name").alias("region_name"),
-                     F.col("n_name").alias("nation_name"))
-            .agg(F.count("c_custkey").alias("n_customers"),
-                 F.sum(dec("c_acctbal")).cast("double")
-                 .alias("total_balance")))
+    def measures():
+        return [F.count("c_custkey").alias("n_customers"),
+                F.sum(dec("c_acctbal")).cast("double")
+                .alias("total_balance")]
+    gid = (F.grouping("dim1") * 2 + F.grouping("dim2")).cast("int")
+    rollup_leg = (j.select(F.col("r_name").alias("dim1"),
+                           F.col("n_name").alias("dim2"),
+                           "c_custkey", "c_acctbal")
+                  .rollup("dim1", "dim2")
+                  .agg(gid.alias("gid"), *measures())
+                  .select(F.lit("rollup").alias("scope"), "dim1", "dim2",
+                          "gid", "n_customers", "total_balance"))
+    cube_leg = (j.select(F.col("c_mktsegment").alias("dim1"),
+                         F.col("r_name").alias("dim2"),
+                         "c_custkey", "c_acctbal")
+                .cube("dim1", "dim2")
+                .agg(gid.alias("gid"), *measures())
+                .select(F.lit("cube").alias("scope"), "dim1", "dim2",
+                        "gid", "n_customers", "total_balance"))
+    return rollup_leg.unionByName(cube_leg)
 
 
 @query(

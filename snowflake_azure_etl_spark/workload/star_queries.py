@@ -399,7 +399,7 @@ def q10_cte_group_count_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_agg_pricing_summary",
-    covers=("A1", "A2", "A7"),
+    covers=("A1", "A2", "A7", "A10"),
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -413,6 +413,8 @@ def q10_cte_group_count_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                / COUNT(l_quantity) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
                / COUNT(l_discount) AS avg_disc,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -420,12 +422,20 @@ def q10_cte_group_count_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key hash aggregate with 7 measures (TPC-H Q1 shape; the
+    """Multi-key hash aggregate with 9 measures (TPC-H Q1 shape; the
     reference's A1/A2 groupings, create_views.py:167-170). Partial
     map-side aggregation makes the shuffle carry one row per
     (flag,status) per task. The fact scan shares q01's rebalanced
     relation when the stage layout caps scan parallelism (see
-    sources.registry.rebalance_single_split)."""
+    sources.registry.rebalance_single_split).
+
+    A10: exact interpolated percentiles (median + p95) ride the same
+    aggregate — `F.percentile` is Spark's exact sort-based aggregate,
+    checked value-for-value against DuckDB's quantile_cont. Exactness
+    costs per-group value state; the 100 TB path is
+    `approx_percentile` on the identical plan shape (t-digest, bounded
+    state, mergeable partials) — equivalence within its accuracy bound
+    is pinned by tests/test_percentiles.py."""
     from ..sources.registry import rebalance_single_split
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     li = rebalance_single_split(spark, li, sf_dir, "lineitem")
@@ -451,20 +461,27 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count("l_quantity")).alias("avg_qty"),
                  (F.sum(dc).cast("double") / 100.0
                   / F.count("l_discount")).alias("avg_disc"),
+                 F.percentile("l_extendedprice", F.lit(0.5))
+                 .alias("median_price"),
+                 F.percentile("l_extendedprice", F.lit(0.95))
+                 .alias("p95_price"),
                  F.count("*").alias("count_order")))
 
 
 @query(
     "q13_conditional_agg",
-    covers=("A4", "F4"),
+    covers=("A4", "F4", "X-PIVOT"),
     oracle="""
     SELECT year(o_orderdate) AS order_year,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                 AS DOUBLE) AS finished_total,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
                 AS DOUBLE) AS open_total,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS pending_total,
            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_urgent
     FROM orders GROUP BY year(o_orderdate)
@@ -472,17 +489,32 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM(CASE WHEN ...) conditional aggregation — the
-    VW_TargetVsActual measure shape (create_views.py:226-242)."""
+    VW_TargetVsActual measure shape (create_views.py:226-242) — run
+    through the engine's PIVOT operator: `groupBy(year).pivot(status,
+    [explicit values])` compiles to exactly the conditional-aggregate
+    plan the oracle writes by hand (one hash aggregate, no extra
+    shuffle — the explicit value list keeps the plan static, never a
+    distinct-scan of the pivot column, which is the 100 TB contract).
+    The non-pivoted n_urgent measure rides the same aggregate via a
+    year-grain broadcast self-join. Pivot→unpivot (melt) round-trip
+    is pinned by tests/test_pivot.py."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     tp = dec("o_totalprice")
+    pivoted = (o.groupBy(F.year("o_orderdate").alias("order_year"))
+               .pivot("o_orderstatus", ["F", "O", "P"])
+               .agg(F.sum(tp)))
+    urgent = (o.groupBy(F.year("o_orderdate").alias("order_year"))
+              .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                         .otherwise(0)).alias("n_urgent")))
     zero = F.lit(0).cast("decimal(18,2)")
-    return (o.groupBy(F.year("o_orderdate").alias("order_year"))
-            .agg(F.sum(F.when(F.col("o_orderstatus") == "F", tp).otherwise(zero))
-                 .cast("double").alias("finished_total"),
-                 F.sum(F.when(F.col("o_orderstatus") == "O", tp).otherwise(zero))
-                 .cast("double").alias("open_total"),
-                 F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
-                 .alias("n_urgent")))
+    return (pivoted.join(F.broadcast(urgent), "order_year")
+            .select("order_year",
+                    F.coalesce("F", zero).cast("double")
+                    .alias("finished_total"),
+                    F.coalesce("O", zero).cast("double").alias("open_total"),
+                    F.coalesce("P", zero).cast("double")
+                    .alias("pending_total"),
+                    "n_urgent"))
 
 
 @query(
