@@ -3,7 +3,7 @@
 The reference never controls physical layout — Snowflake micro-partitions
 are opaque and automatic (the stage/COPY surface at
 /root/reference/rahil/create_stages.py + load_data.py just lands rows).
-On Spark, layout is the engine's job, and these three primitives are the
+On Spark, layout is the engine's job, and these primitives are the
 scale levers SCALE.md commits to:
 
 - **Bucketed landing** (`land_bucketed` / `bucketed_join`): pre-shuffle a
@@ -23,6 +23,12 @@ scale levers SCALE.md commits to:
   skew-join split handles sort-merge cases adaptively; explicit salting
   is the deterministic variant that also covers broadcast-ineligible
   aggregations-after-join.
+- **Range-clustered landing** (`land_sorted`): sort the data so parquet
+  min/max footer stats become selective — range predicates skip row
+  groups and files instead of scanning-and-filtering.
+- **Semi-join prefilter** (`prefilter_semi`): shrink a fact's shuffle
+  to the slice that can actually join — the explicit, exact form of the
+  runtime bloom filter the session enables globally.
 """
 
 from __future__ import annotations
@@ -103,6 +109,58 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     small_s = small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return big_s.join(small_s, on + [salt_col], how).drop(salt_col)
+
+
+def land_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                num_files: int | None = None,
+                mode: str = "overwrite") -> None:
+    """Range-clustered landing: range-partition on `sort_cols`, sort
+    within each file, write parquet — the engine's analog of a
+    Snowflake clustering key (and the 1-D case of Z-ordering).
+
+    Every parquet row group then covers a narrow, non-overlapping
+    slice of the sort key's domain, so the min/max statistics in file
+    footers let a range/point predicate skip whole row groups and
+    files at scan time (Spark's parquet filter pushdown does this
+    automatically — the *layout* is what makes the stats selective;
+    on a random layout every row group spans the full domain and
+    nothing skips). `tests/test_layout.py` asserts the written
+    footers' per-row-group ranges are disjoint.
+
+    `num_files` caps layout fan-out (range repartition count);
+    default = the session's shuffle parallelism.
+    """
+    parts = df.repartitionByRange(*([num_files] if num_files else []),
+                                  *sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def prefilter_semi(big: DataFrame, filtered: DataFrame, on: list[str],
+                   max_filter_rows: int = 5_000_000) -> DataFrame:
+    """Hand-placed runtime filter: reduce `big` to the join keys that
+    survive in `filtered` BEFORE a wide shuffle join, via a broadcast
+    left-semi join on `filtered`'s distinct key projection.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    and shuffling only the matching slice: a selective dim predicate
+    (say 1% of customers) cuts the fact's shuffle write ~100× because
+    non-matching rows die at the scan stage, not at the reducer.
+    Spark's automatic runtime bloom filter (enabled in session.py)
+    makes the same move with false positives and a size-capped filter;
+    this explicit form is exact, and the guard makes oversize key sets
+    fail loudly instead of silently building a giant broadcast.
+
+    The key projection is distinct-ed (dim-grain), size-guarded by a
+    bounded probe, and broadcast — the semi join adds no shuffle.
+    """
+    keys = filtered.select(*on).distinct()
+    n = keys.limit(max_filter_rows + 1).count()
+    if n > max_filter_rows:
+        raise ValueError(
+            f"prefilter key set exceeds {max_filter_rows} rows; a "
+            "broadcast semi-filter at this size hurts more than it "
+            "helps — rely on the runtime bloom filter instead")
+    return big.join(F.broadcast(keys), on, "left_semi")
 
 
 DEFAULT_MAX_BNL_BUILD_ROWS = 1_000_000

@@ -56,6 +56,12 @@ def get_spark(app_name: str = "snowflake_azure_etl_spark",
                                "/tmp/spark_graft_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter injection: a selective filter on one side
+        # of a shuffle join grows a bloom filter that pre-filters the
+        # other side's scan — the automatic sibling of
+        # plans.layout.prefilter_semi (set explicitly: the engine's
+        # scale contract, not a version default)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # long-lived sessions accumulate broadcast/shuffle blocks that
         # only clear when the driver GCs; with a large heap that can be
         # never — force a periodic GC so ContextCleaner actually runs

@@ -155,3 +155,63 @@ def test_guarded_theta_join_allows_dim_refuses_fact(spark, sf_dir):
         guarded_theta_join(s, t["lineitem"],
                            s.s_suppkey == t["lineitem"].l_suppkey,
                            max_build_rows=100)
+
+
+def test_land_sorted_rowgroups_are_disjoint(spark, sf_dir, tmp_path):
+    """Range-clustered landing must produce parquet footers whose
+    per-row-group [min, max] spans of the sort key do not overlap
+    across files — the property that makes min/max stats skip data.
+    A random layout fails this (every file spans ~the full domain)."""
+    import pyarrow.parquet as pq
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    df = t["orders"].select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "orders_sorted")
+    layout.land_sorted(df, path, ["o_orderkey"], num_files=4)
+
+    spans = []
+    import glob
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "o_orderkey"
+            spans.append((col.statistics.min, col.statistics.max))
+    assert len(spans) >= 2
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, in key order
+
+    # and the scan actually prunes: a point predicate far outside one
+    # file's span still answers correctly
+    back = spark.read.parquet(path)
+    want = df.filter(F.col("o_orderkey") == df.agg(
+        F.max("o_orderkey")).collect()[0][0]).count()
+    got = back.filter(
+        F.col("o_orderkey") == back.agg(
+            F.max("o_orderkey")).collect()[0][0]).count()
+    assert got == want > 0
+
+
+def test_prefilter_semi_is_broadcast_and_exact(spark, sf_dir):
+    """The explicit runtime filter: plan shows a broadcast left-semi
+    join ahead of the scan's consumer, and the filtered result equals
+    the plain join's distinct big-side slice."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    filtered_dim = t["supplier"].filter(F.col("s_nationkey") == 3)
+    big = t["lineitem"].select(F.col("l_suppkey").alias("s_suppkey"),
+                               "l_orderkey")
+    pruned = layout.prefilter_semi(big, filtered_dim, ["s_suppkey"])
+    plan = explain_str(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    want = (big.join(filtered_dim.select("s_suppkey").distinct(),
+                     "s_suppkey").count())
+    assert pruned.count() == want > 0
+
+
+def test_prefilter_semi_guards_oversize_keys(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    big = t["lineitem"].select(F.col("l_orderkey"))
+    with pytest.raises(ValueError, match="bloom"):
+        layout.prefilter_semi(big, t["lineitem"].select("l_orderkey"),
+                              ["l_orderkey"], max_filter_rows=10)
