@@ -69,7 +69,9 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             lsh_bands: int = 4,
                             lsh_rows: int = 2,
                             max_repeated_bigram_fraction: float | None = None,
-                            scrub_pii: bool = False) -> DataFrame:
+                            scrub_pii: bool = False,
+                            lang_fractions: dict[str, float] | None = None,
+                            lang_quota: int | None = None) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
     Stages (all lazy, one composed plan):
@@ -80,6 +82,12 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
        allow-list (`text.lang_guess` in langs), and the Gopher-rule
        repetition cut (`text.repeated_bigram_fraction` ≤
        `max_repeated_bigram_fraction`, None disables);
+    3b. corpus rebalancing (`operators.sampling`): per-language
+       hash-stratified downsampling (`lang_fractions`, row-local,
+       rerun-stable) and/or the per-language quota cap
+       (`lang_quota` min-id keepers per declared lang) — both None
+       disables; applied after quality so the sample is drawn from
+       the surviving distribution;
     4. PII scrub (`text.redact_pii` — after filtering so quality
        signals see the original text, before chunking so no chunk
        straddles a redaction);
@@ -104,6 +112,20 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
     if max_repeated_bigram_fraction is not None:
         kept = kept.filter(text.repeated_bigram_fraction(text_col)
                            <= max_repeated_bigram_fraction)
+    if lang_fractions:
+        from .sampling import stratified_keep
+        kept = kept.filter(stratified_keep(id_col,
+                                           text.lang_guess(text_col),
+                                           lang_fractions))
+    if lang_quota is not None:
+        from .sampling import quota_cap
+        if "lang" in kept.columns:
+            kept = quota_cap(kept, ["lang"], [id_col], lang_quota)
+        else:  # no declared lang: cap per guessed language
+            kept = (quota_cap(kept.withColumn("_lang",
+                                              text.lang_guess(text_col)),
+                              ["_lang"], [id_col], lang_quota)
+                    .drop("_lang"))
     if scrub_pii:
         kept = kept.withColumn(text_col, text.redact_pii(text_col))
     chunks = text.chunk_documents(kept, id_col, text_col,

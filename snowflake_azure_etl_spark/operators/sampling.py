@@ -1,0 +1,128 @@
+"""Deterministic corpus sampling (north-star extension; the reference
+has only a blind top-N preview sink — SURVEY §2.1 S10 — no principled
+downsampling surface).
+
+Training-corpus pipelines sample in two shapes:
+
+- **Rate sampling** (`hash_keep` / `stratified_keep`): keep an exact
+  expected fraction of rows — per class, for rebalancing (downweight
+  the over-represented language/domain). The decision is a pure hash
+  of the row's id (portable md5, same idiom as `text.split_assign`):
+  order-independent, rerun-stable, leakage-safe, and oracle-checkable
+  — never `rand()` (non-reproducible) and never `df.sample`
+  (partition-layout-dependent).
+- **Quota capping** (`quota_cap`): keep at most N rows per key
+  (docs per domain, images per site — the CommonCrawl-style
+  anti-domination rule). Deterministic: the NTH smallest by an
+  explicit order column, not "first N seen".
+
+Scale (100 TB): the keep-decisions are row-local projections — no
+shuffle, no state. `quota_cap` is one rank window on the class key
+(one shuffle); for hot classes the optional `pre_cap` runs an
+Arrow-batched per-input-partition cap first (each partition forwards
+only its N smallest per class, accumulated across the partition's
+batches in bounded N×classes memory), so the window's shuffle carries
+≤ N × partitions rows per class instead of the class's full row count
+— the map-side-combine move, applied to top-N.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash-space resolution for fraction thresholds: fractions are exact
+#: in units of 1/10000 (md5 buckets are uniform over [0, 10000)).
+FRACTION_DENOM = 10_000
+
+
+def _bucket(id_col: Column | str, salt: str) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                   c.cast("string"))), 1, 8),
+        16, 10).cast("long") % FRACTION_DENOM
+
+
+def hash_keep(id_col: Column | str, fraction: float,
+              salt: str = "sample") -> Column:
+    """Boolean keep-decision for an exact-expected-rate sample: true
+    for the deterministic `fraction` of the id hash space."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return _bucket(id_col, salt) < int(round(fraction * FRACTION_DENOM))
+
+
+def stratified_keep(id_col: Column | str, class_col: Column | str,
+                    fractions: dict[str, float],
+                    default_fraction: float = 1.0,
+                    salt: str = "sample") -> Column:
+    """Per-class keep-decision: class c keeps `fractions[c]` of its
+    rows (by id hash), unlisted classes keep `default_fraction`.
+    Row-local — the class column only selects the threshold; the hash
+    is still over the id, so a row's fate never changes when class
+    frequencies do."""
+    for cls, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {cls!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    cc = F.col(class_col) if isinstance(class_col, str) else class_col
+    threshold = F.lit(int(round(default_fraction * FRACTION_DENOM)))
+    for cls, frac in sorted(fractions.items()):
+        threshold = F.when(cc == cls,
+                           int(round(frac * FRACTION_DENOM))) \
+                     .otherwise(threshold)
+    return _bucket(id_col, salt) < threshold
+
+
+def quota_rank(class_cols: list[str], order_cols: list[str]) -> Column:
+    """Deterministic 1-based rank within each class by the explicit
+    order — the column `quota_cap` filters on, exposed so queries can
+    attest the rank itself."""
+    w = Window.partitionBy(*class_cols).orderBy(*order_cols)
+    return F.row_number().over(w)
+
+
+def quota_cap(df: DataFrame, class_cols: list[str], order_cols: list[str],
+              n: int, pre_cap: bool = False) -> DataFrame:
+    """Keep the `n` smallest rows (by `order_cols`) per class.
+
+    `pre_cap=True` inserts the per-input-partition Arrow cap before
+    the rank window: every partition forwards at most `n` rows per
+    class (its local n-smallest — a superset of each class's global
+    n-smallest, so the result is identical), bounding the window's
+    shuffle at n × partitions rows per class however hot the class is.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    src = _local_precap(df, class_cols, order_cols, n) if pre_cap else df
+    return (src
+            .withColumn("_qr", quota_rank(class_cols, order_cols))
+            .filter(F.col("_qr") <= n).drop("_qr"))
+
+
+def _local_precap(df: DataFrame, class_cols: list[str],
+                  order_cols: list[str], n: int) -> DataFrame:
+    """Per-partition n-smallest-per-class via mapInPandas: the batch
+    iterator covers exactly one input partition, so a running buffer
+    (capped at n rows per class seen) accumulates across batches in
+    bounded memory and flushes once at iterator end."""
+    import pandas as pd
+
+    keys = list(class_cols)
+    order = list(order_cols)
+
+    def cap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            merged = pdf if buf is None else pd.concat((buf, pdf),
+                                                       ignore_index=True)
+            buf = (merged.sort_values(order, kind="mergesort")
+                   .groupby(keys, sort=False).head(n))
+        if buf is not None and len(buf):
+            yield buf
+
+    return df.mapInPandas(cap, df.schema)

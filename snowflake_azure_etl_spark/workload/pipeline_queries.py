@@ -92,11 +92,25 @@ _PAIRS_CTE = """
 
 @query(
     "q50_dedup_exact",
-    covers=("X-DEDUP-EXACT", "A1"),
+    covers=("X-DEDUP-EXACT", "A1", "X-SAMPLE-STRATIFIED", "X-QUOTA"),
     oracle="""
-    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
-           COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    WITH groups AS (
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)),
+    keepers AS (
+        SELECT g.content_hash, g.keeper_id, g.n_copies, d.lang,
+               (CAST('0x' || substr(md5('sample:' || g.keeper_id), 1, 8)
+                     AS BIGINT) % 10000)
+                   < CASE WHEN d.lang = 'en' THEN 5000 ELSE 10000 END
+                   AS sample_keep,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                                       ORDER BY g.keeper_id) AS INT)
+                   AS lang_rank
+        FROM groups g JOIN documents d ON g.keeper_id = d.doc_id)
+    SELECT content_hash, keeper_id, n_copies, lang, sample_keep,
+           lang_rank, lang_rank <= 100 AS quota_keep
+    FROM keepers
     """,
 )
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,9 +118,28 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle (uniform 128-bit key) at any corpus size — the only
     other exchange the plan may carry is the declared round-robin
     split compaction on pathological test layouts (no-op at scale;
-    see sources.registry.rebalance_single_split)."""
+    see sources.registry.rebalance_single_split).
+
+    The surviving keepers then flow through the corpus-sampling
+    operators (operators.sampling, X-SAMPLE-STRATIFIED / X-QUOTA):
+    `sample_keep` is the deterministic hash-stratified rebalancing
+    decision (keep 50% of 'en', all of the rest — row-local portable
+    md5, no shuffle, no rand()), and `lang_rank`/`quota_keep` the
+    per-language quota cap (≤100 keepers per lang, n-smallest by id —
+    the anti-domination rule), every decision oracle-checked."""
+    from ..operators import sampling
     docs = _docs(spark, sf_dir)
-    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    langs = docs.select(F.col("doc_id").alias("keeper_id"), "lang")
+    return (groups.join(F.broadcast(langs), "keeper_id")
+            .withColumn("sample_keep",
+                        sampling.stratified_keep("keeper_id", "lang",
+                                                 {"en": 0.5}))
+            .withColumn("lang_rank",
+                        sampling.quota_rank(["lang"], ["keeper_id"]))
+            .withColumn("quota_keep", F.col("lang_rank") <= 100)
+            .select("content_hash", "keeper_id", "n_copies", "lang",
+                    "sample_keep", "lang_rank", "quota_keep"))
 
 
 @query(

@@ -94,3 +94,35 @@ def test_prepare_corpus_scrub_and_repetition_cut(spark):
     chunks = {r.doc_id: r.chunk_text for r in out}
     assert "@" not in chunks[3] and "<PII>" in chunks[3]
     assert chunks[1] == rows[0][1]         # clean doc untouched
+
+
+def test_prepare_corpus_rebalance_stages(spark, salted_docs):
+    """lang_fractions downsamples per guessed language (hash-exact
+    subset of the unsampled run) and lang_quota caps keepers per
+    language at the n smallest ids."""
+    from snowflake_azure_etl_spark.operators.sampling import (
+        FRACTION_DENOM, stratified_keep)
+
+    base_kwargs = dict(near_dup_threshold=None, n_docs=None)
+    full = corpus.prepare_training_corpus(salted_docs, **base_kwargs)
+    sampled = corpus.prepare_training_corpus(
+        salted_docs, lang_fractions={"en": 0.3}, **base_kwargs)
+    full_ids = {r["doc_id"] for r in full.select("doc_id").distinct().collect()}
+    samp_ids = {r["doc_id"] for r in
+                sampled.select("doc_id").distinct().collect()}
+    assert samp_ids < full_ids          # strictly smaller, subset
+    # the surviving set is exactly the hash-keep subset of the full set
+    keep_flag = salted_docs.select(
+        "doc_id", stratified_keep("doc_id", text.lang_guess("text"),
+                                  {"en": 0.3}).alias("k"))
+    want = {r["doc_id"] for r in keep_flag.collect()
+            if r["k"]} & full_ids
+    assert samp_ids == want
+
+    quota = corpus.prepare_training_corpus(
+        salted_docs, lang_quota=5, **base_kwargs)
+    per_lang = (quota.select("doc_id").distinct()
+                .join(salted_docs, "doc_id")
+                .withColumn("_lang", text.lang_guess("text"))
+                .groupBy("_lang").count().collect())
+    assert per_lang and all(r["count"] <= 5 for r in per_lang)

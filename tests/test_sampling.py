@@ -1,0 +1,103 @@
+"""Deterministic sampling operators (operators/sampling.py) vs plain
+Python references: exact hash thresholds, per-class stratification,
+quota capping with and without the partition pre-cap (identical
+results, bounded pre-cap output)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import sampling
+
+
+def _py_bucket(ident, salt="sample"):
+    h = hashlib.md5(f"{salt}:{ident}".encode()).hexdigest()
+    return int(h[:8], 16) % sampling.FRACTION_DENOM
+
+
+def test_hash_keep_matches_python_reference(spark):
+    df = spark.range(500).select(F.col("id"))
+    kept = {r["id"] for r in
+            df.filter(sampling.hash_keep("id", 0.3)).collect()}
+    want = {i for i in range(500) if _py_bucket(i) < 3000}
+    assert kept == want
+    # rate lands near the target on uniform hash space
+    assert 0.2 < len(kept) / 500 < 0.4
+
+
+def test_hash_keep_is_order_and_subset_stable(spark):
+    """A row's fate depends only on its id: the same ids keep/drop
+    regardless of which other rows are present."""
+    full = spark.range(1000)
+    part = full.filter(F.col("id") % 3 == 0)
+    kept_full = {r["id"] for r in
+                 full.filter(sampling.hash_keep("id", 0.5)).collect()
+                 if r["id"] % 3 == 0}
+    kept_part = {r["id"] for r in
+                 part.filter(sampling.hash_keep("id", 0.5)).collect()}
+    assert kept_full == kept_part
+
+
+def test_stratified_keep_per_class_thresholds(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        "id bigint, lang string")
+    kept = df.filter(sampling.stratified_keep("id", "lang",
+                                              {"en": 0.25}, 1.0))
+    rows = kept.collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    fr = [r for r in rows if r["lang"] == "fr"]
+    assert len(fr) == 200                       # default 1.0 keeps all
+    assert {r["id"] for r in en} == {
+        i for i in range(0, 400, 2) if _py_bucket(i) < 2500}
+
+
+def test_stratified_keep_validates_fractions(spark):
+    with pytest.raises(ValueError):
+        sampling.stratified_keep("id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        sampling.hash_keep("id", -0.1)
+
+
+def _quota_fixture(spark):
+    rows = [(cls, i) for cls in ("a", "b", "c")
+            for i in range(30 if cls == "a" else 5)]
+    return spark.createDataFrame(rows, "cls string, id bigint") \
+        .repartition(6)
+
+
+def test_quota_cap_keeps_n_smallest(spark):
+    df = _quota_fixture(spark)
+    out = sampling.quota_cap(df, ["cls"], ["id"], 10)
+    got = sorted((r["cls"], r["id"]) for r in out.collect())
+    want = sorted([("a", i) for i in range(10)]
+                  + [("b", i) for i in range(5)]
+                  + [("c", i) for i in range(5)])
+    assert got == want
+
+
+def test_quota_precap_identical_and_bounded(spark):
+    df = _quota_fixture(spark)
+    plain = sampling.quota_cap(df, ["cls"], ["id"], 7)
+    pre = sampling.quota_cap(df, ["cls"], ["id"], 7, pre_cap=True)
+    assert (sorted(map(tuple, plain.collect()))
+            == sorted(map(tuple, pre.collect())))
+    # the pre-cap stage alone forwards <= n rows per class per partition
+    # (2 partitions so the hot class genuinely exceeds the local cap)
+    dense = df.repartition(2)
+    capped = sampling._local_precap(dense, ["cls"], ["id"], 3)
+    per_part = (capped
+                .withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid", "cls").count().collect())
+    assert all(r["count"] <= 3 for r in per_part)
+    assert capped.count() < dense.count()  # something was dropped locally
+    # and the capped relation still yields the exact global answer
+    assert (sorted(map(tuple,
+                       sampling.quota_cap(dense, ["cls"], ["id"], 3,
+                                          pre_cap=True).collect()))
+            == sorted(map(tuple,
+                          sampling.quota_cap(dense, ["cls"], ["id"],
+                                             3).collect())))
