@@ -1,0 +1,166 @@
+"""Byte-pair-encoding merge training over a document corpus
+(north-star extension: the tokenizer-TRAINING step of an LLM data
+pipeline, one level up from `text.token_vocab`'s frequency table).
+
+The classic Sennrich/GPT-2 recipe, expressed Spark-first:
+
+1. The corpus collapses to a **word-frequency relation** (word, freq)
+   — the standard trick that makes BPE training tractable: every
+   subsequent round works on the distinct-word table (vocabulary-sized,
+   ~10^5-10^6 rows for natural language) instead of the corpus
+   (~10^12 tokens at 100 TB). The ONLY corpus-sized work is this one
+   explode + groupBy (map-side partial; shuffle key = word).
+2. Each word is *symbolized*: split into characters, each prefixed
+   with a non-printing sentinel (``\\x01``) and space-joined —
+   ``"the" → "\\x01t \\x01h \\x01e"``. The sentinel makes substring
+   search token-boundary-safe: the pattern ``"\\x01a \\x01b"`` can
+   never match a suffix of a longer symbol, so a merge is ONE literal
+   (non-regex) `replace` — left-to-right, non-overlapping, exactly the
+   greedy merge order the reference algorithm applies.
+3. Per round: adjacent-pair counts (explode of zip_with'd shifted
+   array views, weighted by word freq, map-side combined on the pair
+   key) → the argmax pair (freq desc, pair asc — a deterministic total
+   order) → rewrite every word's symbol string with one `replace`.
+   The argmax is a ONE-row driver collect per round — the same bounded
+   Pregel-probe pattern as `graph.connected_components`; the merge
+   pair is the model parameter being learned, not data.
+
+Scale design:
+- per-round state is vocabulary-sized, never corpus-sized; the pair
+  count shuffle key space is |symbol-pairs| (small and shrinking);
+- the words relation is localCheckpoint'd eagerly per round (the same
+  lineage-cut discipline as connected_components — k nested replaces
+  re-analyzed per round would dominate the actual work);
+- the learned merge table is k rows (k = n_merges) — it broadcasts
+  trivially into the encode path;
+- fixed round count (no convergence probe) keeps the whole training
+  loop mirrorable in SQL as k chained CTEs — the property that lets
+  the DuckDB oracle attest the training trajectory bit-for-bit
+  (see workload.pipeline_queries.q58).
+
+Reference parity: the reference repo has no tokenizer trainer (it
+templates warehouse SQL); this extends the pipeline the way its
+ETL-to-analytics flow would need for LLM corpus prep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Symbol-boundary sentinel. Prefixing every symbol makes the merge
+#: pattern "<SENT>a <SENT>b" unambiguous: it cannot match inside a
+#: longer symbol ("<SENT>xa <SENT>b" does not contain "<SENT>a"), so a
+#: plain literal replace is a correct single-pass greedy merge.
+SENT = "\x01"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the one corpus-sized pass
+    of BPE training. Map-side-combined groupBy on the word."""
+    return (docs.select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.length("word") > 0)
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def symbolize(word: Column | str) -> Column:
+    """Sentinel-prefixed, space-joined character symbols of a word."""
+    c = F.col(word) if isinstance(word, str) else word
+    chars = F.transform(F.sequence(F.lit(1), F.length(c)),
+                        lambda i: F.substr(c, i, F.lit(1)))
+    return F.array_join(
+        F.transform(chars, lambda ch: F.concat(F.lit(SENT), ch)), " ")
+
+
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol pairs over the symbolized words,
+    weighted by word frequency. Single-symbol words contribute nothing
+    (their shifted view is empty)."""
+    sy = F.split(F.col("symstr"), " ")
+    shifted = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(1)))
+    pairs = F.filter(
+        F.zip_with(sy, shifted,
+                   lambda a, b: F.when(b.isNull(), None)
+                   .otherwise(F.struct(a.alias("a"), b.alias("b")))),
+        lambda x: x.isNotNull())
+    return (words.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt")))
+
+
+def train_bpe_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = 8) -> list[tuple[str, str, int]]:
+    """Learn the first `n_merges` BPE merges; returns
+    ``[(a, b, cnt), ...]`` in merge order, where a/b are
+    sentinel-prefixed symbol strings and cnt the pair frequency at
+    merge time. Ties break on (a, b) ascending — a deterministic total
+    order shared with the SQL mirror. Stops early (shorter list) if
+    the corpus runs out of adjacent pairs."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges ({n_merges}) must be >= 1")
+    words = (word_freqs(docs, text_col)
+             .select(symbolize("word").alias("symstr"), "freq")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (_adjacent_pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())  # 1-row Pregel-style probe
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = (words.withColumn(
+            "symstr",
+            F.replace(F.col("symstr"), F.lit(f"{a} {b}"),
+                      F.lit(a + b[len(SENT):])))
+            .localCheckpoint(eager=True))
+    return merges
+
+
+def merges_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """The learned merge list as a (rank, left, right, merged, freq)
+    relation — sentinel-stripped for display; k rows, broadcastable."""
+    rows = [(i + 1, a.replace(SENT, ""), b.replace(SENT, ""),
+             (a + b).replace(SENT, ""), cnt)
+            for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, "
+              "freq bigint")
+
+
+def apply_merges(text: Column | str,
+                 merges: list[tuple[str, str, int]]) -> Column:
+    """Encode: segment `text` with a learned merge list — the
+    tokenizer's ENCODE path. Each word is symbolized, the merges are
+    applied in rank order (each one literal replace — the same greedy
+    left-to-right semantics as training), and the result is the
+    array of subword segments (sentinel-stripped).
+
+    The merge list is compiled into the expression tree (k replaces,
+    fine for the catalog-scale k); a production encoder with 10^4+
+    merges would move to an Arrow-batched mapInPandas carrying the
+    broadcast merge table — same signature, same output contract."""
+    c = F.col(text) if isinstance(text, str) else text
+
+    def encode_word(w: Column) -> Column:
+        # merges apply WITHIN a word only (training counts pairs per
+        # word row, never across words) — so the replace chain runs
+        # inside the per-word lambda, not over a joined string where
+        # a word-final/word-initial symbol pair could falsely match
+        sym = symbolize(w)
+        for a, b, _ in merges:
+            sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b[len(SENT):]))
+        return F.split(sym, " ")
+
+    segs = F.flatten(F.transform(tokens(c), encode_word))
+    return F.transform(segs, lambda s: F.replace(s, F.lit(SENT), F.lit("")))
+
+
+def bpe_segment_count(text: Column | str,
+                      merges: list[tuple[str, str, int]]) -> Column:
+    """Trained-tokenizer token count — the exact counterpart of
+    `text.bpe_token_estimate`'s heuristic."""
+    return F.size(apply_merges(text, merges))
