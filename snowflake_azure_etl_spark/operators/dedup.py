@@ -234,17 +234,24 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
         keys = cached_relation(keys, "lsh_band_keys", eager=False)
     nparts = parallelism or sig.sparkSession.sparkContext.defaultParallelism
     small = n_docs is not None and n_docs <= broadcast_max_rows
+    # a bucket can never exceed the total corpus: with an attested
+    # n_docs <= max_bucket the width guard is provably a no-op — skip
+    # its groupBy+join instead of paying two exchanges per band for a
+    # filter that cannot trigger (at corpus scale n_docs >> max_bucket
+    # and the guard always stays)
+    guard_needed = n_docs is None or n_docs > max_bucket
     out = None
     for b in range(bands):
         kb = keys
-        # per-band bucket-width guard (distinct band keys ≤ n_docs, so
-        # the same size attestation governs its broadcast)
-        sizes = (keys.groupBy(f"_k{b}")
-                 .agg(F.count("*").alias("_bw"))
-                 .filter(F.col("_bw") <= max_bucket)
-                 .drop("_bw"))
-        kb = kb.join(_maybe_broadcast(sizes, n_docs, broadcast_max_rows),
-                     f"_k{b}")
+        if guard_needed:
+            # per-band bucket-width guard (distinct band keys ≤ n_docs,
+            # so the same size attestation governs its broadcast)
+            sizes = (keys.groupBy(f"_k{b}")
+                     .agg(F.count("*").alias("_bw"))
+                     .filter(F.col("_bw") <= max_bucket)
+                     .drop("_bw"))
+            kb = kb.join(_maybe_broadcast(sizes, n_docs, broadcast_max_rows),
+                         f"_k{b}")
         a = kb.select(F.col("_id").alias("id_a"),
                       *[F.col(f"_k{i}").alias(f"_ka{i}") for i in range(b + 1)])
         bb = kb.select(F.col("_id").alias("id_b"),
@@ -394,7 +401,8 @@ def _popcount_and(n_words: int):
 def simhash_near_dups(sig: DataFrame, id_col: str = "doc_id",
                       sim_col: str = "simhash", max_hamming: int = 3,
                       bands: int = 4, max_bucket: int = 10000,
-                      n_docs: int | None = None) -> DataFrame:
+                      n_docs: int | None = None,
+                      cache_keys: bool = True) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming
     — the Manku-style SimHash dedup leg over `simhash32` output.
 
@@ -420,7 +428,8 @@ def simhash_near_dups(sig: DataFrame, id_col: str = "doc_id",
     ]
     keyed = sig.select(F.col(id_col), sim.alias("_sim"), *band_cols)
     cands = lsh_candidate_pairs(keyed, id_col, bands=bands, rows=1,
-                                max_bucket=max_bucket, n_docs=n_docs)
+                                max_bucket=max_bucket, n_docs=n_docs,
+                                cache_keys=cache_keys)
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("_sim").alias("_sa"))
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("_sim").alias("_sb"))
     return (cands

@@ -321,3 +321,68 @@ def frame_sample(media: DataFrame, n_frames: int = 4,
                     rows, columns=["doc_id", "frame_idx", "frame_sig"])
 
     return media.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+PIPELINE_SCHEMA = ("doc_id long, media_type string, byte_len int, "
+                   "feature_sig string, width int, height int, "
+                   "out_width int, out_height int, resized_sig string, "
+                   "frame_idx int, frame_sig string")
+
+
+def media_pipeline(media: DataFrame, max_dim: int = 64, n_frames: int = 4,
+                   stub: bool = True) -> DataFrame:
+    """decode → resize → frame-sample FUSED into one Arrow pass.
+
+    Row-for-row equivalent to joining `decode_media` ⋈ `resize_media` ⋈
+    `frame_sample` on doc_id (pytest-pinned), but each payload is
+    materialized and decoded ONCE instead of three times, and the two
+    joins disappear — the per-item stages of a media pipeline are a
+    single narrow map over the blobs, which is exactly how a 100 TB
+    run wants them: one scan, one Python worker pass, no shuffle at
+    all (the join-based composition shuffles three stage outputs to
+    co-locate them). The separate operators remain for pipelines that
+    genuinely need only one stage or interleave JVM-side filters
+    between stages."""
+    def emit(doc_id, mt, blen, fsig, w, h, ow, oh, rsig, fsigs):
+        return [(doc_id, mt, blen, fsig, w, h, ow, oh, rsig, i, s)
+                for i, s in enumerate(fsigs)]
+
+    cols = ["doc_id", "media_type", "byte_len", "feature_sig", "width",
+            "height", "out_width", "out_height", "resized_sig",
+            "frame_idx", "frame_sig"]
+
+    if stub:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"],
+                                         pdf["payload"]):
+                    fsig, w, h = _fake_decode(p)
+                    longest = max(w, h)
+                    ow, oh = w * max_dim // longest, h * max_dim // longest
+                    rsig = hashlib.md5(p + b":resize").hexdigest()[:8]
+                    fsigs = [hashlib.md5(p + f":{i}".encode()).hexdigest()[:8]
+                             for i in range(n_frames)]
+                    rows += emit(doc_id, mt, len(p), fsig, w, h, ow, oh,
+                                 rsig, fsigs)
+                yield pd.DataFrame(rows, columns=cols)
+    else:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                    mt, fsig, w, h, px = _real_decode(p)
+                    longest = max(w, h)
+                    ow, oh = w * max_dim // longest, h * max_dim // longest
+                    rsig = hashlib.md5(
+                        _resize_nn(px, w, h, ow, oh)).hexdigest()[:8]
+                    fsigs = []
+                    for i in range(n_frames):
+                        y = i * h // n_frames
+                        fsigs.append(hashlib.md5(
+                            px[y * w * 3:(y + 1) * w * 3]).hexdigest()[:8])
+                    rows += emit(doc_id, mt, len(p), fsig, w, h, ow, oh,
+                                 rsig, fsigs)
+                yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(op, schema=PIPELINE_SCHEMA)

@@ -335,9 +335,12 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     c = emb.select(F.col(id_col).alias("_id"),
                    as_double_vec(vec_col).alias("v"),
                    sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    widths = (c.groupBy("bucket").agg(F.count("*").alias("_bw"))
-              .filter(F.col("_bw") <= max_bucket).drop("_bw"))
-    c = c.join(F.broadcast(widths), "bucket")
+    if n_rows is None or n_rows > max_bucket:
+        # a bucket can never exceed the corpus: with an attested
+        # n_rows <= max_bucket the guard is provably a no-op — skip it
+        widths = (c.groupBy("bucket").agg(F.count("*").alias("_bw"))
+                  .filter(F.col("_bw") <= max_bucket).drop("_bw"))
+        c = c.join(F.broadcast(widths), "bucket")
     a = c.select(F.col("bucket"), F.col("_id").alias("id_a"),
                  F.col("v").alias("va"))
     b = c.select(F.col("bucket"), F.col("_id").alias("id_b"),

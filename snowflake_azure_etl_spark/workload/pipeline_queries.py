@@ -254,7 +254,14 @@ _SIMHASH_RECOMBINE = " + ".join(
     for i in range(32))
 
 
-_SIMHASH_BANDS = 4
+# 2 bands: the minimal multi-band parameterization that (a) exercises
+# the first-match-only band emission machinery and (b) satisfies the
+# pigeonhole bound for the leg's max_hamming=0 (needs bands > hamming).
+# 4 bands would be the Manku choice for hamming<=3 (pytest-pinned on
+# controlled fingerprints) but doubles this tiny leg's exchange count —
+# at 500 subsampled docs the leg is broadcast-latency-bound, not
+# data-bound.
+_SIMHASH_BANDS = 2
 # The synthetic corpus is SimHash-DENSE (generated text over a small
 # vocabulary concentrates 32-bit fingerprints): at sf0.1, Hamming ≤ 3
 # relates 12.6% of ALL doc pairs (1.57M) and even exact collisions
@@ -266,9 +273,11 @@ _SIMHASH_BANDS = 4
 _SIMHASH_MAX_HAMMING = 0
 _SIMHASH_SUBSET_MOD = 10
 
+_SIMHASH_WIDTH = 32 // _SIMHASH_BANDS
 _SIMHASH_KEYS = " UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS band, "
-    f"(simhash >> {b * 8}) & 255 AS bk FROM sh "
+    f"(simhash >> {b * _SIMHASH_WIDTH}) & {(1 << _SIMHASH_WIDTH) - 1}"
+    f" AS bk FROM sh "
     f"WHERE doc_id % {_SIMHASH_SUBSET_MOD} = 0"
     for b in range(_SIMHASH_BANDS))
 
@@ -342,11 +351,15 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(None).cast("long").alias("id_b"),
                        F.col("simhash").alias("metric"),
                        "fingerprint"))
+    # cache_keys=False: the band-key side re-derives from `sh`, which IS
+    # the persisted relation — a second persist of a 500-row projection
+    # would only add bookkeeping latency to a broadcast-bound leg
     pair_leg = (dedup.simhash_near_dups(
                     sh.filter(F.col("doc_id") % _SIMHASH_SUBSET_MOD == 0),
                     "doc_id", "simhash",
                     max_hamming=_SIMHASH_MAX_HAMMING,
-                    bands=_SIMHASH_BANDS, n_docs=n_docs)
+                    bands=_SIMHASH_BANDS, n_docs=n_docs,
+                    cache_keys=False)
                 .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
                         F.col("hamming").cast("long").alias("metric"),
                         F.lit(None).cast("string").alias("fingerprint")))
@@ -671,19 +684,17 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent scalar reference (`test_multimodal_real`).
     Compressed formats (JPEG/MP4) stay honestly gated — no codec libs
     in the container. Payloads never reach the driver; the three
-    stages join on doc_id (broadcast-sized here, bucketed co-location
-    at scale)."""
+    stages are FUSED into one Arrow pass (operators.multimodal.
+    media_pipeline) — one payload materialization, one decode, zero
+    stage joins — pytest-pinned equal to the three-operator join
+    composition."""
     docs = _docs(spark, sf_dir)
     ppm = multimodal.to_ppm_media_table(docs)
-    decoded = multimodal.decode_media(ppm, stub=False)
-    resized = (multimodal.resize_media(ppm, max_dim=64, stub=False)
-               .select("doc_id", "out_width", "out_height", "resized_sig"))
-    frames = multimodal.frame_sample(ppm, n_frames=4, stub=False)
-    return (decoded.join(resized, "doc_id")
-            .join(frames, "doc_id")
-            .select("doc_id", "media_type", "byte_len", "feature_sig",
-                    "width", "height", "out_width", "out_height",
-                    "resized_sig", "frame_idx", "frame_sig"))
+    # the FUSED pipeline (one Arrow pass, one decode per payload, no
+    # stage joins) — pytest-pinned row-equal to the three-operator
+    # join composition on both stub and real paths
+    return multimodal.media_pipeline(ppm, max_dim=64, n_frames=4,
+                                     stub=False)
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

@@ -204,3 +204,27 @@ def test_parse_bmp_property_roundtrip():
         assert mm._parse_bmp(payload) == (w, h, rgb)
 
     check()
+
+
+@pytest.mark.parametrize("stub", [True, False])
+def test_media_pipeline_fusion_equals_join_composition(spark, stub):
+    """The fused one-pass media_pipeline must be row-equal to the
+    decode ⋈ resize ⋈ frame_sample composition it replaces (q60's
+    plan shape) — on both the stub and real codec paths."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text {'y' * (i + 3)}") for i in range(12)],
+        "doc_id long, text string")
+    media = mm.to_ppm_media_table(docs) if not stub \
+        else mm.to_media_table(docs)
+    fused = mm.media_pipeline(media, max_dim=64, n_frames=4, stub=stub)
+    joined = (mm.decode_media(media, stub=stub)
+              .join(mm.resize_media(media, max_dim=64, stub=stub)
+                    .select("doc_id", "out_width", "out_height",
+                            "resized_sig"), "doc_id")
+              .join(mm.frame_sample(media, n_frames=4, stub=stub),
+                    "doc_id")
+              .select(*fused.columns))
+    key = ["doc_id", "frame_idx"]
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b and len(a) == 48
