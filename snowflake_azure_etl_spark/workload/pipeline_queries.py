@@ -606,10 +606,38 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_N_MERGES = 8
+
+
+def _bpe_round_cte(r: int) -> str:
+    """One BPE training round as DuckDB CTEs (mirrors
+    operators.bpe.train_bpe_merges round `r`): adjacent-pair counts
+    over the space-split symbol strings, the (cnt desc, a, b) argmax,
+    and the sentinel-safe literal replace — both engines' replace is
+    left-to-right non-overlapping, i.e. the greedy merge order."""
+    return f"""
+    p{r} AS (SELECT sy[g] AS a, sy[g+1] AS b, SUM(freq) AS cnt
+             FROM (SELECT string_split(symstr, ' ') AS sy, freq,
+                          unnest(range(1, len(string_split(symstr, ' '))))
+                              AS g
+                   FROM w{r})
+             GROUP BY 1, 2),
+    b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{r + 1} AS (SELECT replace(symstr, x.a || ' ' || x.b,
+                                x.a || substr(x.b, 2)) AS symstr, freq
+                 FROM w{r} CROSS JOIN b{r} x)"""
+
+
+_BPE_CTES = ",".join(_bpe_round_cte(r) for r in range(_BPE_N_MERGES))
+_BPE_MERGES = " UNION ALL ".join(
+    f"SELECT {r + 1} AS rank, a, b, cnt FROM b{r}"
+    for r in range(_BPE_N_MERGES))
+
+
 @query(
     "q58_token_vocab",
-    covers=("X-TEXT-VOCAB",),
-    oracle="""
+    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN"),
+    oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
     agg AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
@@ -618,26 +646,61 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (SELECT token, doc_freq, total_freq,
                       ROW_NUMBER() OVER (ORDER BY total_freq DESC, token)
                           AS rank
-               FROM agg)
-    SELECT token, doc_freq, total_freq, CAST(rank AS INT) AS rank
+               FROM agg),
+    wf AS (SELECT token AS word, total_freq AS freq FROM agg
+           WHERE length(token) > 0),
+    w0 AS (SELECT array_to_string(list_transform(
+                      range(1, length(word) + 1),
+                      i -> chr(1) || substr(word, CAST(i AS INT), 1)),
+                      ' ') AS symstr,
+                  freq FROM wf),
+    {_BPE_CTES},
+    merges AS ({_BPE_MERGES})
+    SELECT 'vocab' AS leg, token, doc_freq, total_freq,
+           CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 100
+    UNION ALL
+    SELECT 'bpe_merge',
+           replace(a, chr(1), '') || '+' || replace(b, chr(1), ''),
+           CAST(NULL AS BIGINT), cnt, CAST(rank AS INT)
+    FROM merges
     """,
 )
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token-vocabulary build (operators.text.token_vocab) — the
-    tokenizer-training prep step: (token, doc_freq, total_freq, rank)
-    for the top-100 tokens by total frequency (token-asc tiebreak, so
-    the head is a deterministic total order on both engines).
+    """Tokenizer training over the corpus, both levels:
 
-    One explode + one groupBy (map-side partial; shuffle key = token,
-    uniform for natural text); `top_k` compiles to
-    TakeOrderedAndProject (per-partition heaps, no global sort) and the
-    rank window runs over the k-row head only — k-sized, never
-    vocab-sized. The doc discriminator is a per-row unique id, so
-    doc_freq matches COUNT(DISTINCT doc_id) exactly while never
-    assuming the caller's id column is dense."""
+    **Vocab leg** (operators.text.token_vocab): (token, doc_freq,
+    total_freq, rank) for the top-100 tokens by total frequency
+    (token-asc tiebreak — a deterministic total order on both
+    engines). One explode + one groupBy (map-side partial; shuffle key
+    = token); `top_k` compiles to TakeOrderedAndProject (per-partition
+    heaps) and the rank window runs over the k-row head only.
+
+    **BPE leg** (operators.bpe.train_bpe_merges, X-BPE-TRAIN): the
+    first 8 learned byte-pair merges — rank, 'left+right' pair, and
+    pair frequency at merge time — trained on the word-frequency
+    relation (the classic reduction: per-round work is
+    vocabulary-sized, the corpus is touched once). The DuckDB oracle
+    replays the SAME 8 training rounds as chained CTEs (pair counts →
+    deterministic argmax → sentinel-safe replace), so the driver
+    attests the whole training trajectory, not just the final state —
+    the same mirroring pattern as q63's Lloyd's-k-means rounds. The
+    encode path (`bpe.apply_merges`) and deep-merge behavior are
+    pytest-pinned against an independent Python reference
+    (tests/test_bpe.py)."""
+    from ..operators import bpe
     docs = _docs(spark, sf_dir)
-    return text.token_vocab(docs, "text", top_k=100)
+    vocab_leg = text.token_vocab(docs, "text", top_k=100).select(
+        F.lit("vocab").alias("leg"), "token", "doc_freq", "total_freq",
+        "rank")
+    merges = bpe.train_bpe_merges(docs, "text", n_merges=_BPE_N_MERGES)
+    bpe_leg = bpe.merges_table(spark, merges).select(
+        F.lit("bpe_merge").alias("leg"),
+        F.concat(F.col("left"), F.lit("+"), F.col("right")).alias("token"),
+        F.lit(None).cast("long").alias("doc_freq"),
+        F.col("freq").alias("total_freq"),
+        F.col("rank"))
+    return vocab_leg.unionByName(bpe_leg)
 
 
 @query(
