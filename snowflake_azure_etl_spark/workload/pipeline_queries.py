@@ -366,7 +366,30 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_leg.unionByName(pair_leg)
 
 
-_COS_ORACLE = """
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+_PQ_SUB_DIM = _PQ_DIM // _PQ_M
+
+
+def _pq_l2(a: str, b: str) -> str:
+    """|a-b|² via the dot identity — mirrors operators.pq._l2sq term
+    for term (each list_dot_product matches the engine's sequential
+    fold bit-for-bit)."""
+    return (f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))")
+
+
+# ADC = d0+d1+d2+d3 with one lut join per subspace: the addition order
+# is explicit left-to-right, matching the engine's sequential fold.
+_PQ_ADC_SUM = " + ".join(f"l{s}.d" for s in range(_PQ_M))
+_PQ_ADC_JOINS = " ".join(
+    f"JOIN pq_lut l{s} ON l{s}.query_id = q.query_id AND l{s}.sub = {s} "
+    f"AND l{s}.cell_id = c.c{s}"
+    for s in range(_PQ_M))
+_PQ_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN sub = {s} THEN cell_id END) AS c{s}"
+    for s in range(_PQ_M))
+
+_COS_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id % 50 = 0),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -383,21 +406,90 @@ _COS_ORACLE = """
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
         FROM scored
-    )
-    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    ),
+    pq_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    pq_sub AS (SELECT vec_id, s AS sub,
+                      list_slice(v, s * {_PQ_SUB_DIM} + 1,
+                                 (s + 1) * {_PQ_SUB_DIM}) AS sv
+               FROM pq_v, (SELECT unnest(range(0, {_PQ_M})) AS s)),
+    pq_cb AS (SELECT sub, CAST(vec_id AS INT) AS cell_id, sv AS ctv
+              FROM pq_sub WHERE vec_id < {_PQ_K}),
+    pq_codes AS (
+        SELECT vec_id, sub, cell_id FROM (
+            SELECT ps.vec_id, ps.sub, cb.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ps.vec_id, ps.sub
+                       ORDER BY {_pq_l2('ps.sv', 'cb.ctv')}, cb.cell_id)
+                       AS rnk
+            FROM pq_sub ps JOIN pq_cb cb ON cb.sub = ps.sub)
+        WHERE rnk = 1),
+    pq_codes_w AS (SELECT vec_id, {_PQ_CODE_COLS}
+                   FROM pq_codes GROUP BY vec_id),
+    pq_lut AS (
+        SELECT q.query_id, cb.sub, cb.cell_id,
+               {_pq_l2(f'list_slice(q.qv, cb.sub * {_PQ_SUB_DIM} + 1, '
+                       f'(cb.sub + 1) * {_PQ_SUB_DIM})', 'cb.ctv')} AS d
+        FROM q CROSS JOIN pq_cb cb),
+    pq_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_PQ_ADC_SUM} AS adc_dist
+        FROM pq_codes_w c
+        CROSS JOIN (SELECT DISTINCT query_id FROM pq_lut) q
+        {_PQ_ADC_JOINS}
+        WHERE c.vec_id != q.query_id),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM pq_scored)
+    SELECT 'exact' AS leg, query_id, neighbor_id, cos_sim AS metric,
+           CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'pq_adc', query_id, neighbor_id, adc_dist, CAST(rn AS INT)
+    FROM pq_ranked WHERE rn <= 3
 """
 
 
-@query("q54_ann_brute_force_topk", covers=("X-ANN-BRUTE",), oracle=_COS_ORACLE)
+@query("q54_ann_brute_force_topk", covers=("X-ANN-BRUTE", "X-PQ-ADC"),
+       oracle=_COS_ORACLE)
 def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-3 neighbors for a deterministic query subset
-    (vec_id % 50 = 0) — the ANN exactness baseline
-    (operators.similarity.brute_force_topk); queries broadcast, corpus
-    never shuffles."""
+    """The two ends of the vector-search accuracy/cost spectrum over
+    the same deterministic query subset (vec_id % 50 = 0):
+
+    **Exact leg** (operators.similarity.brute_force_topk): exact
+    cosine top-3 — the ANN exactness baseline; queries broadcast, the
+    corpus never shuffles.
+
+    **PQ-ADC leg** (operators.pq, X-PQ-ADC): the corpus compressed to
+    m=4 centroid ids per vector (product quantization — 64
+    doubles → 4 small ints, 64× smaller than float32 vectors at scale)
+    and searched by asymmetric distance: per
+    query an exact LUT against the broadcast codebook, per candidate m
+    LUT lookups summed row-locally. Codebooks here are the
+    deterministic seed quantizer (n_iter=0 — raw subvectors of the
+    k lowest-id vectors), which keeps the oracle compact; Lloyd's
+    refinement of the same fixed-point machinery is oracle-attested in
+    q63 and reference-pinned in tests/test_pq.py. Distances use the
+    dot-product identity so every ADC value hash-matches the SQL
+    mirror; top-3 ties break on neighbor id."""
+    from ..operators import pq
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    exact = (similarity.brute_force_topk(emb, queries, "vec_id",
+                                         "embedding", k=3)
+             .select(F.lit("exact").alias("leg"), "query_id",
+                     "neighbor_id", F.col("cos_sim").alias("metric"),
+                     "rn"))
+    cb = pq.pq_codebooks(emb, "vec_id", "embedding", dim=_PQ_DIM,
+                         m=_PQ_M, k=_PQ_K, n_iter=0)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", _PQ_DIM, cb, m=_PQ_M)
+    adc = (pq.pq_adc_topk(codes, queries, "vec_id", "embedding", _PQ_DIM,
+                          cb, m=_PQ_M, k_neighbors=3)
+           .select(F.lit("pq_adc").alias("leg"), "query_id",
+                   "neighbor_id", F.col("adc_dist").alias("metric"), "rn"))
+    return exact.unionByName(adc)
 
 
 _BUCKET_SQL = "(" + " || ".join(

@@ -1,0 +1,190 @@
+"""Product quantization vs an independent pure-Python reference
+(training, encoding, ADC), plus the 100 TB plan contracts (no corpus
+shuffle on encode, broadcast-only joins)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from snowflake_azure_etl_spark.operators import pq
+from snowflake_azure_etl_spark.operators.similarity import KMEANS_SCALE
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (no Spark, no numpy)
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _l2sq(a, b):
+    # the dot-product identity, folded in the same order as the engine
+    return _dot(a, a) - 2.0 * _dot(a, b) + _dot(b, b)
+
+
+def _best(sv, cents):
+    # argmin L2, ties to the smaller centroid id
+    return min(cents, key=lambda kv: (_l2sq(sv, kv[1]), kv[0]))[0]
+
+
+def ref_codebooks(vecs, dim, m, k, n_iter, scale=KMEANS_SCALE):
+    sub_dim = dim // m
+    subs = {s: {i: v[s * sub_dim:(s + 1) * sub_dim]
+                for i, v in vecs.items()} for s in range(m)}
+    books = {s: [(i, subs[s][i]) for i in sorted(vecs) if i < k]
+             for s in range(m)}
+    for _ in range(n_iter):
+        new = {}
+        for s in range(m):
+            groups = {}
+            for i, sv in subs[s].items():
+                groups.setdefault(_best(sv, books[s]), []).append(sv)
+            cents = []
+            for cid, members in groups.items():
+                n = len(members)
+                ctv = [sum(math.floor(sv[d] * scale) for sv in members)
+                       / n / scale for d in range(sub_dim)]
+                cents.append((cid, ctv))
+            new[s] = sorted(cents)
+        books = new
+    return books
+
+
+def ref_encode(vecs, dim, m, books):
+    sub_dim = dim // m
+    return {i: [_best(v[s * sub_dim:(s + 1) * sub_dim], books[s])
+                for s in range(m)]
+            for i, v in vecs.items()}
+
+
+def ref_adc_topk(codes, queries, vecs, dim, m, books, k_neighbors):
+    sub_dim = dim // m
+    out = {}
+    for qid in queries:
+        qv = vecs[qid]
+        lut = {(s, cid): _l2sq(qv[s * sub_dim:(s + 1) * sub_dim], ctv)
+               for s in range(m) for cid, ctv in books[s]}
+        scored = [(sum(lut[(s, code[s])] for s in range(m)), nid)
+                  for nid, code in codes.items() if nid != qid]
+        scored.sort()
+        out[qid] = scored[:k_neighbors]
+    return out
+
+
+def _fixture(n=24, dim=8, seed=11):
+    rng = random.Random(seed)
+    return {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+
+@pytest.mark.parametrize("n_iter", [0, 1, 2])
+def test_codebooks_match_reference(spark, n_iter):
+    vecs = _fixture()
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    got = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4, k=4,
+                          n_iter=n_iter).collect()
+    want = ref_codebooks(vecs, 8, 4, 4, n_iter)
+    got_map = {(r["sub"], r["cell_id"]): r["ctv"] for r in got}
+    want_map = {(s, cid): ctv for s, cents in want.items()
+                for cid, ctv in cents}
+    assert set(got_map) == set(want_map)
+    for key in want_map:
+        assert got_map[key] == pytest.approx(want_map[key], abs=1e-12)
+
+
+def test_encode_matches_reference(spark):
+    vecs = _fixture()
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    books = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4, k=4,
+                            n_iter=1)
+    got = {r["neighbor_id"]: list(r["code"])
+           for r in pq.pq_encode(emb, "vec_id", "embedding", 8, books,
+                                 m=4).collect()}
+    want = ref_encode(vecs, 8, 4, ref_codebooks(vecs, 8, 4, 4, 1))
+    assert got == want
+
+
+def test_adc_topk_matches_reference(spark):
+    vecs = _fixture()
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    books_df = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4,
+                               k=4, n_iter=1)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", 8, books_df, m=4)
+    queries = emb.filter("vec_id < 4")
+    got = pq.pq_adc_topk(codes, queries, "vec_id", "embedding", 8,
+                         books_df, m=4, k_neighbors=3).collect()
+    books = ref_codebooks(vecs, 8, 4, 4, 1)
+    want = ref_adc_topk(ref_encode(vecs, 8, 4, books), [0, 1, 2, 3],
+                        vecs, 8, 4, books, 3)
+    for r in got:
+        d, nid = want[r["query_id"]][r["rn"] - 1]
+        assert r["neighbor_id"] == nid
+        assert r["adc_dist"] == pytest.approx(d, abs=1e-12)
+
+
+def test_compression_ratio_and_validation(spark):
+    vecs = _fixture()
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    books = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4, k=4)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", 8, books, m=4)
+    row = codes.first()
+    assert len(row["code"]) == 4          # 8 doubles -> 4 small ints
+    with pytest.raises(ValueError):
+        pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=3)
+    with pytest.raises(ValueError):
+        pq.pq_encode(emb, "vec_id", "embedding", 8, books, m=5)
+
+
+def test_adc_recall_on_planted_clusters(spark):
+    """ADC over PQ codes must recover planted nearest neighbors: 4
+    tight clusters far apart — every query's true top-3 (its cluster
+    mates) must be the ADC top-3 despite 8->4 compression."""
+    rng = random.Random(3)
+    vecs = {}
+    for c in range(4):
+        center = [10.0 * (c + 1) * (1 if d % 2 else -1)
+                  for d in range(8)]
+        for j in range(4):
+            # interleaved ids (cluster = id % 4) so the k lowest-id
+            # seed vectors span all four clusters
+            vecs[j * 4 + c] = [x + rng.uniform(-0.1, 0.1)
+                               for x in center]
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    books = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4,
+                            k=4, n_iter=2)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", 8, books, m=4)
+    got = pq.pq_adc_topk(codes, emb, "vec_id", "embedding", 8, books,
+                         m=4, k_neighbors=3).collect()
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
+
+
+def _explain(df) -> str:
+    return df.sparkSession.sparkContext._jvm.PythonSQLUtils \
+        .explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_encode_no_corpus_shuffle(spark):
+    """pq_encode is a narrow map: the only exchange in its plan is the
+    one-row codebook broadcast — the code table of a 100 TB corpus is
+    produced without moving a single vector."""
+    vecs = _fixture(n=40)
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    books = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4, k=4)
+    plan = _explain(pq.pq_encode(emb, "vec_id", "embedding", 8, books,
+                                 m=4))
+    assert "BroadcastExchange" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Exchange hashpartitioning" not in plan
