@@ -90,3 +90,44 @@ def kmv_mins(df: DataFrame, group_col: str, hv: Column | str, k: int,
             .agg(F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
                          1, k).alias("mins"),
                  F.sum("_nb").alias("n_exact")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Apache DataSketches, JVM-native) — the constant-state
+# sibling of KMV. Where KMV's exact-mergeable k-minima cost O(k) strings
+# per state, an HLL sketch is a FIXED 2^lgk-register byte block
+# regardless of cardinality, and sketches union losslessly — the
+# pre-aggregation pattern for distinct counts at 100 TB: persist tiny
+# per-(group × time-bucket) partials once, answer any coarser rollup by
+# unioning partials, never re-scanning the fact data. Estimates are
+# EXACT while the sketch is in its coupon phase (cardinality up to a
+# few hundred for lgk=12 — pinned in tests) and ±~1.6%/sqrt(2^lgk)
+# beyond (error-bound pinned too); the register layout is
+# engine-specific, so cross-engine attestation uses the exact regime
+# (see workload q47's hll leg) while large-cardinality behavior is
+# pytest-pinned.
+# ---------------------------------------------------------------------------
+
+HLL_LGK = 12
+
+
+def hll_partials(df: DataFrame, group_cols: list[str], value_col: str,
+                 lgk: int = HLL_LGK) -> DataFrame:
+    """(group_cols…, hll_sketch): one mergeable DataSketches HLL
+    partial per group — a partial-aggregating hash aggregate (map-side
+    combine applies; per-state memory is the fixed 2^lgk register
+    block). This is the relation a pipeline lands per fine bucket
+    (e.g. per day)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, lgk).alias("hll_sketch"))
+
+
+def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols…, hll_estimate): union fine-grained sketch partials
+    up to a coarser grouping and estimate — the rollup never touches
+    the base data, and unioning is associative/commutative, so any
+    rollup lattice over the same partials agrees (merge law pinned in
+    tests/test_sketches.py)."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
+        .alias("hll_estimate"))

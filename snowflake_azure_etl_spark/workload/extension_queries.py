@@ -122,7 +122,7 @@ KMV_K = 16
 
 @query(
     "q47_kmv_sketch",
-    covers=("X-SKETCH-KMV",),
+    covers=("X-SKETCH-KMV", "X-SKETCH-HLL"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -132,12 +132,18 @@ KMV_K = 16
                                     ORDER BY hv) AS rn,
                  COUNT(*) OVER (PARTITION BY event_type) AS n_exact
           FROM h)
-    SELECT event_type,
-           CAST(n_exact AS BIGINT) AS exact_users,
+    SELECT 'kmv_users' AS leg, event_type,
+           CAST(n_exact AS BIGINT) AS exact_n,
            CAST({KMV_K} - 1 AS DOUBLE)
                / (CAST(CAST('0x' || substr(hv, 1, 8) AS BIGINT) AS DOUBLE)
-                  / 4294967296.0) AS kmv_estimate
+                  / 4294967296.0) AS estimate
     FROM r WHERE rn = {KMV_K}
+    UNION ALL
+    SELECT 'hll_nations', e.event_type,
+           COUNT(DISTINCT c.c_nationkey),
+           CAST(COUNT(DISTINCT c.c_nationkey) AS DOUBLE)
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.event_type
     """,
 )
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +162,19 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the direct ROW_NUMBER formulation. The exact count
     (carried for error inspection) sums per-bucket distinct sizes —
     buckets partition the hash space, so sizes add without
-    double-counting."""
-    from ..operators.sketches import kmv_mins
+    double-counting.
+
+    **HLL leg** (operators.sketches.hll_partials/hll_rollup,
+    X-SKETCH-HLL): distinct user NATIONS per event type via DataSketches
+    HLL — per-(event_type, day) sketch partials (fixed 2^lgk-byte
+    state each) unioned up to event_type, the
+    persist-partials/answer-any-rollup pattern for distinct counts at
+    100 TB. Cardinality is structurally bounded by the 25-nation
+    schema, so the sketch stays in its exact coupon phase at EVERY
+    scale factor and the estimate hash-matches the oracle's
+    COUNT(DISTINCT); dense-mode error bounds and the coupon-regime
+    merge law are pytest-pinned (tests/test_sketches.py)."""
+    from ..operators.sketches import hll_partials, hll_rollup, kmv_mins
     from ..sources.registry import stage_row_count
     e = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("events",))["events"],
@@ -169,10 +186,21 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = F.element_at("mins", KMV_K)
     frac = (F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
             / F.lit(4294967296.0))
-    return (merged.filter(F.size("mins") >= KMV_K)
-            .select("event_type",
-                    F.col("n_exact").cast("long").alias("exact_users"),
-                    (F.lit(float(KMV_K - 1)) / frac).alias("kmv_estimate")))
+    kmv_leg = (merged.filter(F.size("mins") >= KMV_K)
+               .select(F.lit("kmv_users").alias("leg"), "event_type",
+                       F.col("n_exact").cast("long").alias("exact_n"),
+                       (F.lit(float(KMV_K - 1)) / frac).alias("estimate")))
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    nations = (e.join(c, e.user_id == c.c_custkey)
+               .select("event_type",
+                       F.to_date("ts").alias("day"), "c_nationkey"))
+    daily = hll_partials(nations, ["event_type", "day"], "c_nationkey")
+    hll_leg = (hll_rollup(daily, ["event_type"])
+               .select(F.lit("hll_nations").alias("leg"), "event_type",
+                       F.col("hll_estimate").cast("long").alias("exact_n"),
+                       F.col("hll_estimate").cast("double")
+                       .alias("estimate")))
+    return kmv_leg.unionByName(hll_leg)
 
 
 @query(

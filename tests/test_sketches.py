@@ -74,3 +74,63 @@ def test_kmv_three_level_plan_no_window(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 6   # 3 phases × partial+final
+
+
+# ---------------------------------------------------------------------------
+# HLL (DataSketches) — exactness regime, merge law, dense-mode error
+# ---------------------------------------------------------------------------
+
+def test_hll_sparse_exact_small_cardinality(spark):
+    """Coupon-phase sketches are exact: estimates at cardinality <= a
+    few hundred equal COUNT(DISTINCT) — the regime the q47 hll leg's
+    cross-engine oracle relies on (group cardinality there is bounded
+    by the 25-nation schema at EVERY scale factor)."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(i % 4, i % 200) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = {r["g"]: r["hll_estimate"]
+           for r in sketches.hll_rollup(
+               sketches.hll_partials(df, ["g"], "v"), ["g"]).collect()}
+    assert got == {0: 50, 1: 50, 2: 50, 3: 50}
+
+
+def test_hll_merge_law_exact_in_coupon_regime(spark):
+    """Union of fine partials == one whole-set sketch while the UNION
+    result stays in the coupon phase (small cardinality) — the regime
+    q47's hll leg relies on (bounded by the 25-nation schema). Beyond
+    it the union gadget goes dense and union-vs-direct may differ by a
+    register rounding (measured: 399 vs 400 at 400 distincts), so the
+    large-cardinality contract is the error bound, not equality."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(i % 3, i % 11, (i * 7919) % 25) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, day int, v int")
+    via_days = sketches.hll_rollup(
+        sketches.hll_partials(df, ["g", "day"], "v"), ["g"])
+    direct = sketches.hll_rollup(
+        sketches.hll_partials(df, ["g"], "v"), ["g"])
+    got = sorted(map(tuple, via_days.collect()))
+    assert got == sorted(map(tuple, direct.collect()))
+    assert got == [(0, 25), (1, 25), (2, 25)]
+
+
+def test_hll_merge_error_bounded_past_coupon_regime(spark):
+    """At cardinality past the coupon phase, per-day-union estimates
+    stay within the dense-mode error bound of the true count."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(i % 11, (i * 7919) % 400) for i in range(4000)]
+    df = spark.createDataFrame(rows, "day int, v int")
+    est = sketches.hll_rollup(
+        sketches.hll_partials(df.selectExpr("0 AS g", "day", "v"),
+                              ["g", "day"], "v"), ["g"]).first()
+    assert abs(est["hll_estimate"] - 400) / 400 < 0.05
+
+
+def test_hll_dense_mode_error_bounded(spark):
+    """Past the coupon phase the estimate is approximate: at 50k
+    distincts the relative error must stay within ~3x the theoretical
+    1.04/sqrt(2^lgk) bound (lgk=12 -> ~1.6%)."""
+    from snowflake_azure_etl_spark.operators import sketches
+    df = spark.range(50_000).selectExpr("0 AS g", "id AS v")
+    est = sketches.hll_rollup(
+        sketches.hll_partials(df, ["g"], "v"), ["g"]).first()["hll_estimate"]
+    assert abs(est - 50_000) / 50_000 < 0.05
