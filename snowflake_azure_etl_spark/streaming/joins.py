@@ -37,3 +37,21 @@ def purchases_with_recent_views(purchases: DataFrame, views: DataFrame,
                     F.col("v.event_id").alias("view_id"),
                     F.col("v.ts").alias("view_ts"),
                     F.col("v.value").alias("view_value")))
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: list[str],
+                    how: str = "left") -> DataFrame:
+    """Stream-STATIC enrichment join — the standard 'attach dimension
+    attributes to a live event stream' pattern (the streaming twin of
+    the batch star join).
+
+    The static side is stateless for the engine: nothing is buffered
+    in the state store (only stream-stream joins hold state), and the
+    dim is re-evaluated per micro-batch, so a dim table updated
+    between batches is picked up automatically — Spark's documented
+    slowly-changing-dimension behavior for stream-static joins. The
+    broadcast hint keeps every micro-batch's join a map-side hash join
+    (no per-batch shuffle of the stream); for dims too big to
+    broadcast, drop the hint and pre-bucket both sides instead —
+    exactly the batch star-join levers (plans.layout)."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -80,3 +80,36 @@ def test_stream_stream_join_state_is_watermarked(spark, staged_events_dir):
     # both inputs must carry event-time watermarks into the join node
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir,
+                                                staged_events_dir):
+    """Stream-static dim enrichment across real micro-batches must
+    equal the batch join, carry NO stream state (stateful operator
+    count 0 — the static side buffers nothing), and keep the
+    per-batch join broadcast."""
+    from snowflake_azure_etl_spark.streaming.joins import enrich_with_dim
+    dim = (load_tables(spark, sf_dir, ("customer",))["customer"]
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    stream = (spark.readStream.format("parquet")
+              .schema(sev.EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .load(staged_events_dir))
+    enriched = (enrich_with_dim(stream, dim, ["user_id"])
+                .select("event_id", "user_id", "segment"))
+    q = (enriched.writeStream.outputMode("append").format("memory")
+         .queryName("t_enrich").start())
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        assert prog is None or not prog["stateOperators"]
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM t_enrich").collect()))
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    want = sorted(map(tuple, enrich_with_dim(
+        batch, dim, ["user_id"])
+        .select("event_id", "user_id", "segment").collect()))
+    assert got == want and len(got) > 0
