@@ -154,3 +154,26 @@ def test_merges_table_shape(spark):
     for r in tbl:
         assert r["merged"] == r["left"] + r["right"]
         assert bpe.SENT not in r["merged"]
+
+
+def test_train_property_random_corpora(spark):
+    """Hypothesis sweep: the distributed trainer must equal the Python
+    reference on arbitrary small corpora (sentinel safety, tie-breaks,
+    early exhaustion, repeated words, overlapping runs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcxy", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(1, 5))
+    def check(texts, k):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id int, text string")
+        assert _strip(bpe.train_bpe_merges(docs, "text", n_merges=k)) \
+            == ref_train(texts, k)
+
+    check()

@@ -188,3 +188,49 @@ def test_encode_no_corpus_shuffle(spark):
     assert "BroadcastExchange" in plan
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivf_pq_composition_prunes_and_recalls(spark):
+    """IVF-PQ by construction: pq_encode over assign_cells output keeps
+    cell_id as a pruning column — probing only the query's cell scores
+    a fraction of the codes yet still recovers the planted cluster
+    mates (the composition the module docstrings promise)."""
+    from pyspark.sql import functions as F
+    from snowflake_azure_etl_spark.operators import similarity
+    rng = random.Random(5)
+    vecs = {}
+    for c in range(4):
+        # distinct DIRECTION per cluster (cosine-based coarse cells
+        # can't separate scalar multiples of one direction)
+        center = [12.0 if d % 4 == c else 1.0 for d in range(8)]
+        for j in range(6):
+            vecs[j * 4 + c] = [x + rng.uniform(-0.2, 0.2) for x in center]
+    emb = spark.createDataFrame(sorted(vecs.items()),
+                                "vec_id long, embedding array<double>")
+    # coarse quantizer: 4 cells (the clusters); fine quantizer: PQ codes
+    cents = similarity._centroid_frame(emb, "vec_id", "embedding", 4)
+    assigned = similarity.assign_cells(emb, "vec_id", "embedding",
+                                       similarity._centroid_array(cents))
+    books = pq.pq_codebooks(emb, "vec_id", "embedding", dim=8, m=4, k=4,
+                            n_iter=1)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", 8, books, m=4) \
+        .join(assigned.select("neighbor_id", "cell_id"), "neighbor_id")
+    # probe: each query searches only its own coarse cell's codes
+    queries = emb.filter("vec_id < 4")
+    q_cells = (similarity.assign_cells(queries, "vec_id", "embedding",
+                                       similarity._centroid_array(cents))
+               .select(F.col("neighbor_id").alias("qid"), "cell_id"))
+    probed = codes.join(
+        q_cells.withColumnRenamed("qid", "_qid"), "cell_id")
+    # pruning: each query's candidate set is ~1/4 of the corpus
+    per_q = probed.groupBy("_qid").count().collect()
+    assert len(per_q) == 4 and all(r["count"] == 6 for r in per_q)
+    # ADC over each query's own cell only — the IVF-PQ probe
+    for qid in range(4):
+        cands = (probed.filter(F.col("_qid") == qid)
+                 .select("neighbor_id", "code"))
+        got = pq.pq_adc_topk(cands, queries.filter(F.col("vec_id") == qid),
+                             "vec_id", "embedding", 8, books, m=4,
+                             k_neighbors=3).collect()
+        assert len(got) == 3
+        assert all(r["neighbor_id"] % 4 == qid % 4 for r in got)
