@@ -177,3 +177,21 @@ def test_train_property_random_corpora(spark):
             == ref_train(texts, k)
 
     check()
+
+
+def test_arrow_encode_matches_expression_path(spark):
+    """The Arrow-batched production encoder and the expression-tree
+    encoder must segment identically (both follow training-order
+    greedy merge application)."""
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id int, text string")
+    merges = bpe.train_bpe_merges(docs, "text", n_merges=8)
+    via_expr = (docs.select(
+        "doc_id", bpe.apply_merges("text", merges).alias("segs"))
+        .orderBy("doc_id").collect())
+    via_arrow = (bpe.apply_merges_arrow(docs, merges)
+                 .orderBy("doc_id").collect())
+    for e, a in zip(via_expr, via_arrow):
+        assert e["doc_id"] == a["doc_id"]
+        assert e["segs"] == a["segs"]
+        assert a["n_segs"] == len(a["segs"])
