@@ -246,7 +246,7 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_rollup_hierarchy",
-    covers=("A9", "X-CUBE"),
+    covers=("A9", "X-CUBE", "X-GROUPING-SETS"),
     oracle="""
     SELECT 'rollup' AS scope, r_name AS dim1, n_name AS dim2,
            CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
@@ -266,6 +266,15 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY CUBE(c_mktsegment, r_name)
+    UNION ALL
+    SELECT 'sets', c_mktsegment, r_name,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(r_name) AS INT),
+           COUNT(c_custkey),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (r_name), ())
     """,
 )
 def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +312,18 @@ def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(gid.alias("gid"), *measures())
                 .select(F.lit("cube").alias("scope"), "dim1", "dim2",
                         "gid", "n_customers", "total_balance"))
-    return rollup_leg.unionByName(cube_leg)
+    # explicit GROUPING SETS (X-GROUPING-SETS): the per-dimension
+    # totals + grand total WITHOUT the cross cells — the shape neither
+    # rollup nor cube expresses; same single Expand + hash aggregate,
+    # just a hand-picked set list (Spark 4 DataFrame.groupingSets)
+    sets_leg = (j.select(F.col("c_mktsegment").alias("dim1"),
+                         F.col("r_name").alias("dim2"),
+                         "c_custkey", "c_acctbal")
+                .groupingSets([["dim1"], ["dim2"], []], "dim1", "dim2")
+                .agg(gid.alias("gid"), *measures())
+                .select(F.lit("sets").alias("scope"), "dim1", "dim2",
+                        "gid", "n_customers", "total_balance"))
+    return rollup_leg.unionByName(cube_leg).unionByName(sets_leg)
 
 
 @query(
