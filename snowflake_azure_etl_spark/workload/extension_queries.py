@@ -205,7 +205,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q35_window_frame_rolling",
-    covers=("W5", "W6"),
+    covers=("W5", "W6", "W7"),
     oracle="""
     WITH daily AS (
         SELECT l_suppkey AS suppkey, l_shipdate AS ship_date,
@@ -216,7 +216,9 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(rev) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS rolling_7_rev,
            CAST(rev - LAG(rev) OVER w AS DOUBLE) AS delta_prev,
-           CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next
+           CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next,
+           CAST(NTILE(4) OVER (PARTITION BY suppkey ORDER BY rev, ship_date)
+                AS INT) AS rev_quartile
     FROM daily WINDOW w AS (PARTITION BY suppkey ORDER BY ship_date)
     """,
 )
@@ -225,7 +227,9 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-row rolling revenue per supplier over daily aggregates, PLUS the
     former q36's lag/lead deltas over the identical partition+ordering —
     window shapes the reference never uses (SURVEY §2.5 'not present').
-    One shuffle and one sort serve the frame sum and both offsets."""
+    One shuffle and one sort serve the frame sum and both offsets;
+    the NTILE(4) revenue quartile (W7 — its own ordering) completes
+    the named-window-function family."""
     li = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("lineitem",))["lineitem"],
         sf_dir, "lineitem")
@@ -241,7 +245,10 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") - F.lag("rev").over(wo)).cast("double")
         .alias("delta_prev"),
         (F.lead("rev").over(wo) - F.col("rev")).cast("double")
-        .alias("delta_next"))
+        .alias("delta_next"),
+        F.ntile(4).over(Window.partitionBy("suppkey")
+                        .orderBy("rev", "ship_date"))
+        .cast("int").alias("rev_quartile"))
 
 
 @query(
