@@ -90,14 +90,37 @@ _PAIRS_CTE = """
     )"""
 
 
+DECONTAM_N = 5
+DECONTAM_EVAL_MOD = 97
+
+# decontamination gram relation — mirrors operators.decontam._gram_digests
+# (word n-gram shingles at width DECONTAM_N, distinct per doc, md5'd);
+# the eval stand-in is every doc_id ≡ 0 (mod 97)
+_DECONTAM_CTES = f"""
+    dsh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(0, greatest(
+                       len(string_split(text, ' ')) - {DECONTAM_N}, 0)),
+                   i -> md5(array_to_string(
+                       list_slice(string_split(text, ' '),
+                                  i + 1, i + {DECONTAM_N}), ' '))))) AS gram
+        FROM documents),
+    ev AS (SELECT DISTINCT gram FROM dsh
+           WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    ch AS (SELECT s.doc_id, COUNT(*) AS contam_hits
+           FROM dsh s JOIN ev USING (gram) GROUP BY s.doc_id)"""
+
+
 @query(
     "q50_dedup_exact",
-    covers=("X-DEDUP-EXACT", "A1", "X-SAMPLE-STRATIFIED", "X-QUOTA"),
-    oracle="""
+    covers=("X-DEDUP-EXACT", "A1", "X-SAMPLE-STRATIFIED", "X-QUOTA",
+            "X-DECONTAM"),
+    oracle=f"""
     WITH groups AS (
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
                COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text)),
+    {_DECONTAM_CTES},
     keepers AS (
         SELECT g.content_hash, g.keeper_id, g.n_copies, d.lang,
                (CAST('0x' || substr(md5('sample:' || g.keeper_id), 1, 8)
@@ -106,10 +129,14 @@ _PAIRS_CTE = """
                    AS sample_keep,
                CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
                                        ORDER BY g.keeper_id) AS INT)
-                   AS lang_rank
-        FROM groups g JOIN documents d ON g.keeper_id = d.doc_id)
+                   AS lang_rank,
+               CAST(COALESCE(ch.contam_hits, 0) AS BIGINT) AS contam_hits,
+               ch.doc_id IS NULL AS decontam_keep
+        FROM groups g JOIN documents d ON g.keeper_id = d.doc_id
+        LEFT JOIN ch ON ch.doc_id = g.keeper_id)
     SELECT content_hash, keeper_id, n_copies, lang, sample_keep,
-           lang_rank, lang_rank <= 100 AS quota_keep
+           lang_rank, lang_rank <= 100 AS quota_keep,
+           contam_hits, decontam_keep
     FROM keepers
     """,
 )
@@ -126,20 +153,39 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision (keep 50% of 'en', all of the rest — row-local portable
     md5, no shuffle, no rand()), and `lang_rank`/`quota_keep` the
     per-language quota cap (≤100 keepers per lang, n-smallest by id —
-    the anti-domination rule), every decision oracle-checked."""
-    from ..operators import sampling
+    the anti-domination rule), every decision oracle-checked.
+
+    Round-6 addition (X-DECONTAM, operators.decontam): benchmark
+    decontamination accounting. The eval stand-in is every doc_id ≡ 0
+    (mod 97); `contam_hits` counts the keeper's distinct word 5-grams
+    that also occur in the eval set (digest-equi-join, benchmark side
+    broadcast under an attested bound derived from the footer doc
+    count × MAX_GRAMS_PER_DOC), and `decontam_keep` is the scrub
+    decision `decontaminate` enforces with a left anti-join."""
+    from ..operators import decontam, sampling
     docs = _docs(spark, sf_dir)
+    n_docs = stage_row_count(sf_dir, "documents") or docs.count()
+    eval_docs = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    n_eval = (n_docs // DECONTAM_EVAL_MOD + 1) * decontam.MAX_GRAMS_PER_DOC
+    hits = decontam.contamination_hits(docs, eval_docs,
+                                       n=DECONTAM_N, n_eval_grams=n_eval)
+    hits = hits.withColumnRenamed("doc_id", "keeper_id")
     groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
     langs = docs.select(F.col("doc_id").alias("keeper_id"), "lang")
     return (groups.join(F.broadcast(langs), "keeper_id")
+            .join(hits, "keeper_id", "left")
             .withColumn("sample_keep",
                         sampling.stratified_keep("keeper_id", "lang",
                                                  {"en": 0.5}))
             .withColumn("lang_rank",
                         sampling.quota_rank(["lang"], ["keeper_id"]))
             .withColumn("quota_keep", F.col("lang_rank") <= 100)
+            .withColumn("decontam_keep", F.col("contam_hits").isNull())
+            .withColumn("contam_hits",
+                        F.coalesce("contam_hits", F.lit(0)))
             .select("content_hash", "keeper_id", "n_copies", "lang",
-                    "sample_keep", "lang_rank", "quota_keep"))
+                    "sample_keep", "lang_rank", "quota_keep",
+                    "contam_hits", "decontam_keep"))
 
 
 @query(

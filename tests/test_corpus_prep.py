@@ -126,3 +126,22 @@ def test_prepare_corpus_rebalance_stages(spark, salted_docs):
                 .withColumn("_lang", text.lang_guess("text"))
                 .groupBy("_lang").count().collect())
     assert per_lang and all(r["count"] <= 5 for r in per_lang)
+
+
+def test_prepare_training_corpus_decontaminates(spark, salted_docs):
+    """Docs sharing an n-gram with the eval set never reach chunking;
+    untouched docs' chunks are identical with and without the stage."""
+    eval_docs = salted_docs.filter(F.col("doc_id").isin(3, 7))
+    base = corpus.prepare_training_corpus(
+        salted_docs, near_dup_threshold=None, chunk_size=16,
+        chunk_stride=12)
+    scrubbed = corpus.prepare_training_corpus(
+        salted_docs, near_dup_threshold=None, chunk_size=16,
+        chunk_stride=12, eval_docs=eval_docs, decontam_n=5)
+    kept = {r.doc_id for r in scrubbed.select("doc_id").collect()}
+    assert 3 not in kept and 7 not in kept, \
+        "eval docs themselves must be scrubbed (full n-gram overlap)"
+    # the stage only ever removes whole docs: surviving chunk rows match
+    base_rows = {tuple(r) for r in base.collect() if r.doc_id in kept}
+    scrub_rows = {tuple(r) for r in scrubbed.collect()}
+    assert scrub_rows == base_rows
