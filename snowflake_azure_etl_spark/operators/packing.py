@@ -1,0 +1,104 @@
+"""Sequence packing (X-PACK): lay the tokenized corpus end-to-end and
+chop it into fixed-length training sequences.
+
+The GPT-style packing every autoregressive-LM data loader performs:
+concatenate documents in a deterministic order, cut every `ctx`
+tokens. Done at data-prep time (not loader time) it becomes a
+pure relational computation: each document's global token span is
+``[token_offset, token_offset + n_tokens)`` where `token_offset` is
+the exclusive prefix sum of token counts in id order, and the
+sequences it lands in are ``floor(offset / ctx) ..
+floor((offset + n - 1) / ctx)``.
+
+100 TB design: the only non-narrow step is the prefix sum, and a
+global running total is exactly the computation a single-partition
+window CANNOT carry at scale. The auto-switch mirrors
+`plans.surrogate.with_surrogate_key`: small corpora take the global
+window (one task, fine for test scale); above
+``BIG_CORPUS_MAX_ROWS`` attested rows, `plans.prefix.
+ranged_prefix_sum` computes the identical offsets partition-parallel
+(range-repartition + per-partition window + driver-side prefix of
+numPartitions partials — bounded by parallelism, not data). Every
+downstream column is row-local arithmetic, and the per-sequence
+assignment fan-out (`pack_assignments`) explodes at most
+``2 + n_tokens/ctx`` rows per document — the write-side fan-out,
+perfectly parallel.
+
+Determinism: offsets depend only on (id order, token counts), so a
+rebuild of the same corpus yields byte-identical sequence boundaries
+— the reproducibility contract training pipelines need for resumable
+preprocessing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.prefix import ranged_prefix_sum, window_prefix_sum
+from ..plans.surrogate import BIG_DIM_MAX_ROWS
+from . import text
+
+#: Context window of the sequences being packed.
+PACK_CTX = 2048
+
+#: Above this attested corpus row count the prefix sum takes the
+#: partition-parallel path (same practical single-task-sort edge as
+#: the surrogate-key switch).
+BIG_CORPUS_MAX_ROWS = BIG_DIM_MAX_ROWS
+
+
+def pack_offsets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", ctx: int = PACK_CTX,
+                 weight: Column | None = None,
+                 n_rows: int | None = None,
+                 big_max_rows: int = BIG_CORPUS_MAX_ROWS) -> DataFrame:
+    """docs + (n_tokens, token_offset, pack_first_seq, pack_last_seq).
+
+    `weight` overrides the token counter (default: whitespace
+    `text.n_tokens` — swap in `bpe_segment_count` or a real tokenizer
+    count column when the corpus carries one). `n_rows` is the
+    caller's corpus-size attestation (footer/catalog count; an upper
+    bound is fine) gating the parallel-prefix-sum switch."""
+    if ctx < 1:
+        raise ValueError("pack_offsets: ctx must be >= 1")
+    w = weight if weight is not None else text.n_tokens(text_col)
+    w = w.cast("long")
+    if n_rows is not None and n_rows > big_max_rows:
+        out = ranged_prefix_sum(docs, w, "token_offset", [id_col])
+    else:
+        out = window_prefix_sum(docs, w, "token_offset", [id_col])
+    n = w.alias("n_tokens")
+    return (out
+            .withColumn("n_tokens", n)
+            .withColumn("pack_first_seq",
+                        F.floor(F.col("token_offset") / ctx))
+            .withColumn("pack_last_seq",
+                        F.floor((F.col("token_offset")
+                                 + F.greatest(F.col("n_tokens") - 1,
+                                              F.lit(0))) / ctx)))
+
+
+def pack_assignments(offsets: DataFrame, id_col: str = "doc_id",
+                     ctx: int = PACK_CTX) -> DataFrame:
+    """Explode `pack_offsets` output into the (seq_id, doc, span)
+    assignment relation a sequence-building writer consumes:
+    one row per (sequence, document) with the document-relative token
+    span [doc_start, doc_end) that lands in that sequence.
+
+    Row-local arithmetic + one explode — no shuffle; downstream
+    writers `groupBy(seq_id)` to materialize training rows (that
+    single shuffle is the unavoidable gather of each sequence's
+    pieces, keyed uniformly by seq_id)."""
+    seq = F.explode(F.sequence("pack_first_seq", "pack_last_seq"))
+    return (offsets
+            .select(F.col(id_col), "n_tokens", "token_offset",
+                    seq.alias("seq_id"))
+            .withColumn("doc_start",
+                        F.greatest(F.col("seq_id") * ctx
+                                   - F.col("token_offset"), F.lit(0)))
+            .withColumn("doc_end",
+                        F.least((F.col("seq_id") + 1) * ctx
+                                - F.col("token_offset"),
+                                F.col("n_tokens")))
+            .drop("n_tokens", "token_offset"))

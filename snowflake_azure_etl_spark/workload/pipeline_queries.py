@@ -630,13 +630,22 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 
+PACK_CTX = 512
+
+
 @query(
     "q57_text_stats",
     covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
             "X-TEXT-CHUNK", "X-SPLIT-ASSIGN", "X-TEXT-REPETITION",
-            "X-TEXT-PII"),
+            "X-TEXT-PII", "X-PACK"),
     oracle=f"""
+    WITH base AS (
     SELECT doc_id,
+           CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                             OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_offset,
            CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
                 ELSE 1.0 - CAST(len(list_distinct(list_transform(
                          generate_series(1, len(string_split(text, ' ')) - 1),
@@ -699,7 +708,11 @@ _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
                          t -> t IN ('le','la','les','et','est'))) > 0
                 THEN 'fr'
                 ELSE 'und' END AS lang_guess
-    FROM documents
+    FROM documents)
+    SELECT *, token_offset // """ + f"""{PACK_CTX} AS pack_first_seq,
+           (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
+               AS pack_last_seq
+    FROM base
     """,
 )
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,10 +739,24 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-rule repetition and composition signals —
     repeated-bigram fraction, mean token length, symbol ratio — and
     the email-shaped PII count (the scrub step's redact_pii twin is
-    pytest-verified; its regexp_replace is the same JVM pass)."""
+    pytest-verified; its regexp_replace is the same JVM pass).
+
+    Second r6 addition (X-PACK, operators.packing): the
+    sequence-packing offsets — `token_offset` (global exclusive
+    prefix sum of token counts in id order) and the ctx=512 sequence
+    span [`pack_first_seq`, `pack_last_seq`] each doc lands in. The
+    prefix sum is the one non-narrow stage the query now carries; the
+    footer row count gates the auto-switch to the partition-parallel
+    `plans.prefix.ranged_prefix_sum` plan above 5 M docs (the
+    window==ranged identity and the parallel plan shape are pinned in
+    `tests/test_packing.py`)."""
+    from ..operators import packing
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    n_docs = stage_row_count(sf_dir, "documents") or docs.count()
+    packed = packing.pack_offsets(docs, ctx=PACK_CTX, n_rows=n_docs)
+    return packed.select(
         "doc_id",
+        "token_offset", "pack_first_seq", "pack_last_seq",
         text.repeated_bigram_fraction("text")
             .alias("repeated_bigram_fraction"),
         text.mean_token_length("text").alias("mean_token_length"),
