@@ -26,6 +26,12 @@ scale levers SCALE.md commits to:
 - **Range-clustered landing** (`land_sorted`): sort the data so parquet
   min/max footer stats become selective — range predicates skip row
   groups and files instead of scanning-and-filtering.
+- **Z-order clustered landing** (`land_zorder`): the multi-column
+  generalization — interleave the bits of several scaled dimensions
+  into one space-filling-curve key and range-cluster on THAT, so each
+  file covers a small hyper-rectangle and min/max stats stay selective
+  on EVERY clustered column at once (a 1-D sort leaves the second
+  column's per-file span at ~the full domain).
 - **Semi-join prefilter** (`prefilter_semi`): shrink a fact's shuffle
   to the slice that can actually join — the explicit, exact form of the
   runtime bloom filter the session enables globally.
@@ -133,6 +139,80 @@ def land_sorted(df: DataFrame, path: str, sort_cols: list[str],
     parts = df.repartitionByRange(*([num_files] if num_files else []),
                                   *sort_cols)
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+#: Bits per dimension in the Z-value. 12 bits × up to 5 dims stays
+#: inside a long; resolution beyond the file count is wasted anyway.
+ZORDER_BITS = 12
+
+
+def zorder_key(cols: list, bounds: list[tuple[float, float]],
+               bits: int = ZORDER_BITS):
+    """Morton (Z-order) key: each column is min/max-scaled to a
+    `bits`-bit integer rank under the ATTESTED per-column bounds
+    (footer/catalog min-max — no data pass), then the ranks' bits are
+    interleaved. Pure row-local JVM arithmetic (shift/or over codegen
+    expressions) — the key costs one narrow projection.
+
+    Value-scaling is deliberate (vs. rank/ntile scaling): it needs no
+    window or shuffle, and clustering only needs *monotone* rank
+    approximations. Heavily skewed columns dilute their effective bits
+    — pre-transform (e.g. log) such columns at the call site."""
+    nd = len(cols)
+    if nd < 2:
+        raise ValueError("zorder_key: need >= 2 columns (use land_sorted)")
+    if len(bounds) != nd:
+        raise ValueError("zorder_key: one (min, max) bound per column")
+    if nd * bits > 62:
+        raise ValueError("zorder_key: nd*bits must fit a long")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for d, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        span = float(hi) - float(lo)
+        if span <= 0:  # constant column: contributes nothing
+            continue
+        rank = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span) * top).cast("long"),
+                F.lit(0)),
+            F.lit(top))
+        for i in range(bits):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * nd + d))
+    return z
+
+
+def land_zorder(df: DataFrame, path: str, cols: list[str],
+                bounds: list[tuple[float, float]] | None = None,
+                bits: int = ZORDER_BITS,
+                num_files: int | None = None,
+                mode: str = "overwrite") -> None:
+    """Z-order clustered landing: range-cluster the data on the Morton
+    key of `cols` so every file/row group covers a small
+    hyper-rectangle of the clustered columns' joint domain — the
+    engine's analog of Delta/Snowflake multi-column clustering keys.
+
+    Predicates on ANY clustered column then skip via min/max footer
+    stats: with 2 columns and F files, each file spans ~F^(-1/2) of
+    each column's domain (vs. ~1 for the non-sort columns of a 1-D
+    layout). `bounds` are the attested per-column (min, max); when
+    omitted they come from one scalar min/max aggregate over `df` (a
+    single map-reduce pass — at scale, pass catalog/footer bounds
+    instead)."""
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c), F.max(c)]
+        row = df.agg(*aggs).collect()[0]
+        bounds = [(float(row[2 * i]), float(row[2 * i + 1]))
+                  for i in range(len(cols))]
+    z = zorder_key(cols, bounds, bits)
+    parts = (df.withColumn("_z", z)
+             .repartitionByRange(*([num_files] if num_files else []),
+                                 "_z"))
+    (parts.sortWithinPartitions("_z").drop("_z")
+     .write.mode(mode).parquet(path))
 
 
 def prefilter_semi(big: DataFrame, filtered: DataFrame, on: list[str],

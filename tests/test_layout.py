@@ -215,3 +215,61 @@ def test_prefilter_semi_guards_oversize_keys(spark, sf_dir):
     with pytest.raises(ValueError, match="bloom"):
         layout.prefilter_semi(big, t["lineitem"].select("l_orderkey"),
                               ["l_orderkey"], max_filter_rows=10)
+
+
+def test_land_zorder_bounds_both_dims(spark, tmp_path):
+    """Z-order landing must leave every file covering a small
+    rectangle of the 2-D domain: per-file min/max spans are narrow on
+    BOTH columns, where a 1-D sort leaves the second column's per-file
+    span at ~the full domain. Data is a deterministic 2-D uniform grid
+    (hash-scattered), so the assertion is stable."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = (spark.range(1 << 14)
+          .withColumn("x", (F.col("id") % 256).cast("long"))
+          .withColumn("y", F.pmod(F.hash("id"), F.lit(256)).cast("long")))
+
+    def spans(path, col_idx):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(rg).column(col_idx).statistics.min
+                     for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(col_idx).statistics.max
+                     for rg in range(md.num_row_groups))
+            out.append((hi - lo) / 255.0)
+        return out
+
+    zpath = str(tmp_path / "z")
+    layout.land_zorder(df.select("id", "x", "y"), zpath, ["x", "y"],
+                       bounds=[(0, 255), (0, 255)], bits=8,
+                       num_files=16)
+    # schema order in the file: id, x, y -> x is col 1, y col 2
+    zx, zy = spans(zpath, 1), spans(zpath, 2)
+    assert len(zx) >= 8
+    assert sum(zx) / len(zx) <= 0.5 and sum(zy) / len(zy) <= 0.5, \
+        (sum(zx) / len(zx), sum(zy) / len(zy))
+
+    spath = str(tmp_path / "s")
+    layout.land_sorted(df.select("id", "x", "y"), spath, ["x"],
+                       num_files=16)
+    sy = spans(spath, 2)
+    assert sum(sy) / len(sy) > 0.9  # 1-D sort: y stats are useless
+
+    # round-trip correctness + both-dim predicate answers
+    back = spark.read.parquet(zpath)
+    assert back.count() == df.count()
+    want = df.filter((F.col("x") == 3) & (F.col("y") == 7)).count()
+    assert back.filter((F.col("x") == 3) & (F.col("y") == 7)).count() \
+        == want
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a"], [(0, 1)])
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b"], [(0, 1)])
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b"], [(0, 1), (0, 1)], bits=32)
