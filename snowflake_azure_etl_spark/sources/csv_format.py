@@ -45,7 +45,7 @@ class LoadReport:
         return self.rows_loaded > 0
 
 
-def read_snowflake_csv(spark: SparkSession, path: str,
+def read_snowflake_csv(spark: SparkSession, path: str | list[str],
                        schema: T.StructType) -> DataFrame:
     """Schema-declared CSV read with the reference's NULL semantics.
 
@@ -70,7 +70,7 @@ def read_snowflake_csv(spark: SparkSession, path: str,
     return df
 
 
-def copy_into(spark: SparkSession, path: str, schema: T.StructType,
+def copy_into(spark: SparkSession, path: str | list[str], schema: T.StructType,
               table: str, entity: str | None = None,
               mode: str = "append") -> LoadReport:
     """COPY INTO table FROM stage with ON_ERROR=CONTINUE accounting.

@@ -46,3 +46,54 @@ def load_stage_if_present(spark: SparkSession, path_glob: str,
     if not list_stage(spark, path_glob):
         return None
     return copy_into(spark, path_glob, schema, table, entity=entity)
+
+
+#: Where COPY load history lives (Snowflake keeps this per table in
+#: metadata; the engine's analog is a tiny parquet-backed table).
+LOAD_HISTORY_TABLE = "etl_load_history"
+
+
+def copy_with_history(spark: SparkSession, path_glob: str,
+                      schema: T.StructType, table: str,
+                      entity: str | None = None, force: bool = False,
+                      history_table: str = LOAD_HISTORY_TABLE
+                      ) -> LoadReport | None:
+    """COPY with Snowflake's load-history semantics: a file already
+    loaded into `table` is SKIPPED on re-COPY, so the reference's load
+    scripts stay rerunnable without double-loading
+    (Snowflake COPY's default; load_data.py:41-59 relies on it —
+    rerunning the loader reports 0 rows loaded, not duplicates).
+    ``force=True`` is COPY's FORCE=TRUE: reload everything.
+
+    File identity is (path, size) — a restaged file with a different
+    size reloads (the engine's stand-in for Snowflake's etag match; a
+    same-size in-place edit is NOT detected, same as an etag-less
+    store). History is a tiny per-(table, file) relation: the
+    listing-vs-history diff happens driver-side on the bounded LIST
+    result (file count, not rows), and only the surviving files are
+    handed to the parallel COPY scan.
+
+    Returns None when nothing needs loading (empty stage or all files
+    already in history); the skip still counts as success, exactly
+    like Snowflake's 'Copy executed with 0 files processed'."""
+    from pyspark.sql import functions as F
+
+    listing = list_stage(spark, path_glob)
+    if not listing:
+        return None
+    seen: set[tuple[str, int]] = set()
+    if not force and spark.catalog.tableExists(history_table):
+        seen = {(r["file_path"], r["file_size"])
+                for r in (spark.table(history_table)
+                          .filter(F.col("table_name") == table)
+                          .select("file_path", "file_size").collect())}
+    todo = [(p, sz) for p, sz in listing if (p, sz) not in seen]
+    if not todo:
+        return None
+    report = copy_into(spark, [p for p, _ in todo], schema, table,
+                       entity=entity)
+    hist = spark.createDataFrame(
+        [(table, p, sz) for p, sz in todo],
+        "table_name string, file_path string, file_size long")
+    hist.write.mode("append").format("parquet").saveAsTable(history_table)
+    return report

@@ -344,3 +344,41 @@ def test_stage_registry_reads_json_and_orc(spark, sf_dir, tmp_path):
     for st in ("nation_json", "nation_orc"):
         got = {r.n_nationkey for r in reg.read(spark, st).collect()}
         assert got == want, st
+
+
+def test_copy_with_history_skips_loaded_files(spark, stage_dir):
+    """Snowflake COPY load-history semantics: a rerun loads nothing, a
+    newly staged file loads alone, FORCE reloads everything."""
+    hist = "copy_hist_test_history"
+    spark.sql(f"DROP TABLE IF EXISTS {hist}")
+    spark.sql("DROP TABLE IF EXISTS copy_hist_test")
+    ddl.create_table(spark, "copy_hist_test", CSV_SCHEMA)
+
+    rep1 = copy_loader.copy_with_history(
+        spark, f"{stage_dir}/*.csv", CSV_SCHEMA, "copy_hist_test",
+        history_table=hist)
+    assert rep1 is not None and rep1.rows_loaded == 6
+
+    # rerun: all files in history -> nothing to load, table unchanged
+    assert copy_loader.copy_with_history(
+        spark, f"{stage_dir}/*.csv", CSV_SCHEMA, "copy_hist_test",
+        history_table=hist) is None
+    assert spark.table("copy_hist_test").count() == 6
+
+    # a new staged file loads alone
+    with open(os.path.join(stage_dir, "part3.csv"), "w") as f:
+        f.write("id,name,amount\n7,golf,3.5\n")
+    rep3 = copy_loader.copy_with_history(
+        spark, f"{stage_dir}/*.csv", CSV_SCHEMA, "copy_hist_test",
+        history_table=hist)
+    assert rep3 is not None and rep3.rows_loaded == 1
+    assert len(rep3.files) == 1
+    assert spark.table("copy_hist_test").count() == 7
+
+    # FORCE reloads every staged file (double rows, like Snowflake)
+    repf = copy_loader.copy_with_history(
+        spark, f"{stage_dir}/*.csv", CSV_SCHEMA, "copy_hist_test",
+        history_table=hist, force=True)
+    assert repf is not None and repf.rows_loaded == 7
+    assert spark.table("copy_hist_test").count() == 14
+    os.remove(os.path.join(stage_dir, "part3.csv"))
