@@ -63,20 +63,32 @@ def pack_offsets(docs: DataFrame, id_col: str = "doc_id",
     if ctx < 1:
         raise ValueError("pack_offsets: ctx must be >= 1")
     w = weight if weight is not None else text.n_tokens(text_col)
-    w = w.cast("long")
+
+    # The running total is computed over a NARROW (id, weight)
+    # projection and joined back on the unique id, so the wide corpus
+    # rows (text/media payloads, feature columns) never pass through
+    # the prefix-sum exchange — and the rest of the caller's plan
+    # keeps its scan-side parallelism instead of being dragged into
+    # the window stage. The join broadcasts when the skinny offsets
+    # relation is attested small (`dedup.BROADCAST_MAX_ROWS`), else it
+    # equi-shuffles on the id — at most one wide exchange, same as
+    # range-partitioning the full rows, never worse.
+    narrow = docs.select(F.col(id_col), w.cast("long").alias("n_tokens"))
     if n_rows is not None and n_rows > big_max_rows:
-        out = ranged_prefix_sum(docs, w, "token_offset", [id_col])
+        offs = ranged_prefix_sum(narrow, F.col("n_tokens"),
+                                 "token_offset", [id_col])
     else:
-        out = window_prefix_sum(docs, w, "token_offset", [id_col])
-    n = w.alias("n_tokens")
-    return (out
-            .withColumn("n_tokens", n)
+        offs = window_prefix_sum(narrow, F.col("n_tokens"),
+                                 "token_offset", [id_col])
+    offs = (offs
             .withColumn("pack_first_seq",
                         F.floor(F.col("token_offset") / ctx))
             .withColumn("pack_last_seq",
                         F.floor((F.col("token_offset")
                                  + F.greatest(F.col("n_tokens") - 1,
                                               F.lit(0))) / ctx)))
+    from .dedup import _maybe_broadcast
+    return docs.join(_maybe_broadcast(offs, n_rows), id_col)
 
 
 def pack_assignments(offsets: DataFrame, id_col: str = "doc_id",
