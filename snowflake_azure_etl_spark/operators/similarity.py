@@ -350,3 +350,54 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b",
                     cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def normalize_vec(vec: Column | str) -> Column:
+    """L2-normalize a vector column (row-local higher-order exprs —
+    the preprocessing that turns dot products into cosines so ANN
+    stages can skip the per-pair norm divide). Zero vectors pass
+    through unchanged (NULL-safe alternative to a 0/0 NaN)."""
+    v = as_double_vec(vec)
+    n = l2_norm(v)
+    return F.when(n == 0, v).otherwise(
+        F.transform(v, lambda x: x / n))
+
+
+def mean_pool(df: DataFrame, group_cols: list[str],
+              vec_col: str = "embedding") -> DataFrame:
+    """Grouped element-wise mean of vectors: chunk→document (or
+    doc→cluster) embedding pooling, the standard aggregation for
+    building coarse-grain embeddings from fine-grain ones.
+
+    Plan: posexplode to (group, dim_idx, value) → one hash aggregate
+    keyed (group, dim_idx) — uniform keys, bounded state (one running
+    sum/count per group×dim), map-side partial — → one re-assembly
+    aggregate per group (array_sort(collect_list(struct(idx, avg)))
+    whose state is exactly one vector per group, i.e. the OUTPUT row).
+    No collect_list over members anywhere, so a group with a million
+    chunks still carries dim-count state, not member-count state.
+    Ragged inputs fail loudly: a group mixing vector lengths yields
+    differing per-dim counts, checked against the group's max and
+    raised via raise_error rather than silently averaging a prefix.
+    """
+    pos = df.select(*[F.col(c) for c in group_cols],
+                    F.posexplode(as_double_vec(vec_col))
+                    .alias("_dim", "_val"))
+    per_dim = (pos.groupBy(*group_cols, "_dim")
+               .agg(F.avg("_val").alias("_avg"),
+                    F.count("*").alias("_n")))
+    vec = F.transform("_pairs", lambda p: p["_avg"])
+    # the guard lives INSIDE the output expression so column pruning
+    # can never drop it (an unused side-channel aggregate would be
+    # eliminated by Catalyst, silently disarming the check)
+    guarded = F.when(
+        F.col("_ndist") > 1,
+        F.raise_error(F.lit(
+            "mean_pool: ragged vector lengths within a group"))
+        .cast("array<double>")
+    ).otherwise(vec)
+    return (per_dim.groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list(F.struct("_dim", "_avg")))
+                 .alias("_pairs"),
+                 F.countDistinct("_n").alias("_ndist"))
+            .select(*group_cols, guarded.alias(vec_col)))
