@@ -1,0 +1,81 @@
+"""Streaming corpus ingestion (north-star extension): a JSONL drop
+directory consumed continuously — the streaming twin of
+`sources.jsonl_format.copy_into_jsonl`, for pipelines where documents
+arrive as files (crawler output, log shippers) and must flow through
+scrubbing without a nightly batch.
+
+Spark-first shape: the file source (`readStream.schema(...).json`)
+does the discovery — each micro-batch is exactly the newly arrived
+files (the engine's own checkpointed file tracking plays the role
+`warehouse.copy_loader.copy_with_history` plays for batch COPY), and
+the PERMISSIVE corrupt-record column quarantines malformed lines
+per-row instead of failing the stream.
+
+Scale design:
+- file listing per trigger is namenode-bounded (`maxFilesPerTrigger`
+  caps batch size so a backfill burst cannot build one giant batch);
+- the good/quarantine split is one narrow filter each — both legs of
+  the SAME source; Spark runs one scan per micro-batch per sink, and
+  the quarantine leg is hit-proportional;
+- downstream composition is ordinary DataFrame code: the scrub
+  stages (`operators.text.redact_pii`, quality filters) and streaming
+  dedup (`streaming.dedup.dedup_stream`) apply unchanged, because a
+  streaming DataFrame IS a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.csv_format import CORRUPT_COL
+from ..sources.jsonl_format import JSONL_OPTIONS
+
+
+def read_jsonl_stream(spark: SparkSession, path: str,
+                      schema: T.StructType,
+                      max_files_per_trigger: int | None = None
+                      ) -> DataFrame:
+    """Streaming schema-declared JSONL read with the corrupt-record
+    quarantine column (same semantics as the batch reader — missing
+    keys NULL, extra keys ignored, malformed lines quarantined)."""
+    schema_with_corrupt = T.StructType(
+        list(schema.fields)
+        + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    opts = dict(JSONL_OPTIONS)
+    if max_files_per_trigger is not None:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return (spark.readStream.options(**opts)
+            .schema(schema_with_corrupt).json(path))
+
+
+def split_quarantine(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): good rows with the corrupt column dropped;
+    quarantined rows keep the partially parsed columns (NULL for
+    unparseable fields — useful triage signal) plus the raw line and
+    source file — the streaming form of COPY ON_ERROR=CONTINUE
+    accounting. The parsed columns also keep the projection legal:
+    Spark refuses a query referencing ONLY the internal corrupt
+    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    good = stream.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = (stream.filter(F.col(CORRUPT_COL).isNotNull())
+           .withColumn("raw_line", F.col(CORRUPT_COL))
+           .withColumn("src_file", F.input_file_name())
+           .drop(CORRUPT_COL))
+    return good, bad
+
+
+def scrubbed_ingest(stream: DataFrame, text_col: str = "text",
+                    min_chars: int = 1,
+                    scrub_pii: bool = True) -> DataFrame:
+    """The standard arrival-time scrub over the good leg: drop
+    empty/short documents, redact PII — narrow row-local stages that
+    keep the stream stateless (dedup is the caller's stateful stage:
+    `streaming.dedup.dedup_stream` composes after this)."""
+    from ..operators import text as text_ops
+
+    out = stream.filter(F.length(F.col(text_col)) >= min_chars)
+    if scrub_pii:
+        out = out.withColumn(text_col, text_ops.redact_pii(text_col))
+    return out

@@ -82,11 +82,18 @@ def copy_with_history(spark: SparkSession, path_glob: str,
     if not listing:
         return None
     seen: set[tuple[str, int]] = set()
-    if not force and spark.catalog.tableExists(history_table):
-        seen = {(r["file_path"], r["file_size"])
-                for r in (spark.table(history_table)
-                          .filter(F.col("table_name") == table)
-                          .select("file_path", "file_size").collect())}
+    if spark.catalog.tableExists(history_table):
+        if not force:
+            seen = {(r["file_path"], r["file_size"])
+                    for r in (spark.table(history_table)
+                              .filter(F.col("table_name") == table)
+                              .select("file_path", "file_size").collect())}
+    else:
+        # a fresh catalog over a persisted warehouse dir may hold an
+        # orphan managed location from an earlier session; the append
+        # below would fail on it (same contract as ddl.create_table)
+        from .ddl import drop_orphan_location
+        drop_orphan_location(spark, history_table)
     todo = [(p, sz) for p, sz in listing if (p, sz) not in seen]
     if not todo:
         return None

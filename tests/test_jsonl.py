@@ -47,8 +47,13 @@ def test_read_jsonl_semantics(spark, stage):
 
 
 def test_copy_into_jsonl_accounting(spark, stage):
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS jsonl_test_db")
     spark.sql("DROP TABLE IF EXISTS jsonl_test_db.docs")
+    loc = (spark.conf.get("spark.sql.warehouse.dir")
+           .removeprefix("file:") + "/jsonl_test_db.db/docs")
+    shutil.rmtree(loc, ignore_errors=True)  # orphan managed location
     rep = jsonl_format.copy_into_jsonl(
         spark, stage + "/*.jsonl", SCHEMA, "jsonl_test_db.docs",
         mode="overwrite")

@@ -82,12 +82,23 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q50_dedup_exact")
-    # exactly one HASH exchange (the groupBy partitioning); the
-    # round-robin split-compaction exchange is the only other kind
+    """The exact-dedup CORE is one uniform content-hash shuffle. The
+    q50 catalog query now composes it with the decontamination leg
+    (its own hit aggregation + keeper join), so the single-shuffle
+    invariant is pinned on the operator itself."""
+    from snowflake_azure_etl_spark.operators import dedup
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    plan = groups._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning") <= 2   # tree + detail block
     assert "hashpartitioning" in plan
     assert "rangepartitioning" not in plan
+    # and the composed q50 stays free of range exchanges / UDFs
+    q50 = plan_of(spark, sf_dir, "q50_dedup_exact")
+    assert "rangepartitioning" not in q50
+    assert "Python" not in q50
 
 
 def test_lsh_pairs_no_pairset_shuffle(spark, sf_dir):

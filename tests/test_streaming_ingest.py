@@ -1,0 +1,114 @@
+"""Streaming JSONL ingestion (streaming/ingest.py): file-arrival
+micro-batches, per-row quarantine of malformed lines, batch-reader
+equivalence of the good leg, and the scrub composition (incl. the
+stateful dedup stage downstream)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from snowflake_azure_etl_spark.sources import jsonl_format
+from snowflake_azure_etl_spark.streaming import ingest
+from snowflake_azure_etl_spark.streaming.dedup import dedup_stream
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+FILES = {
+    "a.jsonl": [
+        '{"doc_id": 1, "text": "contact me at bob@example.com today"}',
+        '{"doc_id": 2, "text": "clean document"}',
+    ],
+    "b.jsonl": [
+        '{broken line',
+        '{"doc_id": 3, "text": "clean document"}',
+        '{"doc_id": 4, "text": ""}',
+    ],
+    "c.jsonl": [
+        '{"doc_id": 5, "text": "another fine document"}',
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def drop_dir():
+    d = tempfile.mkdtemp(prefix="jsonl_drop_")
+    for name, lines in FILES.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return d
+
+
+def _run(df, name):
+    q = (df.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def test_stream_matches_batch_reader(spark, drop_dir):
+    stream = ingest.read_jsonl_stream(spark, drop_dir + "/*.jsonl",
+                                      SCHEMA, max_files_per_trigger=1)
+    good, bad = ingest.split_quarantine(stream)
+    got = _run(good, "t_ingest_good")
+    want = (jsonl_format.read_jsonl(spark, drop_dir + "/*.jsonl", SCHEMA)
+            .filter(f"{jsonl_format.CORRUPT_COL} IS NULL")
+            .drop(jsonl_format.CORRUPT_COL))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_quarantine_leg_captures_bad_lines(spark, drop_dir):
+    stream = ingest.read_jsonl_stream(spark, drop_dir + "/*.jsonl",
+                                      SCHEMA)
+    _, bad = ingest.split_quarantine(stream)
+    rows = _run(bad, "t_ingest_bad").collect()
+    assert len(rows) == 1
+    assert rows[0]["raw_line"] == "{broken line"
+    assert rows[0]["src_file"].endswith("b.jsonl")
+
+
+def test_scrub_composition_with_stateful_dedup(spark, drop_dir):
+    """good → scrub (drop empties, redact PII) → stateful exact dedup:
+    doc 4 (empty) dies at the scrub, docs 2/3 share content so only
+    the first-arriving survives dedup, doc 1's email is redacted."""
+    stream = ingest.read_jsonl_stream(spark, drop_dir + "/*.jsonl",
+                                      SCHEMA, max_files_per_trigger=1)
+    good, _ = ingest.split_quarantine(stream)
+    scrubbed = ingest.scrubbed_ingest(good)
+    rows = _run(dedup_stream(scrubbed, "text"), "t_ingest_scrub").collect()
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    assert 4 not in by_id                      # empty doc dropped
+    assert len({2, 3} & set(by_id)) == 1       # dup content: one survives
+    assert "bob@example.com" not in by_id[1]   # PII redacted
+    assert 5 in by_id
+
+
+def test_new_file_arrival_extends_stream(spark, drop_dir):
+    """A file dropped after the first drain is picked up as its own
+    micro-batch on the next drain — the continuous-ingest contract."""
+    stream = ingest.read_jsonl_stream(spark, drop_dir + "/*.jsonl",
+                                      SCHEMA, max_files_per_trigger=1)
+    good, _ = ingest.split_quarantine(stream)
+    q = (good.writeStream.outputMode("append").format("memory")
+         .queryName("t_ingest_late").start())
+    try:
+        q.processAllAvailable()
+        n1 = spark.table("t_ingest_late").count()
+        with open(os.path.join(drop_dir, "d.jsonl"), "w") as f:
+            f.write('{"doc_id": 9, "text": "late arrival"}\n')
+        q.processAllAvailable()
+        n2 = spark.table("t_ingest_late").count()
+    finally:
+        q.stop()
+        os.remove(os.path.join(drop_dir, "d.jsonl"))
+    assert n2 == n1 + 1
