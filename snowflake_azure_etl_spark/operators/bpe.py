@@ -244,3 +244,61 @@ def apply_merges_arrow(docs: DataFrame, merges: list[tuple[str, str, int]],
     id_type = dict(docs.dtypes)[id_col]
     return docs.mapInPandas(
         op, schema=f"{id_col} {id_type}, segs array<string>, n_segs int")
+
+
+def vocab_from_merges(spark, docs: DataFrame,
+                      merges: list[tuple[str, str, int]],
+                      text_col: str = "text") -> DataFrame:
+    """(token, token_id): the deterministic id space a trained BPE
+    tokenizer ships — base alphabet first (the corpus's distinct
+    non-space characters, ids 0.. in lexical order), then one token
+    per learned merge in rank order. Rebuilding from the same (corpus,
+    merges) yields byte-identical ids — the reproducibility contract
+    checkpointed training needs.
+
+    The alphabet pass is one distinct over exploded characters
+    (alphabet-bounded output; the window that ranks it runs over
+    ~10²-10⁵ rows, never corpus rows)."""
+    from pyspark.sql import Window
+
+    chars = (docs.select(F.explode(
+        F.split(F.regexp_replace(F.col(text_col), " ", ""), ""))
+        .alias("token"))
+        .filter(F.length("token") > 0).distinct())
+    base = chars.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy("token")) - 1)
+    n_base = base.count()
+    merged = spark.createDataFrame(
+        [(a.replace(SENT, "") + b.replace(SENT, ""), n_base + i)
+         for i, (a, b, _) in enumerate(merges)],
+        "token string, token_id int")
+    return base.unionByName(merged)
+
+
+def encode_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
+               vocab: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", unk_id: int = -1) -> DataFrame:
+    """(id, token_ids, n_ids): the full ENCODE path — text → merged
+    subword segments (`apply_merges`) → vocabulary ids. The last mile
+    of the tokenizer story; compose with `operators.packing` (weight =
+    n_ids) for a fully pretokenized, packed corpus.
+
+    The vocab rides as a ONE-ROW broadcast map column (the
+    centroid-array idiom — tokenizer vocabularies are bounded at
+    ~10⁴-10⁵ entries at any corpus size), so the lookup is a row-local
+    `element_at` inside `transform`: no explode, no shuffle, plan size
+    O(1) in vocabulary size. Out-of-vocabulary segments (impossible
+    when the vocab was built from the training corpus; possible on
+    held-out text with unseen characters) map to `unk_id` — the
+    byte-fallback upgrade documents itself here."""
+    vmap = vocab.agg(F.map_from_entries(
+        F.collect_list(F.struct("token", "token_id"))).alias("_vmap"))
+    segs = apply_merges(text_col, merges)
+    ids = F.transform(
+        segs,
+        lambda s: F.coalesce(F.element_at(F.col("_vmap"), s),
+                             F.lit(unk_id)))
+    return (docs.crossJoin(F.broadcast(vmap))
+            .select(F.col(id_col), ids.alias("token_ids"))
+            .withColumn("n_ids", F.size("token_ids")))

@@ -7,6 +7,7 @@ from __future__ import annotations
 import collections
 
 import pytest
+from pyspark.sql import functions as F
 
 from snowflake_azure_etl_spark.operators import bpe
 
@@ -195,3 +196,84 @@ def test_arrow_encode_matches_expression_path(spark):
         assert e["doc_id"] == a["doc_id"]
         assert e["segs"] == a["segs"]
         assert a["n_segs"] == len(a["segs"])
+
+
+# ------------------------------------------------ encode-to-ids path --
+
+def test_vocab_from_merges_is_deterministic_and_complete(spark):
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer lowest")],
+        "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=4)
+    v1 = {r["token"]: r["token_id"] for r in
+          bpe.vocab_from_merges(spark, docs, merges).collect()}
+    v2 = {r["token"]: r["token_id"] for r in
+          bpe.vocab_from_merges(spark, docs, merges).collect()}
+    assert v1 == v2
+    # base alphabet ids precede merge ids, in lexical order
+    base = sorted(set("lowernst w".replace(" ", "")))
+    assert [t for t, i in sorted(v1.items(), key=lambda kv: kv[1])
+            if i < len(base)] == base
+    assert len(v1) == len(base) + len(merges)
+    # ids are dense and unique
+    assert sorted(v1.values()) == list(range(len(v1)))
+
+
+def test_encode_ids_roundtrip_and_unk(spark):
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer lowest")],
+        "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=4)
+    vocab = bpe.vocab_from_merges(spark, docs, merges)
+    inv = {r["token_id"]: r["token"] for r in vocab.collect()}
+
+    out = bpe.encode_ids(docs, merges, vocab)
+    segs = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", bpe.apply_merges("text", merges).alias("segs")).collect()}
+    for r in out.collect():
+        assert r["n_ids"] == len(r["token_ids"])
+        assert [inv[i] for i in r["token_ids"]] == segs[r["doc_id"]]
+        assert all(i >= 0 for i in r["token_ids"])
+
+    # held-out text with an unseen character maps to unk_id
+    held = spark.createDataFrame([(9, "low quiz")],
+                                 "doc_id bigint, text string")
+    ids = bpe.encode_ids(held, merges, vocab, unk_id=-7).collect()[0]
+    assert -7 in ids["token_ids"]
+
+
+def test_encode_ids_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=1)
+    vocab = bpe.vocab_from_merges(spark, docs, merges)
+    plan = (bpe.encode_ids(docs, merges, vocab)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the vocab map arrives as a one-row broadcast; every Exchange in
+    # the plan belongs to the alphabet-bounded vocab build UNDER the
+    # BroadcastExchange — the corpus probe side (everything above it)
+    # never moves
+    assert "BroadcastExchange" in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side
+    assert "rangepartitioning" not in corpus_side
+
+
+def test_encode_ids_composes_with_packing(spark):
+    """Pretokenize → pack: offsets over n_ids equal a Python running
+    total of the id counts — the full text→ids→sequences pipeline."""
+    from snowflake_azure_etl_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new") for i in range(6)],
+        "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=3)
+    vocab = bpe.vocab_from_merges(spark, docs, merges)
+    enc = bpe.encode_ids(docs, merges, vocab)
+    packed = packing.pack_offsets(enc, text_col="unused",
+                                  weight=F.col("n_ids"), ctx=16)
+    rows = sorted((r["doc_id"], r["n_ids"], r["token_offset"])
+                  for r in packed.collect())
+    acc = 0
+    for did, n, off in rows:
+        assert off == acc
+        acc += n
