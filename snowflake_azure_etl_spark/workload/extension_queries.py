@@ -217,9 +217,11 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS rolling_7_rev,
            CAST(rev - LAG(rev) OVER w AS DOUBLE) AS delta_prev,
            CAST(LEAD(rev) OVER w - rev AS DOUBLE) AS delta_next,
-           CAST(NTILE(4) OVER (PARTITION BY suppkey ORDER BY rev, ship_date)
-                AS INT) AS rev_quartile
-    FROM daily WINDOW w AS (PARTITION BY suppkey ORDER BY ship_date)
+           CAST(NTILE(4) OVER wr AS INT) AS rev_quartile,
+           PERCENT_RANK() OVER wr AS rev_pct_rank,
+           CUME_DIST() OVER wr AS rev_cume_dist
+    FROM daily WINDOW w AS (PARTITION BY suppkey ORDER BY ship_date),
+        wr AS (PARTITION BY suppkey ORDER BY rev, ship_date)
     """,
 )
 def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,8 +230,9 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     former q36's lag/lead deltas over the identical partition+ordering —
     window shapes the reference never uses (SURVEY §2.5 'not present').
     One shuffle and one sort serve the frame sum and both offsets;
-    the NTILE(4) revenue quartile (W7 — its own ordering) completes
-    the named-window-function family."""
+    the NTILE(4) revenue quartile plus PERCENT_RANK/CUME_DIST over the
+    same revenue ordering (W7 — Catalyst merges all three into ONE
+    extra Window stage) complete the ranked-window-function family."""
     li = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("lineitem",))["lineitem"],
         sf_dir, "lineitem")
@@ -248,7 +251,13 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta_next"),
         F.ntile(4).over(Window.partitionBy("suppkey")
                         .orderBy("rev", "ship_date"))
-        .cast("int").alias("rev_quartile"))
+        .cast("int").alias("rev_quartile"),
+        F.percent_rank().over(Window.partitionBy("suppkey")
+                              .orderBy("rev", "ship_date"))
+        .alias("rev_pct_rank"),
+        F.cume_dist().over(Window.partitionBy("suppkey")
+                           .orderBy("rev", "ship_date"))
+        .alias("rev_cume_dist"))
 
 
 @query(
