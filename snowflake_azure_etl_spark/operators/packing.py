@@ -48,10 +48,23 @@ PACK_CTX = 2048
 BIG_CORPUS_MAX_ROWS = BIG_DIM_MAX_ROWS
 
 
+def shuffle_order(id_col: Column | str, seed: str = "shuffle") -> Column:
+    """Deterministic corpus shuffle key: order documents by a salted
+    hash of their id instead of the id itself — the reproducible
+    'random' training order packing should usually run in (id order
+    correlates adjacent documents: same crawl, same source, same
+    topic). Row-local, rerun-stable, changes wholesale with `seed`.
+    Pass as `pack_offsets(order_col=...)`; the id remains the
+    uniqueness tiebreak."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+
+
 def pack_offsets(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", ctx: int = PACK_CTX,
                  weight: Column | None = None,
                  n_rows: int | None = None,
+                 order_col: Column | None = None,
                  big_max_rows: int = BIG_CORPUS_MAX_ROWS) -> DataFrame:
     """docs + (n_tokens, token_offset, pack_first_seq, pack_last_seq).
 
@@ -59,7 +72,12 @@ def pack_offsets(docs: DataFrame, id_col: str = "doc_id",
     `text.n_tokens` — swap in `bpe_segment_count` or a real tokenizer
     count column when the corpus carries one). `n_rows` is the
     caller's corpus-size attestation (footer/catalog count; an upper
-    bound is fine) gating the parallel-prefix-sum switch."""
+    bound is fine) gating the parallel-prefix-sum switch. `order_col`
+    overrides the concatenation order (default: id order; pass
+    `shuffle_order(id_col)` for the deterministic shuffled order a
+    training run wants) — the id is always appended as the uniqueness
+    tiebreak, so any order expression yields total, reproducible
+    offsets."""
     if ctx < 1:
         raise ValueError("pack_offsets: ctx must be >= 1")
     w = weight if weight is not None else text.n_tokens(text_col)
@@ -73,13 +91,19 @@ def pack_offsets(docs: DataFrame, id_col: str = "doc_id",
     # relation is attested small (`dedup.BROADCAST_MAX_ROWS`), else it
     # equi-shuffles on the id — at most one wide exchange, same as
     # range-partitioning the full rows, never worse.
-    narrow = docs.select(F.col(id_col), w.cast("long").alias("n_tokens"))
+    narrow = docs.select(F.col(id_col), w.cast("long").alias("n_tokens"),
+                         *([order_col.alias("_ord")]
+                           if order_col is not None else []))
+    order_by: list = (["_ord", id_col] if order_col is not None
+                      else [id_col])
     if n_rows is not None and n_rows > big_max_rows:
         offs = ranged_prefix_sum(narrow, F.col("n_tokens"),
-                                 "token_offset", [id_col])
+                                 "token_offset", order_by)
     else:
         offs = window_prefix_sum(narrow, F.col("n_tokens"),
-                                 "token_offset", [id_col])
+                                 "token_offset", order_by)
+    if order_col is not None:
+        offs = offs.drop("_ord")
     offs = (offs
             .withColumn("pack_first_seq",
                         F.floor(F.col("token_offset") / ctx))

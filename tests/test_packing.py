@@ -94,3 +94,33 @@ def test_determinism_under_repartition(spark, docs):
     cols = ["doc_id", "token_offset"]
     assert sorted(map(tuple, a.select(cols).collect())) == \
         sorted(map(tuple, b.select(cols).collect()))
+
+
+def test_shuffled_order_is_deterministic_and_decorrelated(spark, docs):
+    """shuffle_order packing: same seed → identical offsets across
+    reruns and partitionings; different seed → different order; the
+    offset multiset (and total) is invariant to the order."""
+    so = packing.shuffle_order("doc_id")
+    a = {r["doc_id"]: r["token_offset"] for r in
+         packing.pack_offsets(docs, ctx=CTX, order_col=so).collect()}
+    b = {r["doc_id"]: r["token_offset"] for r in
+         packing.pack_offsets(docs.repartition(5), ctx=CTX,
+                              order_col=packing.shuffle_order("doc_id"))
+         .collect()}
+    assert a == b
+    ident = {r["doc_id"]: r["token_offset"] for r in
+             packing.pack_offsets(docs, ctx=CTX).collect()}
+    other = {r["doc_id"]: r["token_offset"] for r in
+             packing.pack_offsets(docs, ctx=CTX,
+                                  order_col=packing.shuffle_order(
+                                      "doc_id", seed="other"))
+             .collect()}
+    assert a != ident and a != other          # order really changed
+    # the packed total is order-invariant: max offset + that doc's
+    # weight equals the corpus token count under every order
+    lens = {r["doc_id"]: r["n_tokens"] for r in
+            packing.pack_offsets(docs, ctx=CTX).collect()}
+    total = sum(lens.values())
+    for offs in (a, ident, other):
+        last = max(offs, key=offs.get)
+        assert offs[last] + lens[last] == total
