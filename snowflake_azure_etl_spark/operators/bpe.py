@@ -177,7 +177,14 @@ def apply_merges(text: Column | str,
             sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b[len(SENT):]))
         return F.split(sym, " ")
 
-    segs = F.flatten(F.transform(tokens(c), encode_word))
+    # empty whitespace tokens (double/leading/trailing spaces, empty
+    # text) are dropped BEFORE encoding — symbolize('') would emit
+    # phantom empty symbols (F.sequence(1, 0) counts DOWN, yielding
+    # two '' chars), which became spurious segments; the Arrow path's
+    # `if w` filter has the same semantics, keeping the two encoders
+    # pinned equal on real-world spacing
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    segs = F.flatten(F.transform(words, encode_word))
     return F.transform(segs, lambda s: F.replace(s, F.lit(SENT), F.lit("")))
 
 
@@ -256,24 +263,29 @@ def vocab_from_merges(spark, docs: DataFrame,
     merges) yields byte-identical ids — the reproducibility contract
     checkpointed training needs.
 
-    The alphabet pass is one distinct over exploded characters
-    (alphabet-bounded output; the window that ranks it runs over
-    ~10²-10⁵ rows, never corpus rows)."""
-    from pyspark.sql import Window
+    The alphabet pass is ONE distinct over exploded characters
+    (alphabet-bounded output, collected once to the driver — a few
+    hundred rows at most — so the returned vocab is a local relation
+    and downstream uses never re-scan the corpus).
 
-    chars = (docs.select(F.explode(
+    Two distinct merges can strip to the same surface token (the
+    apply_merges_arrow docstring's pathological-list case); only the
+    FIRST (lowest-rank) occurrence gets an id, so tokens stay unique —
+    `encode_ids`' map build would otherwise die on DUPLICATED_MAP_KEY."""
+    alphabet = sorted(r["token"] for r in (docs.select(F.explode(
         F.split(F.regexp_replace(F.col(text_col), " ", ""), ""))
         .alias("token"))
-        .filter(F.length("token") > 0).distinct())
-    base = chars.withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy("token")) - 1)
-    n_base = base.count()
-    merged = spark.createDataFrame(
-        [(a.replace(SENT, "") + b.replace(SENT, ""), n_base + i)
-         for i, (a, b, _) in enumerate(merges)],
-        "token string, token_id int")
-    return base.unionByName(merged)
+        .filter(F.length("token") > 0).distinct().collect()))
+    rows = [(t, i) for i, t in enumerate(alphabet)]
+    seen = set(alphabet)
+    nxt = len(alphabet)
+    for a, b, _ in merges:
+        tok = a.replace(SENT, "") + b.replace(SENT, "")
+        if tok not in seen:
+            seen.add(tok)
+            rows.append((tok, nxt))
+            nxt += 1
+    return spark.createDataFrame(rows, "token string, token_id int")
 
 
 def encode_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
@@ -292,8 +304,15 @@ def encode_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
     when the vocab was built from the training corpus; possible on
     held-out text with unseen characters) map to `unk_id` — the
     byte-fallback upgrade documents itself here."""
-    vmap = vocab.agg(F.map_from_entries(
-        F.collect_list(F.struct("token", "token_id"))).alias("_vmap"))
+    # min-id per token: a caller-supplied vocab with duplicate surface
+    # tokens must not kill the job with DUPLICATED_MAP_KEY — lowest id
+    # wins, matching vocab_from_merges' first-occurrence rule (the
+    # group-by is vocab-bounded, never corpus-bounded)
+    vmap = (vocab.groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "token_id")))
+                .alias("_vmap")))
     segs = apply_merges(text_col, merges)
     ids = F.transform(
         segs,

@@ -73,14 +73,18 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             lang_fractions: dict[str, float] | None = None,
                             lang_quota: int | None = None,
                             eval_docs: DataFrame | None = None,
-                            decontam_n: int | None = None) -> DataFrame:
+                            decontam_n: int | None = None,
+                            n_eval_grams: int | None = None) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
     Stages (all lazy, one composed plan):
     1. exact dedup (min-id keeper per content hash);
     1b. benchmark decontamination (`operators.decontam`): drop any
        survivor sharing a word n-gram with `eval_docs`
-       (None disables; `decontam_n` overrides the 8-gram default);
+       (None disables; `decontam_n` overrides the 8-gram default;
+       `n_eval_grams` attests the benchmark gram bound so the probe
+       join broadcasts — eval doc count × decontam.MAX_GRAMS_PER_DOC
+       is the standard derivation);
     2. near-dup removal at `near_dup_threshold` shingle-Jaccard
        (None disables);
     3. quality floor (`text.quality_score` >= min_quality), language
@@ -108,7 +112,7 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
         from .decontam import DECONTAM_N, decontaminate
         kept = decontaminate(kept, eval_docs, id_col, text_col,
                              n=decontam_n or DECONTAM_N,
-                             n_eval_grams=None)
+                             n_eval_grams=n_eval_grams)
     if near_dup_threshold is not None:
         losers = near_dup_losers(docs, id_col, text_col,
                                  threshold=near_dup_threshold,

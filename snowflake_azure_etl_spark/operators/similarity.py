@@ -377,11 +377,15 @@ def mean_pool(df: DataFrame, group_cols: list[str],
     No collect_list over members anywhere, so a group with a million
     chunks still carries dim-count state, not member-count state.
     Ragged inputs fail loudly: a group mixing vector lengths yields
-    differing per-dim counts, checked against the group's max and
-    raised via raise_error rather than silently averaging a prefix.
+    differing per-dim counts, raised via raise_error rather than
+    silently averaging a prefix. Empty (and NULL) vectors are part of
+    that contract: `posexplode_outer` keeps them as a NULL-dim row —
+    a plain posexplode would drop them entirely, leaving the per-dim
+    counts consistent and the guard blind while the group silently
+    averaged only its non-empty members.
     """
     pos = df.select(*[F.col(c) for c in group_cols],
-                    F.posexplode(as_double_vec(vec_col))
+                    F.posexplode_outer(as_double_vec(vec_col))
                     .alias("_dim", "_val"))
     per_dim = (pos.groupBy(*group_cols, "_dim")
                .agg(F.avg("_val").alias("_avg"),
@@ -389,15 +393,20 @@ def mean_pool(df: DataFrame, group_cols: list[str],
     vec = F.transform("_pairs", lambda p: p["_avg"])
     # the guard lives INSIDE the output expression so column pruning
     # can never drop it (an unused side-channel aggregate would be
-    # eliminated by Catalyst, silently disarming the check)
+    # eliminated by Catalyst, silently disarming the check); it trips
+    # on differing per-dim counts AND on any empty/NULL vector (the
+    # NULL-dim row posexplode_outer preserved)
     guarded = F.when(
-        F.col("_ndist") > 1,
+        (F.col("_ndist") > 1) | F.col("_has_empty"),
         F.raise_error(F.lit(
-            "mean_pool: ragged vector lengths within a group"))
+            "mean_pool: ragged, empty, or NULL vector within a group"))
         .cast("array<double>")
     ).otherwise(vec)
+    pair = F.when(F.col("_dim").isNotNull(),
+                  F.struct("_dim", "_avg"))  # collect_list skips NULLs
     return (per_dim.groupBy(*group_cols)
-            .agg(F.array_sort(F.collect_list(F.struct("_dim", "_avg")))
-                 .alias("_pairs"),
-                 F.countDistinct("_n").alias("_ndist"))
+            .agg(F.array_sort(F.collect_list(pair)).alias("_pairs"),
+                 F.countDistinct(F.when(F.col("_dim").isNotNull(),
+                                        F.col("_n"))).alias("_ndist"),
+                 F.max(F.col("_dim").isNull()).alias("_has_empty"))
             .select(*group_cols, guarded.alias(vec_col)))

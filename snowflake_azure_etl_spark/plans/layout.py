@@ -205,6 +205,12 @@ def land_zorder(df: DataFrame, path: str, cols: list[str],
         for c in cols:
             aggs += [F.min(c), F.max(c)]
         row = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(cols):
+            if row[2 * i] is None or row[2 * i + 1] is None:
+                raise ValueError(
+                    f"land_zorder: cannot infer bounds for column "
+                    f"'{c}' (empty input or all-NULL) — pass bounds "
+                    f"explicitly or skip the write")
         bounds = [(float(row[2 * i]), float(row[2 * i + 1]))
                   for i in range(len(cols))]
     z = zorder_key(cols, bounds, bits)

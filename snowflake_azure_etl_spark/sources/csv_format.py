@@ -45,6 +45,37 @@ class LoadReport:
         return self.rows_loaded > 0
 
 
+def with_corrupt_field(schema: T.StructType) -> T.StructType:
+    """`schema` + the PERMISSIVE corrupt-record column every COPY-shaped
+    reader (CSV, JSONL, streaming JSONL) declares."""
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+
+
+def copy_accounting(raw: DataFrame, table: str, entity: str | None,
+                    mode: str) -> LoadReport:
+    """The shared ON_ERROR=CONTINUE COPY tail: split good/corrupt rows,
+    count per source file, land the good rows, report. One
+    implementation for every stage format (CSV, JSONL) so the
+    accounting semantics can't drift between them."""
+    raw = raw.withColumn("_src_file", F.input_file_name()).cache()
+    try:
+        good = raw.filter(F.col(CORRUPT_COL).isNull())
+        per_file = {
+            r["_src_file"]: r["n"]
+            for r in (good.groupBy("_src_file")
+                      .agg(F.count("*").alias("n")).collect())
+        }
+        rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        loaded = sum(per_file.values())
+        (good.drop(CORRUPT_COL, "_src_file")
+             .write.mode(mode).format("parquet").saveAsTable(table))
+        return LoadReport(entity or table, loaded, rejected, per_file)
+    finally:
+        raw.unpersist()
+
+
 def read_snowflake_csv(spark: SparkSession, path: str | list[str],
                        schema: T.StructType) -> DataFrame:
     """Schema-declared CSV read with the reference's NULL semantics.
@@ -55,11 +86,8 @@ def read_snowflake_csv(spark: SparkSession, path: str | list[str],
     would survive. We post-process string columns to map 'null' -> NULL,
     matching NULL_IF=('NULL','null').
     """
-    schema_with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-    )
     df = (spark.read.options(**SNOWFLAKE_CSV_OPTIONS)
-          .schema(schema_with_corrupt).csv(path))
+          .schema(with_corrupt_field(schema)).csv(path))
     for f_ in schema.fields:
         if isinstance(f_.dataType, T.StringType):
             c = F.col(f_.name)
@@ -79,18 +107,5 @@ def copy_into(spark: SparkSession, path: str | list[str], schema: T.StructType,
     dropped, not aborted on — the report carries the rejected count, like
     the reference's per-file COPY result summary.
     """
-    raw = read_snowflake_csv(spark, path, schema)
-    raw = raw.withColumn("_src_file", F.input_file_name()).cache()
-    try:
-        good = raw.filter(F.col(CORRUPT_COL).isNull())
-        per_file = {
-            r["_src_file"]: r["n"]
-            for r in good.groupBy("_src_file").agg(F.count("*").alias("n")).collect()
-        }
-        rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).count()
-        loaded = sum(per_file.values())
-        (good.drop(CORRUPT_COL, "_src_file")
-             .write.mode(mode).format("parquet").saveAsTable(table))
-        return LoadReport(entity or table, loaded, rejected, per_file)
-    finally:
-        raw.unpersist()
+    return copy_accounting(read_snowflake_csv(spark, path, schema),
+                           table, entity, mode)

@@ -26,10 +26,10 @@ file count, not rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .csv_format import CORRUPT_COL, LoadReport
+from .csv_format import (CORRUPT_COL, LoadReport, copy_accounting,
+                         with_corrupt_field)
 
 JSONL_OPTIONS = {
     "mode": "PERMISSIVE",
@@ -44,32 +44,16 @@ def read_jsonl(spark: SparkSession, path: str,
     absent-field semantics), extra keys are ignored (schema projection
     — Jackson never materializes unrequested fields), malformed lines
     land whole in the corrupt-record column."""
-    schema_with_corrupt = T.StructType(
-        list(schema.fields)
-        + [T.StructField(CORRUPT_COL, T.StringType(), True)])
     return (spark.read.options(**JSONL_OPTIONS)
-            .schema(schema_with_corrupt).json(path))
+            .schema(with_corrupt_field(schema)).json(path))
 
 
 def copy_into_jsonl(spark: SparkSession, path: str, schema: T.StructType,
                     table: str, entity: str | None = None,
                     mode: str = "append") -> LoadReport:
     """COPY INTO table FROM jsonl-stage with ON_ERROR=CONTINUE
-    accounting — the JSONL twin of `csv_format.copy_into`, returning
-    the same per-file `LoadReport`."""
-    raw = read_jsonl(spark, path, schema)
-    raw = raw.withColumn("_src_file", F.input_file_name()).cache()
-    try:
-        good = raw.filter(F.col(CORRUPT_COL).isNull())
-        per_file = {
-            r["_src_file"]: r["n"]
-            for r in (good.groupBy("_src_file")
-                      .agg(F.count("*").alias("n")).collect())
-        }
-        rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).count()
-        loaded = sum(per_file.values())
-        (good.drop(CORRUPT_COL, "_src_file")
-             .write.mode(mode).format("parquet").saveAsTable(table))
-        return LoadReport(entity or table, loaded, rejected, per_file)
-    finally:
-        raw.unpersist()
+    accounting — the JSONL twin of `csv_format.copy_into`: both
+    formats share `csv_format.copy_accounting`, so the accounting
+    semantics cannot drift between them."""
+    return copy_accounting(read_jsonl(spark, path, schema),
+                           table, entity, mode)

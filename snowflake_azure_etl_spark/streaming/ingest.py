@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.csv_format import CORRUPT_COL
+from ..sources.csv_format import CORRUPT_COL, with_corrupt_field
 from ..sources.jsonl_format import JSONL_OPTIONS
 
 
@@ -40,14 +40,11 @@ def read_jsonl_stream(spark: SparkSession, path: str,
     """Streaming schema-declared JSONL read with the corrupt-record
     quarantine column (same semantics as the batch reader — missing
     keys NULL, extra keys ignored, malformed lines quarantined)."""
-    schema_with_corrupt = T.StructType(
-        list(schema.fields)
-        + [T.StructField(CORRUPT_COL, T.StringType(), True)])
     opts = dict(JSONL_OPTIONS)
     if max_files_per_trigger is not None:
         opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
     return (spark.readStream.options(**opts)
-            .schema(schema_with_corrupt).json(path))
+            .schema(with_corrupt_field(schema)).json(path))
 
 
 def split_quarantine(stream: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -83,24 +83,29 @@ def copy_with_history(spark: SparkSession, path_glob: str,
         return None
     seen: set[tuple[str, int]] = set()
     if spark.catalog.tableExists(history_table):
-        if not force:
-            seen = {(r["file_path"], r["file_size"])
-                    for r in (spark.table(history_table)
-                              .filter(F.col("table_name") == table)
-                              .select("file_path", "file_size").collect())}
+        # history is read even under force: forced reloads must not
+        # append duplicate rows for already-recorded files, or the
+        # relation (and its driver-side collect) grows per rerun
+        seen = {(r["file_path"], r["file_size"])
+                for r in (spark.table(history_table)
+                          .filter(F.col("table_name") == table)
+                          .select("file_path", "file_size").collect())}
     else:
         # a fresh catalog over a persisted warehouse dir may hold an
         # orphan managed location from an earlier session; the append
         # below would fail on it (same contract as ddl.create_table)
         from .ddl import drop_orphan_location
         drop_orphan_location(spark, history_table)
-    todo = [(p, sz) for p, sz in listing if (p, sz) not in seen]
+    todo = (list(listing) if force
+            else [(p, sz) for p, sz in listing if (p, sz) not in seen])
     if not todo:
         return None
     report = copy_into(spark, [p for p, _ in todo], schema, table,
                        entity=entity)
-    hist = spark.createDataFrame(
-        [(table, p, sz) for p, sz in todo],
-        "table_name string, file_path string, file_size long")
-    hist.write.mode("append").format("parquet").saveAsTable(history_table)
+    unseen = [(table, p, sz) for p, sz in todo if (p, sz) not in seen]
+    if unseen:
+        hist = spark.createDataFrame(
+            unseen, "table_name string, file_path string, file_size long")
+        (hist.write.mode("append").format("parquet")
+         .saveAsTable(history_table))
     return report

@@ -277,3 +277,33 @@ def test_encode_ids_composes_with_packing(spark):
     for did, n, off in rows:
         assert off == acc
         acc += n
+
+
+def test_encode_ids_survives_duplicate_vocab_tokens(spark):
+    """A vocab with duplicate surface tokens must not kill the map
+    build (DUPLICATED_MAP_KEY); lowest id wins."""
+    docs = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("ab", 2), ("ab", 9)],
+        "token string, token_id int")
+    merges = bpe.train_bpe_merges(docs, n_merges=1)
+    out = bpe.encode_ids(docs, merges, vocab).collect()[0]
+    assert out["token_ids"] == [2]
+
+
+def test_apply_merges_ignores_empty_tokens(spark):
+    """Double/leading/trailing spaces must not emit phantom empty
+    segments — and the expression path stays pinned to the Arrow path
+    on such inputs."""
+    docs = spark.createDataFrame(
+        [(0, " ab  ab "), (1, ""), (2, "ab ab")],
+        "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=1)
+    expr = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", bpe.apply_merges("text", merges).alias("segs")).collect()}
+    assert expr[0] == ["ab", "ab"] and expr[1] == [] \
+        and expr[2] == ["ab", "ab"]
+    assert all("" not in segs for segs in expr.values())
+    arrow = {r["doc_id"]: list(r["segs"]) for r in
+             bpe.apply_merges_arrow(docs, merges).collect()}
+    assert arrow == expr

@@ -273,3 +273,15 @@ def test_zorder_key_validation(spark):
         layout.zorder_key(["a", "b"], [(0, 1)])
     with pytest.raises(ValueError):
         layout.zorder_key(["a", "b"], [(0, 1), (0, 1)], bits=32)
+
+
+def test_land_zorder_unboundable_column_raises(spark, tmp_path):
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError) as e:
+        layout.land_zorder(empty, str(tmp_path / "z0"), ["x", "y"])
+    assert "bounds" in str(e.value)
+    allnull = spark.createDataFrame([(1, None), (2, None)],
+                                    "x long, y long")
+    with pytest.raises(ValueError) as e:
+        layout.land_zorder(allnull, str(tmp_path / "z1"), ["x", "y"])
+    assert "'y'" in str(e.value)

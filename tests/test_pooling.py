@@ -70,3 +70,16 @@ def test_mean_pool_state_is_dim_bounded(spark):
     assert got[0]["embedding"] == [1.0, 2.0, 3.0, 4.0]
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "_dim" in plan
+
+
+def test_mean_pool_empty_vector_raises(spark):
+    """An empty vector inside a group must trip the guard, not be
+    silently skipped (posexplode would drop it without a trace)."""
+    rows = [(0, 0, [1.0, 2.0]), (0, 1, [])]
+    with pytest.raises(Exception) as e:
+        similarity.mean_pool(_df(spark, rows), ["doc_id"]).collect()
+    assert "empty" in str(e.value) or "ragged" in str(e.value)
+    # a group that is ALL empty raises too, rather than vanishing
+    with pytest.raises(Exception):
+        similarity.mean_pool(_df(spark, [(1, 0, [])]),
+                             ["doc_id"]).collect()

@@ -381,4 +381,9 @@ def test_copy_with_history_skips_loaded_files(spark, stage_dir):
         history_table=hist, force=True)
     assert repf is not None and repf.rows_loaded == 7
     assert spark.table("copy_hist_test").count() == 14
+    # ...without duplicating history rows for already-recorded files
+    hrows = spark.table(hist).filter(
+        F.col("table_name") == "copy_hist_test").collect()
+    assert len(hrows) == len({(r["file_path"], r["file_size"])
+                              for r in hrows}) == 3
     os.remove(os.path.join(stage_dir, "part3.csv"))
