@@ -16,13 +16,43 @@ from ..warehouse import star_build
 from ._registry import query
 
 
+_DQ_ORACLE = """
+    SELECT 'dq:orders:o_orderkey_not_null' AS entity,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_rows,
+           CASE WHEN COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM orders
+    UNION ALL
+    SELECT 'dq:orders:o_orderkey_unique',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+           CASE WHEN COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey)
+                THEN 'PASS' ELSE 'FAIL' END
+    FROM orders
+    UNION ALL
+    SELECT 'dq:lineitem:l_returnflag_accepted_values',
+           COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')),
+           CASE WHEN COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    FROM lineitem
+    UNION ALL
+    SELECT 'dq:lineitem:l_discount_in_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.05),
+           CASE WHEN COUNT(*) FILTER (WHERE l_discount < 0
+                                      OR l_discount > 0.05) = 0
+                THEN 'PASS' ELSE 'FAIL' END
+    FROM lineitem
+"""
+
+
 @query(
     "q26_stage_accounting",
-    covers=("S2", "S3", "R3", "A7", "S9", "F10"),
+    covers=("S2", "S3", "R3", "A7", "S9", "F10", "X-DQ"),
     oracle=" UNION ALL ".join(
         f"SELECT '{t}' AS entity, (SELECT COUNT(*) FROM {t}) AS n_rows, "
-        f"'Y' AS in_catalog"
-        for t in STAR_TABLES),
+        f"'Y' AS status"
+        for t in STAR_TABLES) + " UNION ALL " + _DQ_ORACLE,
 )
 def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity loaded-row accounting over every registered stage —
@@ -43,11 +73,32 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = load_tables(spark, sf_dir)
     counts = [df.agg(F.count("*").alias("n_rows"))
               .select(F.lit(name).alias("entity"), "n_rows",
-                      F.lit("Y" if name in listed else "N").alias("in_catalog"))
+                      F.lit("Y" if name in listed else "N").alias("status"))
               for name, df in dfs.items()]
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
+    # data-quality sweep (X-DQ, warehouse.quality): dbt-core-style
+    # column contracts, ALL rules per table in ONE aggregate pass;
+    # the tight l_discount range is a deliberately failing rule so
+    # the FAIL path is driver-attested, not just the happy path
+    from ..warehouse.quality import Rule, validate
+    dq_specs = [
+        ("orders", dfs["orders"], [
+            Rule("not_null", "o_orderkey"),
+            Rule("unique", "o_orderkey")]),
+        ("lineitem", dfs["lineitem"], [
+            Rule("accepted_values", "l_returnflag",
+                 values=("A", "N", "R")),
+            Rule("in_range", "l_discount", lo=0.0, hi=0.05)]),
+    ]
+    for tname, df, rules in dq_specs:
+        rep = validate(df, rules).select(
+            F.concat(F.lit(f"dq:{tname}:"), F.col("rule")).alias("entity"),
+            F.col("n_violations").alias("n_rows"),
+            F.when(F.col("passed"), "PASS").otherwise("FAIL")
+            .alias("status"))
+        out = out.unionByName(rep)
     return out
 
 
