@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Per-doc sides under this many rows may be broadcast; above it they
@@ -468,3 +468,41 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for t in bit_terms[1:]:
         total = total + t
     return sig.select(F.col(id_col), total.alias("simhash"))
+
+
+def incremental_exact(new_docs: DataFrame, seen_hashes: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup (X-DEDUP-INCR): keep only the rows of a
+    NEW batch whose content was never seen — the batch sibling of
+    `streaming.dedup.dedup_stream`, for pipelines that ingest by
+    COPY/batch rather than a stream.
+
+    Two stages, both equi-keyed on the uniform content hash:
+    1. intra-batch: min-id keeper per distinct batch content
+       (`exact_dedup_groups` semantics);
+    2. cross-corpus: LEFT ANTI join against `seen_hashes`
+       (column ``content_hash`` — the persisted corpus index).
+
+    Output carries ``content_hash`` so the caller appends exactly
+    these rows to the index (`seen_hashes ∪ output` is the next
+    index) — the same grow-the-index contract as COPY load-history.
+
+    100 TB design: the index is corpus-sized and must NOT reshuffle
+    per batch — land it bucketed on ``content_hash``
+    (`plans.layout.land_bucketed`, bucket count == the join's
+    partition count, the standard co-location contract) and the
+    anti-join plan reads it in place: the executed plan carries
+    exactly ONE exchange, the small batch shuffling into the index's
+    bucketing, shared by the intra-batch window and the join
+    (`tests/test_incremental_dedup.py` pins it). The batch side is
+    hashed once (md5 projection) before either stage.
+    """
+    hashed = new_docs.withColumn("content_hash",
+                                 F.md5(F.col(text_col)))
+    keeper = Window.partitionBy("content_hash").orderBy(id_col)
+    batch_first = (hashed
+                   .withColumn("_rn", F.row_number().over(keeper))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    return batch_first.join(seen_hashes.select("content_hash"),
+                            "content_hash", "left_anti")
