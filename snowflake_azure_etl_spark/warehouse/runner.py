@@ -127,7 +127,44 @@ def run_warehouse_build(spark: SparkSession, sf_dir: str,
     run.step("create views", lambda: create_passthrough_views(spark, database))
     run.step("create analytical views",
              lambda: create_analytical_views(spark, database))
+    run.step("validate contracts", lambda: validate_warehouse(
+        spark, database))
     return run.report
+
+
+#: Post-build column contracts (X-DQ, warehouse.quality): the invariants
+#: the dimensional build guarantees by construction — surrogate keys
+#: present and unique, the unknown member seeded. ONE aggregate pass per
+#: table; a violation aborts the run like any failed step (R2).
+WAREHOUSE_CONTRACTS: dict[str, list] = {
+    "dim_customer": ["dim_customer_id"],
+    "dim_supplier": ["dim_supplier_id"],
+    "dim_part": ["dim_part_id"],
+    "dim_location": ["dim_location_id"],
+    "dim_channel": ["dim_channel_id"],
+    "dim_date": ["date_pkey"],
+}
+
+
+def validate_warehouse(spark: SparkSession, database: str) -> dict:
+    """Run the key contracts over every built dim; raise on the first
+    violated rule (the runner surfaces it as a failed step), return
+    per-rule pass counts for the report log otherwise."""
+    from .quality import Rule, validate
+
+    results: dict[str, int] = {}
+    for table, key_cols in WAREHOUSE_CONTRACTS.items():
+        rules = []
+        for k in key_cols:
+            rules += [Rule("not_null", k), Rule("unique", k)]
+        for row in validate(spark.table(f"{database}.{table}"),
+                            rules).collect():
+            if not row["passed"]:
+                raise EtlStepError(
+                    f"contract violated: {table}.{row['rule']} "
+                    f"({row['n_violations']} violations)")
+            results[f"{table}.{row['rule']}"] = row["n_violations"]
+    return results
 
 
 def _raise(msg: str) -> None:

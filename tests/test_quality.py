@@ -66,3 +66,38 @@ def test_validation_errors(spark, df):
     with pytest.raises(ValueError):
         validate(df, [Rule("not_null", "k"), Rule("unique", "k",
                                                   name="k_not_null")])
+
+
+def test_warehouse_contracts_pass_and_fail_loudly(spark, sf_dir):
+    """The runner's post-build validation passes on the real build and
+    aborts on a violated contract."""
+    from snowflake_azure_etl_spark.warehouse import runner
+
+    db = runner.warehouse_database()
+    if not spark.catalog.databaseExists(db):
+        runner.run_warehouse_build(spark, sf_dir)
+    results = runner.validate_warehouse(spark, db)
+    assert results and all(v == 0 for v in results.values())
+    assert "dim_customer.dim_customer_id_unique" in results
+
+    # a poisoned table trips the gate
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}_dqtest")
+    poisoned = spark.table(f"{db}.dim_customer").limit(2)
+    dup = poisoned.unionByName(poisoned.limit(1))
+    from snowflake_azure_etl_spark.warehouse.ddl import \
+        drop_orphan_location
+    spark.sql(f"DROP TABLE IF EXISTS {db}_dqtest.dim_customer")
+    drop_orphan_location(spark, f"{db}_dqtest.dim_customer")
+    dup.write.mode("overwrite").saveAsTable(f"{db}_dqtest.dim_customer")
+    import pytest as _pytest
+    with _pytest.raises(runner.EtlStepError) as e:
+        old = dict(runner.WAREHOUSE_CONTRACTS)
+        try:
+            runner.WAREHOUSE_CONTRACTS.clear()
+            runner.WAREHOUSE_CONTRACTS["dim_customer"] = \
+                old["dim_customer"]
+            runner.validate_warehouse(spark, f"{db}_dqtest")
+        finally:
+            runner.WAREHOUSE_CONTRACTS.clear()
+            runner.WAREHOUSE_CONTRACTS.update(old)
+    assert "unique" in str(e.value)
