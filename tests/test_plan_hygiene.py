@@ -1,0 +1,41 @@
+"""Catalog-wide physical-plan hygiene: EVERY registered query's
+executed plan is checked for (a) zero row-at-a-time Python
+(BatchEvalPython — the 10-100x slow path), (b) zero undeclared
+cartesian products, and (c) BroadcastNestedLoopJoin / MapInPandas
+only where the design declares them. A new query that slips a Python
+UDF or an accidental cross join into the catalog fails here, not in a
+100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+#: Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
+#: the size-guarded theta join (q09), the interval range join (q45),
+#: the declared brute-force ANN baseline (q54), and the ONE-ROW
+#: broadcast centroid-array attach (q63).
+BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
+           "q54_ann_brute_force_topk", "q63_ann_ivf_topk"}
+
+#: Queries whose plan legitimately carries Arrow-batched Python
+#: (mapInPandas): the binary media pipeline.
+ARROW_OK = {"q60_multimodal_pipeline"}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_catalog_plan_hygiene(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, \
+        f"{name}: row-at-a-time Python UDF in the plan"
+    assert "CartesianProduct" not in plan, \
+        f"{name}: undeclared cartesian product"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: undeclared nested-loop join"
+    if name not in ARROW_OK:
+        assert "MapInPandas" not in plan and \
+            "ArrowEvalPython" not in plan, \
+            f"{name}: undeclared Python stage"
