@@ -138,3 +138,41 @@ def pack_assignments(offsets: DataFrame, id_col: str = "doc_id",
                                 - F.col("token_offset"),
                                 F.col("n_tokens")))
             .drop("n_tokens", "token_offset"))
+
+
+def build_sequences(enc: DataFrame, id_col: str = "doc_id",
+                    ids_col: str = "token_ids",
+                    ctx: int = PACK_CTX,
+                    n_rows: int | None = None,
+                    order_col: Column | None = None) -> DataFrame:
+    """(seq_id, token_ids, n_tokens): the materialized training rows —
+    the capstone of the tokenize→pack pipeline. Input is the
+    `bpe.encode_ids` shape (one row per document with its id array);
+    output is one row per fixed-length sequence, each carrying exactly
+    `ctx` ids (the final sequence may be shorter).
+
+    Plan: `pack_offsets` (weight = per-doc id count) → `pack_assignments`
+    (row-local span explode) → slice each document's contribution
+    row-locally → ONE groupBy(seq_id) whose per-group state is the
+    pieces of a single sequence — bounded by `ctx` ids, never by
+    document count or corpus size. Ordered reassembly sorts the
+    (offset, piece) structs inside the group: documents never
+    interleave, so offset order IS concatenation order."""
+    offs = pack_offsets(enc, id_col=id_col, text_col=ids_col, ctx=ctx,
+                        weight=F.size(ids_col), n_rows=n_rows,
+                        order_col=order_col)
+    asg = (pack_assignments(offs.select(
+        id_col, "n_tokens", "token_offset",
+        "pack_first_seq", "pack_last_seq"), id_col, ctx)
+        .join(offs.select(id_col, ids_col, "token_offset"), id_col))
+    piece = F.slice(F.col(ids_col), F.col("doc_start") + 1,
+                    F.col("doc_end") - F.col("doc_start"))
+    pieces = asg.select(
+        "seq_id",
+        F.struct((F.col("token_offset") + F.col("doc_start"))
+                 .alias("off"), piece.alias("ids")).alias("p"))
+    return (pieces.groupBy("seq_id")
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list("p")),
+                lambda s: s["ids"])).alias("token_ids"))
+            .withColumn("n_tokens", F.size("token_ids")))

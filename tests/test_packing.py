@@ -124,3 +124,35 @@ def test_shuffled_order_is_deterministic_and_decorrelated(spark, docs):
     for offs in (a, ident, other):
         last = max(offs, key=offs.get)
         assert offs[last] + lens[last] == total
+
+
+def test_build_sequences_materializes_exact_ctx_rows(spark):
+    """text → encode_ids → build_sequences: every sequence carries
+    exactly ctx ids (last may be short) and the ordered concatenation
+    of all sequences equals the ordered concatenation of all docs."""
+    from snowflake_azure_etl_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i + 3)))
+         for i in range(12)],
+        "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, n_merges=3)
+    vocab = bpe.vocab_from_merges(spark, docs, merges)
+    enc = bpe.encode_ids(docs, merges, vocab)
+    CTX2 = 10
+    seqs = {r["seq_id"]: r["token_ids"] for r in
+            packing.build_sequences(enc, ctx=CTX2).collect()}
+
+    flat_docs = [i for r in sorted(enc.collect(),
+                                   key=lambda r: r["doc_id"])
+                 for i in r["token_ids"]]
+    flat_seqs = [i for s in sorted(seqs) for i in seqs[s]]
+    assert flat_seqs == flat_docs
+    last = max(seqs)
+    assert set(seqs) == set(range(last + 1))
+    for s, ids in seqs.items():
+        n = len(ids)
+        assert n == CTX2 if s < last else 0 < n <= CTX2
+    # per-sequence n_tokens column agrees
+    for r in packing.build_sequences(enc, ctx=CTX2).collect():
+        assert r["n_tokens"] == len(r["token_ids"])
