@@ -299,3 +299,76 @@ def rolling_hash(text: Column | str, base: int = ROLLING_BASE,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def unigram_lm_map(docs, text_col: str = "text"):
+    """ONE-ROW corpus unigram language model: a map column
+    token → ln(count/total) (X-TEXT-LM). Train = one explode + one
+    token-keyed aggregate (map-side combined) + a vocabulary-bounded
+    map build; the model rides into scoring as a broadcast one-row
+    relation (the centroid-array idiom), so scoring is row-local.
+
+    The vocabulary is bounded (~10⁵-10⁶ types for natural text at any
+    corpus size — Heaps' law), which is what makes the one-row map
+    safe where a per-token join would shuffle the corpus."""
+    toks = (docs.select(F.explode(tokens(text_col)).alias("tok"))
+            .filter(F.length("tok") > 0))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    return (freq.agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "c")))
+        .alias("_m"),
+        F.sum("c").alias("_n"))
+        .select(F.transform_values(
+            "_m", lambda k, v: F.log(v.cast("double") / F.col("_n")))
+            .alias("_lm")))
+
+
+def unigram_logprob(text_col: Column | str, lm_col: str = "_lm",
+                    floor: float = -20.0) -> Column:
+    """Length-normalized unigram log-probability of a document under
+    the corpus LM — the classic gibberish/perplexity-proxy quality
+    filter (low score = tokens the corpus has rarely seen). Row-local:
+    a sequential fold over the document's tokens with `element_at`
+    lookups into the one-row LM map; `floor` is the unseen-token
+    log-prob (never hit when scoring the training corpus itself).
+
+    The fold adds per-token log-probs in TOKEN ORDER (deterministic
+    IEEE addition sequence), so a SQL mirror that sums in the same
+    order is bit-identical — the property the catalog oracle uses."""
+    toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
+    total = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(F.col(lm_col), t), F.lit(floor)))
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def token_freq_map(docs, text_col: str = "text"):
+    """ONE-ROW corpus token-frequency map (token → count, long) —
+    the exact-integer sibling of `unigram_lm_map`, same plan shape.
+    Integer counts keep downstream folds bit-portable across engines
+    (transcendental log values are not guaranteed identically rounded
+    between libm implementations — the LM map is for in-engine
+    filtering, this map is for cross-engine-attested scoring)."""
+    toks = (docs.select(F.explode(tokens(text_col)).alias("tok"))
+            .filter(F.length("tok") > 0))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    return freq.agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "c")))
+        .alias("_tf"))
+
+
+def mean_token_freq(text_col: Column | str,
+                    tf_col: str = "_tf") -> Column:
+    """Mean corpus frequency of the document's tokens — the
+    rare-token/gibberish signal with EXACT arithmetic: a long-integer
+    fold over `token_freq_map` lookups, one final double division.
+    Low values = tokens the corpus has rarely seen (same decision
+    boundary family as `unigram_logprob`, hash-portable)."""
+    toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(F.col(tf_col), t), F.lit(0)))
+    return F.when(F.size(toks) > 0,
+                  total.cast("double") / F.size(toks))

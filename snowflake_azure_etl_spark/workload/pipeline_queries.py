@@ -708,11 +708,23 @@ PACK_CTX = 512
                          t -> t IN ('le','la','les','et','est'))) > 0
                 THEN 'fr'
                 ELSE 'und' END AS lang_guess
-    FROM documents)
-    SELECT *, token_offset // """ + f"""{PACK_CTX} AS pack_first_seq,
+    FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE length(tok) > 0 GROUP BY tok),
+    dt AS (SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE length(tok) > 0),
+    mtf AS (SELECT d.doc_id,
+                   CAST(SUM(f.c) AS DOUBLE) / COUNT(*) AS mean_tok_freq
+            FROM dt d JOIN tf f USING (tok) GROUP BY d.doc_id)
+    SELECT base.*, token_offset // """ + f"""{PACK_CTX} AS pack_first_seq,
            (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
-               AS pack_last_seq
-    FROM base
+               AS pack_last_seq,
+           m.mean_tok_freq
+    FROM base LEFT JOIN mtf m USING (doc_id)
     """,
 )
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,9 +766,17 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     packed = packing.pack_offsets(docs, ctx=PACK_CTX, n_rows=n_docs)
+    # third r6 addition (X-TEXT-LM family): mean corpus token
+    # frequency — the rare-token/gibberish signal, exact-integer fold
+    # over the ONE-ROW broadcast token-frequency map (text.
+    # token_freq_map; the ln-valued unigram_logprob twin is
+    # pytest-verified — transcendental rounding isn't cross-engine
+    # hash-portable, integer sums are)
+    packed = packed.crossJoin(F.broadcast(text.token_freq_map(docs)))
     return packed.select(
         "doc_id",
         "token_offset", "pack_first_seq", "pack_last_seq",
+        text.mean_token_freq("text").alias("mean_tok_freq"),
         text.repeated_bigram_fraction("text")
             .alias("repeated_bigram_fraction"),
         text.mean_token_length("text").alias("mean_token_length"),

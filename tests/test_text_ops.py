@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from snowflake_azure_etl_spark.operators.text import (ROLLING_BASE,
                                                       ROLLING_MOD,
                                                       rolling_hash)
+from snowflake_azure_etl_spark.operators import text
 from snowflake_azure_etl_spark.plans.surrogate import zip_with_index_keys
 from snowflake_azure_etl_spark.sources.registry import load_tables
 
@@ -171,3 +172,57 @@ def test_repetition_and_pii_signals_match_python(spark):
         assert r.pii == len(email.findall(s))
         assert r.red == email.sub("<PII>", s)
     assert got[5].pii == 2 and "@" not in got[5].red
+
+
+# ------------------------------------------------ unigram LM scoring --
+
+def test_unigram_lm_and_freq_vs_python(spark):
+    """Both corpus-model maps (log-prob and exact-count) score
+    documents identically to a Python reference; the fold runs in
+    token order so the Python sequential sum is the exact model."""
+    import math
+
+    texts = ["the cat sat", "the the the", "rare words here",
+             "the cat here", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+
+    lm = text.unigram_lm_map(docs)
+    tf = text.token_freq_map(docs)
+    out = {r["doc_id"]: (r["lp"], r["mf"]) for r in
+           docs.crossJoin(lm).crossJoin(tf).select(
+               "doc_id",
+               text.unigram_logprob("text").alias("lp"),
+               text.mean_token_freq("text").alias("mf")).collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            assert out[i] == (None, None)
+            continue
+        lp_acc = 0.0
+        for w in ws:  # token order, like the engine's fold
+            lp_acc += math.log(counts[w] / total)
+        assert abs(out[i][0] - lp_acc / len(ws)) < 1e-9
+        assert out[i][1] == sum(counts[w] for w in ws) / len(ws)
+    # ordering sanity: repeated common tokens score higher than rare
+    assert out[1][0] > out[2][0] and out[1][1] > out[2][1]
+
+
+def test_unigram_logprob_floor_for_unseen(spark):
+    train = spark.createDataFrame([(0, "a b c")],
+                                  "doc_id bigint, text string")
+    held = spark.createDataFrame([(1, "zz zz")],
+                                 "doc_id bigint, text string")
+    lm = text.unigram_lm_map(train)
+    got = held.crossJoin(lm).select(
+        text.unigram_logprob("text", floor=-33.0).alias("lp")
+    ).collect()[0]["lp"]
+    assert got == -33.0
