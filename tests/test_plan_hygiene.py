@@ -15,9 +15,11 @@ import __spark_entry__ as entry
 #: Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
 #: the size-guarded theta join (q09), the interval range join (q45),
 #: the declared brute-force ANN baseline (q54), and the ONE-ROW
-#: broadcast centroid-array attach (q63).
+#: broadcast attaches — centroid array (q63), token-frequency map
+#: (q57).
 BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
-           "q54_ann_brute_force_topk", "q63_ann_ivf_topk"}
+           "q54_ann_brute_force_topk", "q63_ann_ivf_topk",
+           "q57_text_stats"}
 
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.

