@@ -74,7 +74,9 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             lang_quota: int | None = None,
                             eval_docs: DataFrame | None = None,
                             decontam_n: int | None = None,
-                            n_eval_grams: int | None = None) -> DataFrame:
+                            n_eval_grams: int | None = None,
+                            min_mean_tok_freq: float | None = None
+                            ) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
     Stages (all lazy, one composed plan):
@@ -88,9 +90,11 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
     2. near-dup removal at `near_dup_threshold` shingle-Jaccard
        (None disables);
     3. quality floor (`text.quality_score` >= min_quality), language
-       allow-list (`text.lang_guess` in langs), and the Gopher-rule
+       allow-list (`text.lang_guess` in langs), the Gopher-rule
        repetition cut (`text.repeated_bigram_fraction` ≤
-       `max_repeated_bigram_fraction`, None disables);
+       `max_repeated_bigram_fraction`, None disables), and the
+       corpus-LM rare-token cut (`text.mean_token_freq` ≥
+       `min_mean_tok_freq`, None disables);
     3b. corpus rebalancing (`operators.sampling`): per-language
        hash-stratified downsampling (`lang_fractions`, row-local,
        rerun-stable) and/or the per-language quota cap
@@ -126,6 +130,15 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
     if max_repeated_bigram_fraction is not None:
         kept = kept.filter(text.repeated_bigram_fraction(text_col)
                            <= max_repeated_bigram_fraction)
+    if min_mean_tok_freq is not None:
+        # corpus-LM rare-token cut (X-TEXT-LM): the frequency model
+        # trains on the ORIGINAL corpus (one bounded one-row map,
+        # broadcast) so the cut is stable under the other filters
+        kept = (kept.crossJoin(F.broadcast(text.token_freq_map(docs,
+                                                               text_col)))
+                .filter(text.mean_token_freq(text_col)
+                        >= min_mean_tok_freq)
+                .drop("_tf"))
     if lang_fractions:
         from .sampling import stratified_keep
         kept = kept.filter(stratified_keep(id_col,

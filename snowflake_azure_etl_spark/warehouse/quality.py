@@ -84,3 +84,20 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             .select(F.col("e.rule").alias("rule"),
                     F.col("e.n_violations").alias("n_violations"),
                     (F.col("e.n_violations") == 0).alias("passed")))
+
+
+def referential_violations(child: DataFrame, col: str,
+                           parent: DataFrame, parent_col: str,
+                           n_parent_rows: int | None = None) -> int:
+    """dbt's `relationships` test: child rows whose non-NULL `col`
+    has no match in `parent.parent_col` — the star schema's FK
+    integrity (facts → dims). One LEFT ANTI equi-join; the parent key
+    projection is distinct (dim-grain) and broadcasts under the
+    module-standard attestation (`n_parent_rows`), so a fact-sized
+    child never shuffles for a dim-sized check."""
+    from ..operators.dedup import _maybe_broadcast
+
+    keys = parent.select(F.col(parent_col).alias(col)).distinct()
+    return (child.filter(F.col(col).isNotNull())
+            .join(_maybe_broadcast(keys, n_parent_rows), col,
+                  "left_anti").count())

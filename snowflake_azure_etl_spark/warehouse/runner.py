@@ -146,11 +146,22 @@ WAREHOUSE_CONTRACTS: dict[str, list] = {
 }
 
 
+#: Fact → dim FK contracts (dbt `relationships`): every fact key must
+#: resolve into its dimension — guaranteed by the unknown-member
+#: pattern, now attested rather than assumed.
+WAREHOUSE_FK_CONTRACTS: list[tuple[str, str, str, str]] = [
+    ("fact_sales", "dim_customer_id", "dim_customer", "dim_customer_id"),
+    ("fact_sales", "dim_supplier_id", "dim_supplier", "dim_supplier_id"),
+    ("fact_sales", "dim_part_id", "dim_part", "dim_part_id"),
+]
+
+
 def validate_warehouse(spark: SparkSession, database: str) -> dict:
-    """Run the key contracts over every built dim; raise on the first
-    violated rule (the runner surfaces it as a failed step), return
-    per-rule pass counts for the report log otherwise."""
-    from .quality import Rule, validate
+    """Run the key contracts over every built dim (one aggregate pass
+    per table) and the fact→dim FK contracts (one broadcast anti-join
+    per edge); raise on the first violated rule (the runner surfaces
+    it as a failed step), return per-rule pass counts otherwise."""
+    from .quality import Rule, referential_violations, validate
 
     results: dict[str, int] = {}
     for table, key_cols in WAREHOUSE_CONTRACTS.items():
@@ -164,6 +175,19 @@ def validate_warehouse(spark: SparkSession, database: str) -> dict:
                     f"contract violated: {table}.{row['rule']} "
                     f"({row['n_violations']} violations)")
             results[f"{table}.{row['rule']}"] = row["n_violations"]
+    for child, col, parent, pcol in WAREHOUSE_FK_CONTRACTS:
+        try:
+            child_df = spark.table(f"{database}.{child}")
+        except Exception:
+            continue  # contract tables are optional per-deployment
+        n = referential_violations(child_df, col,
+                                   spark.table(f"{database}.{parent}"),
+                                   pcol, n_parent_rows=1_000_000)
+        if n:
+            raise EtlStepError(
+                f"contract violated: {child}.{col} -> {parent}.{pcol} "
+                f"({n} orphaned rows)")
+        results[f"{child}.{col}__references__{parent}"] = 0
     return results
 
 

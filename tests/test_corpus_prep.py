@@ -145,3 +145,18 @@ def test_prepare_training_corpus_decontaminates(spark, salted_docs):
     base_rows = {tuple(r) for r in base.collect() if r.doc_id in kept}
     scrub_rows = {tuple(r) for r in scrubbed.collect()}
     assert scrub_rows == base_rows
+
+
+def test_prepare_training_corpus_lm_cut(spark, salted_docs):
+    """A planted gibberish doc (every token unique in the corpus) is
+    cut by the LM rare-token floor; normal docs survive."""
+    gibberish = spark.createDataFrame(
+        [(3_000_000, "qxzv wbnm pltk jhgf dsaq zzyx qwer vbnc")],
+        "doc_id bigint, text string")
+    docs = salted_docs.unionByName(gibberish)
+    out = corpus.prepare_training_corpus(
+        docs, near_dup_threshold=None, chunk_size=16, chunk_stride=12,
+        min_mean_tok_freq=2.0)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 3_000_000 not in kept
+    assert kept  # the real corpus survives the floor

@@ -101,3 +101,17 @@ def test_warehouse_contracts_pass_and_fail_loudly(spark, sf_dir):
             runner.WAREHOUSE_CONTRACTS.clear()
             runner.WAREHOUSE_CONTRACTS.update(old)
     assert "unique" in str(e.value)
+
+
+def test_referential_violations(spark):
+    from snowflake_azure_etl_spark.warehouse.quality import \
+        referential_violations
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pid bigint")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 9), (4, None)], "row_id bigint, pid bigint")
+    # 9 is orphaned; NULL is exempt (not_null is its own rule)
+    assert referential_violations(child, "pid", parent, "pid",
+                                  n_parent_rows=10) == 1
+    clean = child.filter("pid IS NULL OR pid <= 3")
+    assert referential_violations(clean, "pid", parent, "pid") == 0
