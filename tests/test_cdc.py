@@ -82,3 +82,44 @@ def test_diff_fed_scd2_equals_snapshot_fed(spark):
                       key=lambda t: tuple((x is None, str(x)) for x in t))
 
     assert rows(via_diff) == rows(via_full)
+
+
+def test_snapshot_diff_property_random(spark):
+    """Hypothesis sweep: snapshot_diff equals a Python dict diff on
+    arbitrary small snapshots (random key overlap, NULL values,
+    changed/unchanged mixes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    snap = st.dictionaries(st.integers(min_value=0, max_value=9), val,
+                           max_size=8)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(snap, snap)
+    def check(old_d, new_d):
+        old = spark.createDataFrame(
+            [(k, v) for k, v in old_d.items()] or [(None, None)],
+            "k bigint, v bigint")
+        new = spark.createDataFrame(
+            [(k, v) for k, v in new_d.items()] or [(None, None)],
+            "k bigint, v bigint")
+        if not old_d:
+            old = old.limit(0)
+        if not new_d:
+            new = new.limit(0)
+        got = {r["k"]: (r["op"], r["v"]) for r in
+               cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+        want = {}
+        for k in new_d:
+            if k not in old_d:
+                want[k] = ("I", new_d[k])
+            elif old_d[k] != new_d[k]:
+                want[k] = ("U", new_d[k])
+        for k in old_d:
+            if k not in new_d:
+                want[k] = ("D", old_d[k])
+        assert got == want
+
+    check()
