@@ -149,27 +149,17 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str, dim: int,
                 .alias("code")))
 
 
-def pq_adc_topk(codes: DataFrame, queries: DataFrame, id_col: str,
-                vec_col: str, dim: int, codebooks: DataFrame,
-                m: int = 4, k_neighbors: int = 3) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: for each query, an
-    exact LUT of query-subvector→centroid squared distances is computed
-    ONCE against the broadcast codebook; every candidate code is then
-    scored row-locally as m LUT lookups summed — O(m) per candidate on
-    m-int rows, never touching the original vectors.
-
-    The scored side is the (small) query set broadcast against the
-    (huge) code table — codes never shuffle; the final per-query top-k
-    is the standard rank window. Ties break on neighbor id. Returns
-    (query_id, neighbor_id, adc_dist, rn)."""
-    from pyspark.sql import Window
+def _query_luts(queries: DataFrame, id_col: str, vec_col: str,
+                dim: int, codebooks: DataFrame, m: int) -> DataFrame:
+    """(query_id, lut): per-query exact LUT of subvector→centroid
+    squared distances, computed ONCE against the broadcast codebook —
+    lut = array<struct<sub, cell_id, d>> sorted by (sub, cell_id),
+    m·k doubles per query."""
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     sub_dim = dim // m
     qv = as_double_vec(vec_col)
-    # LUT rows: (query_id, lut) with lut = array<struct<sub, cell_id, d>>
-    # sorted by (sub, cell_id) — m·k doubles per query
-    luts = (queries.crossJoin(F.broadcast(_codebook_array(codebooks)))
+    return (queries.crossJoin(F.broadcast(_codebook_array(codebooks)))
             .select(
                 F.col(id_col).alias("query_id"),
                 F.transform(
@@ -179,15 +169,18 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, id_col: str,
                         c.getField("cell_id").alias("cell_id"),
                         _l2sq(_subvec(qv, c.getField("sub"), sub_dim),
                               c.getField("ctv")).alias("d")))
-                .alias("lut"),
-                F.lit(True).alias("_j")))
-    # adc = Σ_sub lut[(sub, code[sub])].d — the lut array is sorted by
-    # (sub, cell_id), so entry (sub, cid) sits at index sub·k + cid
-    # with k = |lut| / m inferred from the artifact itself. The O(1)
-    # positional lookup assumes DENSE cell ids (0..k-1 per subspace) —
-    # true for seed codebooks and for Lloyd rounds in which no cell
-    # empties; each lookup verifies its entry and FAILS LOUDLY on
-    # misalignment instead of summing a wrong subspace's distance.
+                .alias("lut")))
+
+
+def _adc_expr(m: int) -> Column:
+    """adc = Σ_sub lut[(sub, code[sub])].d over `code` and `lut`
+    columns. The lut array is sorted by (sub, cell_id), so entry
+    (sub, cid) sits at index sub·k + cid with k = |lut| / m inferred
+    from the artifact itself. The O(1) positional lookup assumes DENSE
+    cell ids (0..k-1 per subspace) — true for seed codebooks and for
+    Lloyd rounds in which no cell empties; each lookup verifies its
+    entry and FAILS LOUDLY on misalignment instead of summing a wrong
+    subspace's distance."""
     n_cells = (F.size(F.col("lut")) / m).cast("int")
 
     def lut_d(s: Column) -> Column:
@@ -201,17 +194,92 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, id_col: str,
                 "emptied a cell); rebuild codes against the current "
                 "codebook")).cast("double"))
 
-    adc = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, s: acc + lut_d(s))
-    scored = (codes.withColumn("_j", F.lit(True))
-              .join(F.broadcast(luts), "_j")
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id", adc.alias("adc_dist")))
+
+
+def _ranked_topk(scored: DataFrame, k_neighbors: int) -> DataFrame:
+    from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k_neighbors)
             .select("query_id", "neighbor_id", "adc_dist",
                     F.col("rn").cast("int").alias("rn")))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, dim: int, codebooks: DataFrame,
+                m: int = 4, k_neighbors: int = 3) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query, an
+    exact LUT of query-subvector→centroid squared distances is computed
+    ONCE against the broadcast codebook; every candidate code is then
+    scored row-locally as m LUT lookups summed — O(m) per candidate on
+    m-int rows, never touching the original vectors.
+
+    The scored side is the (small) query set broadcast against the
+    (huge) code table — codes never shuffle; the final per-query top-k
+    is the standard rank window. Ties break on neighbor id. Returns
+    (query_id, neighbor_id, adc_dist, rn)."""
+    luts = (_query_luts(queries, id_col, vec_col, dim, codebooks, m)
+            .withColumn("_j", F.lit(True)))
+    scored = (codes.withColumn("_j", F.lit(True))
+              .join(F.broadcast(luts), "_j")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      _adc_expr(m).alias("adc_dist")))
+    return _ranked_topk(scored, k_neighbors)
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, dim: int, n_cells: int = 8,
+                m: int = 4, codebook_k: int = 16,
+                k_neighbors: int = 3, train_iters: int = 0,
+                codebook_iters: int = 1) -> DataFrame:
+    """The composed IVF-PQ probe — the standard billion-vector search
+    stack as ONE set-wise plan (no per-query driver loop):
+
+    1. coarse quantizer (`similarity` centroids, optionally
+       `train_iters` Lloyd rounds) assigns every corpus vector a
+       `cell_id`;
+    2. fine quantizer (`pq_codebooks` / `pq_encode`) collapses each
+       vector to m small ints, KEEPING cell_id on the code table;
+    3. each query is assigned its own cell and joined to ONLY that
+       cell's codes — an equi-join on cell_id, so the candidate set is
+       ~1/n_cells of the corpus and the corpus never shuffles (the
+       query-cell and LUT relations are query-sized broadcasts);
+    4. ADC scores the pruned pairs row-locally; the per-query top-k
+       rank window runs over candidate rows only.
+
+    Returns (query_id, neighbor_id, adc_dist, rn). Self-matches are
+    excluded. At 100 TB this is RAM-resident search: the code table is
+    dim·32/m× smaller than the vectors, and the probe reads 1/n_cells
+    of it per query."""
+    from . import similarity
+
+    if train_iters > 0:
+        cents_df = similarity.kmeans_centroids(
+            emb, id_col, vec_col, n_cells, n_iter=train_iters)
+    else:
+        cents_df = similarity._centroid_frame(emb, id_col, vec_col,
+                                              n_cells)
+    cents = similarity._centroid_array(cents_df)
+    assigned = similarity.assign_cells(emb, id_col, vec_col, cents)
+    books = pq_codebooks(emb, id_col, vec_col, dim, m=m,
+                         k=codebook_k, n_iter=codebook_iters)
+    codes = (pq_encode(emb, id_col, vec_col, dim, books, m=m)
+             .join(assigned.select("neighbor_id", "cell_id"),
+                   "neighbor_id"))
+    q_cells = (similarity.assign_cells(queries, id_col, vec_col, cents)
+               .select(F.col("neighbor_id").alias("query_id"),
+                       "cell_id"))
+    luts = _query_luts(queries, id_col, vec_col, dim, books, m)
+    probe = (codes
+             .join(F.broadcast(q_cells), "cell_id")
+             .join(F.broadcast(luts), "query_id")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     _adc_expr(m).alias("adc_dist")))
+    return _ranked_topk(probe, k_neighbors)
