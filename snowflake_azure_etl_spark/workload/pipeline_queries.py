@@ -852,7 +852,7 @@ _BPE_MERGES = " UNION ALL ".join(
     UNION ALL
     SELECT 'bpe_merge',
            replace(a, chr(1), '') || '+' || replace(b, chr(1), ''),
-           CAST(NULL AS BIGINT), cnt, CAST(rank AS INT)
+           CAST(NULL AS BIGINT), CAST(cnt AS BIGINT), CAST(rank AS INT)
     FROM merges
     """,
 )

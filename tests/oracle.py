@@ -42,6 +42,42 @@ def _sorted_rows(rows: list[tuple], col_order: list[int]) -> list[tuple]:
         (x is None, str(type(x)), str(x)) for x in r))
 
 
+def pandas_dtype_parity(spark_df, con: duckdb.DuckDBPyConnection,
+                        sql: str) -> list[str]:
+    """Driver-faithful dtype check: the round driver compares results at
+    the PANDAS level, where a DuckDB HUGEINT (any SUM()) or a
+    NULL-bearing int column decays to float64 and stringifies as
+    '26.0' vs Spark's '26' — a hash mismatch even when every value is
+    equal (seen live: q58 r6, the BPE-leg SUM cnt promoted the whole
+    unioned total_freq column to HUGEINT). The fix is always CAST(...
+    AS BIGINT) in the oracle; this check makes the decay a local test
+    failure instead of a driver-round discovery. Numeric kind must
+    match per column (int-vs-int or float-vs-float); a NULL-bearing
+    column is exempt (both engines decay it identically)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    dp = con.sql(sql).df()
+    for col in sp.columns:
+        if col not in dp.columns:
+            continue  # schema mismatch reported by compare()
+        sk, dk = sp[col].dtype.kind, dp[col].dtype.kind
+        if sk == dk:
+            continue
+        if not ({sk, dk} <= {"i", "u", "f"}):
+            continue  # only the numeric decay class hash-mismatches
+                      # (date-vs-datetime64 kinds stringify the same)
+        if sp[col].isna().any() or dp[col].isna().any():
+            continue  # NULL-driven decay, not a type bug
+        if {sk, dk} <= {"i", "u"}:
+            continue  # width-only difference, stringifies identically
+        problems.append(
+            f"pandas dtype parity: col {col!r} spark kind={sk!r}"
+            f" ({sp[col].dtype}) duck kind={dk!r} ({dp[col].dtype})"
+            " — driver hash compares pandas string forms; CAST the"
+            " oracle column (SUM→HUGEINT decays to float64)")
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             float_rel_tol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""

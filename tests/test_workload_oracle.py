@@ -10,7 +10,7 @@ import pytest
 
 from snowflake_azure_etl_spark.workload import QUERIES
 
-from .oracle import compare, duck_connection
+from .oracle import compare, duck_connection, pandas_dtype_parity
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +29,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
     problems = compare(df, duck, q.oracle)
+    problems += pandas_dtype_parity(df, duck, q.oracle)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
