@@ -330,9 +330,30 @@ _SIMHASH_KEYS = " UNION ALL ".join(
 
 @query(
     "q53_dedup_simhash",
-    covers=("X-DEDUP-SIMHASH", "X-DEDUP-SIMHASH-PAIRS", "X-TEXT-FPRINT"),
+    covers=("X-DEDUP-SIMHASH", "X-DEDUP-SIMHASH-PAIRS", "X-TEXT-FPRINT",
+            "X-DEDUP-SPAN"),
     oracle=rf"""
     WITH {_TOKS_CTE},
+    spt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spg AS (SELECT doc_id, g,
+                   array_to_string(list_slice(toks, g*3+1, g*3+3), ' ')
+                       AS span
+            FROM (SELECT doc_id, toks,
+                         unnest(range(0, CAST(ceil(len(toks)/3.0) AS INT)))
+                             AS g
+                  FROM spt)),
+    spc AS (SELECT span FROM (
+              SELECT span, COUNT(DISTINCT doc_id) AS nd
+              FROM spg GROUP BY span)
+            WHERE nd >= 2),
+    spx AS (SELECT g.doc_id, g.g, g.span, c.span IS NOT NULL AS is_common
+            FROM spg g LEFT JOIN spc c USING (span)),
+    spr AS (SELECT doc_id,
+                   CAST(COUNT(*) FILTER (WHERE is_common) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(string_agg(span, ' ' ORDER BY g)
+                            FILTER (WHERE NOT is_common), '') AS cleaned
+            FROM spx GROUP BY doc_id),
     h AS (SELECT doc_id,
                  CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hv
           FROM toks),
@@ -361,6 +382,10 @@ _SIMHASH_KEYS = " UNION ALL ".join(
     SELECT 'near_dup', id_a, id_b, CAST(hamming AS BIGINT),
            CAST(NULL AS VARCHAR)
     FROM pairs
+    UNION ALL
+    SELECT 'span_scrub', doc_id, CAST(NULL AS BIGINT), n_removed,
+           substr(md5(cleaned), 1, 16)
+    FROM spr
     """,
 )
 def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +434,22 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
                         F.col("hamming").cast("long").alias("metric"),
                         F.lit(None).cast("string").alias("fingerprint")))
-    return doc_leg.unionByName(pair_leg)
+    # third leg (r7, X-DEDUP-SPAN): C4/RefinedWeb-style repeated-span
+    # scrub — globally repeated 3-token windows removed from every doc
+    # via the anti-join plan (this synthetic corpus's common-span set
+    # is ~25k entries — far beyond the row-local map variant's linear-
+    # scan regime). metric = spans removed; fingerprint = md5 of the
+    # scrubbed text, so the driver attests the REASSEMBLED output, not
+    # just the counts. Map-variant equivalence + its fail-loud cap are
+    # pytest-pinned (tests/test_span_scrub.py).
+    span_leg = (dedup.scrub_repeated_spans(docs)
+                .select(F.lit("span_scrub").alias("role"),
+                        F.col("doc_id").alias("id_a"),
+                        F.lit(None).cast("long").alias("id_b"),
+                        F.col("n_removed").alias("metric"),
+                        F.substring(F.md5("cleaned"), 1, 16)
+                        .alias("fingerprint")))
+    return doc_leg.unionByName(pair_leg).unionByName(span_leg)
 
 
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
