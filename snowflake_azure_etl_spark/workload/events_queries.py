@@ -165,23 +165,101 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(dec("value")).cast("double").alias("session_value")))
 
 
+# One PageRank power-iteration round as DuckDB CTEs (mirrors
+# operators.graph.pagerank): per-edge contribution rank//deg summed on
+# the destination, dangling mass redistributed uniformly, damped with
+# the uniform teleport base — ALL exact integer ops (`//`), so the
+# driver attests the whole 3-round trajectory bit-for-bit (the same
+# round-replay pattern as q63's k-means and q58's BPE oracles).
+_PR_N_ITER = 3
+
+
+def _pr_round_cte(r: int) -> str:
+    from ..operators.graph import PAGERANK_SCALE as S
+    return f"""
+    prc{r} AS (SELECT e.d AS node, SUM(r.rank // g.deg) AS s
+               FROM pr{r - 1} r
+               JOIN prdeg g ON g.s = r.node
+               JOIN predges e ON e.s = r.node
+               GROUP BY e.d),
+    prd{r} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm FROM pr{r - 1} r
+               WHERE r.node NOT IN (SELECT s FROM prdeg)),
+    pr{r} AS (SELECT n.node,
+                     CAST((15 * {S}) // (100 * nn.n)
+                          + (85 * (COALESCE(c.s, 0) + d.dm // nn.n)) // 100
+                          AS BIGINT) AS rank
+              FROM prnodes n CROSS JOIN prn nn CROSS JOIN prd{r} d
+              LEFT JOIN prc{r} c ON c.node = n.node)"""
+
+
+def _pr_oracle_ctes() -> str:
+    from ..operators.graph import PAGERANK_SCALE as S
+    rounds = ",".join(_pr_round_cte(r) for r in range(1, _PR_N_ITER + 1))
+    return f"""
+    prtr AS (SELECT prev AS s, event_type AS d FROM (
+        SELECT event_type,
+               LAG(event_type) OVER w AS prev,
+               floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE prev IS NOT NULL AND gap <= 1800),
+    predges AS (SELECT DISTINCT s, d FROM prtr),
+    prnodes AS (SELECT s AS node FROM predges
+                UNION SELECT d FROM predges),
+    prn AS (SELECT COUNT(*) AS n FROM prnodes),
+    prdeg AS (SELECT s, COUNT(*) AS deg FROM predges GROUP BY s),
+    pr0 AS (SELECT node, {S} // nn.n AS rank
+            FROM prnodes CROSS JOIN prn nn),
+    {rounds}"""
+
+
 @query(
     "q43_events_json_props",
-    covers=("E4", "F2"),
-    oracle="""
-    SELECT event_type,
+    covers=("E4", "F2", "X-GRAPH-PAGERANK"),
+    oracle=f"""
+    WITH {_pr_oracle_ctes()}
+    SELECT 'props' AS leg, event_type,
            CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type, CAST(json_extract(props, '$.k') AS INT) % 10
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS INT), rank
+    FROM pr{_PR_N_ITER}
     """,
 )
 def q43_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON field extraction + cast +
-    group — get_json_object stays JVM-side (no UDF)."""
+    group — get_json_object stays JVM-side (no UDF).
+
+    Unioned (tagged `leg`, r7) with the CLICK-GRAPH PAGERANK leg
+    (operators.graph.pagerank, X-GRAPH-PAGERANK): nodes are event
+    types, edges the distinct within-session transitions (consecutive
+    events of a user ≤ 30 min apart — q42's gap rule), ranks after 3
+    exact fixed-point power-iteration rounds. The event-type graph is
+    deliberately small — the driver attests the full trajectory; graph
+    scale behavior (hubs, cycles, dangling mass, random graphs) is
+    pytest-pinned against a Python reference (tests/test_pagerank.py).
+    """
     e = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("events",))["events"],
         sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return (e.groupBy("event_type", (k % 10).alias("k_mod"))
-            .agg(F.count("*").alias("n_events")))
+    props_leg = (e.groupBy("event_type", (k % 10).alias("k_mod"))
+                 .agg(F.count("*").alias("n_events"))
+                 .select(F.lit("props").alias("leg"), "event_type",
+                         "k_mod", "n_events"))
+    from ..operators.graph import pagerank
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    edges = (e.select(F.lag("event_type").over(w).alias("src"),
+                      F.col("event_type").alias("dst"),
+                      gap.alias("gap"))
+             .filter(F.col("src").isNotNull() & (F.col("gap") <= 1800))
+             .select("src", "dst"))
+    pr_leg = (pagerank(edges, n_iter=_PR_N_ITER)
+              .select(F.lit("pagerank").alias("leg"),
+                      F.col("node").alias("event_type"),
+                      F.lit(None).cast("int").alias("k_mod"),
+                      F.col("rank").alias("n_events")))
+    return props_leg.unionByName(pr_leg)
