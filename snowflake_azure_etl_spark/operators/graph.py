@@ -53,6 +53,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = (e.unionByName(e.select(F.col("d").alias("s"),
                                   F.col("s").alias("d")))
            .distinct().localCheckpoint(eager=True))
+    if not sym.head(1):
+        # no edges, no labeled nodes — and the superstep loop's
+        # convergence probe assumes a non-empty first round
+        return sym.select(F.col("s").alias("id"),
+                          F.col("d").alias("component"))
     labels = (sym.select(F.col("s").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     # Convergence probe: min-propagation only ever LOWERS labels, so
@@ -64,19 +69,27 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for it in range(max_iter):
         neigh = (sym.join(labels, sym.d == labels.id)
                  .select(F.col("s").alias("id"), "label"))
-        # pointer doubling: inherit my current label's own label
-        hop = (labels.alias("a")
-               .join(labels.alias("b"), F.col("a.label") == F.col("b.id"))
-               .select(F.col("a.id").alias("id"),
-                       F.col("b.label").alias("label")))
-        new_labels = (labels.unionByName(neigh).unionByName(hop)
+        parts = labels.unionByName(neigh)
+        if it > 0:
+            # pointer doubling: inherit my current label's own label.
+            # Superstep 0 skips it — labels == ids there, so the hop
+            # join is the identity (one dead join per call, measured
+            # on the q63 semdedup leg's job count).
+            hop = (labels.alias("a")
+                   .join(labels.alias("b"),
+                         F.col("a.label") == F.col("b.id"))
+                   .select(F.col("a.id").alias("id"),
+                           F.col("b.label").alias("label")))
+            parts = parts.unionByName(hop)
+        new_labels = (parts
                       .groupBy("id").agg(F.min("label").alias("label")))
         if it % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
             new_labels = new_labels.localCheckpoint(eager=True)
-        # decimal sum: 10^12 nodes × 10^12-sized ids overflows a long
+        labels = new_labels
+        # decimal sum: 10^12 nodes × 10^12-sized ids overflows a long.
+        # The probe reads the just-checkpointed labels — cached, cheap.
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new_labels
         if cur_sum == prev_sum:
             return labels.select("id", F.col("label").alias("component"))
         prev_sum = cur_sum

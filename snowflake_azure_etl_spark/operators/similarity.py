@@ -204,6 +204,29 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
                  .getField("nid")).cast("int").alias("cell_id")))
 
 
+def _ivf_index(emb: DataFrame, id_col: str, vec_col: str,
+               n_cells: int, train_iters: int):
+    """(cent_arr, assigned) — the IVF index: the one-row broadcast
+    centroid array plus the cell-assigned corpus. Built once and cached
+    per (session, corpus plan) the way any vector store persists its
+    index — every consumer (`ivf_topk` probes, `semantic_dedup`
+    within-cell comparisons) pays only its own stage, not the build."""
+    from ._cache import cached_build, plan_key
+    spark = emb.sparkSession
+    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells, train_iters)
+
+    def build():
+        cents = (kmeans_centroids(emb, id_col, vec_col, n_cells,
+                                  n_iter=train_iters) if train_iters > 0
+                 else _centroid_frame(emb, id_col, vec_col, n_cells))
+        cent_arr = _centroid_array(cents).persist()
+        assigned = assign_cells(emb, id_col, vec_col, cent_arr).persist()
+        assigned.count()  # materialize the index eagerly, once
+        return cent_arr, assigned
+
+    return cached_build(spark, key, build)
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 3, n_cells: int = 8, nprobe: int = 2,
              train_iters: int = 0) -> DataFrame:
@@ -232,25 +255,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     centroids.
     """
     from pyspark.sql import Window
-
-    from ._cache import cached_build, plan_key
-    # The centroid set + assigned corpus ARE the IVF index: built once,
-    # probed by every query. Cache both per (session, corpus plan) the
-    # way any vector store persists its index — repeat searches pay only
-    # the probe, not the index build.
-    spark = emb.sparkSession
-    key = ("ivf_index", plan_key(emb), id_col, vec_col, n_cells, train_iters)
-
-    def build():
-        cents = (kmeans_centroids(emb, id_col, vec_col, n_cells,
-                                  n_iter=train_iters) if train_iters > 0
-                 else _centroid_frame(emb, id_col, vec_col, n_cells))
-        cent_arr = _centroid_array(cents).persist()
-        assigned = assign_cells(emb, id_col, vec_col, cent_arr).persist()
-        assigned.count()  # materialize the index eagerly, once
-        return cent_arr, assigned
-
-    cent_arr, assigned = cached_build(spark, key, build)
+    cent_arr, assigned = _ivf_index(emb, id_col, vec_col, n_cells,
+                                    train_iters)
     qv = as_double_vec(vec_col)
     probes = (queries.crossJoin(F.broadcast(cent_arr))
               .select(
@@ -350,6 +356,68 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b",
                     cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_cells: int = 8,
+                   train_iters: int = 2, threshold: float = 0.95,
+                   max_cell: int = EMBED_MAX_BUCKET,
+                   n_rows: int | None = None) -> DataFrame:
+    """SemDeDup (X-DEDUP-SEMANTIC; Abbas et al. 2023,
+    arXiv:2303.09540): semantic near-duplicate removal over an
+    embedding column — cluster the corpus with the TRAINED coarse
+    quantizer, compare cosine similarity only WITHIN cells, resolve
+    the transitive similarity components, keep the min-id member of
+    each. Output: (id, cell_id, keeper, is_dup) for every corpus row;
+    `is_dup` rows are the ones a training pipeline drops.
+
+    The defining approximation is the one that makes it scale: a pair
+    split across two cells is never compared (the published recipe).
+    Per-cell work is the quadratic stage, so cells carry the same
+    guards as `embedding_near_dups` buckets: cells wider than
+    ``max_cell`` are dropped from the pair stage whole
+    (deterministic), skipped entirely when the attested ``n_rows``
+    proves the guard dead; the per-vector join sides broadcast only
+    under the `dedup.BROADCAST_MAX_ROWS` attestation. Cluster
+    resolution is `graph.dup_clusters` — O(log diameter) supersteps of
+    equi-joins, no all-pairs anything. n_cells scales with the corpus
+    (fixed expected cell width) exactly as `ivf_topk`; the index is
+    shared with it via `_ivf_index`, so a pipeline that both searches
+    and dedups builds the quantizer once."""
+    from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
+    from .graph import dup_clusters
+    _, assigned = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
+    # per-row norm precomputed ONCE: the per-pair cosine then costs one
+    # interpreted dot-aggregate instead of three (higher-order exprs are
+    # not codegen'd — measured 3× on the pair stage), and the final
+    # expression dot/(na·nb) is the SAME float computation as
+    # cosine(a, b), so threshold comparisons stay bit-identical to the
+    # oracle's
+    c = assigned.select(F.col("neighbor_id").alias("_id"), "cv", "cell_id",
+                        l2_norm(F.col("cv")).alias("_n"))
+    if n_rows is None or n_rows > max_cell:
+        widths = (c.groupBy("cell_id").agg(F.count("*").alias("_cw"))
+                  .filter(F.col("_cw") <= max_cell).drop("_cw"))
+        c = c.join(F.broadcast(widths), "cell_id")
+    a = c.select("cell_id", F.col("_id").alias("id_a"),
+                 F.col("cv").alias("va"), F.col("_n").alias("na"))
+    b = c.select("cell_id", F.col("_id").alias("id_b"),
+                 F.col("cv").alias("vb"), F.col("_n").alias("nb"))
+    pairs = (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS),
+                    "cell_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb")) >= threshold)
+             .select("id_a", "id_b"))
+    clusters = dup_clusters(pairs)
+    return (assigned
+            .join(_maybe_broadcast(
+                      clusters.withColumnRenamed("id", "neighbor_id"),
+                      n_rows, BROADCAST_MAX_ROWS),
+                  "neighbor_id", "left")
+            .select(F.col("neighbor_id").alias("id"), "cell_id",
+                    F.coalesce("keeper", "neighbor_id").alias("keeper"))
+            .withColumn("is_dup", F.col("keeper") != F.col("id")))
 
 
 def normalize_vec(vec: Column | str) -> Column:

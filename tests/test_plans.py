@@ -72,15 +72,21 @@ def test_theta_join_is_bnl(spark, sf_dir):
 
 def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q57_text_stats")
-    # the per-doc feature computation stays a narrow projection; the
-    # query's exchanges are exactly the two declared bounded-output
-    # stages — the token-frequency-map build (one token-keyed
-    # aggregate collapsing to a ONE-ROW map, X-TEXT-LM) and nothing
-    # else hash-keyed; rangepartitioning never appears (the packing
-    # prefix sum takes the single-window small path at test scale)
-    assert plan.count("hashpartitioning") <= 2   # tree + detail block
+    # the per-doc feature computation stays a narrow projection over
+    # the WIDE corpus row; every exchange belongs to a declared
+    # bounded-or-narrow side stage — the one-row token-frequency map
+    # (token-keyed), and the r7 tf-icf relation's (doc, token) tf
+    # aggregate + token df aggregate + doc-keyed top-term window, all
+    # over narrow projections, re-attached via the footer-attested
+    # broadcast (the packing join-back pattern) so the wide corpus row
+    # itself never shuffles; rangepartitioning never appears (the
+    # packing prefix sum takes the single-window small path at test
+    # scale)
+    assert plan.count("hashpartitioning") <= 4
     assert "rangepartitioning" not in plan
     assert "Python" not in plan         # no UDF tax in the hot path
+    # the top-term join-back must be the broadcast side at test scale
+    assert "BroadcastHashJoin" in plan
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):
@@ -189,12 +195,23 @@ def test_asof_join_single_shuffle(spark, sf_dir, name):
 
 
 def test_ivf_probe_is_equi_join_not_cross(spark, sf_dir):
-    """q63's candidate generation must be an equi-join on cell_id with
-    the probe side broadcast — never a corpus×queries cross join. The
-    only nested-loop joins allowed are the ONE-ROW centroid-array
-    attachments (fan-out ×1 — the broadcast-variable pattern), never a
-    join of two multi-row relations."""
-    plan = plan_of(spark, sf_dir, "q63_ann_ivf_topk")
+    """The ivf_topk probe's candidate generation must be an equi-join
+    on cell_id with the probe side broadcast — never a corpus×queries
+    cross join. The only nested-loop joins allowed are the ONE-ROW
+    centroid-array attachments (fan-out ×1 — the broadcast-variable
+    pattern), never a join of two multi-row relations. (Pinned on the
+    operator plan, not the whole q63 — the unioned semdedup leg's
+    within-cell pair join shuffles on cell_id by design; see
+    test_semdedup_pair_join_is_equi.)"""
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import similarity
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = explain_str(similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=3, n_cells=8, nprobe=2, train_iters=2))
     assert "BroadcastHashJoin" in plan   # candidates: equi-join on cell_id
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan   # corpus side must never shuffle
@@ -203,6 +220,22 @@ def test_ivf_probe_is_equi_join_not_cross(spark, sf_dir):
     # the candidate path itself must still be the hash equi-join
     # (formatted output repeats nodes across the cached-index subtree,
     # so only the shape — not the node count — is stable)
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "collect_list" in plan
+
+
+def test_semdedup_pair_join_is_equi(spark, sf_dir):
+    """semantic_dedup's within-cell pair stage must be an equi-join on
+    cell_id (shuffle allowed — the bounded-cell contract), never a
+    cartesian of two multi-row relations."""
+    from snowflake_azure_etl_spark.operators import similarity
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    plan = explain_str(similarity.semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=8, train_iters=2,
+        threshold=0.4))
+    assert "CartesianProduct" not in plan
+    # the one-row centroid attach is the only NL join allowed
     if "BroadcastNestedLoopJoin" in plan:
         assert "collect_list" in plan
 

@@ -1,0 +1,97 @@
+"""Semantic dedup (operators.similarity.semantic_dedup, X-DEDUP-SEMANTIC
+/ SemDeDup): planted duplicate clusters resolve to min-id keepers,
+near-orthogonal vectors survive, the within-cell-only contract, and the
+cell-width guard."""
+
+from __future__ import annotations
+
+import math
+
+from snowflake_azure_etl_spark.operators import similarity
+
+
+def _vec(i, dim=16, eps=0.0, base=None):
+    """Unit basis vector (optionally perturbed copy of `base`)."""
+    v = [0.0] * dim
+    if base is not None:
+        v = list(base)
+        v[(i * 7) % dim] += eps
+    else:
+        v[i % dim] = 1.0
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _rows():
+    # ids < n_cells are the seed centroids (orthogonal basis vectors);
+    # planted near-dup cluster members sit at HIGHER ids so they land
+    # in the seeds' cells instead of seeding their own
+    a = _vec(0)
+    b = _vec(1)
+    rows = [(0, a), (1, b), (2, _vec(2)), (3, _vec(3)),
+            (100, _vec(10, eps=0.01, base=a)),
+            (101, _vec(11, eps=0.02, base=a)),   # cluster {0, 100, 101}
+            (110, _vec(12, eps=0.015, base=b)),  # cluster {1, 110}
+            (120, _vec(5))]                      # orthogonal singleton
+    return rows
+
+
+def _run(spark, rows, **kw):
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    kw.setdefault("n_cells", 4)
+    kw.setdefault("train_iters", 0)
+    kw.setdefault("threshold", 0.95)
+    out = similarity.semantic_dedup(emb, "vec_id", "embedding", **kw)
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_planted_clusters_resolve_to_min_id_keeper(spark):
+    got = _run(spark, _rows())
+    assert len(got) == 8
+    # cluster members point at the min id; is_dup marks the drops
+    assert {got[i]["keeper"] for i in (0, 100, 101)} == {0}
+    assert [got[i]["is_dup"] for i in (0, 100, 101)] == [False, True, True]
+    assert got[110]["keeper"] == 1 and got[110]["is_dup"]
+    for i in (2, 3, 120):
+        assert got[i]["keeper"] == i and not got[i]["is_dup"]
+
+
+def test_kept_fraction_matches_component_count(spark):
+    got = _run(spark, _rows())
+    keepers = {r["keeper"] for r in got.values()}
+    survivors = {i for i, r in got.items() if not r["is_dup"]}
+    assert keepers == survivors == {0, 1, 2, 3, 120}
+
+
+def test_pairs_only_within_cells(spark):
+    """The defining SemDeDup approximation: identical vectors assigned
+    to different cells are NOT merged. Force n_cells == n_rows with
+    orthogonal seeds so every vector is its own cell."""
+    rows = [(i, _vec(i)) for i in range(4)]
+    # duplicate of vector 0 but with a HIGHER id: same cell as 0
+    rows.append((7, _vec(13, eps=0.001, base=_vec(0))))
+    got = _run(spark, rows, n_cells=4)
+    assert got[7]["keeper"] == 0 and got[7]["is_dup"]
+
+
+def test_cell_width_guard_drops_wide_cells(spark):
+    """All rows collapse into one cell wider than max_cell: the pair
+    stage must drop the cell whole (no pairs, nobody deduped) rather
+    than pay the quadratic join."""
+    base = _vec(0)
+    rows = [(i, _vec(i + 1, eps=0.001 * (i + 1), base=base))
+            for i in range(6)]
+    got = _run(spark, rows, n_cells=1, max_cell=3)
+    assert all(not r["is_dup"] for r in got.values())
+    # and without the guard the same data DOES dedup
+    got2 = _run(spark, rows, n_cells=1, max_cell=100)
+    assert sum(r["is_dup"] for r in got2.values()) == 5
+
+
+def test_attested_small_corpus_skips_guard(spark):
+    rows = _rows()
+    a = _run(spark, rows)
+    b = _run(spark, rows, n_rows=len(rows))
+    assert a.keys() == b.keys()
+    assert all(a[k]["keeper"] == b[k]["keeper"] for k in a)
