@@ -372,3 +372,112 @@ def mean_token_freq(text_col: Column | str,
             F.element_at(F.col(tf_col), t), F.lit(0)))
     return F.when(F.size(toks) > 0,
                   total.cast("double") / F.size(toks))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term scoring (X-TEXT-TFIDF) and windowed co-occurrence
+# (X-TEXT-COOC) — retrieval-relevance and skip-gram/PMI corpus prep.
+# --------------------------------------------------------------------------
+
+#: Fixed-point scale for the hash-portable inverse-document-frequency
+#: score (see tf_icf_top_terms). Sized so the score product stays in
+#: int64 at corpus scale: tf(≤10⁴) · n_docs(≤10⁹) · 2^10 ≈ 10^16 ≪ 2^63.
+TFIDF_SCALE = 1 << 10
+
+
+def doc_term_freqs(docs, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """(id, token, tf): within-document term frequencies. One explode +
+    one groupBy keyed on (doc, token) — map-side combined, and for
+    natural text each partial state is one document's vocabulary."""
+    return (docs.select(F.col(id_col), F.explode(tokens(text_col))
+                        .alias("token"))
+            .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+
+
+def tf_icf_top_terms(docs, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 1,
+                     n_docs: int | None = None,
+                     scale: int = TFIDF_SCALE):
+    """Top-`k` most-characteristic terms per document by the EXACT-
+    integer idf-weighted score
+
+        score = (tf · n_docs · scale) div df
+
+    — inverse document frequency without log damping, monotone in
+    tf/df, and hash-portable (the classic smooth-idf variant needs ln,
+    whose libm rounding is not identical across engines; it is provided
+    as `tfidf_score` for in-engine use and pytest-pinned — the same
+    exact-integer-twin discipline as mean_token_freq/unigram_logprob).
+    Ties break (score desc, token asc): deterministic total order.
+
+    Output: (id, token, tf, df, score_scaled, rnk), rnk <= k.
+
+    Scale: tf and df are two independent map-side-combined aggregations
+    of the same exploded relation; the df side is vocabulary-sized
+    (bounded by language, not corpus), joined on the token — AQE
+    broadcasts it when it materializes small. The per-doc top-k window
+    partitions by doc id — corpus-parallel, never a global window.
+    `n_docs` comes attested from the caller (footer metadata), else one
+    count."""
+    from pyspark.sql import Window
+    n = n_docs if n_docs is not None else docs.count()
+    tf = doc_term_freqs(docs, id_col, text_col)
+    df = (docs.select(
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("df")))
+    scored = (tf.join(df, "token")
+              .withColumn("score_scaled",
+                          F.expr(f"(tf * {n}L * {scale}L) div df")
+                          .cast("long")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("score_scaled"), F.asc("token")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "token", "tf", "df", "score_scaled",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def tfidf_score(tf: Column, df: Column, n_docs: Column | int) -> Column:
+    """Classic smooth TF-IDF: tf · (ln((1+n)/(1+df)) + 1). In-engine
+    ranking/filtering twin of `tf_icf_top_terms`'s exact score —
+    ln-valued, so pytest-verified (transcendental rounding is not
+    cross-engine hash-portable)."""
+    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    return tf * (F.log((1 + n.cast("double")) / (1 + df.cast("double")))
+                 + F.lit(1.0))
+
+
+def cooccurrence_pairs(docs, text_col: str = "text", window: int = 2):
+    """(pair, n_cooc): unordered within-window token co-occurrence
+    counts — the skip-gram relation embedding trainers (word2vec/GloVe)
+    consume, and the numerator of PMI. A pair is counted once per
+    (position, offset) occurrence, offsets 1..window; the pair key is
+    canonical (lexicographic least|greatest, '|'-joined).
+
+    Scale: pair construction is ROW-LOCAL (zip_with over shifted
+    token-array views per offset — the word_shingles trick, no
+    self-join on positions), so the only wide stage is the final
+    map-side-combined count keyed on the pair value. Pair cardinality
+    is vocabulary², bounded by language — not corpus-sized."""
+    toks = tokens(text_col)
+    legs = []
+    for j in range(1, window + 1):
+        left = F.slice(toks, 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        right = F.slice(toks, j + 1,
+                        F.greatest(F.size(toks) - j, F.lit(0)))
+        legs.append(F.zip_with(
+            left, right,
+            lambda a, b: F.concat_ws("|", F.least(a, b), F.greatest(a, b))))
+    pairs = legs[0] if len(legs) == 1 else F.concat(*legs)
+    return (docs.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("n_cooc")))
+
+
+def pmi(pair_count: Column, count_a: Column, count_b: Column,
+        n_tokens: Column) -> Column:
+    """Pointwise mutual information ln(P(a,b)/(P(a)P(b))) from the
+    co-occurrence and unigram counts — in-engine filter/weight twin
+    (ln-valued ⇒ pytest-pinned, exact counts are the attested part)."""
+    return F.log((pair_count.cast("double") * n_tokens.cast("double"))
+                 / (count_a.cast("double") * count_b.cast("double")))

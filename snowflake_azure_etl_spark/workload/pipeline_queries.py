@@ -677,7 +677,7 @@ PACK_CTX = 512
     "q57_text_stats",
     covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
             "X-TEXT-CHUNK", "X-SPLIT-ASSIGN", "X-TEXT-REPETITION",
-            "X-TEXT-PII", "X-PACK"),
+            "X-TEXT-PII", "X-PACK", "X-TEXT-TFIDF"),
     oracle=f"""
     WITH base AS (
     SELECT doc_id,
@@ -759,12 +759,30 @@ PACK_CTX = 512
            WHERE length(tok) > 0),
     mtf AS (SELECT d.doc_id,
                    CAST(SUM(f.c) AS DOUBLE) / COUNT(*) AS mean_tok_freq
-            FROM dt d JOIN tf f USING (tok) GROUP BY d.doc_id)
-    SELECT base.*, token_offset // """ + f"""{PACK_CTX} AS pack_first_seq,
+            FROM dt d JOIN tf f USING (tok) GROUP BY d.doc_id),""" + f"""
+    dtt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+    ttf2 AS (SELECT doc_id, tok, COUNT(*) AS tfc
+             FROM dtt GROUP BY doc_id, tok),
+    tdf2 AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfc
+             FROM dtt GROUP BY tok),
+    ndoc AS (SELECT COUNT(*) AS nd FROM documents),
+    ttop AS (SELECT doc_id, tok AS top_term,
+                    CAST(sc AS BIGINT) AS top_term_score FROM (
+        SELECT t.doc_id, t.tok,
+               (t.tfc * n.nd * {text.TFIDF_SCALE}) // d.dfc AS sc,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY (t.tfc * n.nd * {text.TFIDF_SCALE}) // d.dfc
+                                DESC,
+                            t.tok) AS rn
+        FROM ttf2 t JOIN tdf2 d USING (tok) CROSS JOIN ndoc n)
+        WHERE rn = 1)
+    SELECT base.*, token_offset // {PACK_CTX} AS pack_first_seq,
            (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
                AS pack_last_seq,
-           m.mean_tok_freq
+           m.mean_tok_freq, tt.top_term, tt.top_term_score
     FROM base LEFT JOIN mtf m USING (doc_id)
+    LEFT JOIN ttop tt USING (doc_id)
     """,
 )
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,7 +831,22 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-verified — transcendental rounding isn't cross-engine
     # hash-portable, integer sums are)
     packed = packed.crossJoin(F.broadcast(text.token_freq_map(docs)))
-    return packed.select(
+    # r7, X-TEXT-TFIDF: most-characteristic term per doc by the
+    # exact-integer idf-weighted score (text.tf_icf_top_terms — the
+    # hash-portable twin of the ln-valued tfidf_score, which is
+    # pytest-pinned). The join-back rides the packing pattern: the
+    # per-doc top-term relation is narrow (doc, term, score), broadcast
+    # under the footer attestation so the wide corpus row never
+    # shuffles; above the cap it falls back to ONE doc-keyed equi-join
+    # — the inherent cost of attaching any (doc, token)-aggregated
+    # feature back onto the doc row.
+    from ..operators.dedup import _maybe_broadcast
+    top_term = (text.tf_icf_top_terms(docs, "doc_id", "text", k=1,
+                                      n_docs=n_docs)
+                .select("doc_id", F.col("token").alias("top_term"),
+                        F.col("score_scaled").alias("top_term_score")))
+    return packed.join(_maybe_broadcast(top_term, n_docs),
+                       "doc_id", "left").select(
         "doc_id",
         "token_offset", "pack_first_seq", "pack_last_seq",
         text.mean_token_freq("text").alias("mean_tok_freq"),
@@ -833,6 +866,7 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score("text").alias("quality_score"),
         "lang",
         text.lang_guess("text").alias("lang_guess"),
+        "top_term", "top_term_score",
     )
 
 
@@ -864,12 +898,29 @@ _BPE_MERGES = " UNION ALL ".join(
     for r in range(_BPE_N_MERGES))
 
 
+_COOC_WINDOW = 2
+_COOC_TOP_K = 50
+
+
 @query(
     "q58_token_vocab",
-    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN"),
+    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
+    cpos AS (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+             FROM (SELECT string_split(text, ' ') AS toks
+                   FROM documents)),
+    cpair AS (SELECT least(toks[i], toks[i + o.j]) || '|'
+                     || greatest(toks[i], toks[i + o.j]) AS pair
+              FROM cpos CROSS JOIN (VALUES (1), (2)) o(j)
+              WHERE i + o.j <= len(toks)),
+    ccount AS (SELECT pair, COUNT(*) AS n_cooc
+               FROM cpair GROUP BY pair),
+    ctop AS (SELECT pair, n_cooc,
+                    ROW_NUMBER() OVER (ORDER BY n_cooc DESC, pair)
+                        AS crank
+             FROM ccount),
     agg AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
                    COUNT(*) AS total_freq
             FROM per GROUP BY token),
@@ -894,6 +945,10 @@ _BPE_MERGES = " UNION ALL ".join(
            replace(a, chr(1), '') || '+' || replace(b, chr(1), ''),
            CAST(NULL AS BIGINT), CAST(cnt AS BIGINT), CAST(rank AS INT)
     FROM merges
+    UNION ALL
+    SELECT 'cooc', pair, CAST(NULL AS BIGINT), n_cooc,
+           CAST(crank AS INT)
+    FROM ctop WHERE crank <= {_COOC_TOP_K}
     """,
 )
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,7 +985,26 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_freq"),
         F.col("freq").alias("total_freq"),
         F.col("rank"))
-    return vocab_leg.unionByName(bpe_leg)
+    # third leg (r7, X-TEXT-COOC): top-k windowed co-occurrence pairs
+    # (text.cooccurrence_pairs — the skip-gram/PMI prep relation;
+    # pair construction is row-local zip_with over shifted views, the
+    # count is the one wide stage, pair space is vocabulary²-bounded).
+    # Top-k rides the same TakeOrderedAndProject + k-row-window shape
+    # as the vocab leg; the ln-valued PMI weight over these counts is
+    # pytest-pinned (tests/test_tfidf_cooc.py).
+    cooc = text.cooccurrence_pairs(docs, "text", window=_COOC_WINDOW)
+    cooc_order = [F.desc("n_cooc"), F.asc("pair")]
+    cooc_head = cooc.orderBy(*cooc_order).limit(_COOC_TOP_K)
+    from pyspark.sql import Window as _W
+    cooc_leg = (cooc_head
+                .withColumn("crank",
+                            F.row_number().over(_W.orderBy(*cooc_order)))
+                .select(F.lit("cooc").alias("leg"),
+                        F.col("pair").alias("token"),
+                        F.lit(None).cast("long").alias("doc_freq"),
+                        F.col("n_cooc").alias("total_freq"),
+                        F.col("crank").cast("int").alias("rank")))
+    return vocab_leg.unionByName(bpe_leg).unionByName(cooc_leg)
 
 
 @query(
@@ -1021,12 +1095,22 @@ def _kmeans_round_cte(it: int, prev: str) -> str:
               FROM s{it} GROUP BY cell_id)"""
 
 
+#: SemDeDup similarity threshold for the catalog leg. This synthetic
+#: corpus is near-orthogonal noise (max pairwise cosine ≈ 0.51, no
+#: planted semantic duplicates), so the leg places θ where the corpus
+#: HAS structure (0.4 ⇒ ~59 pairs at sf0.01) to exercise pair
+#: formation + transitive resolution; production corpora use ~0.95+.
+#: Planted-cluster semantics are pytest-pinned (tests/test_semdedup.py).
+_SEMDEDUP_THRESHOLD = 0.4
+
+
 @query(
     "q63_ann_ivf_topk",
-    covers=("X-ANN-IVF", "X-ANN-KMEANS"),
+    covers=("X-ANN-IVF", "X-ANN-KMEANS", "X-DEDUP-SEMANTIC"),
     oracle=f"""
-    WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
+    WITH RECURSIVE
+    corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
     c0 AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings WHERE vec_id < 8),
     {_kmeans_round_cte(1, 'c0')},
@@ -1054,9 +1138,27 @@ def _kmeans_round_cte(it: int, prev: str) -> str:
         SELECT query_id, neighbor_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
-        FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+        FROM scored),
+    sp AS (SELECT a.neighbor_id AS ia, b.neighbor_id AS ib
+           FROM assigned a JOIN assigned b USING (cell_id)
+           WHERE a.neighbor_id < b.neighbor_id
+             AND {_COS.format(a='a.v', b='b.v')} >= {_SEMDEDUP_THRESHOLD}),
+    ssym AS (SELECT ia AS s, ib AS d FROM sp
+             UNION SELECT ib, ia FROM sp),
+    sreach AS (
+        SELECT s, d FROM ssym
+        UNION
+        SELECT r.s, y.d FROM sreach r JOIN ssym y ON r.d = y.s),
+    scomp AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
+              FROM sreach GROUP BY s)
+    SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,
+           CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'semdedup', a.neighbor_id,
+           CAST(COALESCE(c.keeper, a.neighbor_id) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(a.cell_id AS INT)
+    FROM assigned a LEFT JOIN scomp c ON c.id = a.neighbor_id
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,8 +1170,31 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each query probes its 2 nearest trained cells. Assignment is
     a shuffle-free projection; candidates come from a cell_id
     equi-join; the oracle re-runs the identical 2-round training loop
-    in SQL, so the trained quantizer itself is hash-checked."""
+    in SQL, so the trained quantizer itself is hash-checked.
+
+    Unioned (tagged `leg`, r7) with SEMANTIC DEDUP
+    (similarity.semantic_dedup, X-DEDUP-SEMANTIC — the SemDeDup
+    recipe): within-cell cosine pairs over the SAME trained cells,
+    transitive components resolved by graph.dup_clusters, min-id
+    keeper per corpus row. The quantizer+assignment index is built
+    once and shared by both legs (`_ivf_index` session cache); the
+    oracle resolves the components with a recursive CTE over the
+    identical within-cell pair set. rn carries the cell id in this
+    leg; keeper != query_id marks the rows a pipeline drops."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries, "vec_id", "embedding",
-                               k=3, n_cells=8, nprobe=2, train_iters=2)
+    topk = (similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                k=3, n_cells=8, nprobe=2, train_iters=2)
+            .select(F.lit("topk").alias("leg"), "query_id",
+                    "neighbor_id", "cos_sim", "rn"))
+    n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
+    sd = (similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                    n_cells=8, train_iters=2,
+                                    threshold=_SEMDEDUP_THRESHOLD,
+                                    n_rows=n_vecs)
+          .select(F.lit("semdedup").alias("leg"),
+                  F.col("id").alias("query_id"),
+                  F.col("keeper").alias("neighbor_id"),
+                  F.lit(None).cast("double").alias("cos_sim"),
+                  F.col("cell_id").cast("int").alias("rn")))
+    return topk.unionByName(sd)
