@@ -44,6 +44,21 @@ from ..sources.registry import load_tables, stage_row_count
 UNKNOWN_KEY = 1  # reference seeds the unknown member at surrogate key 1
 
 
+def _persisted_dim(df: DataFrame, name: str) -> DataFrame:
+    """Session-persisted dim relation (operators._cache, r7): the
+    warehouse PERSISTS dimensions — runner._materialize writes them as
+    tables — so workload queries modeling the post-build warehouse
+    re-read the same small relation instead of re-running the dim build
+    (window keying + unknown-member union) once per query. Keyed by the
+    defining logical plan: a different source or span builds its own
+    entry; same plan → same persisted dim, exactly like reading the
+    written table. Dims are dimension-sized — the bounded artifact
+    class the cache documents — and facts are deliberately NOT cached
+    (corpus-sized)."""
+    from ..operators._cache import cached_relation
+    return cached_relation(df, f"warehouse:{name}", eager=False)
+
+
 def _with_unknown_member(spark: SparkSession, members: DataFrame,
                          key_col: str, unknown_row: dict) -> DataFrame:
     """Prepend the hand-seeded unknown member (key 1 — reference
@@ -81,11 +96,12 @@ def build_dim_location(spark: SparkSession, t: dict[str, DataFrame],
     keyed = with_surrogate_key(locs, "dim_location_id",
                                order_by=["nation_name", "nationkey"],
                                offset=UNKNOWN_KEY, n_rows=n_rows)
-    return _with_unknown_member(
+    return _persisted_dim(_with_unknown_member(
         spark, keyed.select("dim_location_id", "nationkey", "nation_name",
                             "region_name"),
         "dim_location_id",
-        {"nationkey": -1, "nation_name": "Unknown", "region_name": "Unknown"})
+        {"nationkey": -1, "nation_name": "Unknown", "region_name": "Unknown"}),
+        "dim_location")
 
 
 def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
@@ -107,12 +123,13 @@ def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
     keyed = with_surrogate_key(joined, "dim_customer_id",
                                order_by=["custkey"], offset=UNKNOWN_KEY,
                                n_rows=n_rows)
-    return _with_unknown_member(
+    return _persisted_dim(_with_unknown_member(
         spark, keyed.select("dim_customer_id", "custkey", "customer_name",
                             "segment", "dim_location_id", "acct_balance"),
         "dim_customer_id",
         {"custkey": -1, "customer_name": "Unknown", "segment": "Unknown",
-         "dim_location_id": UNKNOWN_KEY, "acct_balance": 0.0})
+         "dim_location_id": UNKNOWN_KEY, "acct_balance": 0.0}),
+        "dim_customer")
 
 
 def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
@@ -134,12 +151,13 @@ def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
     keyed = with_surrogate_key(joined, "dim_supplier_id",
                                order_by=["suppkey"], offset=UNKNOWN_KEY,
                                n_rows=n_rows)
-    return _with_unknown_member(
+    return _persisted_dim(_with_unknown_member(
         spark, keyed.select("dim_supplier_id", "suppkey", "supplier_name",
                             "store_label", "dim_location_id"),
         "dim_supplier_id",
         {"suppkey": -1, "supplier_name": "Unknown", "store_label": "Unknown",
-         "dim_location_id": UNKNOWN_KEY})
+         "dim_location_id": UNKNOWN_KEY}),
+        "dim_supplier")
 
 
 def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame],
@@ -158,12 +176,13 @@ def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame],
     keyed = with_surrogate_key(joined, "dim_channel_id",
                                order_by=["channelkey"], offset=UNKNOWN_KEY,
                                n_rows=n_rows)
-    return _with_unknown_member(
+    return _persisted_dim(_with_unknown_member(
         spark, keyed.select("dim_channel_id", "channelkey", "categorykey",
                             "channel_name", "channel_category"),
         "dim_channel_id",
         {"channelkey": -1, "categorykey": -1, "channel_name": "Unknown",
-         "channel_category": "Unknown"})
+         "channel_category": "Unknown"}),
+        "dim_channel")
 
 
 def build_dim_part(spark: SparkSession, t: dict[str, DataFrame],
@@ -181,20 +200,30 @@ def build_dim_part(spark: SparkSession, t: dict[str, DataFrame],
     keyed = with_surrogate_key(attrs, "dim_part_id",
                                order_by=["partkey"], offset=UNKNOWN_KEY,
                                n_rows=n_rows)
-    return _with_unknown_member(
+    return _persisted_dim(_with_unknown_member(
         spark, keyed.select("dim_part_id", "partkey", "part_name", "brand",
                             "part_type", "size", "retail_price"),
         "dim_part_id",
         {"partkey": -1, "part_name": "Unknown", "brand": "Unknown",
-         "part_type": "Unknown", "size": 0, "retail_price": 0.0})
+         "part_type": "Unknown", "size": 0, "retail_price": 0.0}),
+        "dim_part")
 
 
 def orderdate_span(t: dict[str, DataFrame]) -> tuple[str, str]:
     """Dim_Date coverage = the orders date span, whole years (the
-    reference covers its sales span 2013-2014 with 730 generated days)."""
-    row = t["orders"].agg(F.min("o_orderdate").alias("lo"),
-                          F.max("o_orderdate").alias("hi")).collect()[0]
-    return f"{row['lo'].year}-01-01", f"{row['hi'].year}-12-31"
+    reference covers its sales span 2013-2014 with 730 generated days).
+    The one-row span probe is memoized per (session, orders plan) —
+    every build_star caller needs the same two literals."""
+    from ..operators._cache import cached_build, plan_key
+    orders = t["orders"]
+
+    def compute() -> tuple[str, str]:
+        row = orders.agg(F.min("o_orderdate").alias("lo"),
+                         F.max("o_orderdate").alias("hi")).collect()[0]
+        return f"{row['lo'].year}-01-01", f"{row['hi'].year}-12-31"
+
+    return cached_build(orders.sparkSession,
+                        ("orderdate_span", plan_key(orders)), compute)
 
 
 def build_fact_sales(spark: SparkSession, t: dict[str, DataFrame],
