@@ -275,3 +275,51 @@ def guarded_theta_join(left: DataFrame, right: DataFrame, cond,
             "BroadcastNestedLoopJoin at this size is quadratic — bucket "
             "the condition into an equi-join + residual predicate instead")
     return left.join(F.broadcast(right), cond, how)
+
+
+def compact_landing(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    sort_cols: list[str] | None = None) -> dict:
+    """Small-file compaction (X-COMPACT) — the lake's OPTIMIZE step.
+
+    Streaming sinks, per-epoch overwrites, and incremental appends all
+    land many small files; at 100 TB the small-files problem is the
+    classic lake failure mode (every file costs a driver listing row,
+    a task, a footer read, and an open/seek — a million 1 MB files
+    turns a 10-minute scan into scheduler overhead). Compaction
+    rewrites a landing into ceil(total_bytes / target_file_bytes)
+    files, preserving rows exactly.
+
+    The file-count decision comes from the FOOTER metadata the scan
+    already collected (sum of on-disk file sizes) — no data pass; the
+    rewrite is ONE job: a round-robin repartition (or a range
+    repartition + in-file sort when `sort_cols` is given, preserving
+    the `land_sorted` skipping property through compaction). The
+    rewrite goes through a temp directory + atomic-ish rename swap so
+    a failed compaction never leaves the landing half-written;
+    real table formats make the swap transactional in metadata — this
+    is the directory-landing analog.
+
+    Returns {files_before, files_after, bytes}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [f for f in _glob.glob(os.path.join(path, "*.parquet"))]
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_cols:
+        parts = df.repartitionByRange(n_files, *sort_cols)
+        parts.sortWithinPartitions(*sort_cols).write.mode(
+            "overwrite").parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    swap = path.rstrip("/") + "._compact_old"
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    after = len(_glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total}

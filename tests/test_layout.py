@@ -285,3 +285,60 @@ def test_land_zorder_unboundable_column_raises(spark, tmp_path):
     with pytest.raises(ValueError) as e:
         layout.land_zorder(allnull, str(tmp_path / "z1"), ["x", "y"])
     assert "'y'" in str(e.value)
+
+
+def test_compact_landing_merges_small_files(spark, tmp_path):
+    """X-COMPACT: a many-small-file landing is rewritten into the
+    byte-targeted file count with rows preserved exactly."""
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    df.repartition(40).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = layout.compact_landing(spark, path,
+                                   target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+
+
+def test_compact_landing_preserves_sorted_skipping(spark, tmp_path):
+    """Compacting with sort_cols must keep the land_sorted property:
+    per-file [min, max] spans of the sort key stay disjoint."""
+    import glob
+    import pyarrow.parquet as pq
+    path = str(tmp_path / "sorted_frag")
+    df = spark.range(20_000).select(F.col("id"))
+    df.repartition(30).write.parquet(path)
+    layout.compact_landing(spark, path, target_file_bytes=40_000,
+                           sort_cols=["id"])
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = [md.row_group(i).column(0).statistics
+               for i in range(md.num_row_groups)]
+        spans.append((min(s.min for s in col), max(s.max for s in col)))
+    spans.sort()
+    assert len(spans) > 1          # actually split into several files
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2           # disjoint => min/max stats skip
+    assert spark.read.parquet(path).count() == 20_000
+
+
+def test_compact_landing_failure_leaves_original(spark, tmp_path,
+                                                 monkeypatch):
+    """The temp-dir + rename swap: the rewrite is fully written BEFORE
+    the original is touched, so a failure at the swap point (injected
+    into os.rename) leaves the original landing intact and readable."""
+    path = str(tmp_path / "guarded")
+    spark.range(100).write.parquet(path)
+
+    def boom(*_a):
+        raise OSError("injected swap failure")
+
+    monkeypatch.setattr("os.rename", boom)
+    with pytest.raises(OSError, match="injected"):
+        layout.compact_landing(spark, path)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 100
