@@ -158,3 +158,56 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
     chunks = text.chunk_documents(kept, id_col, text_col,
                                   size=chunk_size, stride=chunk_stride)
     return chunks.withColumn("split", text.split_assign(id_col))
+
+
+def forget_documents(artifact: DataFrame, requests: DataFrame,
+                     id_col: str = "doc_id",
+                     group_col: str | None = None,
+                     n_requests: int | None = None) -> DataFrame:
+    """Right-to-be-forgotten scrub (X-FORGET) of ONE derived artifact:
+    remove every row tied to a requested document id.
+
+    A training-data pipeline fans each document out into derived
+    artifacts — chunk tables, packed-sequence assignments, dedup
+    indexes, embedding stores. A deletion request must propagate to
+    ALL of them (`forget_cascade`), not just the corpus table.
+
+    Two shapes:
+    - row scrub (``group_col=None``): LEFT ANTI on the id — rows of
+      the forgotten docs disappear;
+    - group scrub (``group_col``): artifacts whose rows MIX documents
+      (a packed training sequence carries spans of many docs) cannot
+      drop rows alone — the whole group is contaminated. The scrub
+      resolves the groups containing any requested id (semi-join) and
+      drops them whole; the caller re-packs the survivors.
+
+    Scale: the request side is deletion-batch-sized; under the
+    ``n_requests`` attestation both probe joins broadcast, so the
+    artifact NEVER shuffles — the scrub is a streamed anti-join scan
+    at any corpus size. The group relation is request-proportional
+    (groups touched by forgotten docs), never corpus-sized."""
+    from .dedup import _maybe_broadcast
+    ids = requests.select(id_col).distinct()
+    b_ids = _maybe_broadcast(ids, n_requests)
+    if group_col is None:
+        return artifact.join(b_ids, id_col, "left_anti")
+    groups = (artifact.join(b_ids, id_col, "left_semi")
+              .select(group_col).distinct())
+    return artifact.join(_maybe_broadcast(groups, n_requests),
+                         group_col, "left_anti")
+
+
+def forget_cascade(artifacts: dict[str, DataFrame], requests: DataFrame,
+                   id_col: str = "doc_id",
+                   group_cols: dict[str, str] | None = None,
+                   n_requests: int | None = None) -> dict[str, DataFrame]:
+    """Apply `forget_documents` across every artifact of a pipeline in
+    one call: {name: scrubbed} with per-artifact group semantics from
+    `group_cols` (e.g. {"sequences": "seq_id"}). Idempotent — a second
+    application is a no-op — and lazy: one composed plan per artifact,
+    so the cascade lands atomically with whatever write strategy the
+    caller uses."""
+    group_cols = group_cols or {}
+    return {name: forget_documents(df, requests, id_col,
+                                   group_cols.get(name), n_requests)
+            for name, df in artifacts.items()}
