@@ -650,3 +650,90 @@ def scrub_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                 (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
                 .cast("long").alias("n_removed"),
                 F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (X-DEDUP-INCR-NEAR) — the MinHash sibling of
+# `incremental_exact`: dedup an ingest batch against a PERSISTED corpus
+# LSH index without recomputing corpus signatures.
+
+def band_key_index(sig: DataFrame, id_col: str, bands: int,
+                   rows: int) -> DataFrame:
+    """The persistable MinHash index artifact: one row per doc,
+    (_id, _k0.._k{bands-1}) with each band key an xxhash64 long —
+    exactly the relation `lsh_candidate_pairs` builds internally. A
+    production pipeline lands it bucketed on the band keys
+    (plans.layout.land_bucketed) and grows it per batch, the same
+    grow-the-index contract as `incremental_exact`'s content hashes."""
+    key_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        .alias(f"_k{b}")
+        for b in range(bands)
+    ]
+    return sig.select(F.col(id_col).alias("_id"), *key_cols)
+
+
+def incremental_near_dup_candidates(new_docs: DataFrame,
+                                    index_keys: DataFrame,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    bands: int = 4, rows: int = 2,
+                                    shingle_n: int = 3,
+                                    max_bucket: int = 10000,
+                                    n_new: int | None = None,
+                                    n_index: int | None = None
+                                    ) -> DataFrame:
+    """Candidate near-dup pairs of a NEW ingest batch: batch-vs-corpus
+    (against the persisted `band_key_index`) plus intra-batch, as
+    (id_new, id_match, source) with source ∈ {'index', 'batch'}. The
+    caller verifies with `exact_jaccard` (batch texts + the stored
+    corpus texts) and resolves keepers exactly as in the full pipeline.
+
+    Scale design (the incremental contract):
+    - corpus signatures are NEVER recomputed — the index relation is
+      read in place; only the batch (ingest-sized) pays the shingle +
+      MinHash stages;
+    - per band, the probe is an equi-join of the batch keys into the
+      index; under the ``n_new`` attestation the batch side broadcasts,
+      so the corpus-sized index never reshuffles (land it bucketed on
+      the band keys to also skip the scan-side exchange — the
+      incremental_exact layout contract);
+    - first-match-only emission across bands (the
+      `lsh_candidate_pairs` trick): a pair matching several bands is
+      emitted by its FIRST matching band only — the union is exactly
+      the distinct pair set, no pair-set dedup shuffle;
+    - the index-side bucket-width guard drops degenerate buckets whole
+      (deterministic), short-circuited when ``n_index`` attests the
+      corpus under ``max_bucket``.
+    """
+    sig = minhash_signature_shingled(new_docs, id_col, text_col,
+                                     k=bands * rows, n=shingle_n)
+    nk = band_key_index(sig, id_col, bands, rows)
+    ix = index_keys
+    if n_index is None or n_index > max_bucket:
+        for b in range(bands):
+            w = (ix.groupBy(f"_k{b}").agg(F.count("*").alias("_bw"))
+                 .filter(F.col("_bw") <= max_bucket).drop("_bw"))
+            ix = ix.join(F.broadcast(w), f"_k{b}", "left_semi")
+    legs = []
+    a = _maybe_broadcast(nk, n_new).alias("nw")
+    bx = ix.alias("ix")
+    for b in range(bands):
+        cond = F.col(f"nw._k{b}") == F.col(f"ix._k{b}")
+        for i in range(b):
+            cond = cond & (F.col(f"nw._k{i}") != F.col(f"ix._k{i}"))
+        legs.append(
+            a.join(bx, cond)
+            .filter(F.col("nw._id") != F.col("ix._id"))
+            .select(F.col("nw._id").alias("id_new"),
+                    F.col("ix._id").alias("id_match")))
+    cross = legs[0]
+    for leg in legs[1:]:
+        cross = cross.unionByName(leg)
+    intra = (lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
+                                 max_bucket=max_bucket, n_docs=n_new,
+                                 cache_keys=False)
+             .select(F.col("id_a").alias("id_new"),
+                     F.col("id_b").alias("id_match")))
+    return (cross.withColumn("source", F.lit("index"))
+            .unionByName(intra.withColumn("source", F.lit("batch"))))

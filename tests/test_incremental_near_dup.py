@@ -1,0 +1,92 @@
+"""Incremental near-dup candidates (dedup.incremental_near_dup_candidates,
+X-DEDUP-INCR-NEAR): batch-vs-index recall parity with the full-corpus
+pipeline, intra-batch pairs, planted near-dups, and the broadcast
+index-never-reshuffles plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import dedup
+
+BANDS, ROWS = 4, 2
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "completely different content about spark execution plans"),
+    (3, "yet another unrelated document mentioning window functions"),
+]
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog today"),   # near 1
+    (11, "a fresh never seen before document about streaming"),
+    (12, "a fresh never seen before document about streaming!"),  # near 11
+]
+
+
+def _index(spark, docs):
+    corpus = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sig = dedup.minhash_signature_shingled(corpus, "doc_id", "text",
+                                           k=BANDS * ROWS)
+    return dedup.band_key_index(sig, "doc_id", BANDS, ROWS)
+
+
+def _pairs(df):
+    return {(r["id_new"], r["id_match"], r["source"]) for r in df.collect()}
+
+
+def test_planted_near_dups_found(spark):
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    got = _pairs(dedup.incremental_near_dup_candidates(
+        batch, _index(spark, CORPUS), bands=BANDS, rows=ROWS,
+        n_new=len(BATCH), n_index=len(CORPUS)))
+    cross = {(a, b) for a, b, s in got if s == "index"}
+    intra = {(a, b) for a, b, s in got if s == "batch"}
+    assert (10, 1) in cross          # planted batch-vs-corpus near-dup
+    assert (11, 12) in intra         # planted intra-batch near-dup
+    # the unrelated corpus docs never pair with the fresh batch docs
+    assert not {(11, 2), (11, 3), (12, 2), (12, 3)} & cross
+
+
+def test_recall_parity_with_full_pipeline(spark):
+    """Every (new, old) and (new, new) candidate the FULL-corpus LSH
+    run finds must also be found incrementally (same bands/rows — the
+    index path may not lose recall; first-match band assignment may
+    differ, the SET may not)."""
+    all_docs = CORPUS + BATCH
+    full = spark.createDataFrame(all_docs, "doc_id bigint, text string")
+    sig = dedup.minhash_signature_shingled(full, "doc_id", "text",
+                                           k=BANDS * ROWS)
+    full_pairs = {(r["id_a"], r["id_b"]) for r in
+                  dedup.lsh_candidate_pairs(
+                      sig, "doc_id", bands=BANDS, rows=ROWS,
+                      n_docs=len(all_docs), cache_keys=False).collect()}
+    new_ids = {d for d, _ in BATCH}
+    want = {(a, b) for a, b in full_pairs if a in new_ids or b in new_ids}
+
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    got = _pairs(dedup.incremental_near_dup_candidates(
+        batch, _index(spark, CORPUS), bands=BANDS, rows=ROWS,
+        n_new=len(BATCH), n_index=len(CORPUS)))
+    got_norm = {tuple(sorted((a, b))) for a, b, _ in got}
+    want_norm = {tuple(sorted(p)) for p in want}
+    assert want_norm <= got_norm
+
+
+def test_reingested_doc_does_not_pair_with_itself(spark):
+    batch = spark.createDataFrame(CORPUS[:1], "doc_id bigint, text string")
+    got = _pairs(dedup.incremental_near_dup_candidates(
+        batch, _index(spark, CORPUS), bands=BANDS, rows=ROWS,
+        n_new=1, n_index=len(CORPUS)))
+    assert (1, 1, "index") not in got
+
+
+def test_index_side_never_reshuffles_under_attestation(spark):
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    plan = (dedup.incremental_near_dup_candidates(
+                batch, _index(spark, CORPUS), bands=BANDS, rows=ROWS,
+                n_new=len(BATCH), n_index=len(CORPUS))
+            ._jdf.queryExecution().executedPlan().toString())
+    # batch side broadcasts into every band probe; the only hash
+    # exchanges belong to the batch/intra signature aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
