@@ -129,7 +129,8 @@ PAGERANK_SCALE = 1 << 40
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 3, damping_pct: int = 85,
              scale: int = PAGERANK_SCALE,
-             n_nodes: int | None = None) -> DataFrame:
+             n_nodes: int | None = None,
+             checkpoint_every: int = 1) -> DataFrame:
     """(node, rank) after `n_iter` fixed rounds of the power iteration
     with uniform teleport, dangling mass redistributed uniformly:
 
@@ -148,8 +149,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
       nothing is ever all-pairs;
     - dangling mass is a ONE-ROW aggregate crossJoined back (broadcast
       NL join of a single row), not a driver round-trip;
-    - lineage is cut per round (eager localCheckpoint), the CC lesson:
-      iterated-join plan re-analysis otherwise dwarfs the work;
+    - lineage is cut every ``checkpoint_every`` rounds (eager
+      localCheckpoint), the CC lesson: iterated-join plan re-analysis
+      otherwise dwarfs the work. The default (1) is the deep-run-safe
+      cadence; for SMALL fixed n_iter a larger cadence trades a few
+      rounds of re-analyzed lineage for fewer materialization jobs —
+      the same knob (and the same measured trade) as the BPE trainer's
+      checkpoint cadence. 0 disables mid-loop checkpoints entirely
+      (bounded-n_iter callers only);
     - the only driver-side scalar is n (node count), attestable by the
       caller via `n_nodes` to keep the plan job-free before round 1.
     """
@@ -165,7 +172,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (ranks.join(deg, ranks.node == deg.s).drop("s")
                    .withColumn("c", F.expr("rank div deg"))
                    .join(e, ranks.node == e.s)
@@ -180,6 +187,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      "node",
                      (F.lit(base) + F.expr(
                          f"({damping_pct} * (coalesce(in_sum, 0) + dshare))"
-                         " div 100")).cast("long").alias("rank"))
-                 .localCheckpoint(eager=True))
+                         " div 100")).cast("long").alias("rank")))
+        if checkpoint_every and it % checkpoint_every == checkpoint_every - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -257,7 +257,11 @@ def q43_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                       gap.alias("gap"))
              .filter(F.col("src").isNotNull() & (F.col("gap") <= 1800))
              .select("src", "dst"))
-    pr_leg = (pagerank(edges, n_iter=_PR_N_ITER)
+    # checkpoint_every=0: at a FIXED 3 rounds the whole trajectory is
+    # one analyzable plan — mid-loop materialization jobs cost more
+    # than the re-analysis they save (the BPE cadence trade, measured);
+    # deep/convergence runs keep the default per-round cut
+    pr_leg = (pagerank(edges, n_iter=_PR_N_ITER, checkpoint_every=0)
               .select(F.lit("pagerank").alias("leg"),
                       F.col("node").alias("event_type"),
                       F.lit(None).cast("int").alias("k_mod"),

@@ -71,3 +71,11 @@ def test_random_graph_trajectory_exact(spark):
 def test_duplicate_edges_are_deduplicated(spark):
     edges = [(0, 1), (0, 1), (1, 0)]
     assert _spark_pagerank(spark, edges) == _py_pagerank(edges)
+
+
+def test_checkpoint_cadence_does_not_change_ranks(spark):
+    edges = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(0, 5), (7, 2)]
+    base = _spark_pagerank(spark, edges, n_iter=4)
+    for k in (0, 2):
+        assert _spark_pagerank(spark, edges, n_iter=4,
+                               checkpoint_every=k) == base
