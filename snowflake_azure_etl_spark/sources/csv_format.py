@@ -109,3 +109,70 @@ def copy_into(spark: SparkSession, path: str | list[str], schema: T.StructType,
     """
     return copy_accounting(read_snowflake_csv(spark, path, schema),
                            table, entity, mode)
+
+
+def read_csv_match_by_name(spark: SparkSession, path: str | list[str],
+                           schema: T.StructType,
+                           case_insensitive: bool = True) -> DataFrame:
+    """COPY ... MATCH_BY_COLUMN_NAME semantics (X-COPY-EVOLVE): the
+    file's HEADER drives the mapping instead of column position, which
+    is how Snowflake loads survive stage-schema drift — reordered
+    columns load correctly, a column missing from the file lands NULL,
+    extra file columns are ignored.
+
+    Spark mapping: the mapping is PER FILE (each staged file's own
+    header decides its projection — files with different drift load in
+    one COPY, Snowflake's behavior), so the stage listing drives a
+    per-file all-string header read; each file gets a name-matched
+    projection with the shared NULL_IF normalization, `try_cast` to
+    the declared type, and the PERMISSIVE corrupt-record convention —
+    a row whose present value fails its cast carries the raw row as
+    JSON in the corrupt column, so `copy_accounting`'s
+    ON_ERROR=CONTINUE split/report works unchanged. The listing is
+    driver-side and stage-bounded (the LIST contract); every file's
+    scan and projection stay fully parallel, and the per-file plans
+    union into ONE lazy relation."""
+    from ..warehouse.copy_loader import list_stage
+
+    def key(name: str) -> str:
+        return name.lower() if case_insensitive else name
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files = [p for g in paths for p, _ in list_stage(spark, g)]
+    legs = []
+    for fpath in files:
+        raw = spark.read.options(header="true", sep=",").csv(fpath)
+        by_name = {key(c): c for c in raw.columns}
+        outs: list = []
+        bad = F.lit(False)
+        for f_ in schema.fields:
+            src = by_name.get(key(f_.name))
+            if src is None:
+                outs.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                continue
+            c = F.col(src)
+            c = (F.when(F.lower(c) == "null", F.lit(None))
+                 .when(c == "", F.lit(None)).otherwise(c))
+            casted = c.try_cast(f_.dataType)
+            bad = bad | (c.isNotNull() & casted.isNull())
+            outs.append(casted.alias(f_.name))
+        corrupt = F.when(bad, F.to_json(F.struct(*[
+            F.col(c) for c in raw.columns]))).otherwise(
+            F.lit(None).cast("string"))
+        legs.append(raw.select(*outs, corrupt.alias(CORRUPT_COL)))
+    if not legs:
+        return spark.createDataFrame([], with_corrupt_field(schema))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def copy_into_match_by_name(spark: SparkSession, path: str | list[str],
+                            schema: T.StructType, table: str,
+                            entity: str | None = None,
+                            mode: str = "append") -> LoadReport:
+    """COPY INTO with MATCH_BY_COLUMN_NAME + ON_ERROR=CONTINUE: the
+    schema-drift-tolerant sibling of `copy_into`, same accounting."""
+    return copy_accounting(read_csv_match_by_name(spark, path, schema),
+                           table, entity, mode)

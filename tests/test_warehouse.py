@@ -387,3 +387,35 @@ def test_copy_with_history_skips_loaded_files(spark, stage_dir):
     assert len(hrows) == len({(r["file_path"], r["file_size"])
                               for r in hrows}) == 3
     os.remove(os.path.join(stage_dir, "part3.csv"))
+
+
+def test_copy_match_by_column_name(spark):
+    """X-COPY-EVOLVE: header-driven COPY survives stage-schema drift —
+    reordered columns map by name (case-insensitively), a missing
+    column lands NULL, extra file columns are ignored, and a
+    cast-failing row is rejected with ON_ERROR=CONTINUE accounting."""
+    from snowflake_azure_etl_spark.sources.csv_format import (
+        copy_into_match_by_name)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        # reordered + extra column, uppercase headers
+        with open(os.path.join(d, "drifted.csv"), "w") as f:
+            f.write("AMOUNT,EXTRA,ID,NAME\n1.5,x,1,alpha\n"
+                    "2.5,y,2,NULL\nnot_a_number,z,3,carol\n")
+        # a file missing the amount column entirely
+        with open(os.path.join(d, "narrow.csv"), "w") as f:
+            f.write("id,name\n9,zed\n")
+        ddl.create_table(spark, "copy_evolve_test", schema)
+        rep = copy_into_match_by_name(
+            spark, f"{d}/*.csv", schema, "copy_evolve_test")
+    assert rep.rows_loaded == 3 and rep.rows_rejected == 1
+    got = {r["id"]: r for r in spark.table("copy_evolve_test").collect()}
+    assert got[1]["amount"] == 1.5 and got[1]["name"] == "alpha"
+    assert got[2]["name"] is None          # NULL_IF applied through drift
+    assert got[9]["amount"] is None        # missing column -> NULL
+    assert 3 not in got                    # cast failure rejected
+    assert "EXTRA" not in spark.table("copy_evolve_test").columns
