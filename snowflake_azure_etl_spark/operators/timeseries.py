@@ -1,0 +1,67 @@
+"""Time-series regularization (north-star extension, X-TS-GAPFILL):
+resample irregular observations onto a fixed step grid with forward
+fill — the hypertable `time_bucket_gapfill` / `locf` operation, and the
+preprocessing every downstream window/forecast consumer assumes.
+
+Plan shape: the same union+window trick as `operators.asof` (a gap-fill
+IS an as-of join of the grid against the observations): per-key bounds
+→ row-local spine explode → union spine with observations → ONE
+key-partitioned window carrying the latest observation forward. One
+shuffle on the key; no time-range join, no per-grid-point probe; the
+grid fan-out is sequence()+explode, row-local.
+
+Scale notes (100 TB of events): the window partitions by series key —
+corpus-parallel across keys; per-key state inside the window is one
+running (value, src_ts) pair, not the history. Grid density is the only
+fan-out lever: bound `step` so rows-per-key stays sane (a 1s grid over
+a year is 31M rows per key — that is a data-modeling bug, not an
+operator task). Keys whose observations all fall in one step produce a
+single grid row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(obs: DataFrame, key_cols: list[str], time_col: str,
+                   value_col: str, step: int) -> DataFrame:
+    """(key..., grid_ts, src_ts, value): for every key, a step-aligned
+    grid spanning floor(min obs / step)·step .. floor(max obs / step)·
+    step, each point carrying the latest observation at-or-before it
+    (forward fill / last-observation-carried-forward).
+
+    `time_col` is a NUMERIC instant (epoch seconds/micros — the caller
+    picks the scale; tz-portable by construction). Grid points before
+    the key's first observation fill NULL (the leading-edge contract —
+    only the floor-aligned first point can be one). Observations must
+    be unique per (key, time): pre-dedupe ties (`asof.dedupe_right` /
+    max_by) — same contract as the as-of join, and the same reason:
+    a tie has no defined "latest"."""
+    t = F.col(time_col)
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min(t).alias("_lo"), F.max(t).alias("_hi"))
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(
+            F.expr(f"_lo div {step}") * step,
+            F.expr(f"_hi div {step}") * step,
+            F.lit(step).cast("long"))).alias("_t"),
+    ).select(*key_cols, F.col("_t"),
+             F.lit(1).alias("_o"),
+             F.lit(None).cast("long").alias("_src"),
+             F.lit(None).cast("double").alias("_val"))
+    points = obs.select(*key_cols, t.cast("long").alias("_t"),
+                        F.lit(0).alias("_o"),
+                        t.cast("long").alias("_src"),
+                        F.col(value_col).cast("double").alias("_val"))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy("_t", "_o")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (points.unionByName(spine)
+              .withColumn("value", F.last("_val", ignorenulls=True).over(w))
+              .withColumn("src_ts", F.last("_src", ignorenulls=True).over(w)))
+    return (filled.filter(F.col("_o") == 1)
+            .select(*key_cols, F.col("_t").alias("grid_ts"),
+                    "src_ts", "value"))

@@ -33,21 +33,43 @@ def _epoch_us(df: DataFrame, colname: str):
     return F.unix_micros(F.col(colname))
 
 
+#: Daily grid for the q44 gap-fill leg (epoch microseconds).
+_GAPFILL_STEP_US = 86_400_000_000
+
+
 @query(
     "q44_asof_join",
-    covers=("X-ASOF",),
-    oracle="""
+    covers=("X-ASOF", "X-TS-GAPFILL"),
+    oracle=f"""
     WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events WHERE event_type = 'purchase'),
     v0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
            FROM events WHERE event_type = 'view'),
     v AS (SELECT user_id, ts, max_by(value, event_id) AS view_value
-          FROM v0 GROUP BY user_id, ts)
-    SELECT p.event_id, p.user_id,
+          FROM v0 GROUP BY user_id, ts),
+    o0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  max_by(value, event_id) AS val
+           FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+    o AS (SELECT user_id, epoch_us(ts) AS tsu, val FROM o0),
+    gbnd AS (SELECT user_id,
+                    (MIN(tsu) // {_GAPFILL_STEP_US}) * {_GAPFILL_STEP_US}
+                        AS lo,
+                    (MAX(tsu) // {_GAPFILL_STEP_US}) * {_GAPFILL_STEP_US}
+                        AS hi
+             FROM o GROUP BY user_id),
+    sp AS (SELECT user_id,
+                  unnest(generate_series(lo, hi, {_GAPFILL_STEP_US})) AS g
+           FROM gbnd)
+    SELECT 'asof' AS leg, p.event_id, p.user_id,
            epoch_us(p.ts) AS purchase_ts_us,
            epoch_us(v.ts) AS view_ts_us,
            v.view_value
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    UNION ALL
+    SELECT 'gapfill', CAST(NULL AS BIGINT), sp.user_id, sp.g,
+           o.tsu, o.val
+    FROM sp ASOF LEFT JOIN o
+      ON sp.user_id = o.user_id AND sp.g >= o.tsu
     """,
 )
 def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,11 +88,31 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = asof.dedupe_right(views, ["user_id"], "ts", "event_id")
     joined = asof.asof_join_backward(purchases, views, ["user_id"],
                                      "ts", "ts")
-    return joined.select(
+    asof_leg = joined.select(
+        F.lit("asof").alias("leg"),
         "event_id", "user_id",
         _epoch_us(joined, "ts").alias("purchase_ts_us"),
         _epoch_us(joined, "asof_ts").alias("view_ts_us"),
         "view_value")
+    # second leg (r7, X-TS-GAPFILL): daily-grid forward-fill resampling
+    # of each user's event-value series (operators.timeseries — the
+    # union+window plan; a gap-fill IS an as-of join of the grid, and
+    # DuckDB's native ASOF over the generated spine is the oracle).
+    # Column reuse: purchase_ts_us = grid point, view_ts_us = the
+    # filled-from observation, view_value = carried value.
+    from ..operators.timeseries import resample_ffill
+    obs = (e.groupBy("user_id", "ts")
+           .agg(F.max_by("value", "event_id").alias("val")))
+    obs = obs.select("user_id", _epoch_us(obs, "ts").alias("tsu"), "val")
+    gap_leg = (resample_ffill(obs, ["user_id"], "tsu", "val",
+                              _GAPFILL_STEP_US)
+               .select(F.lit("gapfill").alias("leg"),
+                       F.lit(None).cast("long").alias("event_id"),
+                       "user_id",
+                       F.col("grid_ts").alias("purchase_ts_us"),
+                       F.col("src_ts").alias("view_ts_us"),
+                       F.col("value").alias("view_value")))
+    return asof_leg.unionByName(gap_leg)
 
 
 @query(

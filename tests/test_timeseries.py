@@ -1,0 +1,68 @@
+"""Gap-fill resampling (operators.timeseries.resample_ffill,
+X-TS-GAPFILL) vs a Python reference: grid alignment, forward fill,
+leading-edge NULL, single-point series, and multi-key independence."""
+
+from __future__ import annotations
+
+import random
+
+from snowflake_azure_etl_spark.operators.timeseries import resample_ffill
+
+
+def _py_ffill(rows, step):
+    bykey = {}
+    for k, t, v in rows:
+        bykey.setdefault(k, []).append((t, v))
+    out = []
+    for k, obs in bykey.items():
+        obs.sort()
+        lo = (min(t for t, _ in obs) // step) * step
+        hi = (max(t for t, _ in obs) // step) * step
+        g = lo
+        while g <= hi:
+            at_or_before = [(t, v) for t, v in obs if t <= g]
+            if at_or_before:
+                t, v = at_or_before[-1]
+                out.append((k, g, t, float(v)))
+            else:
+                out.append((k, g, None, None))
+            g += step
+    return sorted(out)
+
+
+def _run(spark, rows, step):
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    got = resample_ffill(df, ["k"], "t", "v", step)
+    return sorted((r["k"], r["grid_ts"], r["src_ts"], r["value"])
+                  for r in got.collect())
+
+
+def test_forward_fill_matches_reference(spark):
+    rows = [(1, 103, 5.0), (1, 250, 7.0), (1, 460, 9.0),
+            (2, 90, 1.0), (2, 450, 2.0)]
+    assert _run(spark, rows, 100) == _py_ffill(rows, 100)
+
+
+def test_leading_grid_point_is_null_unless_aligned(spark):
+    rows = [(1, 150, 3.0)]   # first grid point 100 < first obs 150
+    got = _run(spark, rows, 100)
+    assert got == [(1, 100, None, None)]
+    rows2 = [(1, 200, 3.0)]  # exactly aligned: same-instant obs included
+    assert _run(spark, rows2, 100) == [(1, 200, 200, 3.0)]
+
+
+def test_random_series_match_reference(spark):
+    rng = random.Random(11)
+    rows = [(rng.randrange(4), rng.randrange(1000), float(rng.randrange(50)))
+            for _ in range(60)]
+    rows = list({(k, t): v for k, t, v in rows}.items())
+    rows = [(k, t, v) for (k, t), v in rows]   # unique per (key, time)
+    for step in (64, 250):
+        assert _run(spark, rows, step) == _py_ffill(rows, step)
+
+
+def test_gap_longer_than_many_steps_carries_value(spark):
+    rows = [(1, 0, 1.0), (1, 1000, 2.0)]
+    got = _run(spark, rows, 100)
+    assert len(got) == 11
+    assert all(r[3] == 1.0 for r in got[:-1]) and got[-1][3] == 2.0
