@@ -1009,9 +1009,19 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q60_multimodal_pipeline",
-    covers=("X-MULTIMODAL",),
+    covers=("X-MULTIMODAL", "X-AUDIO"),
     oracle="""
-    WITH d AS (
+    WITH aw AS (
+        SELECT doc_id,
+               8000 + CAST('0x' || substr(md5(text), 1, 2) AS INT)
+                      % 8 * 1000 AS rate,
+               1000 + CAST('0x' || substr(md5(text), 5, 4) AS INT)
+                      % 4000 AS ns
+        FROM documents),
+    ax AS (SELECT doc_id, rate, ns, rate // 4000 AS k FROM aw),
+    ay AS (SELECT doc_id, rate, ns, k, (ns + k - 1) // k AS outs
+           FROM ax),
+    d AS (
         SELECT doc_id,
                64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS w,
                64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h,
@@ -1031,6 +1041,16 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(k.k AS INT) AS frame_idx,
            substr(md5(repeat('x', w * 3)), 1, 8) AS frame_sig
     FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    UNION ALL
+    SELECT doc_id, 'audio/wav',
+           CAST(44 + ns * 2 AS INT),
+           substr(md5(repeat('x', ns * 2)), 1, 8),
+           CAST(rate AS INT), CAST(ns AS INT),
+           CAST(rate // k AS INT), CAST(outs AS INT),
+           substr(md5(repeat('x', outs * 2)), 1, 8),
+           CAST(f.f AS INT),
+           substr(md5(repeat('x', 512)), 1, 8)
+    FROM ay CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS f) f
     """,
 )
 def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,8 +1080,29 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FUSED pipeline (one Arrow pass, one decode per payload, no
     # stage joins) — pytest-pinned row-equal to the three-operator
     # join composition on both stub and real paths
-    return multimodal.media_pipeline(ppm, max_dim=64, n_frames=4,
-                                     stub=False)
+    img = multimodal.media_pipeline(ppm, max_dim=64, n_frames=4,
+                                    stub=False)
+    # AUDIO leg (r7, X-AUDIO): the second modality with a REAL
+    # pure-Python codec — each doc wrapped as a valid mono PCM16 WAV
+    # (to_wav_media_table, JVM-side RIFF assembly incl. the
+    # little-endian unhex byte-swap), parsed by the RIFF/PCM walker,
+    # decimation-resampled to ~4 kHz, frame-windowed — fused in one
+    # Arrow pass (audio_pipeline); constant sample fill makes every
+    # stage's signature closed-form for the oracle, varied-sample
+    # behavior is pytest-pinned (tests/test_audio_real.py). Column
+    # reuse across modalities: width/height = rate/samples,
+    # out_width/out_height = out_rate/out_samples.
+    wav = multimodal.to_wav_media_table(docs)
+    audio = (multimodal.audio_pipeline(wav, target_rate=4000,
+                                       frame_len=256, n_frames=2)
+             .select("doc_id", "media_type", "byte_len", "feature_sig",
+                     F.col("sample_rate").alias("width"),
+                     F.col("n_samples").alias("height"),
+                     F.col("out_rate").alias("out_width"),
+                     F.col("out_samples").alias("out_height"),
+                     F.col("resampled_sig").alias("resized_sig"),
+                     "frame_idx", "frame_sig"))
+    return img.unionByName(audio)
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
