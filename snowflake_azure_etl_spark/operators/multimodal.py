@@ -523,3 +523,121 @@ def audio_pipeline(media: DataFrame, target_rate: int = 4000,
                 "resampled_sig", "frame_idx", "frame_sig"])
 
     return media.mapInPandas(op, schema=AUDIO_PIPELINE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video (X-VIDEO) — the third modality with a REAL pure-Python codec:
+# YUV4MPEG2 (.y4m), the canonical uncompressed video interchange format
+# (a plain-text stream header, then FRAME-delimited raw planes — what
+# ffmpeg emits for codec-free pipelines). Frame SAMPLING here is real
+# temporal sampling over real container frames, not the raster
+# row-sampling analog. Compressed video (MP4/H.264/VP9) stays gated.
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, str, list[bytes]]:
+    """(width, height, colorspace, frames): YUV4MPEG2 stream header
+    (W/H mandatory, C defaults to 420jpeg per spec), then a chunk walk
+    of FRAME markers each carrying one raw picture of the fixed
+    plane size (C420 family: w·h·3/2; C444: w·h·3)."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    cs = "420jpeg"
+    for tok in payload[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            cs = tok[1:].decode("ascii")
+    if not w or not h:
+        raise ValueError("missing Y4M geometry")
+    if cs.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        fsize = w * h * 3 // 2
+    elif cs.startswith("444"):
+        fsize = w * h * 3
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    frames, i = [], nl + 1
+    while i < len(payload):
+        if payload[i:i + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        body = payload[fnl + 1:fnl + 1 + fsize]
+        if len(body) < fsize:
+            raise ValueError("truncated Y4M frame")
+        frames.append(body)
+        i = fnl + 1 + fsize
+    return w, h, cs, frames
+
+
+def _real_decode_video(payload: bytes
+                       ) -> tuple[str, int, int, list[bytes]]:
+    if payload.startswith(b"YUV4MPEG2"):
+        w, h, _, frames = _parse_y4m(payload)
+        return "video/y4m", w, h, frames
+    raise ValueError(
+        "unsupported video format (pure-Python path decodes YUV4MPEG2; "
+        "compressed formats need codec libraries)")
+
+
+def to_y4m_media_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Wrap a text corpus as VALID C444 YUV4MPEG2 payloads, built
+    entirely JVM-side: md5-derived geometry and frame count (mirrored
+    by the q60 oracle), constant plane fill, FRAME markers assembled
+    with repeat(concat(...)) — a narrow codegen'd projection."""
+    dig = F.md5(F.col(text_col))
+    w = F.lit(8) + F.conv(F.substring(dig, 11, 2), 16, 10).cast("int") % 16
+    h = F.lit(8) + F.conv(F.substring(dig, 13, 2), 16, 10).cast("int") % 16
+    nf = F.lit(3) + F.conv(F.substring(dig, 9, 2), 16, 10).cast("int") % 6
+    d = docs.select(F.col(id_col), w.alias("_w"), h.alias("_h"),
+                    nf.alias("_nf"))
+    payload = F.concat(
+        F.lit("YUV4MPEG2 W"), F.col("_w").cast("string"),
+        F.lit(" H"), F.col("_h").cast("string"),
+        F.lit(" F25:1 C444\n"),
+        F.expr("repeat(concat('FRAME\n', repeat('x', _w * _h * 3)), _nf)"))
+    return d.select(F.col(id_col),
+                    F.encode(payload, "UTF-8").alias("payload"),
+                    F.lit("video/y4m").alias("media_type"))
+
+
+VIDEO_PIPELINE_SCHEMA = ("doc_id long, media_type string, byte_len int, "
+                         "feature_sig string, width int, height int, "
+                         "n_frames int, n_sampled int, "
+                         "sampled_sig string, frame_idx int, "
+                         "frame_sig string")
+
+
+def video_pipeline(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """decode → temporal frame sampling FUSED in one Arrow pass (the
+    video twin of media_pipeline/audio_pipeline, REAL codec only):
+    every k-th container frame is kept; feature_sig fingerprints the
+    full frame stream, sampled_sig the kept subset, and one output row
+    per kept frame carries its original frame index and per-frame
+    fingerprint. One payload materialization, one parse; payloads
+    never reach the driver."""
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                mt, w, h, frames = _real_decode_video(bytes(payload))
+                fsig = hashlib.md5(b"".join(frames)).hexdigest()[:8]
+                kept = list(range(0, len(frames), every_k))
+                ssig = hashlib.md5(
+                    b"".join(frames[i] for i in kept)).hexdigest()[:8]
+                for i in kept:
+                    rows.append((doc_id, mt, len(payload), fsig, w, h,
+                                 len(frames), len(kept), ssig, i,
+                                 hashlib.md5(frames[i]).hexdigest()[:8]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "byte_len", "feature_sig",
+                "width", "height", "n_frames", "n_sampled",
+                "sampled_sig", "frame_idx", "frame_sig"])
+
+    return media.mapInPandas(op, schema=VIDEO_PIPELINE_SCHEMA)

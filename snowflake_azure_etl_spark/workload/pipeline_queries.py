@@ -1009,9 +1009,20 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q60_multimodal_pipeline",
-    covers=("X-MULTIMODAL", "X-AUDIO"),
+    covers=("X-MULTIMODAL", "X-AUDIO", "X-VIDEO"),
     oracle="""
-    WITH aw AS (
+    WITH vg AS (
+        SELECT doc_id,
+               8 + CAST('0x' || substr(md5(text), 11, 2) AS INT) % 16 AS vw,
+               8 + CAST('0x' || substr(md5(text), 13, 2) AS INT) % 16 AS vh,
+               3 + CAST('0x' || substr(md5(text), 9, 2) AS INT) % 6 AS nf
+        FROM documents),
+    vx AS (SELECT doc_id, vw, vh, nf, (nf + 1) // 2 AS nsmp,
+                  length('YUV4MPEG2 W' || vw || ' H' || vh
+                         || ' F25:1 C444') + 1
+                  + nf * (6 + vw * vh * 3) AS blen
+           FROM vg),
+    aw AS (
         SELECT doc_id,
                8000 + CAST('0x' || substr(md5(text), 1, 2) AS INT)
                       % 8 * 1000 AS rate,
@@ -1051,6 +1062,16 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f.f AS INT),
            substr(md5(repeat('x', 512)), 1, 8)
     FROM ay CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS f) f
+    UNION ALL
+    SELECT doc_id, 'video/y4m', CAST(blen AS INT),
+           substr(md5(repeat('x', nf * vw * vh * 3)), 1, 8),
+           CAST(vw AS INT), CAST(vh AS INT),
+           CAST(nf AS INT), CAST(nsmp AS INT),
+           substr(md5(repeat('x', nsmp * vw * vh * 3)), 1, 8),
+           CAST(fi.fi AS INT),
+           substr(md5(repeat('x', vw * vh * 3)), 1, 8)
+    FROM vx CROSS JOIN LATERAL
+         (SELECT unnest(generate_series(0, nf - 1, 2)) AS fi) fi
     """,
 )
 def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,7 +1123,21 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("out_samples").alias("out_height"),
                      F.col("resampled_sig").alias("resized_sig"),
                      "frame_idx", "frame_sig"))
-    return img.unionByName(audio)
+    # VIDEO leg (r7, X-VIDEO): the third modality, also a REAL codec —
+    # valid C444 YUV4MPEG2 streams assembled JVM-side, parsed by the
+    # FRAME chunk walker, every-2nd-frame TEMPORAL sampling (real
+    # container frames, not the raster row analog), fused in one Arrow
+    # pass (video_pipeline). out_width/out_height = total/sampled
+    # frame counts; resized_sig fingerprints the sampled frame stream.
+    y4m = multimodal.to_y4m_media_table(docs)
+    video = (multimodal.video_pipeline(y4m, every_k=2)
+             .select("doc_id", "media_type", "byte_len", "feature_sig",
+                     "width", "height",
+                     F.col("n_frames").alias("out_width"),
+                     F.col("n_sampled").alias("out_height"),
+                     F.col("sampled_sig").alias("resized_sig"),
+                     "frame_idx", "frame_sig"))
+    return img.unionByName(audio).unionByName(video)
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
