@@ -16,10 +16,12 @@ import __spark_entry__ as entry
 #: the size-guarded theta join (q09), the interval range join (q45),
 #: the declared brute-force ANN baseline (q54), and the ONE-ROW
 #: broadcast attaches — centroid array (q63), token-frequency map
-#: (q57).
+#: (q57), PageRank's per-round dangling-mass aggregate (q43 — visible
+#: in the final plan since the fixed-3-round leg skips mid-loop
+#: checkpoints).
 BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
            "q54_ann_brute_force_topk", "q63_ann_ivf_topk",
-           "q57_text_stats"}
+           "q57_text_stats", "q43_events_json_props"}
 
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.
