@@ -301,12 +301,12 @@ def compact_landing(spark: SparkSession, path: str,
     is the directory-landing analog.
 
     Returns {files_before, files_after, bytes}."""
-    import glob as _glob
-    import os
-    import shutil
+    def parquet_stats(glob_path: str) -> tuple[int, int]:
+        from ..warehouse.copy_loader import list_stage
+        listed = list_stage(spark, glob_path)
+        return len(listed), sum(sz for _, sz in listed)
 
-    files = [f for f in _glob.glob(os.path.join(path, "*.parquet"))]
-    total = sum(os.path.getsize(f) for f in files)
+    n_before, total = parquet_stats(path.rstrip("/") + "/*.parquet")
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
@@ -316,10 +316,28 @@ def compact_landing(spark: SparkSession, path: str,
             "overwrite").parquet(tmp)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    swap = path.rstrip("/") + "._compact_old"
-    os.rename(path, swap)
-    os.rename(tmp, path)
-    shutil.rmtree(swap)
-    after = len(_glob.glob(os.path.join(path, "*.parquet")))
-    return {"files_before": len(files), "files_after": after,
+    _swap_dirs(spark, path, tmp)
+    n_after, _ = parquet_stats(path.rstrip("/") + "/*.parquet")
+    return {"files_before": n_before, "files_after": n_after,
             "bytes": total}
+
+
+def _swap_dirs(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace `path` with the fully-written `tmp` via two renames +
+    a recursive delete on the path's own filesystem (Hadoop FS API, so
+    file://, s3a://, abfss:// landings all work — the same handle
+    `list_stage` uses). tmp is complete BEFORE the first rename, so a
+    failure at any point leaves either the original or the new landing
+    intact, never neither."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    swap = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")
+                                         + "._compact_old")
+    if not fs.rename(hpath, swap):
+        raise IOError(f"compact_landing: cannot stage {path} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        fs.rename(swap, hpath)          # roll back, landing unchanged
+        raise IOError(f"compact_landing: cannot swap in {tmp}")
+    fs.delete(swap, True)

@@ -337,7 +337,7 @@ def test_compact_landing_failure_leaves_original(spark, tmp_path,
     def boom(*_a):
         raise OSError("injected swap failure")
 
-    monkeypatch.setattr("os.rename", boom)
+    monkeypatch.setattr(layout, "_swap_dirs", boom)
     with pytest.raises(OSError, match="injected"):
         layout.compact_landing(spark, path)
     monkeypatch.undo()
