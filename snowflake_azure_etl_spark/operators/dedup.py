@@ -706,8 +706,15 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
       (deterministic), short-circuited when ``n_index`` attests the
       corpus under ``max_bucket``.
     """
+    # the batch signature relation is referenced ~3·bands times below
+    # (per-band cross legs + the intra stage's keys/guards/joins);
+    # it is ingest-batch-sized by definition, so materialize it ONCE —
+    # an eager localCheckpoint, not the session cache, because a
+    # long-running streaming caller submits a NEW batch plan per epoch
+    # and plan-keyed cache entries would accumulate without bound
     sig = minhash_signature_shingled(new_docs, id_col, text_col,
-                                     k=bands * rows, n=shingle_n)
+                                     k=bands * rows, n=shingle_n
+                                     ).localCheckpoint(eager=True)
     nk = band_key_index(sig, id_col, bands, rows)
     ix = index_keys
     if n_index is None or n_index > max_bucket:

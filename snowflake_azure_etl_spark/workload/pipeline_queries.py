@@ -111,10 +111,15 @@ _DECONTAM_CTES = f"""
            FROM dsh s JOIN ev USING (gram) GROUP BY s.doc_id)"""
 
 
+#: Deterministic deletion-request stand-in for the q50 forget leg
+#: (doc_id ≡ 0 mod 41), the DECONTAM_EVAL_MOD pattern.
+FORGET_MOD = 41
+
+
 @query(
     "q50_dedup_exact",
     covers=("X-DEDUP-EXACT", "A1", "X-SAMPLE-STRATIFIED", "X-QUOTA",
-            "X-DECONTAM"),
+            "X-DECONTAM", "X-FORGET"),
     oracle=f"""
     WITH groups AS (
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
@@ -138,6 +143,7 @@ _DECONTAM_CTES = f"""
            lang_rank, lang_rank <= 100 AS quota_keep,
            contam_hits, decontam_keep
     FROM keepers
+    WHERE keeper_id % {FORGET_MOD} <> 0
     """,
 )
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +168,7 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast under an attested bound derived from the footer doc
     count × MAX_GRAMS_PER_DOC), and `decontam_keep` is the scrub
     decision `decontaminate` enforces with a left anti-join."""
+    from ..operators import corpus as corpus_ops
     from ..operators import decontam, sampling
     docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
@@ -172,7 +179,7 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = hits.withColumnRenamed("doc_id", "keeper_id")
     groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
     langs = docs.select(F.col("doc_id").alias("keeper_id"), "lang")
-    return (groups.join(F.broadcast(langs), "keeper_id")
+    out = (groups.join(F.broadcast(langs), "keeper_id")
             .join(hits, "keeper_id", "left")
             .withColumn("sample_keep",
                         sampling.stratified_keep("keeper_id", "lang",
@@ -186,14 +193,40 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("content_hash", "keeper_id", "n_copies", "lang",
                     "sample_keep", "lang_rank", "quota_keep",
                     "contam_hits", "decontam_keep"))
+    # final stage (r7, X-FORGET): the right-to-be-forgotten scrub
+    # applied to the finished relation — a deterministic deletion
+    # request set (doc_id ≡ 0 mod FORGET_MOD) removed via
+    # corpus.forget_documents' broadcast anti-join, AFTER every ranked
+    # column so ranks reference the pre-scrub population in both
+    # engines. The cascade/group semantics are pytest-pinned
+    # (tests/test_forget.py); this leg driver-attests the scrub.
+    requests = (docs.filter(F.col("doc_id") % FORGET_MOD == 0)
+                .select(F.col("doc_id").alias("keeper_id")))
+    return corpus_ops.forget_documents(
+        out, requests, id_col="keeper_id",
+        n_requests=n_docs // FORGET_MOD + 1)
+
+
+#: Batch stand-in for the q51 incremental leg: docs with
+#: doc_id ≡ 0 (mod 5) are "newly ingested"; the rest are the corpus
+#: whose band-key index is already persisted.
+_INCR_BATCH_MOD = 5
 
 
 @query(
     "q51_dedup_minhash_lsh",
-    covers=("X-DEDUP-MINHASH", "X-DEDUP-SHINGLE"),
+    covers=("X-DEDUP-MINHASH", "X-DEDUP-SHINGLE", "X-DEDUP-INCR-NEAR"),
     oracle=f"""
     WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE}, {_PAIRS_CTE}
-    SELECT id_a, id_b FROM pairs
+    SELECT 'all' AS leg, id_a, id_b, CAST(NULL AS VARCHAR) AS src
+    FROM pairs
+    UNION ALL
+    SELECT 'incr', id_a, id_b,
+           CASE WHEN id_a % {_INCR_BATCH_MOD} = 0
+                 AND id_b % {_INCR_BATCH_MOD} = 0
+                THEN 'batch' ELSE 'index' END
+    FROM pairs
+    WHERE id_a % {_INCR_BATCH_MOD} = 0 OR id_b % {_INCR_BATCH_MOD} = 0
     """,
 )
 def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,9 +242,41 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
     sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
                                            k=MINHASH_K, n=SHINGLE_N)
-    return dedup.lsh_candidate_pairs(sig, "doc_id",
-                                     bands=LSH_BANDS, rows=LSH_ROWS,
-                                     n_docs=n_docs)
+    all_leg = (dedup.lsh_candidate_pairs(sig, "doc_id",
+                                         bands=LSH_BANDS, rows=LSH_ROWS,
+                                         n_docs=n_docs)
+               .select(F.lit("all").alias("leg"), "id_a", "id_b",
+                       F.lit(None).cast("string").alias("src")))
+    # second leg (r7, X-DEDUP-INCR-NEAR): the same candidate set
+    # reproduced INCREMENTALLY — docs ≡ 0 (mod 5) arrive as an ingest
+    # batch and probe the persisted band-key index of the rest of the
+    # corpus (dedup.incremental_near_dup_candidates; corpus signatures
+    # never recomputed, batch broadcast under the footer attestation).
+    # Signatures are per-doc, so batch∪index candidates must equal the
+    # full run's pairs touching a batch doc — which is exactly what
+    # the oracle selects; `src` attests which path found each pair.
+    batch_docs = docs.filter(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+    # the "persisted index" stand-in IS the session-cached band-key
+    # relation (the artifact the all-pairs leg materialized — same
+    # plan, same cache entry), filtered to the corpus side: corpus
+    # signatures are genuinely not recomputed, only the batch pays
+    # the shingle+MinHash stages — the incremental contract, live.
+    from ..operators._cache import cached_relation
+    index = (cached_relation(
+                 dedup.band_key_index(sig, "doc_id",
+                                      LSH_BANDS, LSH_ROWS),
+                 "lsh_band_keys", eager=False)
+             .filter(F.col("_id") % _INCR_BATCH_MOD != 0))
+    inc = dedup.incremental_near_dup_candidates(
+        batch_docs, index, "doc_id", "text",
+        bands=LSH_BANDS, rows=LSH_ROWS, shingle_n=SHINGLE_N,
+        n_new=n_docs, n_index=n_docs)
+    incr_leg = inc.select(
+        F.lit("incr").alias("leg"),
+        F.least("id_new", "id_match").alias("id_a"),
+        F.greatest("id_new", "id_match").alias("id_b"),
+        F.col("source").alias("src"))
+    return all_leg.unionByName(incr_leg)
 
 
 @query(
