@@ -32,8 +32,11 @@ def resample_ffill(obs: DataFrame, key_cols: list[str], time_col: str,
     step, each point carrying the latest observation at-or-before it
     (forward fill / last-observation-carried-forward).
 
-    `time_col` is a NUMERIC instant (epoch seconds/micros — the caller
-    picks the scale; tz-portable by construction). Grid points before
+    `time_col` is a NON-NEGATIVE numeric instant (epoch seconds/micros
+    — the caller picks the scale; tz-portable by construction;
+    non-negative because grid alignment uses integer `div`, which
+    truncates toward zero — for pre-epoch instants it would disagree
+    with floor alignment). Grid points before
     the key's first observation fill NULL (the leading-edge contract —
     only the floor-aligned first point can be one). Observations must
     be unique per (key, time): pre-dedupe ties (`asof.dedupe_right` /
@@ -65,3 +68,56 @@ def resample_ffill(obs: DataFrame, key_cols: list[str], time_col: str,
     return (filled.filter(F.col("_o") == 1)
             .select(*key_cols, F.col("_t").alias("grid_ts"),
                     "src_ts", "value"))
+
+
+def resample_interp(obs: DataFrame, key_cols: list[str], time_col: str,
+                    value_col: str, step: int) -> DataFrame:
+    """Linear-interpolation sibling of `resample_ffill`: each grid
+    point between two observations gets the straight-line value
+
+        prev + (next - prev) · (g - t_prev) / (t_next - t_prev)
+
+    Grid points at-or-after the key's last observation carry it
+    forward (no extrapolation); points before the first observation
+    are NULL — the same edge contracts as the LOCF variant, same
+    union+ONE-window plan shape with a bounded forward state
+    (value, src_ts) carried each way. ln/pow-free arithmetic, but the
+    division makes values float-path; cross-engine attestation uses
+    the exact-integer LOCF twin (q44), interpolation is pytest-pinned
+    — the mean_token_freq/unigram_logprob split, again."""
+    t = F.col(time_col)
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min(t).alias("_lo"), F.max(t).alias("_hi"))
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(
+            F.expr(f"_lo div {step}") * step,
+            F.expr(f"_hi div {step}") * step,
+            F.lit(step).cast("long"))).alias("_t"),
+    ).select(*key_cols, F.col("_t"),
+             F.lit(1).alias("_o"),
+             F.lit(None).cast("long").alias("_src"),
+             F.lit(None).cast("double").alias("_val"))
+    points = obs.select(*key_cols, t.cast("long").alias("_t"),
+                        F.lit(0).alias("_o"),
+                        t.cast("long").alias("_src"),
+                        F.col(value_col).cast("double").alias("_val"))
+    back = (Window.partitionBy(*key_cols).orderBy("_t", "_o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy(*key_cols).orderBy("_t", "_o")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = (points.unionByName(spine)
+         .withColumn("_pv", F.last("_val", ignorenulls=True).over(back))
+         .withColumn("_pt", F.last("_src", ignorenulls=True).over(back))
+         .withColumn("_nv", F.first("_val", ignorenulls=True).over(fwd))
+         .withColumn("_nt", F.first("_src", ignorenulls=True).over(fwd)))
+    interp = F.when(
+        F.col("_nt").isNull() | (F.col("_nt") == F.col("_pt")),
+        F.col("_pv"),
+    ).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv"))
+        * (F.col("_t") - F.col("_pt")).cast("double")
+        / (F.col("_nt") - F.col("_pt")).cast("double"))
+    return (u.filter(F.col("_o") == 1)
+            .select(*key_cols, F.col("_t").alias("grid_ts"),
+                    interp.alias("value")))

@@ -66,3 +66,64 @@ def test_gap_longer_than_many_steps_carries_value(spark):
     got = _run(spark, rows, 100)
     assert len(got) == 11
     assert all(r[3] == 1.0 for r in got[:-1]) and got[-1][3] == 2.0
+
+
+def _py_interp(rows, step):
+    bykey = {}
+    for k, t, v in rows:
+        bykey.setdefault(k, []).append((t, float(v)))
+    out = []
+    for k, obs in bykey.items():
+        obs.sort()
+        lo = (min(t for t, _ in obs) // step) * step
+        hi = (max(t for t, _ in obs) // step) * step
+        for g in range(lo, hi + 1, step):
+            prev = [(t, v) for t, v in obs if t <= g]
+            nxt = [(t, v) for t, v in obs if t > g]
+            if not prev:
+                out.append((k, g, None))
+            elif not nxt:
+                out.append((k, g, prev[-1][1]))
+            else:
+                pt, pv = prev[-1]
+                nt, nv = nxt[0]
+                out.append((k, g, pv + (nv - pv) * float(g - pt)
+                            / float(nt - pt)))
+    return sorted(out)
+
+
+def test_interp_matches_reference(spark):
+    from snowflake_azure_etl_spark.operators.timeseries import (
+        resample_interp)
+    rows = [(1, 100, 10.0), (1, 400, 40.0), (1, 450, 20.0),
+            (2, 50, 5.0), (2, 51, 7.0)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    got = sorted((r["k"], r["grid_ts"], r["value"])
+                 for r in resample_interp(df, ["k"], "t", "v", 100)
+                 .collect())
+    assert got == _py_interp(rows, 100)
+
+
+def test_interp_at_observation_instant_is_exact(spark):
+    from snowflake_azure_etl_spark.operators.timeseries import (
+        resample_interp)
+    rows = [(1, 100, 3.0), (1, 300, 9.0)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    got = {r["grid_ts"]: r["value"]
+           for r in resample_interp(df, ["k"], "t", "v", 100).collect()}
+    assert got == {100: 3.0, 200: 6.0, 300: 9.0}
+
+
+def test_interp_random_matches_reference(spark):
+    import random
+    from snowflake_azure_etl_spark.operators.timeseries import (
+        resample_interp)
+    rng = random.Random(5)
+    rows = list({(rng.randrange(3), rng.randrange(500)):
+                 float(rng.randrange(100)) for _ in range(40)}.items())
+    rows = [(k, t, v) for (k, t), v in rows]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    got = sorted((r["k"], r["grid_ts"], r["value"])
+                 for r in resample_interp(df, ["k"], "t", "v", 60)
+                 .collect())
+    assert got == _py_interp(rows, 60)
