@@ -163,7 +163,8 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
 def forget_documents(artifact: DataFrame, requests: DataFrame,
                      id_col: str = "doc_id",
                      group_col: str | None = None,
-                     n_requests: int | None = None) -> DataFrame:
+                     n_requests: int | None = None,
+                     n_groups: int | None = None) -> DataFrame:
     """Right-to-be-forgotten scrub (X-FORGET) of ONE derived artifact:
     remove every row tied to a requested document id.
 
@@ -182,10 +183,12 @@ def forget_documents(artifact: DataFrame, requests: DataFrame,
       drops them whole; the caller re-packs the survivors.
 
     Scale: the request side is deletion-batch-sized; under the
-    ``n_requests`` attestation both probe joins broadcast, so the
-    artifact NEVER shuffles — the scrub is a streamed anti-join scan
-    at any corpus size. The group relation is request-proportional
-    (groups touched by forgotten docs), never corpus-sized."""
+    ``n_requests`` attestation its probe join broadcasts, so the
+    artifact NEVER shuffles on the row path. The contaminated-GROUP
+    relation is requests × groups-per-doc — bounded by the request
+    batch but NOT by ``n_requests`` itself (a doc can fan into
+    thousands of sequences), so it carries its own attestation
+    (``n_groups``); unattested it stays un-hinted and AQE decides."""
     from .dedup import _maybe_broadcast
     ids = requests.select(id_col).distinct()
     b_ids = _maybe_broadcast(ids, n_requests)
@@ -193,14 +196,15 @@ def forget_documents(artifact: DataFrame, requests: DataFrame,
         return artifact.join(b_ids, id_col, "left_anti")
     groups = (artifact.join(b_ids, id_col, "left_semi")
               .select(group_col).distinct())
-    return artifact.join(_maybe_broadcast(groups, n_requests),
+    return artifact.join(_maybe_broadcast(groups, n_groups),
                          group_col, "left_anti")
 
 
 def forget_cascade(artifacts: dict[str, DataFrame], requests: DataFrame,
                    id_col: str = "doc_id",
                    group_cols: dict[str, str] | None = None,
-                   n_requests: int | None = None) -> dict[str, DataFrame]:
+                   n_requests: int | None = None,
+                   n_groups: int | None = None) -> dict[str, DataFrame]:
     """Apply `forget_documents` across every artifact of a pipeline in
     one call: {name: scrubbed} with per-artifact group semantics from
     `group_cols` (e.g. {"sequences": "seq_id"}). Idempotent — a second
@@ -209,5 +213,6 @@ def forget_cascade(artifacts: dict[str, DataFrame], requests: DataFrame,
     caller uses."""
     group_cols = group_cols or {}
     return {name: forget_documents(df, requests, id_col,
-                                   group_cols.get(name), n_requests)
+                                   group_cols.get(name), n_requests,
+                                   n_groups)
             for name, df in artifacts.items()}

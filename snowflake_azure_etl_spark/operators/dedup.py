@@ -224,12 +224,10 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
       signature plan) reuses the materialized relation.
     """
     from ._cache import cached_relation
-    key_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-        .alias(f"_k{b}")
-        for b in range(bands)
-    ]
-    keys = sig.select(F.col(id_col).alias("_id"), *key_cols)
+    # the ONE key-construction definition (band_key_index) — q51's
+    # incremental leg reuses this cache entry by rebuilding the same
+    # plan, so the expression must not fork
+    keys = band_key_index(sig, id_col, bands, rows)
     if cache_keys:
         keys = cached_relation(keys, "lsh_band_keys", eager=False)
     nparts = parallelism or sig.sparkSession.sparkContext.defaultParallelism
@@ -240,26 +238,41 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
     # filter that cannot trigger (at corpus scale n_docs >> max_bucket
     # and the guard always stays)
     guard_needed = n_docs is None or n_docs > max_bucket
+    flagged = keys
+    if guard_needed:
+        # per-band bucket-width SURVIVAL FLAGS (distinct band keys ≤
+        # n_docs, so the same size attestation governs each broadcast).
+        # Flags instead of destructive per-band filters so first-match
+        # emission can test band SURVIVAL: a pair whose first matching
+        # band is guard-dropped still emits at its first surviving
+        # matching band — the oracle's semantics (r7 review finding;
+        # previously such a pair was silently lost whenever the guard
+        # fired).
+        for i in range(bands):
+            wf = (keys.groupBy(f"_k{i}")
+                  .agg((F.count("*") <= max_bucket).alias(f"_ok{i}")))
+            flagged = flagged.join(
+                _maybe_broadcast(wf, n_docs, broadcast_max_rows),
+                f"_k{i}")
     out = None
     for b in range(bands):
-        kb = keys
-        if guard_needed:
-            # per-band bucket-width guard (distinct band keys ≤ n_docs,
-            # so the same size attestation governs its broadcast)
-            sizes = (keys.groupBy(f"_k{b}")
-                     .agg(F.count("*").alias("_bw"))
-                     .filter(F.col("_bw") <= max_bucket)
-                     .drop("_bw"))
-            kb = kb.join(_maybe_broadcast(sizes, n_docs, broadcast_max_rows),
-                         f"_k{b}")
+        kb = flagged.filter(F.col(f"_ok{b}")) if guard_needed else flagged
+        # the survival flag of a SHARED band key is the same on both
+        # sides, so only side a carries the earlier-band flags
         a = kb.select(F.col("_id").alias("id_a"),
-                      *[F.col(f"_k{i}").alias(f"_ka{i}") for i in range(b + 1)])
+                      *[F.col(f"_k{i}").alias(f"_ka{i}")
+                        for i in range(b + 1)],
+                      *([F.col(f"_ok{i}").alias(f"_oka{i}")
+                         for i in range(b)] if guard_needed else []))
         bb = kb.select(F.col("_id").alias("id_b"),
                        *[F.col(f"_k{i}").alias(f"_kb{i}") for i in range(b + 1)])
         cond = (F.col(f"_ka{b}") == F.col(f"_kb{b}")) & \
                (F.col("id_a") < F.col("id_b"))
         for i in range(b):  # not already emitted by an earlier band
-            cond = cond & (F.col(f"_ka{i}") != F.col(f"_kb{i}"))
+            matched_i = F.col(f"_ka{i}") == F.col(f"_kb{i}")
+            if guard_needed:
+                matched_i = matched_i & F.col(f"_oka{i}")
+            cond = cond & ~matched_i
         if small:
             pairs_b = (a.repartition(nparts)
                        .join(F.broadcast(bb), cond)
@@ -681,7 +694,8 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
                                     shingle_n: int = 3,
                                     max_bucket: int = 10000,
                                     n_new: int | None = None,
-                                    n_index: int | None = None
+                                    n_index: int | None = None,
+                                    sig: DataFrame | None = None
                                     ) -> DataFrame:
     """Candidate near-dup pairs of a NEW ingest batch: batch-vs-corpus
     (against the persisted `band_key_index`) plus intra-batch, as
@@ -703,32 +717,58 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
       emitted by its FIRST matching band only — the union is exactly
       the distinct pair set, no pair-set dedup shuffle;
     - the index-side bucket-width guard drops degenerate buckets whole
-      (deterministic), short-circuited when ``n_index`` attests the
-      corpus under ``max_bucket``.
+      and PER BAND — a doc over-wide in band 0 still probes bands
+      1..n, exactly like the full pipeline's per-band guard, so
+      incremental recall parity holds even with the guard active;
+      short-circuited when ``n_index`` attests the corpus under
+      ``max_bucket``. The width relations are index-cardinality-sized
+      and follow the module's broadcast attestation (never
+      unconditionally broadcast).
+
+    ``sig`` lets a caller that already materialized the batch
+    signature relation (the streaming sink computes it for the
+    grow-the-index write) pass it in instead of paying the shingle +
+    MinHash stages twice.
     """
-    # the batch signature relation is referenced ~3·bands times below
-    # (per-band cross legs + the intra stage's keys/guards/joins);
-    # it is ingest-batch-sized by definition, so materialize it ONCE —
-    # an eager localCheckpoint, not the session cache, because a
-    # long-running streaming caller submits a NEW batch plan per epoch
-    # and plan-keyed cache entries would accumulate without bound
-    sig = minhash_signature_shingled(new_docs, id_col, text_col,
-                                     k=bands * rows, n=shingle_n
-                                     ).localCheckpoint(eager=True)
+    if sig is None:
+        # the batch signature relation is referenced ~3·bands times
+        # below (per-band cross legs + the intra stage's
+        # keys/guards/joins); it is ingest-batch-sized by definition,
+        # so materialize it ONCE — an eager localCheckpoint, not the
+        # session cache, because a long-running streaming caller
+        # submits a NEW batch plan per epoch and plan-keyed cache
+        # entries would accumulate without bound
+        sig = minhash_signature_shingled(new_docs, id_col, text_col,
+                                         k=bands * rows, n=shingle_n
+                                         ).localCheckpoint(eager=True)
     nk = band_key_index(sig, id_col, bands, rows)
+    guard = n_index is None or n_index > max_bucket
     ix = index_keys
-    if n_index is None or n_index > max_bucket:
+    if guard:
+        # per-band SURVIVAL FLAGS, not a destructive filter: a doc
+        # over-wide in band 0 still probes bands 1..n, and — matching
+        # the oracle's semantics — a pair emits at its first
+        # SURVIVING matching band, so a degenerate early band never
+        # costs a pair a later narrow band finds. The flag relations
+        # are index-cardinality-sized → module broadcast attestation.
         for b in range(bands):
-            w = (ix.groupBy(f"_k{b}").agg(F.count("*").alias("_bw"))
-                 .filter(F.col("_bw") <= max_bucket).drop("_bw"))
-            ix = ix.join(F.broadcast(w), f"_k{b}", "left_semi")
+            wf = (index_keys.groupBy(f"_k{b}")
+                  .agg((F.count("*") <= max_bucket).alias(f"_ok{b}")))
+            ix = ix.join(_maybe_broadcast(wf, n_index), f"_k{b}")
     legs = []
     a = _maybe_broadcast(nk, n_new).alias("nw")
     bx = ix.alias("ix")
+
+    def live_match(b: int):
+        m = F.col(f"nw._k{b}") == F.col(f"ix._k{b}")
+        if guard:
+            m = m & F.col(f"ix._ok{b}")
+        return m
+
     for b in range(bands):
-        cond = F.col(f"nw._k{b}") == F.col(f"ix._k{b}")
+        cond = live_match(b)
         for i in range(b):
-            cond = cond & (F.col(f"nw._k{i}") != F.col(f"ix._k{i}"))
+            cond = cond & ~live_match(i)
         legs.append(
             a.join(bx, cond)
             .filter(F.col("nw._id") != F.col("ix._id"))

@@ -29,6 +29,7 @@ import hashlib
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -504,7 +505,6 @@ def audio_pipeline(media: DataFrame, target_rate: int = 4000,
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 mt, rate, n_ch, ns, data = _real_decode_audio(bytes(payload))
                 fsig = hashlib.md5(data).hexdigest()[:8]
-                import numpy as np
                 bp = 2 * n_ch                  # bytes per sample frame
                 k = max(1, rate // target_rate)
                 dec = (np.frombuffer(data[:ns * bp], dtype=np.uint8)

@@ -25,6 +25,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spine_union(obs: DataFrame, key_cols: list[str], time_col: str,
+                 value_col: str, step: int) -> DataFrame:
+    """Shared grid machinery of both resamplers: per-key bounds → the
+    step-aligned spine explode (marker _o=1, NULL value/src) unioned
+    with the observation points (_o=0). A NULL-VALUED observation is
+    no observation: its _src is NULLed alongside _val so the carried
+    (value, src_ts) pair can never desynchronize — without this, a
+    NULL-valued obs would advance src_ts while the value came from an
+    earlier row, and interpolation would extrapolate with a wrong
+    slope."""
+    t = F.col(time_col)
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min(t).alias("_lo"), F.max(t).alias("_hi"))
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(
+            F.expr(f"_lo div {step}") * step,
+            F.expr(f"_hi div {step}") * step,
+            F.lit(step).cast("long"))).alias("_t"),
+    ).select(*key_cols, F.col("_t"),
+             F.lit(1).alias("_o"),
+             F.lit(None).cast("long").alias("_src"),
+             F.lit(None).cast("double").alias("_val"))
+    val = F.col(value_col).cast("double")
+    points = obs.select(*key_cols, t.cast("long").alias("_t"),
+                        F.lit(0).alias("_o"),
+                        F.when(val.isNotNull(), t.cast("long"))
+                        .alias("_src"),
+                        val.alias("_val"))
+    return points.unionByName(spine)
+
+
 def resample_ffill(obs: DataFrame, key_cols: list[str], time_col: str,
                    value_col: str, step: int) -> DataFrame:
     """(key..., grid_ts, src_ts, value): for every key, a step-aligned
@@ -42,27 +74,10 @@ def resample_ffill(obs: DataFrame, key_cols: list[str], time_col: str,
     be unique per (key, time): pre-dedupe ties (`asof.dedupe_right` /
     max_by) — same contract as the as-of join, and the same reason:
     a tie has no defined "latest"."""
-    t = F.col(time_col)
-    bounds = obs.groupBy(*key_cols).agg(
-        F.min(t).alias("_lo"), F.max(t).alias("_hi"))
-    spine = bounds.select(
-        *key_cols,
-        F.explode(F.sequence(
-            F.expr(f"_lo div {step}") * step,
-            F.expr(f"_hi div {step}") * step,
-            F.lit(step).cast("long"))).alias("_t"),
-    ).select(*key_cols, F.col("_t"),
-             F.lit(1).alias("_o"),
-             F.lit(None).cast("long").alias("_src"),
-             F.lit(None).cast("double").alias("_val"))
-    points = obs.select(*key_cols, t.cast("long").alias("_t"),
-                        F.lit(0).alias("_o"),
-                        t.cast("long").alias("_src"),
-                        F.col(value_col).cast("double").alias("_val"))
     w = (Window.partitionBy(*key_cols)
          .orderBy("_t", "_o")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = (points.unionByName(spine)
+    filled = (_spine_union(obs, key_cols, time_col, value_col, step)
               .withColumn("value", F.last("_val", ignorenulls=True).over(w))
               .withColumn("src_ts", F.last("_src", ignorenulls=True).over(w)))
     return (filled.filter(F.col("_o") == 1)
@@ -85,28 +100,11 @@ def resample_interp(obs: DataFrame, key_cols: list[str], time_col: str,
     division makes values float-path; cross-engine attestation uses
     the exact-integer LOCF twin (q44), interpolation is pytest-pinned
     — the mean_token_freq/unigram_logprob split, again."""
-    t = F.col(time_col)
-    bounds = obs.groupBy(*key_cols).agg(
-        F.min(t).alias("_lo"), F.max(t).alias("_hi"))
-    spine = bounds.select(
-        *key_cols,
-        F.explode(F.sequence(
-            F.expr(f"_lo div {step}") * step,
-            F.expr(f"_hi div {step}") * step,
-            F.lit(step).cast("long"))).alias("_t"),
-    ).select(*key_cols, F.col("_t"),
-             F.lit(1).alias("_o"),
-             F.lit(None).cast("long").alias("_src"),
-             F.lit(None).cast("double").alias("_val"))
-    points = obs.select(*key_cols, t.cast("long").alias("_t"),
-                        F.lit(0).alias("_o"),
-                        t.cast("long").alias("_src"),
-                        F.col(value_col).cast("double").alias("_val"))
     back = (Window.partitionBy(*key_cols).orderBy("_t", "_o")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     fwd = (Window.partitionBy(*key_cols).orderBy("_t", "_o")
            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    u = (points.unionByName(spine)
+    u = (_spine_union(obs, key_cols, time_col, value_col, step)
          .withColumn("_pv", F.last("_val", ignorenulls=True).over(back))
          .withColumn("_pt", F.last("_src", ignorenulls=True).over(back))
          .withColumn("_nv", F.first("_val", ignorenulls=True).over(fwd))

@@ -128,7 +128,11 @@ def read_csv_match_by_name(spark: SparkSession, path: str | list[str],
     the declared type, and the PERMISSIVE corrupt-record convention —
     a row whose present value fails its cast carries the raw row as
     JSON in the corrupt column, so `copy_accounting`'s
-    ON_ERROR=CONTINUE split/report works unchanged. The listing is
+    ON_ERROR=CONTINUE split/report works unchanged. One documented
+    divergence from the positional reader: NULL_IF applies BEFORE the
+    type cast here (Snowflake's order), so 'null' in an INT column
+    loads as NULL — the positional path's typed Spark read can only
+    NULL_IF the reader token and rejects that row instead. The listing is
     driver-side and stage-bounded (the LIST contract); every file's
     scan and projection stay fully parallel, and the per-file plans
     union into ONE lazy relation."""

@@ -53,8 +53,12 @@ def near_dup_ingest_sink(index_table: str, cand_table: str, *,
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # ONE materialized signature pass per epoch — shared by the
+        # candidate probe (via the `sig` hand-off) and the index write,
+        # so the batch pays shingle+MinHash exactly once
         sig = minhash_signature_shingled(batch_df, id_col, text_col,
-                                         k=bands * rows, n=shingle_n)
+                                         k=bands * rows, n=shingle_n
+                                         ).localCheckpoint(eager=True)
         keys = band_key_index(sig, id_col, bands, rows)
         if spark.catalog.tableExists(index_table):
             index = (spark.table(index_table)
@@ -65,7 +69,7 @@ def near_dup_ingest_sink(index_table: str, cand_table: str, *,
         cands = incremental_near_dup_candidates(
             batch_df, index, id_col, text_col,
             bands=bands, rows=rows, shingle_n=shingle_n,
-            max_bucket=max_bucket)
+            max_bucket=max_bucket, sig=sig)
         write_cands(cands, epoch_id)
         write_keys(keys, epoch_id)
 

@@ -90,3 +90,50 @@ def test_index_side_never_reshuffles_under_attestation(spark):
     # exchanges belong to the batch/intra signature aggregates
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+def test_active_guard_is_per_band_not_cumulative(spark):
+    """An index doc over-wide in band 0 must still probe bands 1..n
+    (review finding r7): the index is hand-built so docs 1 and 2 share
+    the batch doc's band-0 key (width 2 > max_bucket=1 ⇒ band 0
+    dropped) while ONLY doc 1 shares its band-1 key (width 1 ⇒ kept).
+    Per-band guarding finds (10, 1) via band 1; the cumulative
+    left-semi chain would have evicted doc 1 from EVERY band at the
+    band-0 filter and found nothing."""
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta one two three")],
+        "doc_id bigint, text string")
+    sig = dedup.minhash_signature_shingled(batch, "doc_id", "text",
+                                           k=BANDS * ROWS)
+    bk = dedup.band_key_index(sig, "doc_id", BANDS, ROWS).collect()[0]
+    rows = [
+        (1, bk["_k0"], bk["_k1"], 111, 112),   # shares bands 0 AND 1
+        (2, bk["_k0"], 221, 222, 223),         # shares band 0 only
+    ]
+    idx = spark.createDataFrame(
+        rows, "_id bigint, _k0 bigint, _k1 bigint, _k2 bigint, _k3 bigint")
+    got = {(a, b) for a, b, s in _pairs(
+        dedup.incremental_near_dup_candidates(
+            batch, idx, bands=BANDS, rows=ROWS, max_bucket=1))
+        if s == "index"}
+    assert got == {(10, 1)}
+
+
+def test_lsh_pairs_emit_at_first_surviving_band(spark):
+    """Same surviving-band contract on the batch operator
+    (dedup.lsh_candidate_pairs): docs A=1/B=2 share BOTH band keys and
+    X=3 widens band 0's bucket past the cap — the pair (1,2) must
+    emit via band 1 (width 2 <= cap) even though its FIRST matching
+    band was guard-dropped."""
+    sig = spark.createDataFrame(
+        [(1, "x", "y"), (2, "x", "y"), (3, "x", "z")],
+        "doc_id bigint, h0 string, h1 string")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=2, rows=1, max_bucket=2,
+        cache_keys=False).collect()}
+    assert got == {(1, 2)}
+    # guard inactive: band 0's width-3 bucket is allowed, so all three
+    # docs pair through it — and each pair exactly once
+    got2 = [tuple(r) for r in dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=2, rows=1, max_bucket=100, n_docs=3,
+        cache_keys=False).select("id_a", "id_b").collect()]
+    assert sorted(got2) == [(1, 2), (1, 3), (2, 3)]

@@ -127,3 +127,22 @@ def test_interp_random_matches_reference(spark):
                  for r in resample_interp(df, ["k"], "t", "v", 60)
                  .collect())
     assert got == _py_interp(rows, 60)
+
+
+def test_null_valued_observation_is_no_observation(spark):
+    """A NULL-valued obs must neither advance src_ts (ffill) nor
+    supply an interpolation endpoint — the carried (value, src) pair
+    stays synchronized (review finding r7)."""
+    from snowflake_azure_etl_spark.operators.timeseries import (
+        resample_interp)
+    rows = [(1, 100, 5.0), (1, 300, None), (1, 400, 9.0)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v double")
+    ff = {r["grid_ts"]: (r["src_ts"], r["value"])
+          for r in resample_ffill(df, ["k"], "t", "v", 100).collect()}
+    assert ff[300] == (100, 5.0)     # src stays at the REAL obs
+    assert ff[400] == (400, 9.0)
+    ip = {r["grid_ts"]: r["value"]
+          for r in resample_interp(df, ["k"], "t", "v", 100).collect()}
+    # interpolates 100->400 directly: grid 200 = 5 + 4*(100/300)
+    assert abs(ip[200] - (5.0 + 4.0 * 100.0 / 300.0)) < 1e-12
+    assert abs(ip[300] - (5.0 + 4.0 * 200.0 / 300.0)) < 1e-12
