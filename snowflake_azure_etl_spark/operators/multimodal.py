@@ -416,6 +416,11 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         i += 8 + sz + (sz & 1)          # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        # validate BEFORE unpack_from: a truncated 'fmt ' chunk must
+        # surface as the documented ValueError gate, not struct.error
+        raise ValueError(
+            f"truncated fmt chunk ({len(fmt)} bytes, need >= 16)")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_fmt != 1:

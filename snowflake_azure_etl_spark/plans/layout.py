@@ -326,15 +326,32 @@ def _swap_dirs(spark: SparkSession, path: str, tmp: str) -> None:
     """Replace `path` with the fully-written `tmp` via two renames +
     a recursive delete on the path's own filesystem (Hadoop FS API, so
     file://, s3a://, abfss:// landings all work — the same handle
-    `list_stage` uses). tmp is complete BEFORE the first rename, so a
-    failure at any point leaves either the original or the new landing
-    intact, never neither."""
+    `list_stage` uses). tmp is complete BEFORE the first rename.
+
+    Failure window, stated precisely: between the two renames the
+    landing path is ABSENT (readers see no directory until the second
+    rename lands) and a crash there strands the data at
+    ``._compact_old`` — recover by renaming it back. A stale
+    ``._compact_old`` left by such a crash is removed up front when
+    the landing also exists (then it can only be the superseded copy —
+    Hadoop's rename-onto-existing-DIR would otherwise silently move
+    the landing INSIDE it); if the landing is absent the stale dir is
+    the only copy, and this helper refuses to run (the read above
+    would already have failed) rather than delete it."""
     sc = spark.sparkContext
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     swap = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")
                                          + "._compact_old")
+    if fs.exists(swap):
+        if not fs.exists(hpath):
+            raise IOError(
+                f"compact_landing: {path} is absent but a stale "
+                f"._compact_old exists — a prior swap crashed between "
+                f"renames; rename it back to recover, refusing to "
+                f"delete the only copy")
+        fs.delete(swap, True)           # superseded leftover, safe
     if not fs.rename(hpath, swap):
         raise IOError(f"compact_landing: cannot stage {path} aside")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):

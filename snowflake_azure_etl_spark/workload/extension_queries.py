@@ -51,6 +51,11 @@ _GAPFILL_STEP_US = 86_400_000_000
                   max_by(value, event_id) AS val
            FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
     o AS (SELECT user_id, epoch_us(ts) AS tsu, val FROM o0),
+    -- a NULL-valued observation is NO observation for the fill (the
+    -- operator NULLs _src alongside _val and the window skips it),
+    -- but it still widens the grid bounds — so gbnd scans `o` while
+    -- the ASOF fill joins `onn`
+    onn AS (SELECT * FROM o WHERE val IS NOT NULL),
     gbnd AS (SELECT user_id,
                     (MIN(tsu) // {_GAPFILL_STEP_US}) * {_GAPFILL_STEP_US}
                         AS lo,
@@ -67,9 +72,9 @@ _GAPFILL_STEP_US = 86_400_000_000
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     UNION ALL
     SELECT 'gapfill', CAST(NULL AS BIGINT), sp.user_id, sp.g,
-           o.tsu, o.val
-    FROM sp ASOF LEFT JOIN o
-      ON sp.user_id = o.user_id AND sp.g >= o.tsu
+           onn.tsu, onn.val
+    FROM sp ASOF LEFT JOIN onn
+      ON sp.user_id = onn.user_id AND sp.g >= onn.tsu
     """,
 )
 def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

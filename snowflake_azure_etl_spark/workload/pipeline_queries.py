@@ -143,7 +143,9 @@ FORGET_MOD = 41
            lang_rank, lang_rank <= 100 AS quota_keep,
            contam_hits, decontam_keep
     FROM keepers
-    WHERE keeper_id % {FORGET_MOD} <> 0
+    WHERE NOT EXISTS (SELECT 1 FROM documents f
+                      WHERE f.doc_id % {FORGET_MOD} = 0
+                        AND md5(f.text) = keepers.content_hash)
     """,
 )
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,17 +195,22 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("content_hash", "keeper_id", "n_copies", "lang",
                     "sample_keep", "lang_rank", "quota_keep",
                     "contam_hits", "decontam_keep"))
-    # final stage (r7, X-FORGET): the right-to-be-forgotten scrub
+    # final stage (r7/r8, X-FORGET): the right-to-be-forgotten scrub
     # applied to the finished relation — a deterministic deletion
     # request set (doc_id ≡ 0 mod FORGET_MOD) removed via
     # corpus.forget_documents' broadcast anti-join, AFTER every ranked
     # column so ranks reference the pre-scrub population in both
-    # engines. The cascade/group semantics are pytest-pinned
-    # (tests/test_forget.py); this leg driver-attests the scrub.
+    # engines. GROUP-CONTAMINATION semantics, driver-attested (r7
+    # ADVICE): each request is translated to its dedup-group key
+    # (md5 of the requested doc's OWN text — request-batch-sized,
+    # row-local, no join), so a forgotten NON-keeper copy removes the
+    # whole surviving group exactly like a forgotten keeper — the same
+    # contract forget_documents' group_col path enforces for
+    # member-level artifacts (tests/test_forget.py pins that path).
     requests = (docs.filter(F.col("doc_id") % FORGET_MOD == 0)
-                .select(F.col("doc_id").alias("keeper_id")))
+                .select(F.md5("text").alias("content_hash")))
     return corpus_ops.forget_documents(
-        out, requests, id_col="keeper_id",
+        out, requests, id_col="content_hash",
         n_requests=n_docs // FORGET_MOD + 1)
 
 
