@@ -180,7 +180,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
                         parallelism: int | None = None,
                         n_docs: int | None = None,
                         broadcast_max_rows: int = BROADCAST_MAX_ROWS,
-                        cache_keys: bool = True) -> DataFrame:
+                        cache_keys: bool = True,
+                        width_keys: DataFrame | None = None,
+                        n_width_docs: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
     Plan choices (the pair set is the hot output — often ≫ corpus):
@@ -222,6 +224,16 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
       (`operators._cache`), so a same-session rebuild (e.g. the
       Jaccard-verify stage re-deriving candidates from the same
       signature plan) reuses the materialized relation.
+    - **External width source** (``width_keys`` / ``n_width_docs``):
+      the per-band bucket widths are computed over ``width_keys`` (a
+      ``band_key_index``-schema relation that must be a SUPERSET of
+      this run's keys) instead of this run's own keys. The incremental
+      path passes the index∪batch key union here so a sub-corpus run
+      guards on the TOTAL corpus width — the exact survival a full
+      re-run over the merged corpus would compute, which is what makes
+      incremental-vs-full pair parity hold even with the guard active.
+      ``n_width_docs`` is the width-source row attestation (guard
+      skip + flag-relation broadcast sizing).
     """
     from ._cache import cached_relation
     # the ONE key-construction definition (band_key_index) — q51's
@@ -237,22 +249,26 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
     # its groupBy+join instead of paying two exchanges per band for a
     # filter that cannot trigger (at corpus scale n_docs >> max_bucket
     # and the guard always stays)
-    guard_needed = n_docs is None or n_docs > max_bucket
+    wsrc = keys if width_keys is None else width_keys
+    n_wsrc = n_docs if width_keys is None else n_width_docs
+    guard_needed = n_wsrc is None or n_wsrc > max_bucket
     flagged = keys
     if guard_needed:
         # per-band bucket-width SURVIVAL FLAGS (distinct band keys ≤
-        # n_docs, so the same size attestation governs each broadcast).
-        # Flags instead of destructive per-band filters so first-match
-        # emission can test band SURVIVAL: a pair whose first matching
-        # band is guard-dropped still emits at its first surviving
-        # matching band — the oracle's semantics (r7 review finding;
-        # previously such a pair was silently lost whenever the guard
-        # fired).
+        # the width-source rows, so the same size attestation governs
+        # each broadcast). Flags instead of destructive per-band
+        # filters so first-match emission can test band SURVIVAL: a
+        # pair whose first matching band is guard-dropped still emits
+        # at its first surviving matching band — the oracle's
+        # semantics (r7 review finding; previously such a pair was
+        # silently lost whenever the guard fired). The inner join is
+        # lossless because wsrc ⊇ keys (trivially when it IS keys;
+        # a contract when the caller passes width_keys).
         for i in range(bands):
-            wf = (keys.groupBy(f"_k{i}")
+            wf = (wsrc.groupBy(f"_k{i}")
                   .agg((F.count("*") <= max_bucket).alias(f"_ok{i}")))
             flagged = flagged.join(
-                _maybe_broadcast(wf, n_docs, broadcast_max_rows),
+                _maybe_broadcast(wf, n_wsrc, broadcast_max_rows),
                 f"_k{i}")
     out = None
     for b in range(bands):
@@ -716,14 +732,20 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
       `lsh_candidate_pairs` trick): a pair matching several bands is
       emitted by its FIRST matching band only — the union is exactly
       the distinct pair set, no pair-set dedup shuffle;
-    - the index-side bucket-width guard drops degenerate buckets whole
-      and PER BAND — a doc over-wide in band 0 still probes bands
-      1..n, exactly like the full pipeline's per-band guard, so
-      incremental recall parity holds even with the guard active;
-      short-circuited when ``n_index`` attests the corpus under
-      ``max_bucket``. The width relations are index-cardinality-sized
-      and follow the module's broadcast attestation (never
-      unconditionally broadcast).
+    - the bucket-width guard computes widths over the TOTAL corpus —
+      index keys ∪ batch keys — not over either side alone, and drops
+      degenerate buckets whole, PER BAND (a doc over-wide in band 0
+      still probes bands 1..n). Total-width survival is exactly what a
+      full re-run over the merged corpus computes, so incremental
+      pair-set parity with the full pipeline holds even with the
+      guard active — including a bucket that straddles ``max_bucket``
+      across the index/batch split (index-only or batch-only widths
+      would keep it while the full run drops it, or vice versa; the
+      r7 advisor counterexample). Short-circuited when ``n_index +
+      n_new`` attests the merged corpus under ``max_bucket``. The
+      width relations are corpus-cardinality-sized and follow the
+      module's broadcast attestation (never unconditionally
+      broadcast).
 
     ``sig`` lets a caller that already materialized the batch
     signature relation (the streaming sink computes it for the
@@ -742,19 +764,25 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
                                          k=bands * rows, n=shingle_n
                                          ).localCheckpoint(eager=True)
     nk = band_key_index(sig, id_col, bands, rows)
-    guard = n_index is None or n_index > max_bucket
+    n_total = (n_index + n_new
+               if n_index is not None and n_new is not None else None)
+    guard = n_total is None or n_total > max_bucket
     ix = index_keys
+    band_cols = [f"_k{b}" for b in range(bands)]
+    total_keys = (index_keys.select(*band_cols)
+                  .unionByName(nk.select(*band_cols)))
     if guard:
-        # per-band SURVIVAL FLAGS, not a destructive filter: a doc
-        # over-wide in band 0 still probes bands 1..n, and — matching
-        # the oracle's semantics — a pair emits at its first
-        # SURVIVING matching band, so a degenerate early band never
-        # costs a pair a later narrow band finds. The flag relations
-        # are index-cardinality-sized → module broadcast attestation.
+        # per-band SURVIVAL FLAGS over the TOTAL (index ∪ batch)
+        # width — see the docstring's parity argument — and not a
+        # destructive filter: a doc over-wide in band 0 still probes
+        # bands 1..n; a pair emits at its first SURVIVING matching
+        # band, so a degenerate early band never costs a pair a later
+        # narrow band finds. The flag relations are
+        # corpus-cardinality-sized → module broadcast attestation.
         for b in range(bands):
-            wf = (index_keys.groupBy(f"_k{b}")
+            wf = (total_keys.groupBy(f"_k{b}")
                   .agg((F.count("*") <= max_bucket).alias(f"_ok{b}")))
-            ix = ix.join(_maybe_broadcast(wf, n_index), f"_k{b}")
+            ix = ix.join(_maybe_broadcast(wf, n_total), f"_k{b}")
     legs = []
     a = _maybe_broadcast(nk, n_new).alias("nw")
     bx = ix.alias("ix")
@@ -777,9 +805,14 @@ def incremental_near_dup_candidates(new_docs: DataFrame,
     cross = legs[0]
     for leg in legs[1:]:
         cross = cross.unionByName(leg)
+    # the intra-batch leg guards on the SAME total widths: two batch
+    # docs sharing a bucket the merged corpus makes degenerate must
+    # not pair here when the full run would drop them
     intra = (lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows,
                                  max_bucket=max_bucket, n_docs=n_new,
-                                 cache_keys=False)
+                                 cache_keys=False,
+                                 width_keys=total_keys,
+                                 n_width_docs=n_total)
              .select(F.col("id_a").alias("id_new"),
                      F.col("id_b").alias("id_match")))
     return (cross.withColumn("source", F.lit("index"))

@@ -259,9 +259,13 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch and probe the persisted band-key index of the rest of the
     # corpus (dedup.incremental_near_dup_candidates; corpus signatures
     # never recomputed, batch broadcast under the footer attestation).
-    # Signatures are per-doc, so batch∪index candidates must equal the
-    # full run's pairs touching a batch doc — which is exactly what
-    # the oracle selects; `src` attests which path found each pair.
+    # Signatures are per-doc and the incremental bucket-width guard
+    # computes widths over the TOTAL index∪batch corpus (r8, closing
+    # the r7 advisor finding: per-side widths diverge from the full
+    # run when a bucket straddles max_bucket across the split), so
+    # batch∪index candidates equal the full run's pairs touching a
+    # batch doc even with an active guard — which is exactly what the
+    # oracle selects; `src` attests which path found each pair.
     batch_docs = docs.filter(F.col("doc_id") % _INCR_BATCH_MOD == 0)
     # the "persisted index" stand-in IS the session-cached band-key
     # relation (the artifact the all-pairs leg materialized — same

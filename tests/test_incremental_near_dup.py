@@ -94,11 +94,12 @@ def test_index_side_never_reshuffles_under_attestation(spark):
 def test_active_guard_is_per_band_not_cumulative(spark):
     """An index doc over-wide in band 0 must still probe bands 1..n
     (review finding r7): the index is hand-built so docs 1 and 2 share
-    the batch doc's band-0 key (width 2 > max_bucket=1 ⇒ band 0
-    dropped) while ONLY doc 1 shares its band-1 key (width 1 ⇒ kept).
-    Per-band guarding finds (10, 1) via band 1; the cumulative
-    left-semi chain would have evicted doc 1 from EVERY band at the
-    band-0 filter and found nothing."""
+    the batch doc's band-0 key (TOTAL width 3 with the batch doc
+    itself > max_bucket=2 ⇒ band 0 dropped) while ONLY doc 1 shares
+    its band-1 key (total width 2 ⇒ kept). Per-band guarding finds
+    (10, 1) via band 1; the cumulative left-semi chain would have
+    evicted doc 1 from EVERY band at the band-0 filter and found
+    nothing."""
     batch = spark.createDataFrame(
         [(10, "alpha beta gamma delta one two three")],
         "doc_id bigint, text string")
@@ -113,9 +114,49 @@ def test_active_guard_is_per_band_not_cumulative(spark):
         rows, "_id bigint, _k0 bigint, _k1 bigint, _k2 bigint, _k3 bigint")
     got = {(a, b) for a, b, s in _pairs(
         dedup.incremental_near_dup_candidates(
-            batch, idx, bands=BANDS, rows=ROWS, max_bucket=1))
+            batch, idx, bands=BANDS, rows=ROWS, max_bucket=2))
         if s == "index"}
     assert got == {(10, 1)}
+
+
+def test_guard_width_is_total_not_per_side(spark):
+    """Parity under an ACTIVE guard with a straddling bucket (the r8
+    fix for the r7 advisor finding): 5 identical docs — 3 in the
+    index, 2 in the batch — share every band bucket, so each bucket's
+    TOTAL width is 5. With max_bucket=4 a full run over the merged
+    corpus drops every bucket (0 pairs); an incremental run guarding
+    on index-only (3 ≤ 4) or batch-only (2 ≤ 4) widths would wrongly
+    emit cross and intra pairs. With max_bucket=5 both runs keep the
+    bucket, and the incremental set must equal exactly the full-run
+    pairs touching a batch doc."""
+    text = "same exact words in every single one of these documents"
+    index_docs = [(i, text) for i in (1, 2, 3)]
+    batch_docs = [(i, text) for i in (10, 11)]
+    batch = spark.createDataFrame(batch_docs, "doc_id bigint, text string")
+
+    def incr(mb):
+        return {tuple(sorted((a, b))) for a, b, _ in _pairs(
+            dedup.incremental_near_dup_candidates(
+                batch, _index(spark, index_docs),
+                bands=BANDS, rows=ROWS, max_bucket=mb))}
+
+    def full(mb):
+        sig = dedup.minhash_signature_shingled(
+            spark.createDataFrame(index_docs + batch_docs,
+                                  "doc_id bigint, text string"),
+            "doc_id", "text", k=BANDS * ROWS)
+        pairs = dedup.lsh_candidate_pairs(
+            sig, "doc_id", bands=BANDS, rows=ROWS, max_bucket=mb,
+            cache_keys=False).collect()
+        return {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs
+                if r["id_a"] >= 10 or r["id_b"] >= 10}
+
+    assert incr(4) == full(4) == set()          # straddling bucket dropped
+    kept = incr(5)
+    assert kept == full(5)
+    assert kept == {(1, 10), (2, 10), (3, 10),   # cross
+                    (1, 11), (2, 11), (3, 11),
+                    (10, 11)}                    # intra
 
 
 def test_lsh_pairs_emit_at_first_surviving_band(spark):
