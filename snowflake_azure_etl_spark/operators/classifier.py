@@ -1,0 +1,173 @@
+"""Trained quality/label classifier — fixed-iteration distributed
+gradient descent as pure DataFrame aggregations (X-QUALITY-CLF).
+
+The missing tier between hand-tuned heuristic cuts (`text.quality_score`)
+and an external model service: corpus pipelines routinely train a small
+linear probe on weak labels (fastText-style quality filters, language
+screens, source classifiers) and apply it as a keep/drop gate. This
+module trains that probe INSIDE the engine, with the same determinism
+discipline as `similarity.kmeans_centroids` (the other fixed-iteration
+trainer), so the whole training loop is oracle-expressible in SQL and
+hash-checkable across engines:
+
+- **No transcendentals.** The logistic sigmoid's `exp` is not
+  cross-engine bit-portable; the squash here is the rational sigmoid
+  ``p = 0.5 * (1 + z / (1 + |z|))`` — only +, −, ×, ÷, abs, all
+  IEEE-754 correctly-rounded, so Spark and DuckDB produce bit-identical
+  doubles for the same parenthesization (which both sides keep
+  textually identical).
+- **Order-independent gradient reduction.** A double SUM over an
+  unordered corpus is partitioning-dependent; per-doc gradient
+  components are quantized to fixed-point longs
+  (``floor(g · CLS_SCALE)``) and summed exactly — the same trick as
+  ``KMEANS_SCALE`` — so the learned weights are invariant to partition
+  count and row order, and bit-identical in the oracle's replay.
+- **Margin as an explicit left-associated chain.** ``z = w0·1 + w1·f1 +
+  …`` is built as an explicit expression (not `F.aggregate`, whose
+  fold order an engine is free to fuse differently), matching SQL's
+  left-associated ``+``.
+
+Scale design (the 100 TB story): one GD round = one narrow projection
+over the corpus (features + per-doc gradient quantization, all
+codegen'd scalar expressions) feeding a SINGLE-ROW hash aggregate of
+d+1 long sums — map-side partial combine reduces each task to d+1
+longs, the classic all-reduce. The weights live in a ONE-ROW broadcast
+relation (never collected to the driver, never a literal in the plan),
+so `n_iter` rounds are `n_iter` corpus scans and nothing else: no
+corpus shuffle, no driver loop over rows, state is d+1 doubles.
+Scoring is one more broadcast-crossJoin projection. Production trains
+on a sample; pass a filtered `df` — the plan is source-agnostic.
+
+Reference scope: the reference engine has no trained operators at all
+(rahil/run_etl.py templates SQL); this extends the engine the same way
+the dedup/ANN stack does, as a first-class LLM-data-pipeline stage.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for per-doc gradient quantization. 2^20 keeps
+#: |grad| ≤ ~8·10³ per doc representable in a long with ~10¹² docs of
+#: headroom before the exact BIGINT sum could overflow (gradients here
+#: are bounded: |p−y| ≤ 1 and features are ratio-scaled).
+CLS_SCALE = 1 << 20
+
+#: Default learning rate — a power of two, so the update arithmetic
+#: stays exactly representable and textually portable to the oracle.
+CLS_LR = 0.5
+
+
+def _slots(feature_cols: Sequence[Column]) -> list[Column]:
+    """[1.0, f1, …, fd] as SEPARATE column expressions — deliberately
+    NOT packed into an F.array: `element_at(array(lit, col…), i)`
+    trips a Spark whole-stage-codegen bug ("isNull_N is not an
+    rvalue") and every task silently falls back to interpreted
+    execution. The weights side stays an array column (element_at on
+    a real column is codegen-clean)."""
+    return [F.lit(1.0)] + [c.cast("double") for c in feature_cols]
+
+
+def _margin(w: Column, slots: Sequence[Column]) -> Column:
+    """Explicit left-associated dot product w·[1, f…] (weights array
+    1-indexed via element_at) — the one place fold order could
+    diverge between engines, pinned by construction."""
+    z = F.element_at(w, 1) * slots[0]
+    for i, f in enumerate(slots[1:], start=2):
+        z = z + F.element_at(w, i) * f
+    return z
+
+
+def squash(z: Column) -> Column:
+    """Rational sigmoid 0.5·(1 + z/(1+|z|)) — monotone, (0,1)-bounded,
+    0.5 at z=0, and free of transcendentals (see module docstring)."""
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def train_margin_classifier(df: DataFrame,
+                            feature_cols: Sequence[Column],
+                            label: Column,
+                            n_iter: int = 2,
+                            lr: float = CLS_LR,
+                            scale: int = CLS_SCALE) -> DataFrame:
+    """Train a linear probe by `n_iter` full-batch GD rounds from zero
+    weights; returns a ONE-ROW DataFrame with `_w`: array<double> of
+    length d+1 (bias first).
+
+    Per round (all lazy, chained into one plan):
+      z    = w · [1, f…]          (explicit chain, broadcast weights)
+      p    = squash(z)
+      g_i  = (p − y) · f_i        (y = `label` cast to double)
+      s_i  = Σ floor(g_i · scale) (exact long sum, map-side combined)
+      w_i ← w_i − lr · ((s_i / n) / scale)
+
+    The mean uses n = COUNT(*) over gradient-bearing rows of the full
+    relation, so every engine divides by the same count.
+    """
+    d = len(feature_cols)
+    spark = df.sparkSession
+    w = spark.range(1).select(
+        F.array(*[F.lit(0.0) for _ in range(d + 1)]).alias("_w"))
+    slots = _slots(feature_cols)
+    y = label.cast("double")
+    for _ in range(n_iter):
+        z = _margin(F.col("_w"), slots)
+        r = squash(z) - y
+        joined = df.crossJoin(F.broadcast(w)).select(
+            F.col("_w"),
+            *[F.floor((r * slots[i]) * F.lit(float(scale)))
+              .cast("long").alias(f"_g{i}")
+              for i in range(d + 1)])
+        agg = joined.agg(
+            # the weights are constant across rows (one-row broadcast);
+            # min() re-surfaces them past the aggregate boundary
+            *[F.min(F.element_at("_w", i + 1)).alias(f"_w{i}")
+              for i in range(d + 1)],
+            *[F.sum(f"_g{i}").alias(f"_s{i}") for i in range(d + 1)],
+            F.count("*").alias("_n"))
+        w = agg.select(F.array(*[
+            F.col(f"_w{i}")
+            - F.lit(lr) * ((F.col(f"_s{i}").cast("double") / F.col("_n"))
+                           / F.lit(float(scale)))
+            for i in range(d + 1)]).alias("_w"))
+    return w
+
+
+def score_with(df: DataFrame, feature_cols: Sequence[Column],
+               weights: DataFrame, out_col: str = "clf_score"
+               ) -> DataFrame:
+    """Append `out_col` = squash(w · [1, f…]) via the one-row broadcast
+    weights relation — a pure projection, the corpus never shuffles."""
+    return (df.crossJoin(F.broadcast(weights))
+            .withColumn(out_col,
+                        squash(_margin(F.col("_w"), _slots(feature_cols))))
+            .drop("_w"))
+
+
+def weights_as_literals(weights: DataFrame) -> list[float]:
+    """Collect the trained weight vector — d+1 doubles, the model
+    artifact a deployment ships. This is the one legitimate collect in
+    the module: it is the TRAINING OUTPUT, bounded by the feature
+    count, and exists so a consumer that cannot join a batch relation
+    (a streaming micro-batch pipeline) can score via literals."""
+    return [float(v) for v in weights.collect()[0]["_w"]]
+
+
+def score_with_literals(df: DataFrame, feature_cols: Sequence[Column],
+                        w: Sequence[float], out_col: str = "clf_score"
+                        ) -> DataFrame:
+    """Append `out_col` from an already-materialized weight vector —
+    the deployment path (streaming ingest, cross-session scoring): a
+    pure row-local projection with the weights folded in as literals,
+    legal on a streaming DataFrame where the broadcast-relation
+    crossJoin of `score_with` is not. Arithmetic is the identical
+    left-associated chain, so batch and literal scoring agree
+    bit-for-bit on the same weights."""
+    slots = _slots(feature_cols)
+    z = F.lit(float(w[0])) * slots[0]
+    for i in range(1, len(w)):
+        z = z + F.lit(float(w[i])) * slots[i]
+    return df.withColumn(out_col, squash(z))

@@ -76,3 +76,24 @@ def scrubbed_ingest(stream: DataFrame, text_col: str = "text",
     if scrub_pii:
         out = out.withColumn(text_col, text_ops.redact_pii(text_col))
     return out
+
+
+def scored_ingest(stream: DataFrame, weights: list[float],
+                  feature_cols, threshold: float | None = 0.5,
+                  out_col: str = "clf_score") -> DataFrame:
+    """Arrival-time quality gate with an offline-TRAINED linear probe
+    (operators.classifier) — the production train-offline/score-online
+    split: `train_margin_classifier` learns on the batch corpus, the
+    d+1 weight doubles ship here (`weights_as_literals`), and each
+    micro-batch is scored by a pure row-local projection (streaming
+    DataFrames can't join the one-row batch weights relation, so the
+    weights fold in as literals — bit-identical arithmetic, pinned by
+    tests/test_streaming_ingest.py's stream==batch equivalence).
+    `threshold=None` keeps every row (score column only)."""
+    from ..operators import classifier
+
+    scored = classifier.score_with_literals(stream, feature_cols,
+                                            weights, out_col=out_col)
+    if threshold is None:
+        return scored
+    return scored.filter(F.col(out_col) >= threshold)

@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, graph, multimodal, similarity, text
+from ..operators import (classifier, dedup, graph, multimodal,
+                         similarity, text)
 from ..sources.registry import (load_tables, rebalance_single_split,
                                 stage_row_count)
 from ._registry import query
@@ -748,12 +749,52 @@ _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")
 
 PACK_CTX = 512
 
+# --- X-QUALITY-CLF oracle (mirrors operators.classifier exactly) ----
+# Feature vector [bias, stopword_ratio, type_token_ratio,
+# length-saturation] + weak label (lang = 'en'); the same GD loop as
+# the Spark operator, replayed round-by-round (the q63 k-means
+# pattern): explicit left-associated margin, rational sigmoid (no
+# exp — not cross-engine bit-portable), fixed-point BIGINT gradient
+# sums, identical parenthesization everywhere.
+_CLF_SCALE_SQL = "1048576.0"  # classifier.CLS_SCALE as a double literal
+_CLF_FX_CTE = """
+    cfx AS (SELECT doc_id,
+               [1.0,
+                CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')),
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')),
+                LEAST(CAST(length(text) AS DOUBLE) / 200, 1.0)] AS fv,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+    cw0 AS (SELECT [0.0, 0.0, 0.0, 0.0] AS w)"""
+
+_CLF_MARGIN_SQL = "w[1]*fv[1] + w[2]*fv[2] + w[3]*fv[3] + w[4]*fv[4]"
+
+
+def _clf_round_cte(it: int, prev: str) -> str:
+    s = _CLF_SCALE_SQL
+    sums = ",\n".join(
+        f"SUM(CAST(floor((r*fv[{i + 1}])*{s}) AS BIGINT)) AS s{i}"
+        for i in range(4))
+    ws = ",\n".join(f"MIN(w[{i + 1}]) AS pw{i}" for i in range(4))
+    upd = ",\n".join(
+        f"pw{i} - 0.5*((CAST(s{i} AS DOUBLE)/n)/{s})" for i in range(4))
+    return f"""
+    cr{it} AS (SELECT fv, w,
+                      0.5*(1.0 + z/(1.0 + abs(z))) - y AS r
+               FROM (SELECT fv, y, w, {_CLF_MARGIN_SQL} AS z
+                     FROM cfx CROSS JOIN {prev})),
+    cs{it} AS (SELECT {ws}, {sums}, COUNT(*) AS n FROM cr{it}),
+    cw{it} AS (SELECT [{upd}] AS w FROM cs{it})"""
+
 
 @query(
     "q57_text_stats",
     covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
             "X-TEXT-CHUNK", "X-SPLIT-ASSIGN", "X-TEXT-REPETITION",
-            "X-TEXT-PII", "X-PACK", "X-TEXT-TFIDF"),
+            "X-TEXT-PII", "X-PACK", "X-TEXT-TFIDF", "X-QUALITY-CLF"),
     oracle=f"""
     WITH base AS (
     SELECT doc_id,
@@ -853,12 +894,21 @@ PACK_CTX = 512
                             t.tok) AS rn
         FROM ttf2 t JOIN tdf2 d USING (tok) CROSS JOIN ndoc n)
         WHERE rn = 1)
+    ,{_CLF_FX_CTE},
+    {_clf_round_cte(1, 'cw0')},
+    {_clf_round_cte(2, 'cw1')},
+    cclf AS (SELECT doc_id,
+                    0.5*(1.0 + z/(1.0 + abs(z))) AS clf_score
+             FROM (SELECT cfx.doc_id, {_CLF_MARGIN_SQL} AS z
+                   FROM cfx CROSS JOIN cw2))
     SELECT base.*, token_offset // {PACK_CTX} AS pack_first_seq,
            (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
                AS pack_last_seq,
-           m.mean_tok_freq, tt.top_term, tt.top_term_score
+           m.mean_tok_freq, tt.top_term, tt.top_term_score,
+           c.clf_score, c.clf_score >= 0.5 AS clf_keep
     FROM base LEFT JOIN mtf m USING (doc_id)
     LEFT JOIN ttop tt USING (doc_id)
+    LEFT JOIN cclf c USING (doc_id)
     """,
 )
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,8 +971,27 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       n_docs=n_docs)
                 .select("doc_id", F.col("token").alias("top_term"),
                         F.col("score_scaled").alias("top_term_score")))
-    return packed.join(_maybe_broadcast(top_term, n_docs),
-                       "doc_id", "left").select(
+    # r8 addition (X-QUALITY-CLF, operators.classifier): a linear
+    # quality/language probe TRAINED in-engine — 2 full-batch GD
+    # rounds on the weak label (lang = 'en') over three of the
+    # already-attested feature expressions, then scored per doc. The
+    # whole training loop is replayed by the oracle's cw1/cw2 CTEs
+    # (fixed-point gradient sums + exp-free squash make the learned
+    # weights bit-identical across engines), so the driver hash
+    # attests the TRAINED MODEL, not just the scoring pass. Weights
+    # stay a one-row broadcast relation: per round the corpus is
+    # scanned once into a 4-long all-reduce, never shuffled.
+    clf_feats = [
+        text.stopword_ratio("text"),
+        text.type_token_ratio("text"),
+        F.least(F.length("text").cast("double") / 200, F.lit(1.0)),
+    ]
+    clf_w = classifier.train_margin_classifier(
+        docs, clf_feats, F.col("lang") == F.lit("en"), n_iter=2)
+    scored = classifier.score_with(
+        packed.join(_maybe_broadcast(top_term, n_docs), "doc_id", "left"),
+        clf_feats, clf_w)
+    return scored.select(
         "doc_id",
         "token_offset", "pack_first_seq", "pack_last_seq",
         text.mean_token_freq("text").alias("mean_tok_freq"),
@@ -943,6 +1012,8 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         text.lang_guess("text").alias("lang_guess"),
         "top_term", "top_term_score",
+        "clf_score",
+        (F.col("clf_score") >= 0.5).alias("clf_keep"),
     )
 
 

@@ -1,0 +1,126 @@
+"""Trained linear probe (operators.classifier, X-QUALITY-CLF): exact
+parity with a pure-Python replay of the fixed-point GD loop, learning
+on a separable fixture, partitioning invariance (the determinism the
+oracle replay relies on), and the no-corpus-shuffle plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import classifier
+
+ROWS = [
+    # (f1, f2, y) — y correlates with f1 high / f2 low, imperfectly
+    (0.9, 0.1, 1.0),
+    (0.8, 0.3, 1.0),
+    (0.7, 0.2, 1.0),
+    (0.6, 0.9, 0.0),
+    (0.2, 0.8, 0.0),
+    (0.1, 0.7, 0.0),
+    (0.3, 0.4, 0.0),
+    (0.85, 0.15, 1.0),
+]
+
+
+def _ref_train(rows, n_iter, lr=classifier.CLS_LR,
+               scale=classifier.CLS_SCALE):
+    """The documented loop, replayed row-at-a-time in Python. Division
+    mirrors the engines' two-step double math (float(s)/float(n), not
+    Python's exact big-int true division)."""
+    d = len(rows[0]) - 1
+    w = [0.0] * (d + 1)
+    for _ in range(n_iter):
+        sums = [0] * (d + 1)
+        n = 0
+        for row in rows:
+            fv = [1.0] + [float(v) for v in row[:-1]]
+            y = float(row[-1])
+            z = w[0] * fv[0]
+            for i in range(1, d + 1):
+                z = z + w[i] * fv[i]
+            p = 0.5 * (1.0 + z / (1.0 + abs(z)))
+            r = p - y
+            for i in range(d + 1):
+                sums[i] += math.floor((r * fv[i]) * float(scale))
+            n += 1
+        w = [w[i] - lr * ((float(sums[i]) / float(n)) / float(scale))
+             for i in range(d + 1)]
+    return w
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "f1 double, f2 double, y double")
+
+
+def _feats():
+    return [F.col("f1"), F.col("f2")]
+
+
+def test_weights_match_python_reference_exactly(spark):
+    got = classifier.train_margin_classifier(
+        _df(spark), _feats(), F.col("y"), n_iter=3).collect()[0]["_w"]
+    want = _ref_train(ROWS, n_iter=3)
+    assert got == want          # bit-exact, not approx — the oracle contract
+
+
+def test_partitioning_and_order_invariance(spark):
+    base = _df(spark)
+    w1 = classifier.train_margin_classifier(
+        base.repartition(1), _feats(), F.col("y"),
+        n_iter=4).collect()[0]["_w"]
+    w7 = classifier.train_margin_classifier(
+        base.repartition(7).sortWithinPartitions(F.desc("f2")),
+        _feats(), F.col("y"), n_iter=4).collect()[0]["_w"]
+    assert w1 == w7
+
+
+def test_learns_separable_labels(spark):
+    rows = [(i / 100.0, ((i * 37) % 100) / 100.0,
+             1.0 if i / 100.0 > 0.55 else 0.0) for i in range(100)]
+    df = _df(spark, rows)
+    w = classifier.train_margin_classifier(df, _feats(), F.col("y"),
+                                           n_iter=12, lr=2.0)
+    scored = classifier.score_with(df, _feats(), w)
+    acc = (scored.select(
+        F.avg(((F.col("clf_score") >= 0.5).cast("double") == F.col("y"))
+              .cast("double")).alias("a")).collect()[0]["a"])
+    assert acc >= 0.9
+    # and the probe actually moved off the 0.5 prior
+    spread = scored.agg(
+        (F.max("clf_score") - F.min("clf_score")).alias("s")
+    ).collect()[0]["s"]
+    assert spread > 0.1
+
+
+def test_training_plan_has_no_corpus_shuffle_or_python(spark):
+    """One round = broadcast weights in, single-row partial-combined
+    aggregate out: no sort-merge join, no corpus-keyed exchange, no
+    Python workers anywhere in the plan."""
+    w = classifier.train_margin_classifier(
+        _df(spark), _feats(), F.col("y"), n_iter=2)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchanges are the single-row partial->final aggregates
+    # and broadcasts; a hash-partitioned corpus exchange would show as
+    # hashpartitioning over the input columns
+    assert "hashpartitioning(f1" not in plan
+    assert "hashpartitioning(y" not in plan
+
+
+def test_score_bounds_and_bias_only_prior(spark):
+    """Zero-iteration weights are all-zero: every score is exactly the
+    0.5 prior; any trained score stays inside (0, 1)."""
+    df = _df(spark)
+    w0 = classifier.train_margin_classifier(df, _feats(), F.col("y"),
+                                            n_iter=0)
+    s0 = classifier.score_with(df, _feats(), w0).select("clf_score")
+    assert {r["clf_score"] for r in s0.collect()} == {0.5}
+    w = classifier.train_margin_classifier(df, _feats(), F.col("y"),
+                                           n_iter=5)
+    mm = (classifier.score_with(df, _feats(), w)
+          .agg(F.min("clf_score").alias("lo"),
+               F.max("clf_score").alias("hi")).collect()[0])
+    assert 0.0 < mm["lo"] and mm["hi"] < 1.0

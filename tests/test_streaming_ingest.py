@@ -112,3 +112,39 @@ def test_new_file_arrival_extends_stream(spark, drop_dir):
         q.stop()
         os.remove(os.path.join(drop_dir, "d.jsonl"))
     assert n2 == n1 + 1
+
+
+def test_scored_ingest_matches_batch_probe(spark, drop_dir):
+    """Train-offline / score-online: a probe trained on the batch
+    corpus gates the stream, and every streamed score equals the
+    batch `score_with` score bit-for-bit (the literal-folded margin
+    is the identical arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import classifier, text
+
+    batch = jsonl_format.read_jsonl(spark, drop_dir + "/*.jsonl", SCHEMA)
+    batch = batch.filter(F.length("text") > 0)
+    feats = [text.stopword_ratio("text"),
+             F.least(F.length("text").cast("double") / 20, F.lit(1.0))]
+    wdf = classifier.train_margin_classifier(
+        batch, feats, F.length("text") > 15, n_iter=3)
+    w = classifier.weights_as_literals(wdf)
+
+    stream = ingest.read_jsonl_stream(spark, drop_dir + "/*.jsonl",
+                                      SCHEMA, max_files_per_trigger=1)
+    good, _ = ingest.split_quarantine(stream)
+    good = good.filter(F.length("text") > 0)
+    got = {r["doc_id"]: r["clf_score"] for r in
+           _run(ingest.scored_ingest(good, w, feats, threshold=None),
+                "t_ingest_scored").collect()}
+    want = {r["doc_id"]: r["clf_score"] for r in
+            classifier.score_with(batch, feats, wdf).collect()}
+    assert got == want                      # bit-exact, incl. every doc
+    # and the gate actually filters: pick the median score as threshold
+    thr = sorted(want.values())[len(want) // 2]
+    kept = {r["doc_id"] for r in
+            _run(ingest.scored_ingest(good, w, feats, threshold=thr),
+                 "t_ingest_gated").collect()}
+    assert kept == {d for d, s in want.items() if s >= thr}
+    assert 0 < len(kept) < len(want)
