@@ -111,8 +111,14 @@ def train_margin_classifier(df: DataFrame,
     spark = df.sparkSession
     w = spark.range(1).select(
         F.array(*[F.lit(0.0) for _ in range(d + 1)]).alias("_w"))
-    slots = _slots(feature_cols)
-    y = label.cast("double")
+    # one evaluation per feature per row per round — see the
+    # equivalent projection boundary in train_one_vs_rest
+    df = df.select(
+        *[c.cast("double").alias(f"_f{i}")
+          for i, c in enumerate(feature_cols)],
+        label.cast("double").alias("_y"))
+    slots = [F.lit(1.0)] + [F.col(f"_f{i}") for i in range(d)]
+    y = F.col("_y")
     for _ in range(n_iter):
         z = _margin(F.col("_w"), slots)
         r = squash(z) - y
@@ -171,3 +177,100 @@ def score_with_literals(df: DataFrame, feature_cols: Sequence[Column],
     for i in range(1, len(w)):
         z = z + F.lit(float(w[i])) * slots[i]
     return df.withColumn(out_col, squash(z))
+
+
+def train_one_vs_rest(df: DataFrame,
+                      feature_cols: Sequence[Column],
+                      label_col: Column,
+                      classes: Sequence[str],
+                      n_iter: int = 2,
+                      lr: float = CLS_LR,
+                      scale: int = CLS_SCALE) -> DataFrame:
+    """K independent binary probes (class k vs rest) trained TOGETHER:
+    every GD round is still ONE corpus scan and ONE single-row
+    aggregate — the per-class gradients are just more sum columns in
+    the same all-reduce (K·(d+1) longs instead of d+1; with fastText-
+    style K and d that is still bytes per task). Returns a ONE-ROW
+    DataFrame with `_w0` … `_w{K-1}`: array<double> weight vectors in
+    `classes` order.
+
+    Each class's probe runs the EXACT loop `train_margin_classifier`
+    runs for the label `label_col == classes[k]` — same arithmetic,
+    same quantization — so the k-th output is bit-identical to a
+    standalone binary train on that label (pinned in
+    tests/test_classifier.py), and an oracle replay of the binary
+    recurrence per class covers the multiclass trainer too."""
+    d = len(feature_cols)
+    k_n = len(classes)
+    spark = df.sparkSession
+    w = spark.range(1).select(
+        *[F.array(*[F.lit(0.0) for _ in range(d + 1)]).alias(f"_w{k}")
+          for k in range(k_n)])
+    # evaluate each feature/label expression ONCE per row per round:
+    # the gradient aggregate references every slot K+1 times (K
+    # margins + the per-class gradient columns), and feature
+    # expressions are typically split/regex-heavy — without this
+    # projection boundary the round re-evaluates them per reference
+    # (measured 1.5× on the q57 fold). Values are unchanged doubles,
+    # so the recurrence stays bit-identical.
+    base = df.select(
+        *[c.cast("double").alias(f"_f{i}")
+          for i, c in enumerate(feature_cols)],
+        *[(label_col == F.lit(c)).cast("double").alias(f"_y{k}")
+          for k, c in enumerate(classes)])
+    slots = [F.lit(1.0)] + [F.col(f"_f{i}") for i in range(d)]
+    ys = [F.col(f"_y{k}") for k in range(k_n)]
+    df = base
+    for _ in range(n_iter):
+        grads = []
+        for k in range(k_n):
+            r = squash(_margin(F.col(f"_w{k}"), slots)) - ys[k]
+            grads += [F.floor((r * slots[i]) * F.lit(float(scale)))
+                      .cast("long").alias(f"_g{k}_{i}")
+                      for i in range(d + 1)]
+        joined = df.crossJoin(F.broadcast(w)).select(
+            *[F.col(f"_w{k}") for k in range(k_n)], *grads)
+        agg = joined.agg(
+            *[F.min(F.element_at(f"_w{k}", i + 1)).alias(f"_w{k}_{i}")
+              for k in range(k_n) for i in range(d + 1)],
+            *[F.sum(f"_g{k}_{i}").alias(f"_s{k}_{i}")
+              for k in range(k_n) for i in range(d + 1)],
+            F.count("*").alias("_n"))
+        w = agg.select(*[
+            F.array(*[
+                F.col(f"_w{k}_{i}")
+                - F.lit(lr) * ((F.col(f"_s{k}_{i}").cast("double")
+                                / F.col("_n")) / F.lit(float(scale)))
+                for i in range(d + 1)]).alias(f"_w{k}")
+            for k in range(k_n)])
+    return w
+
+
+def predict_with(df: DataFrame, feature_cols: Sequence[Column],
+                 weights: DataFrame, classes: Sequence[str],
+                 out_col: str = "clf_pred",
+                 score_prefix: str | None = None) -> DataFrame:
+    """Argmax prediction over the one-vs-rest probes: scores all K
+    classes row-locally against the one-row broadcast weights and
+    picks the first class (in `classes` order) whose score is >= every
+    later class's — a chained >=-comparison, NOT a float argmax
+    helper, so the tie rule (earliest class wins) is trivially
+    portable to the SQL oracle. `score_prefix` additionally keeps each
+    per-class score as `{prefix}{class}`."""
+    slots = _slots(feature_cols)
+    k_n = len(classes)
+    out = df.crossJoin(F.broadcast(weights))
+    scores = [squash(_margin(F.col(f"_w{k}"), slots))
+              for k in range(k_n)]
+    if score_prefix is not None:
+        for c, s in zip(classes, scores):
+            out = out.withColumn(f"{score_prefix}{c}", s)
+        scores = [F.col(f"{score_prefix}{c}") for c in classes]
+    pred = F.lit(classes[-1])
+    for k in range(k_n - 2, -1, -1):
+        cond = scores[k] >= scores[k + 1]
+        for j in range(k + 2, k_n):
+            cond = cond & (scores[k] >= scores[j])
+        pred = F.when(cond, F.lit(classes[k])).otherwise(pred)
+    out = out.withColumn(out_col, pred)
+    return out.drop(*[f"_w{k}" for k in range(k_n)])

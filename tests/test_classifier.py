@@ -124,3 +124,74 @@ def test_score_bounds_and_bias_only_prior(spark):
           .agg(F.min("clf_score").alias("lo"),
                F.max("clf_score").alias("hi")).collect()[0])
     assert 0.0 < mm["lo"] and mm["hi"] < 1.0
+
+
+MC_ROWS = [
+    # three classes, each dominated by one feature
+    *[(0.9 - 0.01 * i, 0.1, 0.1, "a") for i in range(8)],
+    *[(0.1, 0.9 - 0.01 * i, 0.1, "b") for i in range(8)],
+    *[(0.1, 0.1, 0.9 - 0.01 * i, "c") for i in range(8)],
+]
+
+
+def _mc_df(spark):
+    return spark.createDataFrame(
+        MC_ROWS, "f1 double, f2 double, f3 double, lang string")
+
+
+def _mc_feats():
+    return [F.col("f1"), F.col("f2"), F.col("f3")]
+
+
+def test_one_vs_rest_probe_equals_standalone_binary(spark):
+    """Class k's one-vs-rest weights are BIT-IDENTICAL to a standalone
+    binary train on (label == k) — the property the oracle's per-class
+    replay relies on."""
+    df = _mc_df(spark)
+    mc = classifier.train_one_vs_rest(
+        df, _mc_feats(), F.col("lang"), ("a", "b", "c"),
+        n_iter=3).collect()[0]
+    for k, c in enumerate(("a", "b", "c")):
+        solo = classifier.train_margin_classifier(
+            df, _mc_feats(), F.col("lang") == F.lit(c),
+            n_iter=3).collect()[0]["_w"]
+        assert mc[f"_w{k}"] == solo
+
+
+def test_one_vs_rest_argmax_predicts_planted_classes(spark):
+    df = _mc_df(spark)
+    w = classifier.train_one_vs_rest(
+        df, _mc_feats(), F.col("lang"), ("a", "b", "c"),
+        n_iter=10, lr=2.0)
+    pred = classifier.predict_with(df, _mc_feats(), w, ("a", "b", "c"))
+    acc = pred.agg(F.avg((F.col("clf_pred") == F.col("lang"))
+                         .cast("double")).alias("a")).collect()[0]["a"]
+    assert acc >= 0.9
+
+
+def test_predict_ties_resolve_to_earliest_class(spark):
+    """With zero-iteration (all-zero) weights every class scores 0.5 —
+    the chained->= rule must pick the FIRST class for every row."""
+    df = _mc_df(spark)
+    w = classifier.train_one_vs_rest(
+        df, _mc_feats(), F.col("lang"), ("a", "b", "c"), n_iter=0)
+    got = {r["clf_pred"] for r in
+           classifier.predict_with(df, _mc_feats(), w,
+                                   ("a", "b", "c")).collect()}
+    assert got == {"a"}
+
+
+def test_predict_score_prefix_exposes_probe_scores(spark):
+    df = _mc_df(spark)
+    w = classifier.train_one_vs_rest(
+        df, _mc_feats(), F.col("lang"), ("a", "b", "c"), n_iter=2)
+    out = classifier.predict_with(df, _mc_feats(), w, ("a", "b", "c"),
+                                  score_prefix="s_")
+    row = out.select("s_a", "s_b", "s_c", "clf_pred").collect()[0]
+    assert all(0.0 < row[f"s_{c}"] < 1.0 for c in ("a", "b", "c"))
+    # the en-probe score surfaced by score_prefix matches score_with
+    # on the matching standalone binary weights (same training loop)
+    solo = classifier.train_margin_classifier(
+        df, _mc_feats(), F.col("lang") == F.lit("a"), n_iter=2)
+    want = classifier.score_with(df, _mc_feats(), solo).collect()[0]
+    assert row["s_a"] == want["clf_score"]
