@@ -75,7 +75,10 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             eval_docs: DataFrame | None = None,
                             decontam_n: int | None = None,
                             n_eval_grams: int | None = None,
-                            min_mean_tok_freq: float | None = None
+                            min_mean_tok_freq: float | None = None,
+                            clf_feature_cols=None,
+                            clf_weights: DataFrame | None = None,
+                            clf_min_score: float = 0.5
                             ) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
@@ -94,7 +97,12 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
        repetition cut (`text.repeated_bigram_fraction` ≤
        `max_repeated_bigram_fraction`, None disables), and the
        corpus-LM rare-token cut (`text.mean_token_freq` ≥
-       `min_mean_tok_freq`, None disables);
+       `min_mean_tok_freq`, None disables), and the TRAINED-probe
+       gate (`operators.classifier.score_with` ≥ `clf_min_score`
+       when `clf_weights`+`clf_feature_cols` are given — the learned
+       upgrade of the hand-tuned `min_quality` floor; train the
+       probe with `classifier.train_margin_classifier`, typically on
+       a labeled sample, and pass its one-row weights relation);
     3b. corpus rebalancing (`operators.sampling`): per-language
        hash-stratified downsampling (`lang_fractions`, row-local,
        rerun-stable) and/or the per-language quota cap
@@ -139,6 +147,12 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                 .filter(text.mean_token_freq(text_col)
                         >= min_mean_tok_freq)
                 .drop("_tf"))
+    if clf_weights is not None:
+        from .classifier import score_with
+        kept = (score_with(kept, clf_feature_cols, clf_weights,
+                           out_col="_clf_score")
+                .filter(F.col("_clf_score") >= clf_min_score)
+                .drop("_clf_score"))
     if lang_fractions:
         from .sampling import stratified_keep
         kept = kept.filter(stratified_keep(id_col,

@@ -160,3 +160,30 @@ def test_prepare_training_corpus_lm_cut(spark, salted_docs):
     kept = {r.doc_id for r in out.select("doc_id").collect()}
     assert 3_000_000 not in kept
     assert kept  # the real corpus survives the floor
+
+
+def test_prepare_training_corpus_trained_gate(spark):
+    """The learned quality gate: a probe trained on planted weak
+    labels replaces the hand-tuned floor — docs the probe scores
+    under clf_min_score vanish from the prepared corpus, and the
+    surviving set equals the explicit score_with filter."""
+    from snowflake_azure_etl_spark.operators import classifier
+
+    rows = [(i,
+             (("the of and to in " * 20) if i % 2 == 0
+              else ("zq xv qq " * 25)) + f"tail{i}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    feats = [text.stopword_ratio("text")]
+    w = classifier.train_margin_classifier(
+        docs, feats, F.col("doc_id") % 2 == 0, n_iter=8, lr=2.0)
+    out = corpus.prepare_training_corpus(
+        docs, near_dup_threshold=None,
+        clf_feature_cols=feats, clf_weights=w, clf_min_score=0.5)
+    kept_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    want = {r.doc_id for r in
+            classifier.score_with(corpus.exact_keepers(docs), feats, w)
+            .filter(F.col("clf_score") >= 0.5)
+            .select("doc_id").collect()}
+    assert kept_ids == want
+    assert kept_ids == {i for i in range(40) if i % 2 == 0}
