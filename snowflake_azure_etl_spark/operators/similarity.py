@@ -204,6 +204,75 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
                  .getField("nid")).cast("int").alias("cell_id")))
 
 
+def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
+                        cent_arr: DataFrame) -> DataFrame:
+    """`assign_cells` plus the WINNING cosine: (_id, cell_id,
+    cell_cos). The cosine to the assigned centroid is the quantization
+    fit — the quantity drift monitoring averages per cell. Same
+    shuffle-free shape: one broadcast crossJoin projection."""
+    v = as_double_vec(vec_col)
+    best = F.array_max(_cell_scores(v, F.col("_cents")))
+    return (emb.crossJoin(F.broadcast(cent_arr))
+            .select(F.col(id_col).alias("_id"),
+                    (-best.getField("nid")).cast("int").alias("cell_id"),
+                    best.getField("s").alias("cell_cos")))
+
+
+def ivf_drift_report(emb: DataFrame, batch: DataFrame, id_col: str,
+                     vec_col: str, n_cells: int = 8,
+                     train_iters: int = 2,
+                     cos_scale: int = KMEANS_SCALE,
+                     cos_drop: float = 0.02) -> DataFrame:
+    """Incremental IVF index maintenance (X-ANN-IVF-INCR): assign a
+    NEW arrival batch to the PERSISTED quantizer — no retrain, the
+    incremental contract that `incremental_exact` /
+    `incremental_near_dup_candidates` establish for the dedup indexes,
+    completed here for the vector index — and report per-cell drift:
+
+      (cell_id, n_index, mean_cos_index, n_new, mean_cos_new, retrain)
+
+    `mean_cos_*` is the mean quantization fit (cosine of each vector
+    to its assigned centroid); a cell whose NEW arrivals fit worse
+    than the index baseline by more than `cos_drop` is flagged
+    `retrain` — the standard trigger for re-running Lloyd's rounds on
+    a stale quantizer.
+
+    Scale shape: both sides are shuffle-free broadcast projections
+    (`assign_cells_scored` — vectors never move) feeding per-cell
+    aggregates whose state and output are quantizer-sized; the final
+    join is cells × cells. Determinism: per-vector fits are quantized
+    to fixed-point longs before the mean (the `KMEANS_SCALE` trick),
+    so the report — including the retrain flags — is partitioning-
+    invariant and oracle-replayable. The batch joins FULL OUTER so a
+    cell seen only by new arrivals (possible when `batch` is not a
+    subset of the index corpus) still surfaces; full-outer can't
+    broadcast, so that one join sort-merges — two quantizer-sized
+    relations, ≤ n_cells rows a side."""
+    cent_arr, _ = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
+
+    def stats(side: DataFrame, pref: str) -> DataFrame:
+        sc = assign_cells_scored(side, id_col, vec_col, cent_arr)
+        return (sc.groupBy("cell_id")
+                .agg(F.count("*").alias(f"n_{pref}"),
+                     F.sum(F.floor(F.col("cell_cos")
+                                   * F.lit(float(cos_scale)))
+                           .cast("long")).alias("_s"))
+                .select("cell_id", f"n_{pref}",
+                        ((F.col("_s").cast("double")
+                          / F.col(f"n_{pref}"))
+                         / F.lit(float(cos_scale)))
+                        .alias(f"mean_cos_{pref}")))
+
+    rep = stats(emb, "index").join(stats(batch, "new"),
+                                   "cell_id", "full_outer")
+    return rep.select(
+        "cell_id", "n_index", "mean_cos_index", "n_new", "mean_cos_new",
+        (F.col("n_new").isNotNull()
+         & (F.col("mean_cos_new")
+            < F.col("mean_cos_index") - F.lit(cos_drop)))
+        .alias("retrain"))
+
+
 def _ivf_index(emb: DataFrame, id_col: str, vec_col: str,
                n_cells: int, train_iters: int):
     """(cent_arr, assigned) — the IVF index: the one-row broadcast

@@ -1381,7 +1381,8 @@ _SEMDEDUP_THRESHOLD = 0.4
 
 @query(
     "q63_ann_ivf_topk",
-    covers=("X-ANN-IVF", "X-ANN-KMEANS", "X-DEDUP-SEMANTIC"),
+    covers=("X-ANN-IVF", "X-ANN-KMEANS", "X-DEDUP-SEMANTIC",
+            "X-ANN-IVF-INCR"),
     oracle=f"""
     WITH RECURSIVE
     corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
@@ -1425,7 +1426,22 @@ _SEMDEDUP_THRESHOLD = 0.4
         UNION
         SELECT r.s, y.d FROM sreach r JOIN ssym y ON r.d = y.s),
     scomp AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
-              FROM sreach GROUP BY s)
+              FROM sreach GROUP BY s),
+    acos AS (SELECT a.neighbor_id AS nid, a.cell_id,
+                    {_COS.format(a='a.v', b='ct.cv')} AS c
+             FROM assigned a JOIN c2 ct USING (cell_id)),
+    istat AS (SELECT cell_id, COUNT(*) AS n_index,
+                     (CAST(SUM(CAST(floor(c*1048576.0) AS BIGINT))
+                           AS DOUBLE) / COUNT(*)) / 1048576.0 AS mci
+              FROM acos GROUP BY cell_id),
+    bstat AS (SELECT cell_id, COUNT(*) AS n_new,
+                     (CAST(SUM(CAST(floor(c*1048576.0) AS BIGINT))
+                           AS DOUBLE) / COUNT(*)) / 1048576.0 AS mcn
+              FROM acos WHERE nid % 5 = 0 GROUP BY cell_id),
+    cdrift AS (SELECT i.cell_id, i.n_index, i.mci, b.n_new, b.mcn,
+                      b.n_new IS NOT NULL AND b.mcn < i.mci - 0.02
+                          AS retrain
+               FROM istat i LEFT JOIN bstat b USING (cell_id))
     SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -1434,6 +1450,14 @@ _SEMDEDUP_THRESHOLD = 0.4
            CAST(COALESCE(c.keeper, a.neighbor_id) AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(a.cell_id AS INT)
     FROM assigned a LEFT JOIN scomp c ON c.id = a.neighbor_id
+    UNION ALL
+    SELECT 'ivf_drift', CAST(cell_id AS BIGINT), CAST(n_new AS BIGINT),
+           mcn, CAST(retrain AS INT)
+    FROM cdrift
+    UNION ALL
+    SELECT 'ivf_cells', CAST(cell_id AS BIGINT), CAST(n_index AS BIGINT),
+           mci, CAST(NULL AS INT)
+    FROM cdrift
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,4 +1496,27 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("keeper").alias("neighbor_id"),
                   F.lit(None).cast("double").alias("cos_sim"),
                   F.col("cell_id").cast("int").alias("rn")))
-    return topk.unionByName(sd)
+    # third leg (r8, X-ANN-IVF-INCR): incremental index maintenance —
+    # vec_id ≡ 0 (mod 5) stands in for a new-arrival batch assigned to
+    # the SAME persisted quantizer (no retrain; `_ivf_index` cache
+    # shared with both legs above), with the per-cell drift report:
+    # fixed-point mean quantization fit of the batch vs the index
+    # baseline, and the retrain flag the monitor would raise. Two
+    # tagged rows per cell attest both sides of the comparison AND
+    # the flag itself.
+    drift = similarity.ivf_drift_report(
+        emb, emb.filter(F.col("vec_id") % 5 == 0), "vec_id",
+        "embedding", n_cells=8, train_iters=2)
+    dnew = drift.select(
+        F.lit("ivf_drift").alias("leg"),
+        F.col("cell_id").cast("long").alias("query_id"),
+        F.col("n_new").cast("long").alias("neighbor_id"),
+        F.col("mean_cos_new").alias("cos_sim"),
+        F.col("retrain").cast("int").alias("rn"))
+    dbase = drift.select(
+        F.lit("ivf_cells").alias("leg"),
+        F.col("cell_id").cast("long").alias("query_id"),
+        F.col("n_index").cast("long").alias("neighbor_id"),
+        F.col("mean_cos_index").alias("cos_sim"),
+        F.lit(None).cast("int").alias("rn"))
+    return topk.unionByName(sd).unionByName(dnew).unionByName(dbase)
