@@ -205,17 +205,21 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
-                        cent_arr: DataFrame) -> DataFrame:
+                        cent_arr: DataFrame,
+                        keep_vec: bool = False) -> DataFrame:
     """`assign_cells` plus the WINNING cosine: (_id, cell_id,
-    cell_cos). The cosine to the assigned centroid is the quantization
-    fit — the quantity drift monitoring averages per cell. Same
-    shuffle-free shape: one broadcast crossJoin projection."""
+    cell_cos[, _v]). The cosine to the assigned centroid is the
+    quantization fit — the quantity drift monitoring averages per
+    cell; `keep_vec` carries the vector through for index sinks that
+    persist it (retrain needs the vectors back). Same shuffle-free
+    shape: one broadcast crossJoin projection."""
     v = as_double_vec(vec_col)
     best = F.array_max(_cell_scores(v, F.col("_cents")))
     return (emb.crossJoin(F.broadcast(cent_arr))
             .select(F.col(id_col).alias("_id"),
                     (-best.getField("nid")).cast("int").alias("cell_id"),
-                    best.getField("s").alias("cell_cos")))
+                    best.getField("s").alias("cell_cos"),
+                    *([v.alias("_v")] if keep_vec else [])))
 
 
 def ivf_drift_report(emb: DataFrame, batch: DataFrame, id_col: str,

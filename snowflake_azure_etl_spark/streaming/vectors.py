@@ -1,0 +1,156 @@
+"""Streaming vector-index ingestion (north-star extension): each
+micro-batch of embeddings is assigned to the PERSISTED coarse
+quantizer, grows the cell-assigned vector index, and emits a per-cell
+DRIFT report against the index baseline — the streaming twin of
+`operators.similarity.ivf_drift_report`, completing the per-artifact
+streaming-maintenance set (exact dedup → `streaming.dedup`, near-dup
+→ `streaming.neardup`, vector index → here).
+
+Division of labor (the production contract): the SINK only assigns
+and MONITORS — retraining is a deliberate offline act. When an
+epoch's drift rows raise `retrain`, the operator on call runs
+`retrain_centroids` (a batch job over the persisted index, which
+stores the vectors for exactly this reason) and the next epoch scores
+against the new quantizer version. Fits are comparable only within
+one quantizer: index rows carry `q_version`, the baseline aggregates
+only same-version history, and a retrain therefore RESETS the drift
+baseline instead of comparing new-centroid fits against old-centroid
+ones.
+
+Replay safety (at-least-once foreachBatch): both writes ride the
+epoch-partitioned dynamic-overwrite pattern (`sinks.
+idempotent_epoch_sink`), and the drift baseline aggregates only index
+rows from STRICTLY EARLIER epochs — a replayed epoch N never compares
+the batch against its own half-written fits, and overwrites both of
+its partitions with identical rows.
+
+Scale notes: assignment is the broadcast-centroid projection (vectors
+never shuffle); the index stores the fit PRE-QUANTIZED
+(`fit_q = floor(cos·2^20)` longs), so the per-epoch baseline is a
+narrow (cell_id, fit_q) aggregate over the index — no vector is ever
+re-scored — and the report stays partitioning-invariant, the same
+determinism contract as the batch operator. The epoch partition
+column is the index version; `retrain_centroids` reads every epoch
+≤ now, exactly like the near-dup index's time travel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (KMEANS_SCALE, _centroid_array,
+                                    assign_cells_scored, kmeans_centroids)
+from .sinks import EPOCH_COL, idempotent_epoch_sink
+
+
+def bootstrap_centroids(corpus: DataFrame, centroids_table: str, *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_cells: int = 8, train_iters: int = 2,
+                        version: int = 0) -> None:
+    """Train a quantizer on a corpus and persist it as `(cell_id, ctv,
+    q_version)` — the table every epoch's assignment reads (current =
+    highest version). Overwrite-idempotent (CREATE OR REPLACE
+    semantics)."""
+    (kmeans_centroids(corpus, id_col, vec_col, n_cells,
+                      n_iter=train_iters)
+     .withColumn("q_version", F.lit(int(version)).cast("long"))
+     .write.mode("overwrite").format("parquet")
+     .saveAsTable(centroids_table))
+
+
+def retrain_centroids(spark: SparkSession, index_table: str,
+                      centroids_table: str, *,
+                      n_cells: int = 8, train_iters: int = 2) -> None:
+    """The retrain act the drift flags call for: re-run Lloyd's rounds
+    over EVERY vector the index has absorbed (the index stores `_v`
+    for this) and replace the quantizer at version+1. Subsequent
+    epochs assign against the new centroids AND restart the drift
+    baseline — index rows carry the quantizer version their fit was
+    measured against, and fits from different versions are never
+    compared (a fit is only meaningful relative to its own centroids).
+    Already-written epochs keep their as-of-ingest fits — the index is
+    an append-only history, not a reprojection."""
+    cur = spark.table(centroids_table).agg(
+        F.max("q_version").alias("v")).collect()[0]["v"]
+    vecs = (spark.table(index_table)
+            .select(F.col("_id").alias("vec_id"),
+                    F.col("_v").alias("embedding")))
+    bootstrap_centroids(vecs, centroids_table, id_col="vec_id",
+                        vec_col="embedding", n_cells=n_cells,
+                        train_iters=train_iters, version=int(cur) + 1)
+
+
+def vector_ingest_sink(index_table: str, drift_table: str,
+                       centroids_table: str, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       cos_scale: int = KMEANS_SCALE,
+                       cos_drop: float = 0.02
+                       ) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function:
+    `readStream ... .writeStream.foreachBatch(vector_ingest_sink(...))`.
+
+    Per epoch: (1) assign the batch to the persisted quantizer and
+    append `(_id, cell_id, fit_q, _v)` to `index_table`; (2) compare
+    the batch's per-cell mean fit against the strictly-earlier index
+    baseline and write the drift report
+    `(cell_id, n_index, mean_cos_index, n_new, mean_cos_new, retrain)`
+    to `drift_table`. Both epoch-idempotent."""
+    write_index = idempotent_epoch_sink(index_table)
+    write_drift = idempotent_epoch_sink(drift_table)
+    scale = float(cos_scale)
+
+    def _stats(rows: DataFrame, pref: str) -> DataFrame:
+        return (rows.groupBy("cell_id")
+                .agg(F.count("*").alias(f"n_{pref}"),
+                     F.sum("fit_q").alias("_s"))
+                .select("cell_id", f"n_{pref}",
+                        ((F.col("_s").cast("double") / F.col(f"n_{pref}"))
+                         / F.lit(scale)).alias(f"mean_cos_{pref}")))
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = spark.table(centroids_table)
+        version = int(cents.agg(F.max("q_version").alias("v"))
+                      .collect()[0]["v"])
+        cent_arr = _centroid_array(
+            cents.filter(F.col("q_version") == version)
+            .select("cell_id", "ctv"))
+        # ONE materialized assignment pass per epoch — shared by the
+        # index write and the drift aggregate (batch-sized by
+        # definition, the neardup-sink localCheckpoint contract)
+        scored = (assign_cells_scored(batch_df, id_col, vec_col,
+                                      cent_arr, keep_vec=True)
+                  .withColumn("fit_q",
+                              F.floor(F.col("cell_cos") * F.lit(scale))
+                              .cast("long"))
+                  .drop("cell_cos")
+                  .withColumn("q_version", F.lit(version).cast("long"))
+                  .localCheckpoint(eager=True))
+        if spark.catalog.tableExists(index_table):
+            # baseline = strictly earlier epochs scored against the
+            # SAME quantizer version — a retrain resets the baseline
+            # (fits are only comparable within one set of centroids)
+            hist = (spark.table(index_table)
+                    .filter((F.col(EPOCH_COL) < int(epoch_id))
+                            & (F.col("q_version") == version))
+                    .select("cell_id", "fit_q"))
+        else:
+            hist = scored.select("cell_id", "fit_q").limit(0)
+        rep = (_stats(hist, "index")
+               .join(_stats(scored, "new"), "cell_id", "full_outer")
+               .select("cell_id", "n_index", "mean_cos_index",
+                       "n_new", "mean_cos_new",
+                       (F.col("n_new").isNotNull()
+                        & (F.col("mean_cos_new")
+                           < F.col("mean_cos_index") - F.lit(cos_drop)))
+                       .alias("retrain")))
+        write_drift(rep, epoch_id)
+        write_index(scored.select("_id", "cell_id", "fit_q", "_v",
+                                  "q_version"), epoch_id)
+
+    return write

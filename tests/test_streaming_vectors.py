@@ -1,0 +1,164 @@
+"""Streaming vector-index ingestion (streaming/vectors.py): per-epoch
+assignment against the persisted quantizer, drift flags raised only by
+a drifted epoch, epoch replay idempotence, and retrain-on-drift
+clearing the flags for the new distribution."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+from snowflake_azure_etl_spark.streaming.vectors import (
+    bootstrap_centroids, retrain_centroids, vector_ingest_sink)
+from snowflake_azure_etl_spark.warehouse import ddl
+
+DIM = 8
+
+
+def _cluster(rng, axis, n, base_id):
+    c = np.zeros(DIM)
+    c[axis] = 1.0
+    return [(base_id + i, list(map(float, c + rng.normal(0, 0.02, DIM))))
+            for i in range(n)]
+
+
+def _batches():
+    rng = np.random.default_rng(11)
+    bootstrap = _cluster(rng, 0, 10, 0) + _cluster(rng, 1, 10, 100)
+    aligned = _cluster(rng, 0, 5, 1000) + _cluster(rng, 1, 5, 1100)
+    diag = np.ones(DIM) / np.sqrt(DIM)
+    drifted = [(2000 + i, list(map(float, diag + rng.normal(0, 0.02, DIM))))
+               for i in range(8)]
+    return bootstrap, [aligned, drifted]
+
+
+@pytest.fixture()
+def tables(spark):
+    db = "vec_stream_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    names = (f"{db}.v_index", f"{db}.v_drift", f"{db}.v_cents")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+    return names
+
+
+def _stream_dir(batches):
+    d = tempfile.mkdtemp(prefix="vec_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        t = pa.table({"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "embedding": pa.array([r[1] for r in rows],
+                                            pa.list_(pa.float64()))})
+        path = os.path.join(d, f"batch_{i}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (base + i, base + i))
+    return d
+
+
+def _run(spark, tables, batches):
+    index_table, drift_table, cents_table = tables
+    src = _stream_dir(batches)
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = vector_ingest_sink(index_table, drift_table, cents_table)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="vec_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return sink
+
+
+def test_ingest_grows_index_and_flags_only_drifted_epoch(spark, tables):
+    index_table, drift_table, cents_table = tables
+    bootstrap, batches = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    _run(spark, tables, [bootstrap] + batches)
+
+    idx = spark.table(index_table)
+    assert idx.count() == len(bootstrap) + sum(map(len, batches))
+    assert idx.select("_id").distinct().count() == idx.count()
+
+    drift = spark.table(drift_table).collect()
+    by_epoch = {}
+    for r in drift:
+        by_epoch.setdefault(r[EPOCH_COL], []).append(r)
+    # epoch 0 has no earlier baseline: nothing can flag
+    assert not [r for r in by_epoch[0] if r["retrain"]]
+    # epoch 1 (aligned) clean, epoch 2 (drifted) flagged
+    assert not [r for r in by_epoch[1] if r["retrain"]]
+    flagged = [r for r in by_epoch[2] if r["retrain"]]
+    assert flagged
+    for r in flagged:
+        assert r["mean_cos_new"] < r["mean_cos_index"] - 0.02
+
+
+def test_epoch_replay_changes_nothing(spark, tables):
+    index_table, drift_table, cents_table = tables
+    bootstrap, batches = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    sink = _run(spark, tables, [bootstrap] + batches)
+
+    def snap(t):  # None-safe order-insensitive snapshot
+        return sorted(map(repr, spark.table(t).collect()))
+
+    before_i, before_d = snap(index_table), snap(drift_table)
+    replay = spark.createDataFrame(batches[0],
+                                   "vec_id long, embedding array<double>")
+    sink(replay, 1)
+    assert snap(index_table) == before_i
+    assert snap(drift_table) == before_d
+
+
+def test_retrain_on_drift_fits_new_distribution(spark, tables):
+    index_table, drift_table, cents_table = tables
+    bootstrap, batches = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    sink = _run(spark, tables, [bootstrap] + batches)
+    # the operator on call retrains over the absorbed index: the
+    # quantizer version bumps and the drift baseline RESETS (fits are
+    # only comparable within one set of centroids)
+    retrain_centroids(spark, index_table, cents_table, n_cells=3)
+    vers = {r["q_version"] for r in
+            spark.table(cents_table).select("q_version").collect()}
+    assert vers == {1}
+    rng = np.random.default_rng(29)
+    diag = np.ones(DIM) / np.sqrt(DIM)
+    more = [(3000 + i, list(map(float, diag + rng.normal(0, 0.02, DIM))))
+            for i in range(6)]
+    sink(spark.createDataFrame(more, "vec_id long, embedding array<double>"),
+         3)
+    drift3 = [r for r in spark.table(drift_table).collect()
+              if r[EPOCH_COL] == 3]
+    new_cells = [r for r in drift3 if r["n_new"]]
+    assert new_cells
+    # fresh baseline: no version-1 history yet, so nothing can flag
+    assert all(r["mean_cos_index"] is None for r in drift3)
+    assert not [r for r in drift3 if r["retrain"]]
+    # the new epoch's rows are recorded against the new version
+    assert {r["q_version"] for r in spark.table(index_table)
+            .filter(F.col(EPOCH_COL) == 3).collect()} == {1}
+    # and a SECOND epoch of the same drifted distribution, now with a
+    # version-1 baseline, fits the retrained quantizer: no flag
+    more2 = [(4000 + i, list(map(float, diag + rng.normal(0, 0.02, DIM))))
+             for i in range(6)]
+    sink(spark.createDataFrame(more2, "vec_id long, embedding array<double>"),
+         4)
+    drift4 = [r for r in spark.table(drift_table).collect()
+              if r[EPOCH_COL] == 4]
+    assert [r for r in drift4 if r["n_new"] and r["mean_cos_index"]]
+    assert not [r for r in drift4 if r["retrain"]]
