@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import STAR_TABLES, load_tables, register_star_views
-from ..warehouse import star_build
+from ..warehouse import manifest, star_build
 from ._registry import query
 
 
@@ -48,11 +48,14 @@ _DQ_ORACLE = """
 
 @query(
     "q26_stage_accounting",
-    covers=("S2", "S3", "R3", "A7", "S9", "F10", "X-DQ"),
+    covers=("S2", "S3", "R3", "A7", "S9", "F10", "X-DQ", "X-MANIFEST"),
     oracle=" UNION ALL ".join(
         f"SELECT '{t}' AS entity, (SELECT COUNT(*) FROM {t}) AS n_rows, "
-        f"'Y' AS status"
-        for t in STAR_TABLES) + " UNION ALL " + _DQ_ORACLE,
+        f"'Y' AS status, "
+        + manifest.fingerprint_sql(t, manifest.KEY_COLUMNS[t]) + " AS fp"
+        for t in STAR_TABLES)
+    + " UNION ALL SELECT entity, n_rows, status, CAST(NULL AS BIGINT)"
+    + " FROM (" + _DQ_ORACLE + ")",
 )
 def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity loaded-row accounting over every registered stage —
@@ -71,9 +74,23 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_star_views(spark, sf_dir)
     listed = {t.name for t in spark.catalog.listTables()}
     dfs = load_tables(spark, sf_dir)
-    counts = [df.agg(F.count("*").alias("n_rows"))
+    # X-MANIFEST (r8): the content fingerprint recorded beside each
+    # COPY row count — order/partitioning-invariant mod-2^60 sum of
+    # portable natural-key hashes (warehouse.manifest), so the lake
+    # manifest verifies loads and compactions by VALUE, and the
+    # driver hash attests the fingerprint arithmetic itself. The md5
+    # pass runs over the keys-only projection, repartitioned under
+    # the footer row-count attestation so a big single-split landing
+    # doesn't hash on 1-3 cores (manifest.manifest_input).
+    from ..sources.registry import stage_row_count
+    counts = [manifest.manifest_input(df, manifest.KEY_COLUMNS[name],
+                                      stage_row_count(sf_dir, name))
+              .agg(F.count("*").alias("n_rows"),
+                   manifest.content_fingerprint(
+                       *manifest.KEY_COLUMNS[name]).alias("fp"))
               .select(F.lit(name).alias("entity"), "n_rows",
-                      F.lit("Y" if name in listed else "N").alias("status"))
+                      F.lit("Y" if name in listed else "N").alias("status"),
+                      "fp")
               for name, df in dfs.items()]
     out = counts[0]
     for c in counts[1:]:
@@ -97,7 +114,8 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(f"dq:{tname}:"), F.col("rule")).alias("entity"),
             F.col("n_violations").alias("n_rows"),
             F.when(F.col("passed"), "PASS").otherwise("FAIL")
-            .alias("status"))
+            .alias("status"),
+            F.lit(None).cast("long").alias("fp"))
         out = out.unionByName(rep)
     return out
 
