@@ -142,14 +142,29 @@ def train_margin_classifier(df: DataFrame,
     return w
 
 
+def _arity_guarded(expr: Column, w: Column, n_slots: int,
+                   what: str) -> Column:
+    """Fail-loud arity check folded INTO the output expression (an
+    unused side-channel guard would be pruned by Catalyst): scoring
+    with a weight array of the wrong length would otherwise silently
+    produce NULL scores via out-of-bounds element_at."""
+    return F.when(F.size(w) == n_slots, expr).otherwise(F.raise_error(
+        F.concat(F.lit(f"{what}: weight vector has "), F.size(w).cast("string"),
+                 F.lit(f" slots, expected {n_slots} — stale or "
+                       f"mismatched model artifact"))))
+
+
 def score_with(df: DataFrame, feature_cols: Sequence[Column],
                weights: DataFrame, out_col: str = "clf_score"
                ) -> DataFrame:
     """Append `out_col` = squash(w · [1, f…]) via the one-row broadcast
     weights relation — a pure projection, the corpus never shuffles."""
+    slots = _slots(feature_cols)
+    score = squash(_margin(F.col("_w"), slots))
     return (df.crossJoin(F.broadcast(weights))
             .withColumn(out_col,
-                        squash(_margin(F.col("_w"), _slots(feature_cols))))
+                        _arity_guarded(score, F.col("_w"), len(slots),
+                                       "score_with"))
             .drop("_w"))
 
 
@@ -171,8 +186,16 @@ def score_with_literals(df: DataFrame, feature_cols: Sequence[Column],
     legal on a streaming DataFrame where the broadcast-relation
     crossJoin of `score_with` is not. Arithmetic is the identical
     left-associated chain, so batch and literal scoring agree
-    bit-for-bit on the same weights."""
+    bit-for-bit on the same weights. A weight/feature arity mismatch
+    (a probe trained on d features deployed with d' columns — a stale
+    model artifact) raises instead of silently scoring a prefix."""
     slots = _slots(feature_cols)
+    if len(w) != len(slots):
+        raise ValueError(
+            f"weight vector has {len(w)} slots but "
+            f"{len(feature_cols)} feature columns were passed "
+            f"(need {len(feature_cols) + 1} incl. bias) — stale or "
+            f"mismatched model artifact")
     z = F.lit(float(w[0])) * slots[0]
     for i in range(1, len(w)):
         z = z + F.lit(float(w[i])) * slots[i]
@@ -272,5 +295,7 @@ def predict_with(df: DataFrame, feature_cols: Sequence[Column],
         for j in range(k + 2, k_n):
             cond = cond & (scores[k] >= scores[j])
         pred = F.when(cond, F.lit(classes[k])).otherwise(pred)
+    # one arity guard covers all probes (trained together, equal length)
+    pred = _arity_guarded(pred, F.col("_w0"), len(slots), "predict_with")
     out = out.withColumn(out_col, pred)
     return out.drop(*[f"_w{k}" for k in range(k_n)])

@@ -147,6 +147,14 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                 .filter(text.mean_token_freq(text_col)
                         >= min_mean_tok_freq)
                 .drop("_tf"))
+    if (clf_weights is None) != (clf_feature_cols is None):
+        # fail loud: one half of the trained gate without the other
+        # would otherwise silently skip the gate (weights missing) or
+        # die in an unrelated TypeError (features missing)
+        raise ValueError(
+            "clf_weights and clf_feature_cols must be passed together "
+            f"(got weights={'set' if clf_weights is not None else 'None'}, "
+            f"features={'set' if clf_feature_cols is not None else 'None'})")
     if clf_weights is not None:
         from .classifier import score_with
         kept = (score_with(kept, clf_feature_cols, clf_weights,

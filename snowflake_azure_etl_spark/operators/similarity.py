@@ -256,25 +256,47 @@ def ivf_drift_report(emb: DataFrame, batch: DataFrame, id_col: str,
 
     def stats(side: DataFrame, pref: str) -> DataFrame:
         sc = assign_cells_scored(side, id_col, vec_col, cent_arr)
-        return (sc.groupBy("cell_id")
-                .agg(F.count("*").alias(f"n_{pref}"),
-                     F.sum(F.floor(F.col("cell_cos")
-                                   * F.lit(float(cos_scale)))
-                           .cast("long")).alias("_s"))
-                .select("cell_id", f"n_{pref}",
-                        ((F.col("_s").cast("double")
-                          / F.col(f"n_{pref}"))
-                         / F.lit(float(cos_scale)))
-                        .alias(f"mean_cos_{pref}")))
+        fits = sc.select("cell_id",
+                         F.floor(F.col("cell_cos") * F.lit(float(cos_scale)))
+                         .cast("long").alias("fit_q"))
+        return cell_fit_stats(fits, pref, cos_scale)
 
-    rep = stats(emb, "index").join(stats(batch, "new"),
-                                   "cell_id", "full_outer")
-    return rep.select(
-        "cell_id", "n_index", "mean_cos_index", "n_new", "mean_cos_new",
-        (F.col("n_new").isNotNull()
-         & (F.col("mean_cos_new")
-            < F.col("mean_cos_index") - F.lit(cos_drop)))
-        .alias("retrain"))
+    return drift_flags(stats(emb, "index"), stats(batch, "new"), cos_drop)
+
+
+def cell_fit_stats(fits: DataFrame, pref: str,
+                   cos_scale: int = KMEANS_SCALE) -> DataFrame:
+    """Per-cell fixed-point mean over a (cell_id, fit_q) relation:
+    (cell_id, n_{pref}, mean_cos_{pref}) — the ONE definition of the
+    drift statistics, shared by the batch operator above and the
+    streaming sink (streaming/vectors.py), which stores `fit_q`
+    pre-quantized in its index."""
+    return (fits.groupBy("cell_id")
+            .agg(F.count("*").alias(f"n_{pref}"),
+                 F.sum("fit_q").alias("_s"))
+            .select("cell_id", f"n_{pref}",
+                    ((F.col("_s").cast("double") / F.col(f"n_{pref}"))
+                     / F.lit(float(cos_scale)))
+                    .alias(f"mean_cos_{pref}")))
+
+
+def drift_flags(istat: DataFrame, bstat: DataFrame,
+                cos_drop: float) -> DataFrame:
+    """The ONE definition of the drift report: full-outer on cell_id
+    (new-only cells still surface; cells-sized sort-merge, see
+    `ivf_drift_report`) with the retrain flag COALESCEd to false —
+    without the coalesce, a cell with no baseline (first epoch, or
+    the first epoch after a quantizer version bump) gets a NULL flag
+    that is invisible to both `retrain` and `NOT retrain` predicates
+    (three-valued logic; review finding r8)."""
+    return (istat.join(bstat, "cell_id", "full_outer")
+            .select("cell_id", "n_index", "mean_cos_index",
+                    "n_new", "mean_cos_new",
+                    F.coalesce(
+                        F.col("n_new").isNotNull()
+                        & (F.col("mean_cos_new")
+                           < F.col("mean_cos_index") - F.lit(cos_drop)),
+                        F.lit(False)).alias("retrain")))
 
 
 def _ivf_index(emb: DataFrame, id_col: str, vec_col: str,

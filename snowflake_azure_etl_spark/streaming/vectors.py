@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (KMEANS_SCALE, _centroid_array,
-                                    assign_cells_scored, kmeans_centroids)
+                                    assign_cells_scored, cell_fit_stats,
+                                    drift_flags, kmeans_centroids)
 from .sinks import EPOCH_COL, idempotent_epoch_sink
 
 
@@ -104,14 +105,6 @@ def vector_ingest_sink(index_table: str, drift_table: str,
     write_drift = idempotent_epoch_sink(drift_table)
     scale = float(cos_scale)
 
-    def _stats(rows: DataFrame, pref: str) -> DataFrame:
-        return (rows.groupBy("cell_id")
-                .agg(F.count("*").alias(f"n_{pref}"),
-                     F.sum("fit_q").alias("_s"))
-                .select("cell_id", f"n_{pref}",
-                        ((F.col("_s").cast("double") / F.col(f"n_{pref}"))
-                         / F.lit(scale)).alias(f"mean_cos_{pref}")))
-
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         cents = spark.table(centroids_table)
@@ -141,14 +134,12 @@ def vector_ingest_sink(index_table: str, drift_table: str,
                     .select("cell_id", "fit_q"))
         else:
             hist = scored.select("cell_id", "fit_q").limit(0)
-        rep = (_stats(hist, "index")
-               .join(_stats(scored, "new"), "cell_id", "full_outer")
-               .select("cell_id", "n_index", "mean_cos_index",
-                       "n_new", "mean_cos_new",
-                       (F.col("n_new").isNotNull()
-                        & (F.col("mean_cos_new")
-                           < F.col("mean_cos_index") - F.lit(cos_drop)))
-                       .alias("retrain")))
+        # the shared stats/flag definitions (operators.similarity) so
+        # the batch operator and this sink cannot silently diverge
+        rep = drift_flags(cell_fit_stats(hist, "index", cos_scale),
+                          cell_fit_stats(scored.select("cell_id", "fit_q"),
+                                         "new", cos_scale),
+                          cos_drop)
         write_drift(rep, epoch_id)
         write_index(scored.select("_id", "cell_id", "fit_q", "_v",
                                   "q_version"), epoch_id)

@@ -57,9 +57,22 @@ KEY_COLUMNS = {
 }
 
 
+#: Stand-in for a NULL key inside the hash input. A NULL natural key
+#: is itself an integrity signal — the manifest must hash it the SAME
+#: way in every engine (Spark's concat_ws SKIPS nulls while SQL `||`
+#: propagates them, so without this sentinel the two engines would
+#: fingerprint NULL-bearing data differently — exactly the corruption
+#: a manifest exists to catch). Caveat, documented: a STRING key whose
+#: value is literally this sentinel collides with NULL.
+NULL_SENTINEL = "<NULL>"
+
+
 def row_key_hash(*key_cols: Column | str) -> Column:
-    """60-bit non-negative long from the '|'-joined key columns."""
-    cols = [(F.col(c) if isinstance(c, str) else c).cast("string")
+    """60-bit non-negative long from the '|'-joined key columns
+    (NULL keys hash as the explicit sentinel, identically in both
+    engines)."""
+    cols = [F.coalesce((F.col(c) if isinstance(c, str) else c)
+                       .cast("string"), F.lit(NULL_SENTINEL))
             for c in key_cols]
     return F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15),
                   16, 10).cast("long")
@@ -74,8 +87,12 @@ def content_fingerprint(*key_cols: Column | str) -> Column:
 
 def key_hash_sql(key_cols: tuple[str, ...]) -> str:
     """The DuckDB twin of `row_key_hash`'s input string (the md5 and
-    the 0x-cast are spelled at the call site)."""
-    return " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in key_cols)
+    the 0x-cast are spelled at the call site) — COALESCE mirrors the
+    NULL sentinel, since SQL `||` would otherwise NULL the whole row
+    out of the sum while Spark's concat_ws would not."""
+    return " || '|' || ".join(
+        f"COALESCE(CAST({k} AS VARCHAR), '{NULL_SENTINEL}')"
+        for k in key_cols)
 
 
 def fingerprint_sql(table: str, key_cols: tuple[str, ...]) -> str:

@@ -1439,7 +1439,8 @@ _SEMDEDUP_THRESHOLD = 0.4
                            AS DOUBLE) / COUNT(*)) / 1048576.0 AS mcn
               FROM acos WHERE nid % 5 = 0 GROUP BY cell_id),
     cdrift AS (SELECT i.cell_id, i.n_index, i.mci, b.n_new, b.mcn,
-                      b.n_new IS NOT NULL AND b.mcn < i.mci - 0.02
+                      COALESCE(b.n_new IS NOT NULL
+                               AND b.mcn < i.mci - 0.02, FALSE)
                           AS retrain
                FROM istat i LEFT JOIN bstat b USING (cell_id))
     SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,

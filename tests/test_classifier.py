@@ -195,3 +195,38 @@ def test_predict_score_prefix_exposes_probe_scores(spark):
         df, _mc_feats(), F.col("lang") == F.lit("a"), n_iter=2)
     want = classifier.score_with(df, _mc_feats(), solo).collect()[0]
     assert row["s_a"] == want["clf_score"]
+
+
+def test_stale_model_artifact_fails_loud(spark):
+    """Arity mismatches raise instead of silently scoring a prefix
+    (literal path) or NULLing via out-of-bounds element_at (relation
+    path) — the stale-model-artifact hazard."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = _df(spark)
+    w2 = classifier.train_margin_classifier(df, _feats(), F.col("y"),
+                                            n_iter=1)
+    lits = classifier.weights_as_literals(w2)          # 3 slots (bias+2)
+    with pytest.raises(ValueError, match="stale or mismatched"):
+        classifier.score_with_literals(df, [F.col("f1")], lits)
+    with pytest.raises(Exception, match="stale or mismatched"):
+        classifier.score_with(df, [F.col("f1")], w2).collect()
+
+
+def test_corpus_gate_requires_both_halves(spark):
+    import pytest
+
+    from snowflake_azure_etl_spark.operators import corpus
+
+    docs = spark.createDataFrame([(1, "some text here")],
+                                 "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="must be passed together"):
+        corpus.prepare_training_corpus(
+            docs, near_dup_threshold=None,
+            clf_feature_cols=[F.length("text")])
+    w = classifier.train_margin_classifier(
+        docs, [F.length("text").cast("double")], F.lit(True), n_iter=1)
+    with pytest.raises(ValueError, match="must be passed together"):
+        corpus.prepare_training_corpus(docs, near_dup_threshold=None,
+                                       clf_weights=w)

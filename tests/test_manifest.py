@@ -72,3 +72,27 @@ def test_table_manifest_shape(spark, sf_dir):
     assert row["entity"] == "documents"
     assert row["n_rows"] == docs.count()
     assert row["fp"] == _fp(docs, "doc_id")
+
+
+def test_null_keys_hash_identically_in_both_engines(spark):
+    """A NULL natural key is an integrity signal the manifest must
+    fingerprint the SAME way in Spark (concat_ws skips NULLs) and the
+    SQL oracle (|| propagates them) — the r8 review counterexample:
+    without the sentinel, the engines disagree on NULL-bearing data."""
+    import duckdb
+
+    rows = [(1, 1), (2, None), (None, 3), (None, None)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = df.agg(manifest.content_fingerprint("a", "b").alias("fp")) \
+            .collect()[0]["fp"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        manifest.fingerprint_sql("t", ("a", "b"))).fetchone()[0]
+    assert got == want
+    # and the NULL rows genuinely participate (vs the keyed-only sum)
+    non_null = df.filter("a IS NOT NULL AND b IS NOT NULL")
+    partial = non_null.agg(
+        manifest.content_fingerprint("a", "b").alias("fp")).collect()[0]["fp"]
+    assert got != partial

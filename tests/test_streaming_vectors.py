@@ -93,8 +93,10 @@ def test_ingest_grows_index_and_flags_only_drifted_epoch(spark, tables):
     by_epoch = {}
     for r in drift:
         by_epoch.setdefault(r[EPOCH_COL], []).append(r)
-    # epoch 0 has no earlier baseline: nothing can flag
-    assert not [r for r in by_epoch[0] if r["retrain"]]
+    # epoch 0 has no earlier baseline: nothing can flag, and the flag
+    # is a real False, not a three-valued NULL invisible to both
+    # `retrain` and `NOT retrain` predicates (r8 review finding)
+    assert all(r["retrain"] is False for r in by_epoch[0])
     # epoch 1 (aligned) clean, epoch 2 (drifted) flagged
     assert not [r for r in by_epoch[1] if r["retrain"]]
     flagged = [r for r in by_epoch[2] if r["retrain"]]
@@ -146,9 +148,10 @@ def test_retrain_on_drift_fits_new_distribution(spark, tables):
               if r[EPOCH_COL] == 3]
     new_cells = [r for r in drift3 if r["n_new"]]
     assert new_cells
-    # fresh baseline: no version-1 history yet, so nothing can flag
+    # fresh baseline: no version-1 history yet, so nothing can flag —
+    # with a real False flag, not NULL
     assert all(r["mean_cos_index"] is None for r in drift3)
-    assert not [r for r in drift3 if r["retrain"]]
+    assert all(r["retrain"] is False for r in drift3)
     # the new epoch's rows are recorded against the new version
     assert {r["q_version"] for r in spark.table(index_table)
             .filter(F.col(EPOCH_COL) == 3).collect()} == {1}
