@@ -24,10 +24,92 @@ from ._registry import query
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+#: Ordered funnel steps (X-FUNNEL): step k counts users with a strictly
+#: later step-k event than their step-(k-1) anchor — the standard
+#: product-analytics funnel (Snowflake users express it with
+#: MATCH_RECOGNIZE; the engine uses the min-after chain, which is the
+#: same relation).
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_oracle_ctes() -> str:
+    ctes = [f"""
+    fu0 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"""]
+    for i, s in enumerate(FUNNEL_STEPS[1:], start=1):
+        ctes.append(f"""
+    fu{i} AS (SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN fu{i - 1} u USING (user_id)
+              WHERE e.event_type = '{s}' AND e.ts > u.t
+              GROUP BY e.user_id)""")
+    counts = ", ".join(f"(SELECT COUNT(*) FROM fu{i}) AS n{i}"
+                       for i in range(len(FUNNEL_STEPS)))
+    ctes.append(f"""
+    fn AS (SELECT {counts})""")
+    return ",".join(ctes)
+
+
+_FUNNEL_LEG_SQL = " UNION ALL ".join(
+    f"SELECT 'funnel' AS window_start, '{i + 1}_{s}' AS event_type, "
+    f"n{i} AS n_events, n{i} AS n_users, "
+    f"CAST(n{i} AS DOUBLE) / n0 AS total_value FROM fn"
+    for i, s in enumerate(FUNNEL_STEPS))
+
+_RETENTION_ORACLE = """
+    rf AS (SELECT user_id, MIN(ts) AS first_ts FROM events
+           GROUP BY user_id),
+    ro AS (SELECT e.user_id,
+                  CAST(floor(date_diff('day', CAST(r.first_ts AS DATE),
+                                       CAST(e.ts AS DATE)) / 7) AS INT)
+                      AS wk
+           FROM events e JOIN rf r USING (user_id)),
+    rt AS (SELECT COUNT(*) AS nu FROM rf)"""
+
+_RETENTION_LEG_SQL = """
+    SELECT 'retention', 'week' || CAST(wk AS VARCHAR),
+           COUNT(*), COUNT(DISTINCT user_id),
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) / rt.nu
+    FROM ro CROSS JOIN rt GROUP BY wk, rt.nu"""
+
+
+def funnel_anchors(ev: DataFrame,
+                   steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(user_id, a: struct<t0..t{k-1}>) — per-user funnel anchors by
+    the SINGLE-PASS greedy fold: walking the user's step-typed events
+    in ts order, step k's anchor is the first event strictly later
+    than the step-(k-1) anchor, which IS MIN(ts) over all qualifying
+    events (ts-ascending walk ⇒ first qualifying = min) — the same
+    relation as the SQL min-after join chain the q40 oracle runs.
+    One user-keyed shuffle; state per user = k timestamps."""
+    seq = (ev.filter(F.col("event_type").isin(*steps))
+           .groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("ts").alias("t"),
+               F.col("event_type").alias("y")))).alias("seq")))
+
+    def step_fold(acc, x):
+        fields = []
+        for i, s in enumerate(steps):
+            cur = acc.getField(f"t{i}")
+            hit = cur.isNull() & (x.getField("y") == F.lit(s))
+            if i > 0:
+                prev = acc.getField(f"t{i - 1}")
+                hit = hit & prev.isNotNull() & (x.getField("t") > prev)
+            fields.append(F.when(hit, x.getField("t")).otherwise(cur)
+                          .alias(f"t{i}"))
+        return F.struct(*fields)
+
+    init = F.struct(*[F.lit(None).cast("timestamp_ntz").alias(f"t{i}")
+                      for i in range(len(steps))])
+    return seq.select("user_id",
+                      F.aggregate("seq", init, step_fold).alias("a"))
+
+
 @query(
     "q40_events_tumbling_window",
-    covers=("E1",),
-    oracle="""
+    covers=("E1", "X-FUNNEL", "X-RETENTION"),
+    oracle=f"""
+    WITH {_funnel_oracle_ctes()}, {_RETENTION_ORACLE}
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
            event_type,
@@ -36,22 +118,88 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    UNION ALL {_FUNNEL_LEG_SQL}
+    UNION ALL {_RETENTION_LEG_SQL}
     """,
 )
 def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation — batch twin of the streaming
     tumbling_counts job (streaming/events.py). window() is a built-in
     Catalyst expression; with a watermark the same plan runs incremental
-    state cleanup under Structured Streaming."""
+    state cleanup under Structured Streaming.
+
+    r8 legs — the two product-analytics staples a warehouse user runs
+    daily, folded into the same (grain-tagged) shape:
+
+    - FUNNEL (X-FUNNEL): users reaching each ordered step
+      signup→view→click→purchase, where step k needs an event strictly
+      later than the user's step-(k-1) anchor — the min-after relation,
+      exactly what MATCH_RECOGNIZE's greedy first-match computes here.
+      Plan: ONE user-keyed shuffle of the step-typed events + a greedy
+      per-user fold over the ts-sorted sequence (equal to min-after —
+      the ts-ascending walk makes the first qualifying event the MIN),
+      then one count aggregate for all steps; the oracle keeps the
+      join-chain formulation, so the equivalence itself is
+      driver-attested. total_value = conversion vs step 1.
+    - RETENTION (X-RETENTION): week-offset activity from each user's
+      OWN first event (cohort-free retention curve): one user-keyed
+      min-aggregate, one co-partitioned join back, one offset
+      group-by; total_value = retained share of all users."""
     e = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("events",))["events"],
         sf_dir, "events")
-    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    base = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
                  F.sum(dec("value")).cast("double").alias("total_value"))
             .select(F.date_format("w.start", TS_FMT).alias("window_start"),
                     "event_type", "n_events", "n_users", "total_value"))
+    ev = e.select("user_id", "event_type", "ts")
+    # funnel — SINGLE-PASS greedy fold per user, provably the same
+    # relation as the oracle's min-after chain: walking the user's
+    # step-typed events in ts order, the first step-k event strictly
+    # later than the step-(k-1) anchor IS MIN(ts) over all such
+    # events. One user-keyed shuffle + one fold, instead of k-1 joins
+    # whose per-step counts would each re-execute the chain prefix.
+    # State per user = len(steps) timestamps; the collected sequence
+    # is the user's step-typed events only (events per user is the
+    # practical bound — same contract as sessionization windows).
+    k_n = len(FUNNEL_STEPS)
+    anchors = funnel_anchors(ev, FUNNEL_STEPS)
+    ns = anchors.agg(*[
+        F.sum(F.col("a").getField(f"t{i}").isNotNull().cast("long"))
+        .alias(f"n{i}") for i in range(k_n)])
+    funnel = (ns.select(F.explode(F.array(*[
+        F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
+                 F.col(f"n{i}").alias("n"),
+                 (F.col(f"n{i}").cast("double") / F.col("n0"))
+                 .alias("conv"))
+        for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
+        .select(F.lit("funnel").alias("window_start"),
+                F.col("x.step").alias("event_type"),
+                F.col("x.n").alias("n_events"),
+                F.col("x.n").alias("n_users"),
+                F.col("x.conv").alias("total_value")))
+    # retention: week offsets from each user's own first event
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    offs = (ev.join(firsts, "user_id")
+            .withColumn("wk",
+                        F.floor(F.datediff(F.to_date("ts"),
+                                           F.to_date("first_ts")) / 7)
+                        .cast("int")))
+    total = firsts.agg(F.count("*").alias("nu"))
+    retention = (offs.groupBy("wk")
+                 .agg(F.count("*").alias("n_events"),
+                      F.countDistinct("user_id").alias("n_users"))
+                 .crossJoin(F.broadcast(total))
+                 .select(F.lit("retention").alias("window_start"),
+                         F.concat(F.lit("week"),
+                                  F.col("wk").cast("string"))
+                         .alias("event_type"),
+                         "n_events", "n_users",
+                         (F.col("n_users").cast("double") / F.col("nu"))
+                         .alias("total_value")))
+    return base.unionByName(funnel).unionByName(retention)
 
 
 @query(

@@ -1,0 +1,94 @@
+"""Funnel and retention legs (events_queries q40, X-FUNNEL /
+X-RETENTION): planted dropouts, strict ordering (an out-of-order step
+never counts), and retention offsets — semantics the dense synthetic
+fixture can't exercise (every user converts there)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.workload.events_queries import (
+    FUNNEL_STEPS, funnel_anchors)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ev(uid, etype, minutes):
+    return (uid, etype, T0 + timedelta(minutes=minutes))
+
+
+EVENTS = [
+    # user 1: full ordered funnel
+    _ev(1, "signup", 0), _ev(1, "view", 10), _ev(1, "click", 20),
+    _ev(1, "purchase", 30),
+    # user 2: drops after view
+    _ev(2, "signup", 0), _ev(2, "view", 5),
+    # user 3: purchase BEFORE the click anchor — must stop at click
+    _ev(3, "signup", 0), _ev(3, "view", 10), _ev(3, "purchase", 15),
+    _ev(3, "click", 20),
+    # user 4: never signs up — in no funnel step at all
+    _ev(4, "view", 0), _ev(4, "click", 1), _ev(4, "purchase", 2),
+    # user 5: view at the SAME timestamp as signup — strictly-later
+    # fails, a later view rescues step 2
+    _ev(5, "signup", 0), _ev(5, "view", 0), _ev(5, "view", 7),
+]
+
+
+def _funnel_counts(spark, events):
+    """Anchor sets from the PRODUCTION fold (funnel_anchors) — and, as
+    an in-test cross-check, assert the fold equals the min-after join
+    chain formulation (the q40 oracle's shape) on the same input."""
+    df = spark.createDataFrame(
+        events, "user_id bigint, event_type string, ts timestamp_ntz")
+    rows = funnel_anchors(df).collect()
+    fold = {s: {r["user_id"] for r in rows
+                if r["a"][f"t{i}"] is not None}
+            for i, s in enumerate(FUNNEL_STEPS)}
+    reached = [df.filter(F.col("event_type") == FUNNEL_STEPS[0])
+               .groupBy("user_id").agg(F.min("ts").alias("t"))]
+    for s in FUNNEL_STEPS[1:]:
+        reached.append(
+            df.filter(F.col("event_type") == s)
+            .join(reached[-1].select("user_id", F.col("t").alias("_pt")),
+                  "user_id")
+            .filter(F.col("ts") > F.col("_pt"))
+            .groupBy("user_id").agg(F.min("ts").alias("t")))
+    chain = {s: {r["user_id"] for r in rel.select("user_id").collect()}
+             for s, rel in zip(FUNNEL_STEPS, reached)}
+    assert fold == chain
+    return fold
+
+
+def test_funnel_dropouts_and_strict_ordering(spark):
+    got = _funnel_counts(spark, EVENTS)
+    assert got["signup"] == {1, 2, 3, 5}       # user 4 never signed up
+    assert got["view"] == {1, 2, 3, 5}         # user 5 via the later view
+    assert got["click"] == {1, 3}              # user 2 dropped
+    # user 3's purchase predates their click anchor: not converted
+    assert got["purchase"] == {1}
+
+
+def test_funnel_same_timestamp_is_not_later(spark):
+    ev = [_ev(9, "signup", 0), _ev(9, "view", 0)]
+    got = _funnel_counts(spark, ev)
+    assert got["signup"] == {9}
+    assert got["view"] == set()
+
+
+def test_retention_offsets_from_own_first_event(spark):
+    ev = [
+        (1, "click", T0), (1, "click", T0 + timedelta(days=8)),
+        (2, "click", T0 + timedelta(days=100)),                  # own week0
+        (2, "click", T0 + timedelta(days=100 + 21)),             # week3
+    ]
+    df = spark.createDataFrame(
+        ev, "user_id bigint, event_type string, ts timestamp")
+    firsts = df.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    offs = (df.join(firsts, "user_id")
+            .withColumn("wk", F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7)
+                .cast("int")))
+    got = {(r["user_id"], r["wk"]) for r in offs.collect()}
+    assert got == {(1, 0), (1, 1), (2, 0), (2, 3)}

@@ -18,10 +18,12 @@ import __spark_entry__ as entry
 #: broadcast attaches — centroid array (q63), token-frequency map
 #: (q57), PageRank's per-round dangling-mass aggregate (q43 — visible
 #: in the final plan since the fixed-3-round leg skips mid-loop
-#: checkpoints).
+#: checkpoints), and the funnel/retention denominators (q40 — the
+#: one-row step-1 and total-users counts broadcast onto the leg rows).
 BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
            "q54_ann_brute_force_topk", "q63_ann_ivf_topk",
-           "q57_text_stats", "q43_events_json_props"}
+           "q57_text_stats", "q43_events_json_props",
+           "q40_events_tumbling_window"}
 
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.
