@@ -73,14 +73,25 @@ _RETENTION_LEG_SQL = """
 
 
 def funnel_anchors(ev: DataFrame,
-                   steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+                   steps: tuple[str, ...] = FUNNEL_STEPS,
+                   within_seconds: int | None = None) -> DataFrame:
     """(user_id, a: struct<t0..t{k-1}>) — per-user funnel anchors by
     the SINGLE-PASS greedy fold: walking the user's step-typed events
     in ts order, step k's anchor is the first event strictly later
     than the step-(k-1) anchor, which IS MIN(ts) over all qualifying
     events (ts-ascending walk ⇒ first qualifying = min) — the same
     relation as the SQL min-after join chain the q40 oracle runs.
-    One user-keyed shuffle; state per user = k timestamps."""
+    One user-keyed shuffle; state per user = k timestamps.
+
+    ``within_seconds`` adds the time-bounded variant every funnel
+    tool ships (step k must land within T of step k-1): the anchor
+    condition gains ``t <= prev + T``. Greedy still equals min-after
+    under the bound — the first qualifying event in the walk is the
+    min of the (now doubly-bounded) qualifying set. Note the
+    deliberately simple semantics shared with the unbounded form: a
+    too-late step-k event neither converts nor resets the anchor (no
+    backtracking — MATCH_RECOGNIZE's greedy first-match, not the
+    maximal-match optimum)."""
     seq = (ev.filter(F.col("event_type").isin(*steps))
            .groupBy("user_id")
            .agg(F.array_sort(F.collect_list(F.struct(
@@ -95,6 +106,9 @@ def funnel_anchors(ev: DataFrame,
             if i > 0:
                 prev = acc.getField(f"t{i - 1}")
                 hit = hit & prev.isNotNull() & (x.getField("t") > prev)
+                if within_seconds is not None:
+                    hit = hit & (x.getField("t") <= prev + F.expr(
+                        f"INTERVAL {int(within_seconds)} SECOND"))
             fields.append(F.when(hit, x.getField("t")).otherwise(cur)
                           .alias(f"t{i}"))
         return F.struct(*fields)

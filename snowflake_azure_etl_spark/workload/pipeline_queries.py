@@ -364,7 +364,14 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the band-key index relation it derives from
     verified = cached_relation(
         jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD), "verified_pairs")
-    clusters = graph.dup_clusters(verified.select("id_a", "id_b"))
+    # the resolved cluster map is memoized per (session, verified-pair
+    # plan) like the SemDeDup relation: dup_clusters' supersteps run
+    # eager checkpoint/convergence jobs at BUILD time, so an
+    # unmemoized repeat invocation re-pays the whole resolution
+    from ..operators._cache import cached_build, plan_key
+    clusters = cached_build(
+        spark, ("dup_clusters", plan_key(verified)),
+        lambda: graph.dup_clusters(verified.select("id_a", "id_b")))
     return verified.join(
         clusters.select(F.col("id").alias("id_a"), "keeper"), "id_a")
 

@@ -92,3 +92,24 @@ def test_retention_offsets_from_own_first_event(spark):
                 .cast("int")))
     got = {(r["user_id"], r["wk"]) for r in offs.collect()}
     assert got == {(1, 0), (1, 1), (2, 0), (2, 3)}
+
+
+def test_time_bounded_funnel(spark):
+    """within_seconds: a step landing after the bound neither converts
+    nor resets the anchor (greedy, no backtracking)."""
+    ev = [
+        # user 1: view 10 min after signup — inside a 15-min bound
+        _ev(1, "signup", 0), _ev(1, "view", 10),
+        # user 2: view 30 min after signup — outside; a later view at
+        # 40 min is ALSO measured against the original anchor: dead
+        _ev(2, "signup", 0), _ev(2, "view", 30), _ev(2, "view", 40),
+    ]
+    df = spark.createDataFrame(
+        ev, "user_id bigint, event_type string, ts timestamp_ntz")
+    rows = funnel_anchors(df, ("signup", "view"),
+                          within_seconds=900).collect()
+    got = {r["user_id"]: r["a"]["t1"] is not None for r in rows}
+    assert got == {1: True, 2: False}
+    # unbounded: user 2 converts via the 30-min view
+    rows2 = funnel_anchors(df, ("signup", "view")).collect()
+    assert all(r["a"]["t1"] is not None for r in rows2)
