@@ -30,6 +30,7 @@ the same between sweeps to cap executor storage.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,12 +45,36 @@ def session_cache(spark: SparkSession) -> dict:
     return cache
 
 
+#: Attribute/expression ids in plan strings ("col#123") — session-global
+#: and monotonically advancing, so the SAME derived relation built
+#: twice prints different ids. Stripped before digesting: without the
+#: normalization every cache key over a freshly-constructed plan
+#: misses on re-invocation (r8 finding: the cross-query reuse the
+#: module documents only worked when the caller reused the exact
+#: DataFrame OBJECT). Two plans identical modulo ids describe the
+#: same relation over the same sources — the identity we want.
+_EXPR_ID = re.compile(r"#\d+")
+
+
 def plan_key(df: DataFrame) -> str:
     """Stable identity for 'the same derived relation': an md5 digest
     of its analyzed logical plan string (what ReusedExchange keys on,
-    one level up). Digested so keys stay small — a corpus plan string
-    can run to tens of kB."""
+    one level up), with expression ids normalized out. Digested so
+    keys stay small — a corpus plan string can run to tens of kB.
+
+    EXCEPTION: a plan containing an opaque in-memory source
+    (LocalRelation / LogicalRDD — createDataFrame, literal rows,
+    localCheckpoint lineage) keeps its raw ids — such plans print
+    only the SCHEMA, not the data, so two different in-memory
+    relations with the same shape would otherwise collide onto one
+    cache entry (the ids are the only per-construction uniquifier;
+    observed as wrong memoized BPE merges across test corpora).
+    File/range-backed plans print their sources and normalize
+    safely."""
     plan = df._jdf.queryExecution().analyzed().toString()
+    opaque = ("LocalRelation", "LogicalRDD", "ExistingRDD")
+    if not any(m in plan for m in opaque):
+        plan = _EXPR_ID.sub("#", plan)
     return hashlib.md5(plan.encode()).hexdigest()
 
 

@@ -42,3 +42,25 @@ def test_plan_key_is_digest_sized(spark):
         wide = wide.withColumn(f"c{i}", F.col("id") + i)
     key = _cache.plan_key(wide)
     assert len(key) == 32               # md5 hex, not the plan text
+
+
+def test_plan_key_stable_across_reconstruction(spark, sf_dir):
+    """The r8 contract: the SAME derived relation rebuilt from the
+    same file-backed source digests to the same key even though its
+    expression ids advanced — without this, every cross-invocation
+    cache lookup silently missed."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    k1 = _cache.plan_key(src.groupBy("r_name").count())
+    k2 = _cache.plan_key(src.groupBy("r_name").count())
+    assert k1 == k2
+    # distinct derivations still get distinct keys
+    assert k1 != _cache.plan_key(src.groupBy("r_regionkey").count())
+
+
+def test_plan_key_never_collides_opaque_local_data(spark):
+    """createDataFrame plans print only the schema, so two different
+    in-memory relations must NOT normalize onto one key (observed as
+    wrong memoized BPE merges across same-shaped test corpora)."""
+    a = spark.createDataFrame([(1, "x")], "id bigint, t string")
+    b = spark.createDataFrame([(2, "y")], "id bigint, t string")
+    assert _cache.plan_key(a) != _cache.plan_key(b)
