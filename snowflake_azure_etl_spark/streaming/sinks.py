@@ -62,3 +62,31 @@ def idempotent_epoch_sink(table: str,
             spark.conf.set(mode_key, prev)
 
     return write
+
+
+def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
+                  epoch_col: str = EPOCH_COL) -> int:
+    """Retention for epoch-partitioned sink tables: drop every epoch
+    partition BELOW `keep_from` (the watermark the caller derives from
+    its replay/compliance policy) and return how many were dropped.
+
+    The other half of the epoch-sink lifecycle (compaction re-lands
+    surviving epochs into coarser partitions; vacuum bounds the
+    partition count and enforces retention). Partition-metadata-only:
+    ALTER TABLE DROP PARTITION removes the directory through the
+    catalog — no data pass, no rewrite of surviving epochs — so the
+    cost is O(dropped partitions), never O(rows). Idempotent: a rerun
+    with the same watermark drops nothing. A replay of a vacuumed
+    epoch would re-create its partition (the idempotent sink writes
+    by epoch id); callers must therefore only vacuum below their
+    checkpoint's committed offset — the same watermark discipline as
+    any state-store eviction."""
+    eps = [r[0] for r in
+           spark.table(table).select(epoch_col).distinct().collect()
+           if r[0] is not None and int(r[0]) < keep_from]
+    for e in sorted(eps):
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS "
+                  f"PARTITION ({epoch_col} = {int(e)})")
+    if eps:
+        spark.catalog.refreshTable(table)
+    return len(eps)

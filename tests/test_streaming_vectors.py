@@ -165,3 +165,26 @@ def test_retrain_on_drift_fits_new_distribution(spark, tables):
               if r[EPOCH_COL] == 4]
     assert [r for r in drift4 if r["n_new"] and r["mean_cos_index"]]
     assert not [r for r in drift4 if r["retrain"]]
+
+
+def test_vacuum_epochs_enforces_retention(spark, tables):
+    from snowflake_azure_etl_spark.streaming.sinks import vacuum_epochs
+
+    index_table, drift_table, cents_table = tables
+    bootstrap, batches = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    _run(spark, tables, [bootstrap] + batches)
+    before = spark.table(index_table).count()
+    kept_rows = (spark.table(index_table)
+                 .filter(F.col(EPOCH_COL) >= 1).count())
+    # drop epoch 0, keep 1..2 — partition-metadata only, survivors
+    # byte-identical
+    assert vacuum_epochs(spark, index_table, keep_from=1) == 1
+    after = spark.table(index_table)
+    assert after.count() == kept_rows < before
+    assert {r[EPOCH_COL] for r in
+            after.select(EPOCH_COL).distinct().collect()} == {1, 2}
+    # idempotent: same watermark again drops nothing
+    assert vacuum_epochs(spark, index_table, keep_from=1) == 0
