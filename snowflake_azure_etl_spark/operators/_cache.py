@@ -62,6 +62,16 @@ def plan_key(df: DataFrame) -> str:
     one level up), with expression ids normalized out. Digested so
     keys stay small — a corpus plan string can run to tens of kB.
 
+    Ids are RENUMBERED in first-occurrence order (#5 → #0, #9 → #1, …)
+    rather than erased: blanket erasure collapsed genuinely different
+    plans whose ids were the only disambiguator — a self-join
+    projecting the LEFT vs the RIGHT copy of a column prints
+    identically with ids stripped, but renumbers differently because
+    the projected id's first-occurrence position differs (r8 review
+    finding, verified live). Residual caveat, documented: two plans
+    identical except for a LITERAL of the form "x#<digits>" still
+    collide (the regex cannot tell a literal from an attribute).
+
     EXCEPTION: a plan containing an opaque in-memory source
     (LocalRelation / LogicalRDD — createDataFrame, literal rows,
     localCheckpoint lineage) keeps its raw ids — such plans print
@@ -74,7 +84,12 @@ def plan_key(df: DataFrame) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
     opaque = ("LocalRelation", "LogicalRDD", "ExistingRDD")
     if not any(m in plan for m in opaque):
-        plan = _EXPR_ID.sub("#", plan)
+        seen: dict[str, str] = {}
+
+        def canon(m: "re.Match[str]") -> str:
+            return seen.setdefault(m.group(0), f"#{len(seen)}")
+
+        plan = _EXPR_ID.sub(canon, plan)
     return hashlib.md5(plan.encode()).hexdigest()
 
 

@@ -72,21 +72,24 @@ def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
 
     The other half of the epoch-sink lifecycle (compaction re-lands
     surviving epochs into coarser partitions; vacuum bounds the
-    partition count and enforces retention). Partition-metadata-only:
-    ALTER TABLE DROP PARTITION removes the directory through the
-    catalog — no data pass, no rewrite of surviving epochs — so the
-    cost is O(dropped partitions), never O(rows). Idempotent: a rerun
-    with the same watermark drops nothing. A replay of a vacuumed
-    epoch would re-create its partition (the idempotent sink writes
-    by epoch id); callers must therefore only vacuum below their
-    checkpoint's committed offset — the same watermark discipline as
-    any state-store eviction."""
-    eps = [r[0] for r in
-           spark.table(table).select(epoch_col).distinct().collect()
-           if r[0] is not None and int(r[0]) < keep_from]
-    for e in sorted(eps):
-        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS "
-                  f"PARTITION ({epoch_col} = {int(e)})")
+    partition count and enforces retention). Partition-METADATA-only
+    end to end: epochs are discovered via SHOW PARTITIONS (catalog
+    listing — a distinct() over the data would scan every epoch's
+    files and silently miss registered-but-empty partitions) and
+    removed with ONE batched ALTER TABLE … DROP listing every doomed
+    spec — no data pass, no rewrite of surviving epochs, one catalog
+    round-trip; cost is O(dropped partitions), never O(rows).
+    Idempotent: a rerun with the same watermark drops nothing. A
+    replay of a vacuumed epoch would re-create its partition (the
+    idempotent sink writes by epoch id); callers must therefore only
+    vacuum below their checkpoint's committed offset — the same
+    watermark discipline as any state-store eviction."""
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
+    eps = sorted(int(p.split("=", 1)[1]) for p in parts
+                 if p.startswith(f"{epoch_col}=")
+                 and int(p.split("=", 1)[1]) < keep_from)
     if eps:
+        specs = ", ".join(f"PARTITION ({epoch_col} = {e})" for e in eps)
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")
         spark.catalog.refreshTable(table)
     return len(eps)

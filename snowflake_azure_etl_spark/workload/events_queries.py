@@ -52,7 +52,7 @@ def _funnel_oracle_ctes() -> str:
 _FUNNEL_LEG_SQL = " UNION ALL ".join(
     f"SELECT 'funnel' AS window_start, '{i + 1}_{s}' AS event_type, "
     f"n{i} AS n_events, n{i} AS n_users, "
-    f"CAST(n{i} AS DOUBLE) / n0 AS total_value FROM fn"
+    f"CAST(n{i} AS DOUBLE) / NULLIF(n0, 0) AS total_value FROM fn"
     for i, s in enumerate(FUNNEL_STEPS))
 
 _RETENTION_ORACLE = """
@@ -113,10 +113,29 @@ def funnel_anchors(ev: DataFrame,
                           .alias(f"t{i}"))
         return F.struct(*fields)
 
-    init = F.struct(*[F.lit(None).cast("timestamp_ntz").alias(f"t{i}")
+    # the accumulator's NULL slots must carry ts's OWN type: aggregate()
+    # requires zero-type == merge-result-type, and a hardcoded
+    # timestamp_ntz fails analysis on plain TIMESTAMP (LTZ) inputs
+    # (r8 review finding — the fixture parquet merely happens to read
+    # back NTZ)
+    ts_type = dict(ev.dtypes)["ts"]
+    init = F.struct(*[F.lit(None).cast(ts_type).alias(f"t{i}")
                       for i in range(len(steps))])
     return seq.select("user_id",
                       F.aggregate("seq", init, step_fold).alias("a"))
+
+
+def retention_offsets(ev: DataFrame) -> DataFrame:
+    """(user_id, wk) per event: week offset from the user's OWN first
+    event (cohort-free retention) — one user-keyed min-aggregate + one
+    co-partitioned join back. Extracted so tests exercise the SAME
+    computation the q40 leg aggregates (r8 review finding)."""
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (ev.join(firsts, "user_id")
+            .withColumn("wk",
+                        F.floor(F.datediff(F.to_date("ts"),
+                                           F.to_date("first_ts")) / 7)
+                        .cast("int")))
 
 
 @query(
@@ -180,13 +199,20 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # practical bound — same contract as sessionization windows).
     k_n = len(FUNNEL_STEPS)
     anchors = funnel_anchors(ev, FUNNEL_STEPS)
+    # COALESCE to 0: a corpus with zero funnel-step events leaves
+    # anchors empty and SUM returns NULL while the oracle's COUNT(*)
+    # returns 0; NULLIF-guard the conversion denominator the same way
+    # on both sides (r8 review finding)
     ns = anchors.agg(*[
-        F.sum(F.col("a").getField(f"t{i}").isNotNull().cast("long"))
+        F.coalesce(
+            F.sum(F.col("a").getField(f"t{i}").isNotNull().cast("long")),
+            F.lit(0).cast("long"))
         .alias(f"n{i}") for i in range(k_n)])
     funnel = (ns.select(F.explode(F.array(*[
         F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
                  F.col(f"n{i}").alias("n"),
-                 (F.col(f"n{i}").cast("double") / F.col("n0"))
+                 (F.col(f"n{i}").cast("double")
+                  / F.nullif(F.col("n0"), F.lit(0)))
                  .alias("conv"))
         for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
         .select(F.lit("funnel").alias("window_start"),
@@ -195,13 +221,9 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.n").alias("n_users"),
                 F.col("x.conv").alias("total_value")))
     # retention: week offsets from each user's own first event
-    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    offs = (ev.join(firsts, "user_id")
-            .withColumn("wk",
-                        F.floor(F.datediff(F.to_date("ts"),
-                                           F.to_date("first_ts")) / 7)
-                        .cast("int")))
-    total = firsts.agg(F.count("*").alias("nu"))
+    offs = retention_offsets(ev)
+    total = (ev.select("user_id").distinct()
+             .agg(F.count("*").alias("nu")))
     retention = (offs.groupBy("wk")
                  .agg(F.count("*").alias("n_events"),
                       F.countDistinct("user_id").alias("n_users"))

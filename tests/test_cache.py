@@ -64,3 +64,20 @@ def test_plan_key_never_collides_opaque_local_data(spark):
     a = spark.createDataFrame([(1, "x")], "id bigint, t string")
     b = spark.createDataFrame([(2, "y")], "id bigint, t string")
     assert _cache.plan_key(a) != _cache.plan_key(b)
+
+
+def test_plan_key_distinguishes_self_join_sides(spark, sf_dir):
+    """Canonical renumbering, not erasure (r8 review finding): the two
+    projections of a self-join differ only in WHICH id they project —
+    erased keys collided them; renumbered keys must not."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    l, r = src.alias("l"), src.alias("r")
+    j = l.join(r, F.col("l.r_regionkey") == F.col("r.r_regionkey"))
+    kl = _cache.plan_key(j.select(F.col("l.r_name")))
+    kr = _cache.plan_key(j.select(F.col("r.r_name")))
+    assert kl != kr
+    # and the same side rebuilt still matches itself
+    j2 = (src.alias("l").join(src.alias("r"),
+                              F.col("l.r_regionkey")
+                              == F.col("r.r_regionkey")))
+    assert kl == _cache.plan_key(j2.select(F.col("l.r_name")))

@@ -78,6 +78,9 @@ def test_funnel_same_timestamp_is_not_later(spark):
 
 
 def test_retention_offsets_from_own_first_event(spark):
+    from snowflake_azure_etl_spark.workload.events_queries import (
+        retention_offsets)
+
     ev = [
         (1, "click", T0), (1, "click", T0 + timedelta(days=8)),
         (2, "click", T0 + timedelta(days=100)),                  # own week0
@@ -85,13 +88,23 @@ def test_retention_offsets_from_own_first_event(spark):
     ]
     df = spark.createDataFrame(
         ev, "user_id bigint, event_type string, ts timestamp")
-    firsts = df.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    offs = (df.join(firsts, "user_id")
-            .withColumn("wk", F.floor(
-                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7)
-                .cast("int")))
-    got = {(r["user_id"], r["wk"]) for r in offs.collect()}
+    got = {(r["user_id"], r["wk"])
+           for r in retention_offsets(df).collect()}
     assert got == {(1, 0), (1, 1), (2, 0), (2, 3)}
+
+
+def test_funnel_works_on_ltz_timestamps_and_empty_corpus(spark):
+    """The accumulator type follows ts's own type (plain TIMESTAMP
+    must not fail analysis — r8 review finding), and a corpus with no
+    step events yields an EMPTY anchors relation, not an error."""
+    ev = [(1, "signup", T0), (1, "view", T0 + timedelta(minutes=1))]
+    ltz = spark.createDataFrame(
+        ev, "user_id bigint, event_type string, ts timestamp")
+    rows = funnel_anchors(ltz, ("signup", "view")).collect()
+    assert rows and rows[0]["a"]["t1"] is not None
+    none = spark.createDataFrame(
+        [(1, "error", T0)], "user_id bigint, event_type string, ts timestamp")
+    assert funnel_anchors(none, ("signup", "view")).collect() == []
 
 
 def test_time_bounded_funnel(spark):
