@@ -68,9 +68,19 @@ def plan_key(df: DataFrame) -> str:
     projecting the LEFT vs the RIGHT copy of a column prints
     identically with ids stripped, but renumbers differently because
     the projected id's first-occurrence position differs (r8 review
-    finding, verified live). Residual caveat, documented: two plans
-    identical except for a LITERAL of the form "x#<digits>" still
-    collide (the regex cannot tell a literal from an attribute).
+    finding, verified live).
+
+    The string alone cannot tell a LITERAL shaped like "x#<digits>"
+    from an attribute ref (`Filter (tag#1 = tag#1)` is what a filter
+    on the literal 'tag#1' actually prints), so the JVM plan's
+    `semanticHash()` is mixed into the digest: it canonicalizes expr
+    ids structurally (same value for a rebuilt identical plan) while
+    literals participate as values, so two plans differing only in a
+    '#'-shaped literal get distinct keys (r9 fix; a collision here
+    returned the wrong materialized RELATION — the engine's worst
+    silent-failure class). Verified live: filters on 'tag#1' vs
+    'tag#2' hash 394432266 vs 275286370, and a from-scratch rebuild
+    of the 'tag#1' plan reproduces 394432266 exactly.
 
     EXCEPTION: a plan containing an opaque in-memory source
     (LocalRelation / LogicalRDD — createDataFrame, literal rows,
@@ -80,8 +90,11 @@ def plan_key(df: DataFrame) -> str:
     cache entry (the ids are the only per-construction uniquifier;
     observed as wrong memoized BPE merges across test corpora).
     File/range-backed plans print their sources and normalize
-    safely."""
-    plan = df._jdf.queryExecution().analyzed().toString()
+    safely (and still carry the semanticHash distinguisher;
+    LocalRelation's semanticHash additionally covers its DATA, a
+    second guard for the opaque-source class)."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    plan = analyzed.toString()
     opaque = ("LocalRelation", "LogicalRDD", "ExistingRDD")
     if not any(m in plan for m in opaque):
         seen: dict[str, str] = {}
@@ -90,6 +103,7 @@ def plan_key(df: DataFrame) -> str:
             return seen.setdefault(m.group(0), f"#{len(seen)}")
 
         plan = _EXPR_ID.sub(canon, plan)
+    plan += f"|sh={analyzed.semanticHash()}"
     return hashlib.md5(plan.encode()).hexdigest()
 
 

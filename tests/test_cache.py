@@ -66,6 +66,27 @@ def test_plan_key_never_collides_opaque_local_data(spark):
     assert _cache.plan_key(a) != _cache.plan_key(b)
 
 
+def test_plan_key_distinguishes_hash_shaped_literals(spark, sf_dir):
+    """r9 fix for the documented residual: two plans identical except
+    for a LITERAL of the form x#<digits> print indistinguishably from
+    attribute refs (`Filter (tag#1 = tag#1)` IS the literal filter's
+    plan text), so string renumbering alone collided them — and a
+    plan_key collision returns the wrong materialized RELATION. The
+    JVM semanticHash mixed into the digest separates them."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tagged = src.withColumn(
+        "tag", F.concat(F.lit("tag#"), (F.col("r_regionkey") % 2)
+                        .cast("string")))
+    k1 = _cache.plan_key(tagged.filter(F.col("tag") == "tag#1"))
+    k2 = _cache.plan_key(tagged.filter(F.col("tag") == "tag#2"))
+    assert k1 != k2
+    # and the literal plan rebuilt from scratch still matches itself
+    tagged2 = src.withColumn(
+        "tag", F.concat(F.lit("tag#"), (F.col("r_regionkey") % 2)
+                        .cast("string")))
+    assert k1 == _cache.plan_key(tagged2.filter(F.col("tag") == "tag#1"))
+
+
 def test_plan_key_distinguishes_self_join_sides(spark, sf_dir):
     """Canonical renumbering, not erasure (r8 review finding): the two
     projections of a self-join differ only in WHICH id they project —
