@@ -33,10 +33,22 @@ codegen'd scalar expressions) feeding a SINGLE-ROW hash aggregate of
 d+1 long sums — map-side partial combine reduces each task to d+1
 longs, the classic all-reduce. The weights live in a ONE-ROW broadcast
 relation (never collected to the driver, never a literal in the plan),
-so `n_iter` rounds are `n_iter` corpus scans and nothing else: no
-corpus shuffle, no driver loop over rows, state is d+1 doubles.
-Scoring is one more broadcast-crossJoin projection. Production trains
-on a sample; pass a filtered `df` — the plan is source-agnostic.
+and each round's weights are eagerly `localCheckpoint`ed (r9, VERDICT
+r8 #1): the checkpoint cuts the lineage so round N's plan references
+the materialized round-(N−1) row instead of replaying rounds 1..N−1's
+corpus scans — without it, `n_iter` lazily-chained rounds cost
+n_iter(n_iter+1)/2 scans when finally materialized (the same lesson
+as the lsh band-key relations). With it, `n_iter` rounds are exactly
+`n_iter` corpus scans and nothing else: no corpus shuffle, no driver
+loop over rows, per-round executor state is d+1 doubles. Scoring is
+one more broadcast-crossJoin projection. Production trains on a
+sample; pass a filtered `df` — the plan is source-agnostic.
+
+An EMPTY training relation fails loud (ADVICE r8): min/sum over zero
+rows would otherwise train the weights to an array of NULLs that
+passes the arity guard and silently NULL-scores (dropping every row
+at a downstream clf gate); the guard lives inside the weight OUTPUT
+expression, so Catalyst cannot prune it.
 
 Reference scope: the reference engine has no trained operators at all
 (rahil/run_etl.py templates SQL); this extends the engine the same way
@@ -87,17 +99,31 @@ def squash(z: Column) -> Column:
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
+def _empty_corpus_guarded(arr: Column, what: str) -> Column:
+    """Fail-loud empty-training-corpus check folded INTO the weight
+    output expression (ADVICE r8): min/sum over zero rows yields an
+    all-NULL weight array of the RIGHT SIZE, which passes the arity
+    guard and silently NULL-scores every row downstream. A side-channel
+    assert would be pruned by Catalyst; this lives in the output."""
+    return F.when(F.col("_n") > 0, arr).otherwise(
+        F.raise_error(F.lit(
+            f"{what}: empty training corpus (zero gradient-bearing "
+            f"rows) — weights would silently train to NULL"))
+        .cast("array<double>"))
+
+
 def train_margin_classifier(df: DataFrame,
                             feature_cols: Sequence[Column],
                             label: Column,
                             n_iter: int = 2,
                             lr: float = CLS_LR,
-                            scale: int = CLS_SCALE) -> DataFrame:
+                            scale: int = CLS_SCALE,
+                            eager: bool = True) -> DataFrame:
     """Train a linear probe by `n_iter` full-batch GD rounds from zero
     weights; returns a ONE-ROW DataFrame with `_w`: array<double> of
     length d+1 (bias first).
 
-    Per round (all lazy, chained into one plan):
+    Per round:
       z    = w · [1, f…]          (explicit chain, broadcast weights)
       p    = squash(z)
       g_i  = (p − y) · f_i        (y = `label` cast to double)
@@ -106,6 +132,15 @@ def train_margin_classifier(df: DataFrame,
 
     The mean uses n = COUNT(*) over gradient-bearing rows of the full
     relation, so every engine divides by the same count.
+
+    `eager` (default) localCheckpoints each round's one-row weights,
+    cutting lineage so round N costs exactly one corpus scan — the
+    lazily-chained alternative (`eager=False`, kept for plan
+    inspection and trivially-cheap relations) re-runs rounds 1..N−1's
+    scans per round: n_iter(n_iter+1)/2 total, quadratic at the
+    tens-of-rounds a real probe trains (VERDICT r8 #1). Training with
+    `eager` runs at call time; the checkpointed values are
+    bit-identical to the lazy chain's.
     """
     d = len(feature_cols)
     spark = df.sparkSession
@@ -134,11 +169,14 @@ def train_margin_classifier(df: DataFrame,
               for i in range(d + 1)],
             *[F.sum(f"_g{i}").alias(f"_s{i}") for i in range(d + 1)],
             F.count("*").alias("_n"))
-        w = agg.select(F.array(*[
+        w = agg.select(_empty_corpus_guarded(F.array(*[
             F.col(f"_w{i}")
             - F.lit(lr) * ((F.col(f"_s{i}").cast("double") / F.col("_n"))
                            / F.lit(float(scale)))
-            for i in range(d + 1)]).alias("_w"))
+            for i in range(d + 1)]), "train_margin_classifier")
+            .alias("_w"))
+        if eager:
+            w = w.localCheckpoint(eager=True)
     return w
 
 
@@ -208,7 +246,8 @@ def train_one_vs_rest(df: DataFrame,
                       classes: Sequence[str],
                       n_iter: int = 2,
                       lr: float = CLS_LR,
-                      scale: int = CLS_SCALE) -> DataFrame:
+                      scale: int = CLS_SCALE,
+                      eager: bool = True) -> DataFrame:
     """K independent binary probes (class k vs rest) trained TOGETHER:
     every GD round is still ONE corpus scan and ONE single-row
     aggregate — the per-class gradients are just more sum columns in
@@ -222,7 +261,9 @@ def train_one_vs_rest(df: DataFrame,
     same quantization — so the k-th output is bit-identical to a
     standalone binary train on that label (pinned in
     tests/test_classifier.py), and an oracle replay of the binary
-    recurrence per class covers the multiclass trainer too."""
+    recurrence per class covers the multiclass trainer too. `eager`
+    checkpoints each round (linear scans — see
+    train_margin_classifier)."""
     d = len(feature_cols)
     k_n = len(classes)
     spark = df.sparkSession
@@ -260,12 +301,15 @@ def train_one_vs_rest(df: DataFrame,
               for k in range(k_n) for i in range(d + 1)],
             F.count("*").alias("_n"))
         w = agg.select(*[
-            F.array(*[
+            _empty_corpus_guarded(F.array(*[
                 F.col(f"_w{k}_{i}")
                 - F.lit(lr) * ((F.col(f"_s{k}_{i}").cast("double")
                                 / F.col("_n")) / F.lit(float(scale)))
-                for i in range(d + 1)]).alias(f"_w{k}")
+                for i in range(d + 1)]), "train_one_vs_rest")
+            .alias(f"_w{k}")
             for k in range(k_n)])
+        if eager:
+            w = w.localCheckpoint(eager=True)
     return w
 
 

@@ -97,9 +97,10 @@ def test_learns_separable_labels(spark):
 def test_training_plan_has_no_corpus_shuffle_or_python(spark):
     """One round = broadcast weights in, single-row partial-combined
     aggregate out: no sort-merge join, no corpus-keyed exchange, no
-    Python workers anywhere in the plan."""
+    Python workers anywhere in the plan. `eager=False` keeps the
+    round plan lazily inspectable (the default checkpoints it)."""
     w = classifier.train_margin_classifier(
-        _df(spark), _feats(), F.col("y"), n_iter=2)
+        _df(spark), _feats(), F.col("y"), n_iter=2, eager=False)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -108,6 +109,62 @@ def test_training_plan_has_no_corpus_shuffle_or_python(spark):
     # hashpartitioning over the input columns
     assert "hashpartitioning(f1" not in plan
     assert "hashpartitioning(y" not in plan
+
+
+def test_gd_rounds_cost_linear_jobs_and_cut_lineage(spark):
+    """r9 (VERDICT r8 #1): each GD round's one-row weights are eagerly
+    localCheckpoint'ed, so training n_iter rounds runs exactly n_iter
+    materialization jobs and round N's lineage CANNOT contain rounds
+    1..N−1's corpus scans (the returned plan is a checkpoint scan,
+    not a chained aggregate tree) — the structural proof that scans
+    are linear, not the n_iter(n_iter+1)/2 the lazy chain pays."""
+    sc = spark.sparkContext
+    df = _df(spark)
+    df.count()                       # materialize source setup outside
+
+    def jobs_for(n_iter: int, group: str):
+        sc.setJobGroup(group, f"train n_iter={n_iter}")
+        try:
+            w = classifier.train_margin_classifier(
+                df, _feats(), F.col("y"), n_iter=n_iter)
+        finally:
+            sc.setJobGroup(f"{group}-done", "")
+        return w, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    _, j2 = jobs_for(2, "clf-lin-2")
+    w, j4 = jobs_for(4, "clf-lin-4")
+    # per-round job count is a constant (AQE stage jobs × rounds):
+    # doubling the rounds exactly doubles the jobs — linear, with no
+    # fixed-point-free quadratic tail
+    assert j2 > 0 and j4 == 2 * j2
+    plan = w._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert "Aggregate" not in plan       # lineage is cut
+    # and the checkpointed values are bit-identical to the lazy chain
+    assert w.collect()[0]["_w"] == _ref_train(ROWS, n_iter=4)
+
+
+def test_empty_training_corpus_fails_loud(spark):
+    """ADVICE r8: min/sum over zero rows would train the weights to an
+    all-NULL array of the right SIZE — it passes the arity guard and
+    silently NULL-scores every row at a downstream clf gate. The guard
+    lives inside the weight output expression (pruning-proof) and
+    trips at train time on the eager path."""
+    import pytest
+
+    empty = _df(spark).filter(F.col("f1") > 100.0)
+    with pytest.raises(Exception, match="empty training corpus"):
+        classifier.train_margin_classifier(empty, _feats(), F.col("y"),
+                                           n_iter=1)
+    with pytest.raises(Exception, match="empty training corpus"):
+        classifier.train_one_vs_rest(
+            empty, _feats(), F.col("y").cast("string"), ("a", "b"),
+            n_iter=1)
+    # the lazy path raises at materialization, not silently at NULL
+    lazy = classifier.train_margin_classifier(
+        empty, _feats(), F.col("y"), n_iter=1, eager=False)
+    with pytest.raises(Exception, match="empty training corpus"):
+        lazy.collect()
 
 
 def test_score_bounds_and_bias_only_prior(spark):
