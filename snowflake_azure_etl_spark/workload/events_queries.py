@@ -31,6 +31,17 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 #: same relation).
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
+#: Fail-loud bound on per-user funnel state (r9, VERDICT r8 #2): the
+#: greedy fold collects each user's step-typed events into ONE array in
+#: ONE task, so a pathological bot user (10^7 step events at 100×)
+#: would become a single giant in-memory array. Same discipline as the
+#: span-scrub entry cap and the SemDeDup cell-width guard: raise with
+#: the offending key instead of silently OOMing an executor. 100k
+#: structs ≈ a few MB — far above any human user, far below task
+#: memory. Callers with known-hot corpora pre-prune or raise the cap
+#: explicitly.
+FUNNEL_MAX_EVENTS_PER_USER = 100_000
+
 
 def _funnel_oracle_ctes() -> str:
     ctes = [f"""
@@ -74,7 +85,9 @@ _RETENTION_LEG_SQL = """
 
 def funnel_anchors(ev: DataFrame,
                    steps: tuple[str, ...] = FUNNEL_STEPS,
-                   within_seconds: int | None = None) -> DataFrame:
+                   within_seconds: int | None = None,
+                   max_events_per_user: int =
+                   FUNNEL_MAX_EVENTS_PER_USER) -> DataFrame:
     """(user_id, a: struct<t0..t{k-1}>) — per-user funnel anchors by
     the SINGLE-PASS greedy fold: walking the user's step-typed events
     in ts order, step k's anchor is the first event strictly later
@@ -91,7 +104,13 @@ def funnel_anchors(ev: DataFrame,
     deliberately simple semantics shared with the unbounded form: a
     too-late step-k event neither converts nor resets the anchor (no
     backtracking — MATCH_RECOGNIZE's greedy first-match, not the
-    maximal-match optimum)."""
+    maximal-match optimum).
+
+    Per-user state is the user's step-typed event array, bounded by
+    ``max_events_per_user`` with a fail-loud guard folded INTO the
+    output expression (Catalyst prunes side-channel asserts — the
+    mean_pool lesson): a user over the cap raises with their id
+    rather than materializing an unbounded array in one task."""
     seq = (ev.filter(F.col("event_type").isin(*steps))
            .groupBy("user_id")
            .agg(F.array_sort(F.collect_list(F.struct(
@@ -121,8 +140,20 @@ def funnel_anchors(ev: DataFrame,
     ts_type = dict(ev.dtypes)["ts"]
     init = F.struct(*[F.lit(None).cast(ts_type).alias(f"t{i}")
                       for i in range(len(steps))])
-    return seq.select("user_id",
-                      F.aggregate("seq", init, step_fold).alias("a"))
+    a_type = "struct<" + ",".join(
+        f"t{i}:{ts_type}" for i in range(len(steps))) + ">"
+    guarded = F.when(
+        F.size("seq") <= F.lit(int(max_events_per_user)),
+        F.aggregate("seq", init, step_fold),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("funnel_anchors: user "),
+            F.col("user_id").cast("string"),
+            F.lit(f" has more than {int(max_events_per_user)} "
+                  "step events (max_events_per_user) — per-user fold "
+                  "state would be unbounded; pre-prune the corpus or "
+                  "raise the cap explicitly"))).cast(a_type))
+    return seq.select("user_id", guarded.alias("a"))
 
 
 def retention_offsets(ev: DataFrame) -> DataFrame:
@@ -195,8 +226,8 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events. One user-keyed shuffle + one fold, instead of k-1 joins
     # whose per-step counts would each re-execute the chain prefix.
     # State per user = len(steps) timestamps; the collected sequence
-    # is the user's step-typed events only (events per user is the
-    # practical bound — same contract as sessionization windows).
+    # is the user's step-typed events only, fail-loud-capped at
+    # FUNNEL_MAX_EVENTS_PER_USER (r9 — see funnel_anchors / SCALE.md).
     k_n = len(FUNNEL_STEPS)
     anchors = funnel_anchors(ev, FUNNEL_STEPS)
     # COALESCE to 0: a corpus with zero funnel-step events leaves

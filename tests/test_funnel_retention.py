@@ -126,3 +126,28 @@ def test_time_bounded_funnel(spark):
     # unbounded: user 2 converts via the 30-min view
     rows2 = funnel_anchors(df, ("signup", "view")).collect()
     assert all(r["a"]["t1"] is not None for r in rows2)
+
+
+def test_hot_user_state_cap_fails_loud(spark):
+    """r9 (VERDICT r8 #2): per-user fold state is the user's step-typed
+    event array — a planted hot user over max_events_per_user raises
+    with their id instead of silently materializing an unbounded array
+    in one task. The guard lives inside the output expression, so
+    column pruning cannot disarm it; compliant users at the same cap
+    still fold normally."""
+    import pytest
+
+    ev = ([_ev(9, "view", m) for m in range(8)]        # hot: 8 events
+          + [_ev(1, "signup", 0), _ev(1, "view", 1)])  # normal: 2
+    df = spark.createDataFrame(
+        ev, "user_id bigint, event_type string, ts timestamp_ntz")
+    with pytest.raises(Exception, match="user 9 has more than 5"):
+        funnel_anchors(df, ("signup", "view"),
+                       max_events_per_user=5).collect()
+    # pruning-proof: selecting ONLY a derived count still trips it
+    with pytest.raises(Exception, match="more than 5"):
+        (funnel_anchors(df, ("signup", "view"), max_events_per_user=5)
+         .agg(F.sum(F.col("a.t1").isNotNull().cast("long"))).collect())
+    ok = funnel_anchors(df, ("signup", "view"),
+                        max_events_per_user=8).collect()
+    assert {r["user_id"] for r in ok} == {1, 9}
