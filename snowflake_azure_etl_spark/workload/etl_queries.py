@@ -275,7 +275,33 @@ _INCR_ORACLE = """
         FROM seed
         UNION ALL
         SELECT CAST(k AS BIGINT), bk, segment, 'current', 1, NULL, TRUE
-        FROM keyed)
+        FROM keyed),
+    -- CDC leg (r9): I/U/D change feed between two supplier snapshots,
+    -- mirroring warehouse.cdc.snapshot_diff's null-safe full-outer
+    -- classification. Every 11th old segment is NULL (so the 77s
+    -- attest NULL->value U under IS DISTINCT FROM — plain equality
+    -- would silently drop them), every 9th key is deleted, every 7th
+    -- surviving key updated, every 13th key re-inserted shifted.
+    cdc_old AS (
+        SELECT s_suppkey AS bk,
+               CASE WHEN s_suppkey % 11 = 0 THEN NULL
+                    ELSE CAST(s_nationkey % 5 AS VARCHAR) END AS segment
+        FROM supplier),
+    cdc_new AS (
+        SELECT bk,
+               CASE WHEN bk % 7 = 0 THEN 'moved' ELSE segment END AS segment
+        FROM cdc_old WHERE bk % 9 != 0
+        UNION ALL
+        SELECT bk + 2000000, 'born' FROM cdc_old WHERE bk % 13 = 0),
+    cdc_leg AS (
+        SELECT CASE WHEN o.bk IS NULL THEN 'I'
+                    WHEN n.bk IS NULL THEN 'D'
+                    WHEN o.segment IS DISTINCT FROM n.segment THEN 'U'
+               END AS op,
+               COALESCE(n.bk, o.bk) AS business_key,
+               CASE WHEN n.bk IS NULL THEN o.segment
+                    ELSE n.segment END AS attr
+        FROM cdc_old o FULL OUTER JOIN cdc_new n ON o.bk = n.bk)
     SELECT 'append' AS leg, surrogate_id, business_key,
            CAST(NULL AS VARCHAR) AS attr, phase,
            0 AS valid_from, CAST(NULL AS INT) AS valid_to,
@@ -285,11 +311,16 @@ _INCR_ORACLE = """
     SELECT 'scd2', surrogate_id, business_key, attr, phase,
            valid_from, valid_to, is_current
     FROM scd2_leg
+    UNION ALL
+    SELECT 'cdc', CAST(NULL AS BIGINT), business_key, attr, op,
+           0, CAST(NULL AS INT), TRUE
+    FROM cdc_leg WHERE op IS NOT NULL
 """
 
 
 @query("q65_incremental_append",
-       covers=("X-SCD-APPEND", "X-SCD2", "X-MERGE", "S7", "R6"),
+       covers=("X-SCD-APPEND", "X-SCD2", "X-MERGE", "X-CDC-DIFF",
+               "S7", "R6"),
        oracle=_INCR_ORACLE)
 def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension maintenance end-to-end, both write patterns the
@@ -310,7 +341,15 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the copy-on-write MERGE execution), read back, and every closed
     version, new current version, and new member row — keys, validity
     range, current flag — is oracle-checked against a DuckDB mirror of
-    the same merge."""
+    the same merge.
+
+    **CDC leg** (warehouse.cdc.snapshot_diff — r9, VERDICT r8 #4):
+    the I/U/D change feed between two supplier snapshots, including
+    NULL tracked values on the old side so the null-safe compare is
+    what's attested (a plain-equality diff silently drops NULL→value
+    updates; the planted every-77th rows catch it). Deletes carry the
+    last known values, inserts/updates the new — every op row checked
+    against a DuckDB full-outer IS-DISTINCT-FROM mirror."""
     from ..plans.surrogate import with_surrogate_key
     from ..warehouse.incremental import append_new_members
     from ..warehouse import ddl, scd
@@ -367,7 +406,31 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("is_current"), "current").otherwise("closed")
         .alias("phase"),
         "valid_from", "valid_to", "is_current")
-    return append_leg.unionByName(scd2_leg)
+
+    from ..warehouse import cdc
+    old = s.select(
+        F.col("s_suppkey").alias("bk"),
+        F.when(F.col("s_suppkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("s_nationkey") % 5).cast("string"))
+        .alias("segment"))
+    new = (old.filter(F.col("bk") % 9 != 0)
+           .select("bk",
+                   F.when(F.col("bk") % 7 == 0, F.lit("moved"))
+                   .otherwise(F.col("segment")).alias("segment"))
+           .unionByName(old.filter(F.col("bk") % 13 == 0)
+                        .select((F.col("bk") + 2000000).alias("bk"),
+                                F.lit("born").alias("segment"))))
+    diff = cdc.snapshot_diff(old, new, ["bk"], ["segment"])
+    cdc_leg = diff.select(
+        F.lit("cdc").alias("leg"),
+        F.lit(None).cast("bigint").alias("surrogate_id"),
+        F.col("bk").alias("business_key"),
+        F.col("segment").alias("attr"),
+        F.col("op").alias("phase"),
+        F.lit(0).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    return append_leg.unionByName(scd2_leg).unionByName(cdc_leg)
 
 
 @query(
