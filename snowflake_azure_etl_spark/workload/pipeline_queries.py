@@ -612,17 +612,42 @@ _COS_ORACLE = f"""
         SELECT query_id, neighbor_id, adc_dist,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_dist, neighbor_id) AS rn
-        FROM pq_scored)
+        FROM pq_scored),
+    -- pooled leg (r9): label-grouped mean pooling of FIXED-POINT
+    -- quantized vectors (floor(x * 2^20): the scale is a power of
+    -- two, so the multiply is exact and floor unambiguous; integer-
+    -- valued doubles sum exactly in ANY order, making the grouped
+    -- AVG engine-portable), then L2-normalized via the same
+    -- sequential list fold the cosine legs already attest
+    pool_dim AS (
+        SELECT CAST(label AS BIGINT) AS grp, s + 1 AS dim,
+               AVG(floor(CAST(embedding AS DOUBLE[])[s + 1]
+                         * 1048576.0)) AS m
+        FROM embeddings, (SELECT unnest(range(0, {_PQ_DIM})) AS s)
+        GROUP BY grp, s + 1),
+    pool_vec AS (
+        SELECT grp, list(m ORDER BY dim) AS mv FROM pool_dim GROUP BY grp),
+    pool_leg AS (
+        SELECT grp, s + 1 AS dim,
+               CASE WHEN sqrt(list_dot_product(mv, mv)) = 0
+                    THEN mv[s + 1]
+                    ELSE mv[s + 1] / sqrt(list_dot_product(mv, mv))
+               END AS nval
+        FROM pool_vec, (SELECT unnest(range(0, {_PQ_DIM})) AS s))
     SELECT 'exact' AS leg, query_id, neighbor_id, cos_sim AS metric,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
     UNION ALL
     SELECT 'pq_adc', query_id, neighbor_id, adc_dist, CAST(rn AS INT)
     FROM pq_ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'pooled', grp, CAST(dim AS BIGINT), nval, CAST(dim AS INT)
+    FROM pool_leg
 """
 
 
-@query("q54_ann_brute_force_topk", covers=("X-ANN-BRUTE", "X-PQ-ADC"),
+@query("q54_ann_brute_force_topk",
+       covers=("X-ANN-BRUTE", "X-PQ-ADC", "X-POOLING"),
        oracle=_COS_ORACLE)
 def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two ends of the vector-search accuracy/cost spectrum over
@@ -643,7 +668,18 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement of the same fixed-point machinery is oracle-attested in
     q63 and reference-pinned in tests/test_pq.py. Distances use the
     dot-product identity so every ADC value hash-matches the SQL
-    mirror; top-3 ties break on neighbor id."""
+    mirror; top-3 ties break on neighbor id.
+
+    **Pooled leg** (similarity.mean_pool + normalize_vec — r9,
+    VERDICT r8 #5): label-grouped (chunk→doc analog) element-wise
+    mean of fixed-point-quantized vectors, L2-normalized and emitted
+    per dim. Quantizing with floor(x · 2^20) BEFORE pooling makes the
+    grouped mean exact in any summation order (power-of-two scale ⇒
+    exact multiply; integer-valued doubles sum exactly), so the
+    distributed avg hash-matches DuckDB's; the normalize divide uses
+    the sequential fold the cosine legs already attest. Exercises
+    mean_pool's real plan — posexplode → (group, dim) hash aggregate,
+    member-count-free state — not a test fixture."""
     from ..operators import pq
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -664,7 +700,24 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           cb, m=_PQ_M, k_neighbors=3)
            .select(F.lit("pq_adc").alias("leg"), "query_id",
                    "neighbor_id", F.col("adc_dist").alias("metric"), "rn"))
-    return exact.unionByName(adc)
+    # pooled leg: quantize → grouped mean_pool → L2 normalize → per-dim
+    # rows (fixed-point pre-quantization makes the distributed mean
+    # order-invariant — see the oracle comment)
+    qv = emb.select(
+        F.col("label").cast("bigint").alias("grp"),
+        F.transform(similarity.as_double_vec("embedding"),
+                    lambda x: F.floor(x * F.lit(float(1 << 20))))
+        .alias("embedding"))
+    sig = (similarity.mean_pool(qv, ["grp"], "embedding")
+           .select("grp",
+                   similarity.normalize_vec("embedding").alias("nv")))
+    pooled = (sig.select("grp", F.posexplode("nv").alias("_d", "_v"))
+              .select(F.lit("pooled").alias("leg"),
+                      F.col("grp").alias("query_id"),
+                      (F.col("_d") + 1).cast("bigint").alias("neighbor_id"),
+                      F.col("_v").alias("metric"),
+                      (F.col("_d") + 1).cast("int").alias("rn")))
+    return exact.unionByName(adc).unionByName(pooled)
 
 
 _BUCKET_SQL = "(" + " || ".join(
