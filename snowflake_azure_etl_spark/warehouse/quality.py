@@ -62,10 +62,12 @@ def _violation_exprs(rule: Rule) -> list[Column]:
     raise ValueError(f"unknown check '{rule.check}'")
 
 
-def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """(rule, n_violations, passed): every rule evaluated in ONE
-    aggregate pass over `df` (see module docstring), exploded to one
-    row per rule from the single aggregate result row."""
+def rule_aggregates(rules: list[Rule]) -> tuple[list[str], list[Column]]:
+    """(rule names, aliased aggregate columns `_v{i}`) for composing
+    the one-pass DQ sweep INTO a caller's existing aggregate — q26
+    folds these beside the manifest (count, fingerprint) aggregates so
+    a table's accounting, manifest, and contracts all cost one scan
+    (r9). `rules[i].column`s must be present in the input projection."""
     if not rules:
         raise ValueError("validate: no rules given")
     names = [r.rule_name for r in rules]
@@ -75,6 +77,22 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for i, r in enumerate(rules):
         (expr,) = _violation_exprs(r)
         aggs.append(expr.cast("long").alias(f"_v{i}"))
+    return names, aggs
+
+
+def rule_columns(rules: list[Rule]) -> list[str]:
+    """The input columns the rules read (deduped, declaration order)."""
+    seen: dict[str, None] = {}
+    for r in rules:
+        seen.setdefault(r.column)
+    return list(seen)
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """(rule, n_violations, passed): every rule evaluated in ONE
+    aggregate pass over `df` (see module docstring), exploded to one
+    row per rule from the single aggregate result row."""
+    names, aggs = rule_aggregates(rules)
     one = df.agg(*aggs)
     entries = F.array(*[
         F.struct(F.lit(n).alias("rule"),

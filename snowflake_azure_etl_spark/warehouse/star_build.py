@@ -355,6 +355,20 @@ def build_fact_src_sales_target(spark: SparkSession, t: dict[str, DataFrame],
 
 
 def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The full dimensional DAG as lazy DataFrames, memoized per
+    (session, sf_dir): constructing the 9-table DAG costs ~0.8 s of
+    pure driver work (analyzed-plan keying for the dim cache, footer
+    row-count attestations) with zero jobs run — r9 measurement — and
+    the result is a dict of immutable lazy relations, so repeat
+    callers (q29 per bench sweep, the runner) reuse it. Facts stay
+    lazy and uncached (corpus-sized; only their DEFINITIONS are
+    shared)."""
+    from ..operators._cache import cached_build
+    return cached_build(spark, ("build_star", sf_dir),
+                        lambda: _build_star(spark, sf_dir))
+
+
+def _build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The full dimensional DAG as lazy DataFrames, in dependency order
     (Location first — its referrers join to it, same as the reference)."""
     t = load_tables(spark, sf_dir,

@@ -83,40 +83,49 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the footer row-count attestation so a big single-split landing
     # doesn't hash on 1-3 cores (manifest.manifest_input).
     from ..sources.registry import stage_row_count
-    counts = [manifest.manifest_input(df, manifest.KEY_COLUMNS[name],
-                                      stage_row_count(sf_dir, name))
-              .agg(F.count("*").alias("n_rows"),
-                   manifest.content_fingerprint(
-                       *manifest.KEY_COLUMNS[name]).alias("fp"))
-              .select(F.lit(name).alias("entity"), "n_rows",
-                      F.lit("Y" if name in listed else "N").alias("status"),
-                      "fp")
-              for name, df in dfs.items()]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
     # data-quality sweep (X-DQ, warehouse.quality): dbt-core-style
-    # column contracts, ALL rules per table in ONE aggregate pass;
-    # the tight l_discount range is a deliberately failing rule so
-    # the FAIL path is driver-attested, not just the happy path
-    from ..warehouse.quality import Rule, validate
-    dq_specs = [
-        ("orders", dfs["orders"], [
-            Rule("not_null", "o_orderkey"),
-            Rule("unique", "o_orderkey")]),
-        ("lineitem", dfs["lineitem"], [
-            Rule("accepted_values", "l_returnflag",
-                 values=("A", "N", "R")),
-            Rule("in_range", "l_discount", lo=0.0, hi=0.05)]),
-    ]
-    for tname, df, rules in dq_specs:
-        rep = validate(df, rules).select(
-            F.concat(F.lit(f"dq:{tname}:"), F.col("rule")).alias("entity"),
-            F.col("n_violations").alias("n_rows"),
-            F.when(F.col("passed"), "PASS").otherwise("FAIL")
+    # column contracts. The tight l_discount range is a deliberately
+    # failing rule so the FAIL path is driver-attested, not just the
+    # happy path. r9: a table's DQ rule counts are FOLDED INTO its
+    # manifest aggregate — accounting + fingerprint + contracts all
+    # read the table once (the orders/lineitem scans previously ran
+    # twice); the entity row and the dq rows explode out of the same
+    # one-row aggregate result, so nothing re-executes it.
+    from ..warehouse.quality import Rule, rule_aggregates, rule_columns
+    dq_specs = {
+        "orders": [Rule("not_null", "o_orderkey"),
+                   Rule("unique", "o_orderkey")],
+        "lineitem": [Rule("accepted_values", "l_returnflag",
+                          values=("A", "N", "R")),
+                     Rule("in_range", "l_discount", lo=0.0, hi=0.05)],
+    }
+    legs = []
+    for name, df in dfs.items():
+        keys = manifest.KEY_COLUMNS[name]
+        rules = dq_specs.get(name, [])
+        rnames, raggs = rule_aggregates(rules) if rules else ([], [])
+        cols = tuple(dict.fromkeys(keys + tuple(rule_columns(rules))))
+        one = (manifest.manifest_input(df, cols,
+                                       stage_row_count(sf_dir, name))
+               .agg(F.count("*").alias("n_rows"),
+                    manifest.content_fingerprint(*keys).alias("fp"),
+                    *raggs))
+        rows = [F.struct(
+            F.lit(name).alias("entity"), F.col("n_rows"),
+            F.lit("Y" if name in listed else "N").alias("status"),
+            F.col("fp"))]
+        rows += [F.struct(
+            F.lit(f"dq:{name}:{rn}").alias("entity"),
+            F.col(f"_v{i}").alias("n_rows"),
+            F.when(F.col(f"_v{i}") == 0, "PASS").otherwise("FAIL")
             .alias("status"),
             F.lit(None).cast("long").alias("fp"))
-        out = out.unionByName(rep)
+            for i, rn in enumerate(rnames)]
+        legs.append(one.select(F.explode(F.array(*rows)).alias("e"))
+                    .select("e.entity", "e.n_rows", "e.status", "e.fp"))
+    out = legs[0]
+    for c in legs[1:]:
+        out = out.unionByName(c)
     return out
 
 
