@@ -76,20 +76,46 @@ def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
     end to end: epochs are discovered via SHOW PARTITIONS (catalog
     listing — a distinct() over the data would scan every epoch's
     files and silently miss registered-but-empty partitions) and
-    removed with ONE batched ALTER TABLE … DROP listing every doomed
-    spec — no data pass, no rewrite of surviving epochs, one catalog
-    round-trip; cost is O(dropped partitions), never O(rows).
+    removed with batched ALTER TABLE … DROP statements — no data
+    pass, no rewrite of surviving epochs; cost is O(dropped
+    partitions), never O(rows). Drops are CHUNKED (ADVICE r8): a
+    months-idle stream can owe tens of thousands of stale epochs, and
+    one ALTER listing them all can exceed parser/metastore statement
+    limits — a few hundred specs per statement keeps each round-trip
+    bounded while staying O(dropped/chunk) calls. A partition value
+    that doesn't parse as an epoch id (corruption, a manually created
+    directory) is SKIPPED with a warning instead of failing the whole
+    vacuum before anything is dropped — retention must not be
+    hostage to one stray directory.
     Idempotent: a rerun with the same watermark drops nothing. A
     replay of a vacuumed epoch would re-create its partition (the
     idempotent sink writes by epoch id); callers must therefore only
     vacuum below their checkpoint's committed offset — the same
     watermark discipline as any state-store eviction."""
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
-    eps = sorted(int(p.split("=", 1)[1]) for p in parts
-                 if p.startswith(f"{epoch_col}=")
-                 and int(p.split("=", 1)[1]) < keep_from)
-    if eps:
-        specs = ", ".join(f"PARTITION ({epoch_col} = {e})" for e in eps)
+    eps, bad = [], []
+    for p in parts:
+        if not p.startswith(f"{epoch_col}="):
+            continue
+        raw = p.split("=", 1)[1]
+        try:
+            e = int(raw)
+        except ValueError:
+            bad.append(raw)
+            continue
+        if e < keep_from:
+            eps.append(e)
+    if bad:
+        import warnings
+        warnings.warn(
+            f"vacuum_epochs({table}): skipped {len(bad)} partition "
+            f"value(s) that do not parse as epoch ids: {bad[:5]}")
+    eps.sort()
+    chunk = 200
+    for i in range(0, len(eps), chunk):
+        specs = ", ".join(f"PARTITION ({epoch_col} = {e})"
+                          for e in eps[i:i + chunk])
         spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")
+    if eps:
         spark.catalog.refreshTable(table)
     return len(eps)

@@ -54,12 +54,14 @@ def bootstrap_centroids(corpus: DataFrame, centroids_table: str, *,
                         version: int = 0) -> None:
     """Train a quantizer on a corpus and persist it as `(cell_id, ctv,
     q_version)` — the table every epoch's assignment reads (current =
-    highest version). Overwrite-idempotent (CREATE OR REPLACE
-    semantics)."""
+    highest version). Bootstrap REPLACES the whole table (a fresh
+    quantizer lifecycle — CREATE OR REPLACE semantics) and lays it
+    q_version-PARTITIONED so `retrain_centroids` can add versions by
+    partition overwrite without touching earlier ones."""
     (kmeans_centroids(corpus, id_col, vec_col, n_cells,
                       n_iter=train_iters)
      .withColumn("q_version", F.lit(int(version)).cast("long"))
-     .write.mode("overwrite").format("parquet")
+     .write.mode("overwrite").partitionBy("q_version").format("parquet")
      .saveAsTable(centroids_table))
 
 
@@ -74,15 +76,24 @@ def retrain_centroids(spark: SparkSession, index_table: str,
     measured against, and fits from different versions are never
     compared (a fit is only meaningful relative to its own centroids).
     Already-written epochs keep their as-of-ingest fits — the index is
-    an append-only history, not a reprojection."""
+    an append-only history, not a reprojection.
+
+    Versions COEXIST (ADVICE r8): the new version lands as a dynamic
+    overwrite of ONLY its own q_version partition, so earlier versions
+    stay intact and readable — a concurrent epoch resolving `current =
+    max(q_version)` mid-retrain sees either the old complete version
+    or the new one, never an empty/partial table (the whole-table
+    overwrite it replaced had exactly that window) — and replaying the
+    same retrain overwrites its own partition idempotently."""
     cur = spark.table(centroids_table).agg(
         F.max("q_version").alias("v")).collect()[0]["v"]
     vecs = (spark.table(index_table)
             .select(F.col("_id").alias("vec_id"),
                     F.col("_v").alias("embedding")))
-    bootstrap_centroids(vecs, centroids_table, id_col="vec_id",
-                        vec_col="embedding", n_cells=n_cells,
-                        train_iters=train_iters, version=int(cur) + 1)
+    new = kmeans_centroids(vecs, "vec_id", "embedding", n_cells,
+                           n_iter=train_iters)
+    land = idempotent_epoch_sink(centroids_table, epoch_col="q_version")
+    land(new, int(cur) + 1)
 
 
 def vector_ingest_sink(index_table: str, drift_table: str,
@@ -100,7 +111,18 @@ def vector_ingest_sink(index_table: str, drift_table: str,
     the batch's per-cell mean fit against the strictly-earlier index
     baseline and write the drift report
     `(cell_id, n_index, mean_cos_index, n_new, mean_cos_new, retrain)`
-    to `drift_table`. Both epoch-idempotent."""
+    to `drift_table`. Both epoch-idempotent.
+
+    CHECKPOINT-LIFETIME CONTRACT (ADVICE r8, the same discipline as
+    the vacuum watermark): epoch ids come from the stream's
+    checkpoint and are only monotone WITHIN one checkpoint lineage.
+    Restarting the stream with a NEW checkpoint resets epoch_id to 0
+    — against an existing table that would overwrite historical
+    epoch partitions and void the strictly-earlier drift baseline.
+    Tables are 1:1 with a checkpoint: reuse the checkpoint to resume;
+    to start a new lineage, point the sink at fresh tables (or vacuum
+    + drop the old ones). This is foreachBatch's general epoch
+    contract, not a quirk of this sink."""
     write_index = idempotent_epoch_sink(index_table)
     write_drift = idempotent_epoch_sink(drift_table)
     scale = float(cos_scale)

@@ -135,9 +135,15 @@ def test_retrain_on_drift_fits_new_distribution(spark, tables):
     # quantizer version bumps and the drift baseline RESETS (fits are
     # only comparable within one set of centroids)
     retrain_centroids(spark, index_table, cents_table, n_cells=3)
+    # versions COEXIST (r9, ADVICE r8): the retrain lands version 1
+    # as a partition overwrite, leaving version 0 intact — a
+    # concurrent epoch mid-retrain never sees an empty/partial table
+    # — and `current = max(q_version)` resolves to the new one
     vers = {r["q_version"] for r in
             spark.table(cents_table).select("q_version").collect()}
-    assert vers == {1}
+    assert vers == {0, 1}
+    assert spark.table(cents_table).filter(
+        F.col("q_version") == 0).count() == 3  # old version untouched
     rng = np.random.default_rng(29)
     diag = np.ones(DIM) / np.sqrt(DIM)
     more = [(3000 + i, list(map(float, diag + rng.normal(0, 0.02, DIM))))
@@ -188,3 +194,30 @@ def test_vacuum_epochs_enforces_retention(spark, tables):
             after.select(EPOCH_COL).distinct().collect()} == {1, 2}
     # idempotent: same watermark again drops nothing
     assert vacuum_epochs(spark, index_table, keep_from=1) == 0
+
+
+def test_vacuum_skips_unparseable_partitions(spark):
+    """r9 (ADVICE r8): a partition value that doesn't parse as an
+    epoch id (corruption, a manually created directory — modeled as a
+    string-typed epoch column, since a typed column rejects the bad
+    value at the catalog instead) is skipped with a warning — the
+    vacuum still drops every parseable stale epoch instead of raising
+    before anything is dropped."""
+    import warnings as _w
+    from snowflake_azure_etl_spark.streaming.sinks import (EPOCH_COL,
+                                                           vacuum_epochs)
+
+    tbl = "vec_stream_db.v_vacuum_stray"
+    spark.sql("CREATE DATABASE IF NOT EXISTS vec_stream_db")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (spark.createDataFrame([(1, "0"), (2, "1"), (3, "stray")],
+                           f"x long, {EPOCH_COL} string")
+     .write.mode("overwrite").partitionBy(EPOCH_COL)
+     .format("parquet").saveAsTable(tbl))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert vacuum_epochs(spark, tbl, keep_from=1) == 1
+    assert any("stray" in str(c.message) for c in caught)
+    kept = {r[EPOCH_COL] for r in spark.table(tbl)
+            .select(EPOCH_COL).distinct().collect()}
+    assert kept == {"1", "stray"}
