@@ -131,3 +131,88 @@ def hll_rollup(partials: DataFrame, group_cols: list[str]) -> DataFrame:
     return partials.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
         .alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (X-SKETCH-CMS) — the frequency-estimation sibling of
+# the distinct sketches: a d×w counter matrix where estimate(key) =
+# min_j cm[j][h_j(key)], always ≥ the true count (one-sided error
+# ≤ e·N/w with probability 1−e^−d — Cormode & Muthukrishnan 2005).
+# Engine shape: the sketch IS a relation (j, bucket, cnt) built by one
+# exact groupBy over (row × d) probe pairs — partial aggregation
+# map-side-combines the per-task counts, the sketch merge law is plain
+# SUM (union two sketches' relations and re-sum), and the bucket hash
+# is the manifest's portable md5 idiom so a DuckDB oracle replays
+# every counter and every estimate bit-for-bit. d·w rows total: a
+# bounded artifact (broadcastable) no matter the stream size — the
+# 100 TB point is that frequency questions over an unbounded key space
+# cost O(d·w) state instead of a distinct-key aggregation.
+# Estimation takes a CALLER-PROVIDED candidate relation (a watchlist,
+# a sample, last epoch's heavy set): a CMS cannot enumerate keys, so
+# probing all distincts of a 100 TB stream would be the distinct-agg
+# this sketch exists to avoid.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(key: Column, j: int, width: int = CMS_WIDTH) -> Column:
+    """Row j's bucket for `key`: first 15 hex chars of
+    md5('<j>:<key>') as a 60-bit long, mod width — the same portable
+    hash idiom as warehouse.manifest.row_key_hash, with the row index
+    as a domain separator (d independent-enough hash functions from
+    one md5)."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(int(width)))
+
+
+def cms_build(df: DataFrame, key: Column | str,
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(j, bucket, cnt): the Count-Min sketch of `key`'s frequency
+    distribution. One pass: each row explodes to its d (j, bucket)
+    probes and ONE hash aggregate counts them — absent (j, bucket)
+    cells are implicit zeros, so the relation is at most d·w rows."""
+    key = F.col(key) if isinstance(key, str) else key
+    probes = F.explode(F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 cms_bucket(key, j, width).alias("bucket"))
+        for j in range(depth)]))
+    return (df.select(probes.alias("_p"))
+            .select("_p.j", "_p.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of sketches built with the SAME (depth, width)
+    — the linearity that lets per-partition / per-day partials be
+    persisted tiny and rolled up without re-scanning base data (the
+    hll_rollup contract; merge law pinned in tests/test_sketches.py)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 key_col: str, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """(key_col, cms_estimate): min-over-d-rows point estimates for the
+    candidate keys. candidates×d probe rows equi-join the broadcast
+    d·w-row sketch; a bucket no key ever incremented reads as the
+    implicit 0."""
+    key = F.col(key_col)
+    probes = (candidates.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("j"),
+                     cms_bucket(key, j, width).alias("bucket"))
+            for j in range(depth)])).alias("_p"))
+        .select(key_col, "_p.j", "_p.bucket"))
+    return (probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("cms_estimate")))

@@ -166,10 +166,15 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 16
 
+#: Heavy-hitter threshold for q47's CMS leg — discriminative for the
+#: synthetic events table's per-user count distribution (~45-99 at
+#: every sf), so the leg emits a real subset, not all-or-nothing.
+CMS_HEAVY_MIN = 80
+
 
 @query(
     "q47_kmv_sketch",
-    covers=("X-SKETCH-KMV", "X-SKETCH-HLL"),
+    covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -191,6 +196,32 @@ KMV_K = 16
            CAST(COUNT(DISTINCT c.c_nationkey) AS DOUBLE)
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY e.event_type
+    UNION ALL
+    SELECT 'cms_heavy', k, CAST(n AS BIGINT), CAST(est AS DOUBLE)
+    FROM (
+        WITH cms AS (
+            SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 512 AS bucket,
+                   COUNT(*) AS cnt
+            FROM events, (SELECT unnest(range(0, 4)) AS j)
+            GROUP BY 1, 2),
+        probe AS (
+            SELECT u.k, jj.j,
+                   CAST('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':'
+                                || u.k), 1, 15) AS BIGINT) % 512 AS bucket
+            FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+                  FROM events) u,
+                 (SELECT unnest(range(0, 4)) AS j) jj),
+        est AS (
+            SELECT p.k, MIN(COALESCE(s.cnt, 0)) AS est
+            FROM probe p LEFT JOIN cms s
+              ON s.j = p.j AND s.bucket = p.bucket
+            GROUP BY p.k),
+        ex AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+               FROM events GROUP BY 1)
+        SELECT k, n, est FROM est JOIN ex USING (k)
+        WHERE est >= {CMS_HEAVY_MIN})
     """,
 )
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,8 +251,22 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, so the sketch stays in its exact coupon phase at EVERY
     scale factor and the estimate hash-matches the oracle's
     COUNT(DISTINCT); dense-mode error bounds and the coupon-regime
-    merge law are pytest-pinned (tests/test_sketches.py)."""
-    from ..operators.sketches import hll_partials, hll_rollup, kmv_mins
+    merge law are pytest-pinned (tests/test_sketches.py).
+
+    **CMS leg** (operators.sketches.cms_build/cms_estimate,
+    X-SKETCH-CMS — r9): heavy-hitter users by Count-Min estimate. The
+    sketch is a d×w=4×512 counter RELATION built in one exact groupBy
+    over per-row probe pairs (bounded artifact, broadcastable; merge
+    law = plain SUM, pinned in tests); point estimates are
+    min-over-rows probes for a caller-provided candidate set (a CMS
+    cannot enumerate keys — probing all distincts of a 100 TB stream
+    would be the distinct-agg the sketch avoids; the fixture's
+    watchlist is all users). Exact counts ride along for error
+    inspection (the kmv contract), and the DuckDB oracle replays
+    every counter, probe, and min — heavy selection filters on the
+    ESTIMATE, which is deterministic and ≥ exact on both engines."""
+    from ..operators.sketches import (cms_build, cms_estimate,
+                                      hll_partials, hll_rollup, kmv_mins)
     from ..sources.registry import stage_row_count
     e = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("events",))["events"],
@@ -247,7 +292,18 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("hll_estimate").cast("long").alias("exact_n"),
                        F.col("hll_estimate").cast("double")
                        .alias("estimate")))
-    return kmv_leg.unionByName(hll_leg)
+    keys = e.select(F.col("user_id").cast("string").alias("k"))
+    cms = cms_build(keys, "k")
+    est = cms_estimate(cms, keys.distinct(), "k")
+    exact = keys.groupBy("k").agg(F.count("*").alias("n"))
+    cms_leg = (est.join(exact, "k")
+               .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
+               .select(F.lit("cms_heavy").alias("leg"),
+                       F.col("k").alias("event_type"),
+                       F.col("n").cast("long").alias("exact_n"),
+                       F.col("cms_estimate").cast("double")
+                       .alias("estimate")))
+    return kmv_leg.unionByName(hll_leg).unionByName(cms_leg)
 
 
 @query(

@@ -134,3 +134,63 @@ def test_hll_dense_mode_error_bounded(spark):
     est = sketches.hll_rollup(
         sketches.hll_partials(df, ["g"], "v"), ["g"]).first()["hll_estimate"]
     assert abs(est - 50_000) / 50_000 < 0.05
+
+
+def test_cms_estimates_overestimate_and_hit_exact_when_uncrowded(spark):
+    """CMS law: estimate(key) >= true count always (counters only ever
+    absorb ADDITIONS from colliding keys); with few keys and a wide
+    sketch, estimates equal the exact counts."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(f"k{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    cms = sketches.cms_build(df, "k")
+    cand = df.distinct()
+    est = {r["k"]: r["cms_estimate"]
+           for r in sketches.cms_estimate(cms, cand, "k").collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)
+    assert est == exact  # 10 keys over 4x512 buckets: no collisions
+
+
+def test_cms_collision_inflates_but_never_deflates(spark):
+    """A deliberately TINY sketch (w=2) forces collisions: estimates
+    may exceed the true count, never undershoot it, and never exceed
+    the stream size."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "k string")
+    cms = sketches.cms_build(df, "k", depth=2, width=2)
+    est = {r["k"]: r["cms_estimate"] for r in sketches.cms_estimate(
+        cms, df.distinct(), "k", depth=2, width=2).collect()}
+    assert all(100 <= v <= 700 for v in est.values())
+    assert any(v > 100 for v in est.values())  # w=2 must collide
+
+
+def test_cms_merge_is_linear(spark):
+    """sketch(A) + sketch(B) == sketch(A ∪ B), counter for counter —
+    the property that lets per-day partials roll up without
+    re-scanning base data."""
+    from snowflake_azure_etl_spark.operators import sketches
+    a = spark.createDataFrame([(f"k{i % 5}",) for i in range(200)],
+                              "k string")
+    b = spark.createDataFrame([(f"k{i % 9}",) for i in range(300)],
+                              "k string")
+    merged = sketches.cms_merge(sketches.cms_build(a, "k"),
+                                sketches.cms_build(b, "k"))
+    direct = sketches.cms_build(a.unionByName(b), "k")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_cms_unseen_key_estimates_from_implicit_zeros(spark):
+    """A candidate the stream never contained reads its buckets'
+    implicit zeros: estimate 0 when its buckets are empty (and never
+    NULL)."""
+    from snowflake_azure_etl_spark.operators import sketches
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    cms = sketches.cms_build(df, "k")
+    cand = spark.createDataFrame([("zzz-unseen",)], "k string")
+    est = sketches.cms_estimate(cms, cand, "k").collect()
+    assert est[0]["cms_estimate"] == 0
