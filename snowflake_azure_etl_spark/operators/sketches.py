@@ -216,3 +216,87 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("cms_estimate")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (X-SKETCH-BLOOM) — the membership sibling: k bit
+# positions per key OR'd into an m-bit array; a probe passes iff all k
+# bits are set (no false negatives; false-positive rate ≈
+# (1 − e^(−k·n/m))^k). Engine shape: the filter IS a relation
+# (word_idx, word) of m/32 32-bit words built by one exact bit_or
+# aggregate over per-row probe positions — merge law is plain bit_or
+# of aligned words. 32-bit words keep every shift value (≤ 2^31)
+# positive and identical in Spark longs and DuckDB BIGINTs, so the
+# oracle replays the array bit-for-bit (a 64-bit word would need
+# 1<<63, which overflows DuckDB's checked BIGINT shift).
+# The 100 TB use: runtime semi-join pruning — when the build side's
+# keys are too many to broadcast raw, broadcast the m/32-word filter
+# instead and drop probe rows whose keys cannot be in the build side
+# (Spark's own runtime bloom-filter join does exactly this; this
+# relation form additionally persists, merges, and attests).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+_BLOOM_WORD = 32
+
+
+def _bloom_pos(key: Column, j: int, bits: int) -> Column:
+    """Position j for `key`: the manifest md5 idiom with the hash
+    index as domain separator (same family as cms_bucket)."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(int(bits)))
+
+
+def bloom_build(df: DataFrame, key: Column | str,
+                bits: int = BLOOM_BITS,
+                hashes: int = BLOOM_HASHES) -> DataFrame:
+    """(word_idx, word): the Bloom filter of `key`'s distinct set —
+    one pass, one bit_or hash aggregate; absent words are implicit
+    zeros, so the relation is at most bits/32 rows."""
+    key = F.col(key) if isinstance(key, str) else key
+    pos = F.explode(F.array(*[
+        _bloom_pos(key, j, bits) for j in range(hashes)])).alias("_pos")
+    return (df.select(pos)
+            .select(F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
+                    # shiftleft via expr: the Python API's numBits is
+                    # literal-only, the SQL function takes a column
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(_pos % {_BLOOM_WORD} AS INT))")
+                    .alias("_bit"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("_bit").alias("word")))
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Aligned bit_or of filters built with the SAME (bits, hashes):
+    filter(A) ∪-merged with filter(B) == filter(A ∪ B), word for word
+    (pinned in tests/test_sketches.py)."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(bloom: DataFrame, candidates: DataFrame, key_col: str,
+                bits: int = BLOOM_BITS,
+                hashes: int = BLOOM_HASHES) -> DataFrame:
+    """(key_col, bloom_pass): True iff ALL k bits are set — candidates
+    × k probe rows equi-join the broadcast word relation; a missing
+    word reads as the implicit 0 (so an empty filter rejects
+    everything and never NULLs)."""
+    key = F.col(key_col)
+    probes = (candidates.select(
+        key, F.explode(F.array(*[
+            _bloom_pos(key, j, bits) for j in range(hashes)]))
+        .alias("_pos"))
+        .select(key_col,
+                F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
+                (F.col("_pos") % _BLOOM_WORD).cast("int").alias("_off")))
+    bit = F.expr("shiftright(COALESCE(word, CAST(0 AS BIGINT)), _off) % 2")
+    return (probes.join(F.broadcast(bloom), ["word_idx"], "left")
+            .groupBy(key_col)
+            .agg((F.min(bit) == 1).alias("bloom_pass")))

@@ -174,7 +174,8 @@ CMS_HEAVY_MIN = 80
 
 @query(
     "q47_kmv_sketch",
-    covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS"),
+    covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
+            "X-SKETCH-BLOOM"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -196,6 +197,46 @@ CMS_HEAVY_MIN = 80
            CAST(COUNT(DISTINCT c.c_nationkey) AS DOUBLE)
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY e.event_type
+    UNION ALL
+    SELECT 'bloom_prune', l_returnflag, CAST(exact_n AS BIGINT),
+           CAST(est AS DOUBLE)
+    FROM (
+        WITH bl_mem AS (
+            SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k, s_suppkey
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        bl_words AS (
+            SELECT CAST(floor(pos / 32) AS BIGINT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                       AS word
+            FROM (SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR)
+                              || ':' || k), 1, 15) AS BIGINT) % 4096
+                         AS pos
+                  FROM bl_mem, (SELECT unnest(range(0, 3)) AS j))
+            GROUP BY 1),
+        bl_probe AS (
+            SELECT l_suppkey,
+                   MIN((COALESCE(w.word, CAST(0 AS BIGINT))
+                        >> CAST(p.pos % 32 AS INT)) & 1) AS ok
+            FROM (SELECT l_suppkey,
+                         CAST('0x' || substr(md5(CAST(j AS VARCHAR)
+                              || ':' || CAST(l_suppkey AS VARCHAR)),
+                              1, 15) AS BIGINT) % 4096 AS pos
+                  FROM (SELECT DISTINCT l_suppkey FROM lineitem),
+                       (SELECT unnest(range(0, 3)) AS j)) p
+            LEFT JOIN bl_words w
+              ON w.word_idx = CAST(floor(p.pos / 32) AS BIGINT)
+            GROUP BY 1)
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN m.s_suppkey IS NOT NULL
+                        THEN 1 ELSE 0 END) AS exact_n,
+               SUM(CASE WHEN p.ok = 1 THEN 1 ELSE 0 END) AS est
+        FROM lineitem l
+        JOIN bl_probe p ON p.l_suppkey = l.l_suppkey
+        LEFT JOIN bl_mem m ON m.s_suppkey = l.l_suppkey
+        GROUP BY l.l_returnflag)
     UNION ALL
     SELECT 'cms_heavy', k, CAST(n AS BIGINT), CAST(est AS DOUBLE)
     FROM (
@@ -264,8 +305,22 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     watchlist is all users). Exact counts ride along for error
     inspection (the kmv contract), and the DuckDB oracle replays
     every counter, probe, and min — heavy selection filters on the
-    ESTIMATE, which is deterministic and ≥ exact on both engines."""
-    from ..operators.sketches import (cms_build, cms_estimate,
+    ESTIMATE, which is deterministic and ≥ exact on both engines.
+
+    **Bloom leg** (operators.sketches.bloom_build/bloom_probe,
+    X-SKETCH-BLOOM — r9): runtime semi-join pruning. A 4096-bit/3-hash
+    filter over EUROPE's supplier keys is probed by lineitem's
+    DISTINCT suppkeys (probe cost = O(distinct keys), not O(fact
+    rows)), the per-key verdict broadcast back onto the fact, and
+    pruned counts grouped by returnflag emitted BESIDE the exact
+    semi-join counts — estimate ≥ exact_n shows the false-positive
+    cost, zero false negatives is the correctness contract, and the
+    oracle rebuilds every word and probe bit. The 100 TB use: when
+    the build side is too big to broadcast raw, broadcast its m/32
+    words instead (Spark's runtime bloom join, as a persistable,
+    mergeable, attestable relation)."""
+    from ..operators.sketches import (bloom_build, bloom_probe,
+                                      cms_build, cms_estimate,
                                       hll_partials, hll_rollup, kmv_mins)
     from ..sources.registry import stage_row_count
     e = rebalance_single_split(
@@ -303,7 +358,35 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n").cast("long").alias("exact_n"),
                        F.col("cms_estimate").cast("double")
                        .alias("estimate")))
-    return kmv_leg.unionByName(hll_leg).unionByName(cms_leg)
+    t = load_tables(spark, sf_dir,
+                    ("supplier", "nation", "region", "lineitem"))
+    mem = (t["supplier"]
+           .join(t["nation"],
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(t["region"],
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .filter(F.col("r_name") == "EUROPE")
+           .select("s_suppkey").distinct())
+    bloom = bloom_build(mem.select(F.col("s_suppkey").alias("k")), "k")
+    li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+    verdicts = (bloom_probe(bloom, li.select("l_suppkey").distinct(),
+                            "l_suppkey")
+                .join(mem.select(F.col("s_suppkey").alias("l_suppkey"),
+                                 F.lit(1).alias("_mem")),
+                      "l_suppkey", "left"))
+    bloom_leg = (li.select("l_suppkey", "l_returnflag")
+                 .join(F.broadcast(verdicts), "l_suppkey")
+                 .groupBy("l_returnflag")
+                 .agg(F.sum(F.when(F.col("_mem").isNotNull(), 1)
+                            .otherwise(0)).alias("_exact"),
+                      F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+                      .alias("_est"))
+                 .select(F.lit("bloom_prune").alias("leg"),
+                         F.col("l_returnflag").alias("event_type"),
+                         F.col("_exact").cast("long").alias("exact_n"),
+                         F.col("_est").cast("double").alias("estimate")))
+    return (kmv_leg.unionByName(hll_leg).unionByName(bloom_leg)
+            .unionByName(cms_leg))
 
 
 @query(

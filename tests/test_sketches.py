@@ -194,3 +194,59 @@ def test_cms_unseen_key_estimates_from_implicit_zeros(spark):
     cand = spark.createDataFrame([("zzz-unseen",)], "k string")
     est = sketches.cms_estimate(cms, cand, "k").collect()
     assert est[0]["cms_estimate"] == 0
+
+
+def test_bloom_has_no_false_negatives_and_rejects_unseen(spark):
+    """Every inserted key passes (no false negatives — the Bloom
+    guarantee); with a wide filter the planted unseen keys all fail."""
+    from snowflake_azure_etl_spark.operators import sketches
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)],
+                                    "k string")
+    bloom = sketches.bloom_build(members, "k")
+    cand = members.unionByName(
+        spark.createDataFrame([(f"x{i}",) for i in range(50)], "k string"))
+    got = {r["k"]: r["bloom_pass"]
+           for r in sketches.bloom_probe(bloom, cand, "k").collect()}
+    assert all(got[f"m{i}"] for i in range(50))
+    # 50 keys x 3 hashes over 4096 bits: fp rate ~5e-5; none of the
+    # 50 planted unseen keys should pass
+    assert not any(got[f"x{i}"] for i in range(50))
+
+
+def test_bloom_merge_is_union(spark):
+    """bloom(A) bit_or bloom(B) == bloom(A ∪ B), word for word."""
+    from snowflake_azure_etl_spark.operators import sketches
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(30)], "k string")
+    merged = sketches.bloom_merge(sketches.bloom_build(a, "k"),
+                                  sketches.bloom_build(b, "k"))
+    direct = sketches.bloom_build(a.unionByName(b), "k")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_bloom_tiny_filter_false_positives_but_never_negatives(spark):
+    """A deliberately saturated filter (bits=32) false-positives on
+    unseen keys but still never rejects a member."""
+    from snowflake_azure_etl_spark.operators import sketches
+    members = spark.createDataFrame([(f"m{i}",) for i in range(40)],
+                                    "k string")
+    bloom = sketches.bloom_build(members, "k", bits=32)
+    cand = members.unionByName(
+        spark.createDataFrame([(f"x{i}",) for i in range(40)], "k string"))
+    got = {r["k"]: r["bloom_pass"] for r in sketches.bloom_probe(
+        bloom, cand, "k", bits=32).collect()}
+    assert all(got[f"m{i}"] for i in range(40))
+    assert any(got[f"x{i}"] for i in range(40))  # saturated: must fp
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    """Probing an EMPTY filter reads implicit zero words: every
+    candidate fails with a real False, not NULL."""
+    from snowflake_azure_etl_spark.operators import sketches
+    empty = sketches.bloom_build(
+        spark.createDataFrame([], "k string"), "k")
+    cand = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = [r["bloom_pass"] for r in
+           sketches.bloom_probe(empty, cand, "k").collect()]
+    assert got == [False, False]
