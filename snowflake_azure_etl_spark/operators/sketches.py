@@ -201,19 +201,24 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 def cms_estimate(sketch: DataFrame, candidates: DataFrame,
                  key_col: str, depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> DataFrame:
-    """(key_col, cms_estimate): min-over-d-rows point estimates for the
-    candidate keys. candidates×d probe rows equi-join the broadcast
-    d·w-row sketch; a bucket no key ever incremented reads as the
-    implicit 0."""
+    """(*candidates' columns, cms_estimate): min-over-d-rows point
+    estimates for the candidate keys. candidates×d probe rows
+    equi-join the broadcast d·w-row sketch; a bucket no key ever
+    incremented reads as the implicit 0. EVERY candidate column rides
+    through (all become group keys, so they must be functionally
+    dependent on `key_col` — e.g. the key's exact count): carrying
+    context through the probe beats a post-hoc join back on the key,
+    which would add a shuffle of the same rows for nothing."""
     key = F.col(key_col)
+    carry = list(candidates.columns)
     probes = (candidates.select(
-        key, F.explode(F.array(*[
+        *carry, F.explode(F.array(*[
             F.struct(F.lit(j).cast("int").alias("j"),
                      cms_bucket(key, j, width).alias("bucket"))
             for j in range(depth)])).alias("_p"))
-        .select(key_col, "_p.j", "_p.bucket"))
+        .select(*carry, "_p.j", "_p.bucket"))
     return (probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
-            .groupBy(key_col)
+            .groupBy(*carry)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("cms_estimate")))
 
@@ -284,19 +289,22 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 def bloom_probe(bloom: DataFrame, candidates: DataFrame, key_col: str,
                 bits: int = BLOOM_BITS,
                 hashes: int = BLOOM_HASHES) -> DataFrame:
-    """(key_col, bloom_pass): True iff ALL k bits are set — candidates
-    × k probe rows equi-join the broadcast word relation; a missing
-    word reads as the implicit 0 (so an empty filter rejects
-    everything and never NULLs)."""
+    """(*candidates' columns, bloom_pass): True iff ALL k bits are set
+    — candidates × k probe rows equi-join the broadcast word relation;
+    a missing word reads as the implicit 0 (so an empty filter rejects
+    everything and never NULLs). As with cms_estimate, every candidate
+    column rides through the probe (all become group keys; they must
+    be functionally dependent on `key_col`)."""
     key = F.col(key_col)
+    carry = list(candidates.columns)
     probes = (candidates.select(
-        key, F.explode(F.array(*[
+        *carry, F.explode(F.array(*[
             _bloom_pos(key, j, bits) for j in range(hashes)]))
         .alias("_pos"))
-        .select(key_col,
+        .select(*carry,
                 F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
                 (F.col("_pos") % _BLOOM_WORD).cast("int").alias("_off")))
     bit = F.expr("shiftright(COALESCE(word, CAST(0 AS BIGINT)), _off) % 2")
     return (probes.join(F.broadcast(bloom), ["word_idx"], "left")
-            .groupBy(key_col)
+            .groupBy(*carry)
             .agg((F.min(bit) == 1).alias("bloom_pass")))

@@ -349,9 +349,11 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("estimate")))
     keys = e.select(F.col("user_id").cast("string").alias("k"))
     cms = cms_build(keys, "k")
-    est = cms_estimate(cms, keys.distinct(), "k")
+    # exact counts double as the candidate watchlist and ride THROUGH
+    # the probe (cms_estimate carries candidate columns) — one
+    # aggregation, no distinct() shuffle, no estimate↔exact join
     exact = keys.groupBy("k").agg(F.count("*").alias("n"))
-    cms_leg = (est.join(exact, "k")
+    cms_leg = (cms_estimate(cms, exact, "k")
                .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
                .select(F.lit("cms_heavy").alias("leg"),
                        F.col("k").alias("event_type"),
@@ -369,18 +371,22 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("s_suppkey").distinct())
     bloom = bloom_build(mem.select(F.col("s_suppkey").alias("k")), "k")
     li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
-    verdicts = (bloom_probe(bloom, li.select("l_suppkey").distinct(),
-                            "l_suppkey")
-                .join(mem.select(F.col("s_suppkey").alias("l_suppkey"),
-                                 F.lit(1).alias("_mem")),
-                      "l_suppkey", "left"))
-    bloom_leg = (li.select("l_suppkey", "l_returnflag")
-                 .join(F.broadcast(verdicts), "l_suppkey")
-                 .groupBy("l_returnflag")
-                 .agg(F.sum(F.when(F.col("_mem").isNotNull(), 1)
-                            .otherwise(0)).alias("_exact"),
-                      F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
-                      .alias("_est"))
+    # ONE fact pass: pre-aggregate lineitem to (suppkey, returnflag)
+    # counts — key-cardinality-sized — then the bloom verdicts and the
+    # exact membership join against THAT, never the raw fact
+    per_key = (li.groupBy("l_suppkey", "l_returnflag")
+               .agg(F.count("*").alias("_n")))
+    flags = (bloom_probe(bloom, per_key, "l_suppkey")
+             .join(F.broadcast(
+                 mem.select(F.col("s_suppkey").alias("l_suppkey"),
+                            F.lit(1).alias("_mem"))),
+                 "l_suppkey", "left"))
+    bloom_leg = (flags.groupBy("l_returnflag")
+                 .agg(F.sum(F.when(F.col("_mem").isNotNull(),
+                                   F.col("_n")).otherwise(0))
+                      .alias("_exact"),
+                      F.sum(F.when(F.col("bloom_pass"), F.col("_n"))
+                            .otherwise(0)).alias("_est"))
                  .select(F.lit("bloom_prune").alias("leg"),
                          F.col("l_returnflag").alias("event_type"),
                          F.col("_exact").cast("long").alias("exact_n"),

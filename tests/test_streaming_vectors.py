@@ -210,6 +210,7 @@ def test_vacuum_skips_unparseable_partitions(spark):
     tbl = "vec_stream_db.v_vacuum_stray"
     spark.sql("CREATE DATABASE IF NOT EXISTS vec_stream_db")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ddl.drop_orphan_location(spark, tbl)
     (spark.createDataFrame([(1, "0"), (2, "1"), (3, "stray")],
                            f"x long, {EPOCH_COL} string")
      .write.mode("overwrite").partitionBy(EPOCH_COL)
