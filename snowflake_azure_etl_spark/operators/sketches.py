@@ -171,20 +171,30 @@ def cms_bucket(key: Column, j: int, width: int = CMS_WIDTH) -> Column:
 
 
 def cms_build(df: DataFrame, key: Column | str,
-              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+              weight: Column | str | None = None) -> DataFrame:
     """(j, bucket, cnt): the Count-Min sketch of `key`'s frequency
     distribution. One pass: each row explodes to its d (j, bucket)
     probes and ONE hash aggregate counts them — absent (j, bucket)
-    cells are implicit zeros, so the relation is at most d·w rows."""
+    cells are implicit zeros, so the relation is at most d·w rows.
+
+    `weight` sums that column per probe instead of counting rows —
+    counters are additive, so building from a PRE-AGGREGATED
+    (key, count) relation with weight=count yields the identical
+    sketch while hashing each key once instead of once per
+    occurrence (the q47 plan: the exact-count aggregate the leg
+    already needs doubles as the build input)."""
     key = F.col(key) if isinstance(key, str) else key
+    w = (F.lit(1).cast("long") if weight is None
+         else (F.col(weight) if isinstance(weight, str) else weight))
     probes = F.explode(F.array(*[
         F.struct(F.lit(j).cast("int").alias("j"),
                  cms_bucket(key, j, width).alias("bucket"))
         for j in range(depth)]))
-    return (df.select(probes.alias("_p"))
-            .select("_p.j", "_p.bucket")
+    return (df.select(probes.alias("_p"), w.cast("long").alias("_w"))
+            .select("_p.j", "_p.bucket", "_w")
             .groupBy("j", "bucket")
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.sum("_w").alias("cnt")))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

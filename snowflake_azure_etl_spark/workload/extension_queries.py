@@ -348,11 +348,17 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("hll_estimate").cast("double")
                        .alias("estimate")))
     keys = e.select(F.col("user_id").cast("string").alias("k"))
-    cms = cms_build(keys, "k")
-    # exact counts double as the candidate watchlist and ride THROUGH
-    # the probe (cms_estimate carries candidate columns) — one
-    # aggregation, no distinct() shuffle, no estimate↔exact join
-    exact = keys.groupBy("k").agg(F.count("*").alias("n"))
+    # ONE events pass for the whole leg: the exact-count aggregate is
+    # both the weighted BUILD input (counters are additive, so the
+    # pre-aggregated sketch is bit-identical) and the candidate
+    # watchlist riding THROUGH the probe (cms_estimate carries
+    # candidate columns) — no distinct() shuffle, no estimate↔exact
+    # join, keys hashed once instead of once per occurrence
+    # localCheckpoint: referenced twice below (build + candidates);
+    # uncached it would re-run the events aggregate per reference
+    exact = (keys.groupBy("k").agg(F.count("*").alias("n"))
+             .localCheckpoint(eager=True))
+    cms = cms_build(exact, "k", weight="n")
     cms_leg = (cms_estimate(cms, exact, "k")
                .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
                .select(F.lit("cms_heavy").alias("leg"),
