@@ -481,3 +481,80 @@ def pmi(pair_count: Column, count_a: Column, count_b: Column,
     (ln-valued ⇒ pytest-pinned, exact counts are the attested part)."""
     return F.log((pair_count.cast("double") * n_tokens.cast("double"))
                  / (count_a.cast("double") * count_b.cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (X-BM25) — the classic sparse-retrieval
+# baseline a training-data pipeline runs for decontamination probes,
+# hybrid (lexical + vector) search, and hard-negative mining.
+#
+# Cross-engine determinism (the classifier's exp-free lesson): the
+# standard ln-IDF is NOT portable (libm ln differs in last-ulp across
+# engines), so the IDF here is the RAW RATIONAL odds
+# (N − df + 0.5)/(df + 0.5) — the exact argument of the BM25+ log,
+# monotone in df, computable with only +,−,/ on doubles (IEEE
+# correctly-rounded ⇒ bit-identical in Spark and DuckDB). Per-term
+# scores are fixed-point-quantized to longs (floor(score·2^20)), so
+# the per-document sum over query terms is an integer sum —
+# order-invariant, hash-portable — the same trick as the pooled
+# vector leg and the drift stats.
+#
+# Scale shape: one corpus pass builds (doc, term, tf); the query-term
+# filter prunes it to docs CONTAINING a query term BEFORE any join
+# (candidate set ≪ corpus); df/avgdl stats are one-row or
+# term-count-sized broadcasts; the doc-length join is co-keyed on the
+# doc id. The top-k window partitions by query over the PRUNED
+# candidates only.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1 << 20
+
+
+def bm25_topk(docs, queries, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 5,
+              k1: float = BM25_K1, b: float = BM25_B,
+              scale: int = BM25_SCALE):
+    """(query, doc_id, score_q, rank): top-k documents per literal
+    query string by quantized rational-IDF BM25 (module comment);
+    ties break on doc id. `queries` is a small literal list — the
+    query relation is built as a JVM one-row explode (no Python
+    worker on the plan)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    tf = doc_term_freqs(docs, id_col, text_col)
+    terms = sorted({t for q in queries for t in q.split() if t})
+    qtf = tf.filter(F.col("token").isin(*terms))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    qt = (spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(q).alias("query"), F.lit(t).alias("token"))
+        for q in queries for t in sorted(set(q.split())) if t]))
+        .alias("x")).select("x.query", "x.token"))
+
+    n_d = F.col("n").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("tot").cast("double") / n_d
+    idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    denom = tf_d + (F.lit(float(k1))
+                    * ((F.lit(1.0) - F.lit(float(b)))
+                       + F.lit(float(b)) * (dl_d / avgdl)))
+    num = tf_d * F.lit(float(k1) + 1.0)
+    q_t = F.floor((idf * (num / denom)) * F.lit(float(scale))) \
+           .cast("long")
+
+    scored = (qtf.join(F.broadcast(qt), "token")
+              .join(F.broadcast(dfreq), "token")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query", id_col)
+              .agg(F.sum(q_t).alias("score_q")))
+    w = Window.partitionBy("query").orderBy(F.desc("score_q"),
+                                            F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k)))

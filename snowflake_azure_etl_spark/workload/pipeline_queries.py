@@ -1175,10 +1175,33 @@ _BPE_MERGES = " UNION ALL ".join(
 _COOC_WINDOW = 2
 _COOC_TOP_K = 50
 
+#: Literal retrieval queries for the BM25 leg — terms drawn from the
+#: synthetic documents' fixed vocabulary, no duplicate words within a
+#: query (the Spark side dedupes query terms; string_split would not).
+_BM25_QUERIES = ("fast table scan", "spark stream join",
+                 "customer query value")
+_BM25_VALUES = ", ".join(f"('{q}')" for q in _BM25_QUERIES)
+#: The BM25 score expression, shared verbatim between the oracle's
+#: two uses and kept in ONE f-string so the parenthesization — which
+#: fixes the IEEE operation order — cannot drift from the Spark tree.
+_BM25_SCORE_SQL = """
+           (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE))
+             + CAST(0.5 AS DOUBLE))
+            / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(tf AS DOUBLE)
+                 + (CAST(1.2 AS DOUBLE)
+                    * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                       + (CAST(0.75 AS DOUBLE)
+                          * (CAST(dl AS DOUBLE)
+                             / (CAST(tot AS DOUBLE)
+                                / CAST(n AS DOUBLE))))))))
+"""
+
 
 @query(
     "q58_token_vocab",
-    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC"),
+    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -1210,10 +1233,35 @@ _COOC_TOP_K = 50
                       ' ') AS symstr,
                   freq FROM wf),
     {_BPE_CTES},
-    merges AS ({_BPE_MERGES})
+    merges AS ({_BPE_MERGES}),
+    bm_tf AS (SELECT doc_id, token, COUNT(*) AS tf
+              FROM per GROUP BY 1, 2),
+    bm_dl AS (SELECT doc_id, SUM(tf) AS dl FROM bm_tf GROUP BY 1),
+    bm_st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM bm_dl),
+    bm_qt AS (SELECT query, unnest(string_split(query, ' ')) AS token
+              FROM (VALUES {_BM25_VALUES}) v(query)),
+    bm_df AS (SELECT token, COUNT(*) AS df FROM bm_tf
+              WHERE token IN (SELECT DISTINCT token FROM bm_qt)
+              GROUP BY 1),
+    bm_sc AS (
+        SELECT q.query, t.doc_id,
+               CAST(SUM(CAST(floor(({_BM25_SCORE_SQL})
+                                   * CAST(1048576.0 AS DOUBLE))
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM bm_qt q JOIN bm_tf t USING (token)
+        JOIN bm_df USING (token) JOIN bm_dl USING (doc_id)
+        CROSS JOIN bm_st
+        GROUP BY 1, 2),
+    bm_rk AS (SELECT query, doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query
+                                        ORDER BY s DESC, doc_id) AS rk
+              FROM bm_sc)
     SELECT 'vocab' AS leg, token, doc_freq, total_freq,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 100
+    UNION ALL
+    SELECT 'bm25', query, doc_id, s, CAST(rk AS INT)
+    FROM bm_rk WHERE rk <= 5
     UNION ALL
     SELECT 'bpe_merge',
            replace(a, chr(1), '') || '+' || replace(b, chr(1), ''),
@@ -1278,7 +1326,19 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("long").alias("doc_freq"),
                         F.col("n_cooc").alias("total_freq"),
                         F.col("crank").cast("int").alias("rank")))
-    return vocab_leg.unionByName(bpe_leg).unionByName(cooc_leg)
+    # fourth leg (r9, X-BM25): top-5 docs per literal query by
+    # quantized rational-IDF BM25 (text.bm25_topk — exp-free IDF so
+    # the doubles are engine-portable, fixed-point term scores so the
+    # per-doc sum is an order-invariant long; the oracle mirrors the
+    # exact IEEE parenthesization from ONE shared SQL fragment)
+    bm_leg = (text.bm25_topk(docs, _BM25_QUERIES, k=5)
+              .select(F.lit("bm25").alias("leg"),
+                      F.col("query").alias("token"),
+                      F.col("doc_id").alias("doc_freq"),
+                      F.col("score_q").alias("total_freq"),
+                      F.col("rank").cast("int").alias("rank")))
+    return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
+            .unionByName(cooc_leg))
 
 
 @query(

@@ -226,3 +226,30 @@ def test_unigram_logprob_floor_for_unseen(spark):
         text.unigram_logprob("text", floor=-33.0).alias("lp")
     ).collect()[0]["lp"]
     assert got == -33.0
+
+
+def test_bm25_ranks_by_relevance_and_quantizes_portably(spark):
+    """Planted corpus: the doc repeating the query term most (per
+    length) ranks first; a doc without any query term never appears;
+    rational IDF downweights a term every doc contains; scores are
+    longs (the order-invariant fixed-point contract)."""
+    from snowflake_azure_etl_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame([
+        (1, "cat cat cat dog"),          # tf(cat)=3, short
+        (2, "cat dog dog dog dog dog"),  # tf(cat)=1, longer
+        (3, "dog dog dog"),              # no 'cat'
+        (4, "cat fish"),                 # tf(cat)=1, shortest
+    ], "doc_id long, text string")
+    got = bm25_topk(docs, ["cat"], k=4).collect()
+    ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 3 not in ids            # never retrieves a termless doc
+    assert ids[0] == 1             # highest tf wins
+    assert all(isinstance(r["score_q"], int) for r in got)
+    # 'dog' appears in 3 of 4 docs -> rational IDF (4-3+.5)/(3+.5) < 1
+    # while 'fish' (df=1) gets (4-1+.5)/(1+.5) > 2: rarer term ranks
+    # its doc above an equally-frequent common term's doc
+    two = {r["query"]: [x["doc_id"] for x in sorted(
+        [g for g in bm25_topk(docs, ["dog", "fish"], k=1).collect()
+         if g["query"] == r["query"]], key=lambda x: x["rank"])]
+           for r in bm25_topk(docs, ["dog", "fish"], k=1).collect()}
+    assert two["fish"] == [4]
