@@ -271,8 +271,30 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q41_events_sliding_window",
-    covers=("E2", "X-ROLLUP-TIME"),
+    covers=("E2", "X-ROLLUP-TIME", "X-ANOMALY"),
     oracle="""
+    WITH an_h AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1),
+    an_st AS (SELECT COUNT(*) AS b, SUM(n) AS s1, SUM(n * n) AS s2
+              FROM an_h),
+    an_z AS (
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+               (CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(b AS DOUBLE)))
+               / sqrt(((CAST(b AS DOUBLE) * CAST(s2 AS DOUBLE))
+                       - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                      / (CAST(b AS DOUBLE)
+                         * (CAST(b AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+                   AS z
+        FROM an_h CROSS JOIN an_st),
+    an_top AS (SELECT bucket_start, n, z FROM an_z
+               ORDER BY abs(z) DESC, bucket_start LIMIT 5)
+    SELECT 'anomaly_hour' AS grain, bucket_start,
+           CAST(n AS BIGINT) AS n_events, z AS total_value
+    FROM an_top
+    UNION ALL
     SELECT 'sliding_1h_15m' AS grain,
            strftime(time_bucket(INTERVAL 15 MINUTE, ts)
                         - k.k * INTERVAL 15 MINUTE,
@@ -308,7 +330,19 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unioned with the former q46's hypertable-style multi-resolution
     rollup: the same measure at hour/day/month grains with a grain tag
     (the continuous-aggregate pattern; at scale each grain materializes
-    incrementally from the next-finer one instead of from raw)."""
+    incrementally from the next-finer one instead of from raw).
+
+    **Anomaly leg** (X-ANOMALY — r9): the monitoring op every event
+    pipeline runs over its rollups — z-scores of hourly event counts
+    against the global hourly distribution, top-5 by |z| emitted with
+    the z as the measure. Engine-portable by construction: the
+    moments are exact integer aggregates (counts, Σn, Σn² as longs —
+    order-invariant), the variance is the textbook
+    (B·Σn² − (Σn)²)/(B·(B−1)) over those exact values, and sqrt is
+    IEEE correctly-rounded — so the z doubles hash-match with NO
+    quantization, unlike ln/exp-bearing scores. At scale this is a
+    bucket-count-sized computation over the hourly rollup, never the
+    raw events."""
     e = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("events",))["events"],
         sf_dir, "events")
@@ -318,7 +352,27 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("sliding_1h_15m").alias("grain"),
                        F.date_format("w.start", TS_FMT).alias("bucket_start"),
                        "n_events", "total_value"))
-    out = sliding
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count("*").alias("n")))
+    an_st = hourly.agg(F.count("*").alias("b"),
+                       F.sum("n").alias("s1"),
+                       F.sum(F.col("n") * F.col("n")).alias("s2"))
+    b_d = F.col("b").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    z = ((F.col("n").cast("double") - (s1_d / b_d))
+         / F.sqrt(((b_d * s2_d) - (s1_d * s1_d))
+                  / (b_d * (b_d - F.lit(1.0)))))
+    anomaly = (hourly.crossJoin(F.broadcast(an_st))
+               .select(F.date_format("bucket", TS_FMT)
+                       .alias("bucket_start"),
+                       F.col("n").alias("n_events"), z.alias("z"))
+               .orderBy(F.abs(F.col("z")).desc(), F.asc("bucket_start"))
+               .limit(5)
+               .select(F.lit("anomaly_hour").alias("grain"),
+                       "bucket_start", "n_events",
+                       F.col("z").alias("total_value")))
+    out = sliding.unionByName(anomaly)
     for grain in ("hour", "day", "month"):
         out = out.unionByName(
             e.groupBy(F.date_trunc(grain, "ts").alias("bucket"))

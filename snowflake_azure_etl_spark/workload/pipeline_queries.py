@@ -633,7 +633,24 @@ _COS_ORACLE = f"""
                     THEN mv[s + 1]
                     ELSE mv[s + 1] / sqrt(list_dot_product(mv, mv))
                END AS nval
-        FROM pool_vec, (SELECT unnest(range(0, {_PQ_DIM})) AS s))
+        FROM pool_vec, (SELECT unnest(range(0, {_PQ_DIM})) AS s)),
+    -- RRF leg (r9): reciprocal-rank fusion of the exact and PQ-ADC
+    -- rankings — 1/(60+rank) is rational (engine-portable doubles;
+    -- ≤2 addends per pair, and two-term IEEE addition is commutative)
+    rrf AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(1.0 AS DOUBLE)
+                   / (CAST(60 AS DOUBLE) + CAST(rn AS DOUBLE))) AS fs
+        FROM (SELECT query_id, neighbor_id, rn FROM ranked WHERE rn <= 3
+              UNION ALL
+              SELECT query_id, neighbor_id, rn FROM pq_ranked
+              WHERE rn <= 3)
+        GROUP BY 1, 2),
+    rrf_rk AS (
+        SELECT query_id, neighbor_id, fs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY fs DESC, neighbor_id) AS rr
+        FROM rrf)
     SELECT 'exact' AS leg, query_id, neighbor_id, cos_sim AS metric,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -643,11 +660,14 @@ _COS_ORACLE = f"""
     UNION ALL
     SELECT 'pooled', grp, CAST(dim AS BIGINT), nval, CAST(dim AS INT)
     FROM pool_leg
+    UNION ALL
+    SELECT 'rrf', query_id, neighbor_id, fs, CAST(rr AS INT)
+    FROM rrf_rk WHERE rr <= 3
 """
 
 
 @query("q54_ann_brute_force_topk",
-       covers=("X-ANN-BRUTE", "X-PQ-ADC", "X-POOLING"),
+       covers=("X-ANN-BRUTE", "X-PQ-ADC", "X-POOLING", "X-RRF"),
        oracle=_COS_ORACLE)
 def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two ends of the vector-search accuracy/cost spectrum over
@@ -683,11 +703,15 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # localCheckpoint: the exact/adc top-k relations (tiny) feed BOTH
+    # their own output legs and the RRF fusion — uncached they would
+    # re-run the whole search per reference
     exact = (similarity.brute_force_topk(emb, queries, "vec_id",
                                          "embedding", k=3)
              .select(F.lit("exact").alias("leg"), "query_id",
                      "neighbor_id", F.col("cos_sim").alias("metric"),
-                     "rn"))
+                     "rn")
+             .localCheckpoint(eager=True))
     from ..operators._cache import cached_relation
     cb = pq.pq_codebooks(emb, "vec_id", "embedding", dim=_PQ_DIM,
                          m=_PQ_M, k=_PQ_K, n_iter=0)
@@ -699,7 +723,8 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (pq.pq_adc_topk(codes, queries, "vec_id", "embedding", _PQ_DIM,
                           cb, m=_PQ_M, k_neighbors=3)
            .select(F.lit("pq_adc").alias("leg"), "query_id",
-                   "neighbor_id", F.col("adc_dist").alias("metric"), "rn"))
+                   "neighbor_id", F.col("adc_dist").alias("metric"), "rn")
+           .localCheckpoint(eager=True))
     # pooled leg: quantize → grouped mean_pool → L2 normalize → per-dim
     # rows (fixed-point pre-quantization makes the distributed mean
     # order-invariant — see the oracle comment)
@@ -717,7 +742,25 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("_d") + 1).cast("bigint").alias("neighbor_id"),
                       F.col("_v").alias("metric"),
                       (F.col("_d") + 1).cast("int").alias("rn")))
-    return exact.unionByName(adc).unionByName(pooled)
+    # RRF leg (r9, X-RRF): reciprocal-rank fusion of the exact and
+    # PQ-ADC rankings — the standard hybrid-retrieval combiner,
+    # 1/(60+rank), rational so the doubles are engine-portable and
+    # each pair has ≤2 addends (two-term IEEE addition commutes)
+    contrib = (F.lit(1.0) / (F.lit(60.0) + F.col("rn").cast("double")))
+    fused = (exact.select("query_id", "neighbor_id", "rn")
+             .unionByName(adc.select("query_id", "neighbor_id", "rn"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum(contrib).alias("fs")))
+    from pyspark.sql import Window
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.desc("fs"), F.asc("neighbor_id"))
+    rrf = (fused.withColumn("rr", F.row_number().over(w_rrf))
+           .filter(F.col("rr") <= 3)
+           .select(F.lit("rrf").alias("leg"), "query_id", "neighbor_id",
+                   F.col("fs").alias("metric"),
+                   F.col("rr").cast("int").alias("rn")))
+    return (exact.unionByName(adc).unionByName(pooled)
+            .unionByName(rrf))
 
 
 _BUCKET_SQL = "(" + " || ".join(
