@@ -352,8 +352,18 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("sliding_1h_15m").alias("grain"),
                        F.date_format("w.start", TS_FMT).alias("bucket_start"),
                        "n_events", "total_value"))
-    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
-              .agg(F.count("*").alias("n")))
+    # the hourly rollup is shared by the 'hour' grain leg and the
+    # anomaly leg (the continuous-aggregate pattern the docstring
+    # describes: monitoring reads the rollup, not raw events) —
+    # session-cached since it's bucket-count-sized
+    from ..operators._cache import cached_relation
+    hourly_full = cached_relation(
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(dec("value")).cast("double").alias("total_value")),
+        "q41_hourly", eager=False)
+    hourly = hourly_full.select("bucket",
+                                F.col("n_events").alias("n"))
     an_st = hourly.agg(F.count("*").alias("b"),
                        F.sum("n").alias("s1"),
                        F.sum(F.col("n") * F.col("n")).alias("s2"))
@@ -372,8 +382,12 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("anomaly_hour").alias("grain"),
                        "bucket_start", "n_events",
                        F.col("z").alias("total_value")))
-    out = sliding.unionByName(anomaly)
-    for grain in ("hour", "day", "month"):
+    out = sliding.unionByName(anomaly).unionByName(
+        hourly_full.select(F.lit("hour").alias("grain"),
+                           F.date_format("bucket", TS_FMT)
+                           .alias("bucket_start"),
+                           "n_events", "total_value"))
+    for grain in ("day", "month"):
         out = out.unionByName(
             e.groupBy(F.date_trunc(grain, "ts").alias("bucket"))
             .agg(F.count("*").alias("n_events"),
