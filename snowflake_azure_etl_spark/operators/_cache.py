@@ -107,6 +107,26 @@ def plan_key(df: DataFrame) -> str:
     return hashlib.md5(plan.encode()).hexdigest()
 
 
+#: Higher-order-function lambda variables in Column strings ("x_17")
+#: — numbered by a session-global counter exactly like expression ids,
+#: so the SAME expression built twice prints different names (r9: four
+#: identical classifier probes trained because their feature strings
+#: differed only in lambda numbering).
+_LAMBDA_VAR = re.compile(r"\bx_\d+\b")
+
+
+def column_key(col) -> str:
+    """Stable identity string for a Column EXPRESSION (no plan):
+    str(Column) with lambda variables renumbered in first-occurrence
+    order. For keying memoized builds on their feature expressions."""
+    seen: dict[str, str] = {}
+
+    def canon(m: "re.Match[str]") -> str:
+        return seen.setdefault(m.group(0), f"x_{len(seen)}")
+
+    return _LAMBDA_VAR.sub(canon, str(col))
+
+
 def _unpersist(obj: object) -> None:
     if isinstance(obj, DataFrame):
         obj.unpersist(blocking=False)

@@ -1165,11 +1165,16 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training now localCheckpoints each GD round (linear scans,
     # VERDICT r8 #1), which makes the output an opaque RDD-backed
     # relation whose plan_key is unique per materialization.
-    from ..operators._cache import cached_build, plan_key
+    # column_key, not str(Column): higher-order lambda variables are
+    # numbered session-globally ("x_1" vs "x_15"), so raw strings made
+    # every invocation a cache MISS and retrained the probe (~2.5 s
+    # per q57 call — r9 finding, four identical probes in the cache)
+    from ..operators._cache import cached_build, column_key, plan_key
     clf_w = cached_build(
         docs.sparkSession,
         ("clf_lang_probe", plan_key(docs),
-         tuple(str(c) for c in clf_feats), "lang", _CLF_CLASSES, 2),
+         tuple(column_key(c) for c in clf_feats), "lang",
+         _CLF_CLASSES, 2),
         lambda: classifier.train_one_vs_rest(
             docs, clf_feats, F.col("lang"), _CLF_CLASSES, n_iter=2))
     scored = classifier.predict_with(

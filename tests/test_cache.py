@@ -102,3 +102,20 @@ def test_plan_key_distinguishes_self_join_sides(spark, sf_dir):
                               F.col("l.r_regionkey")
                               == F.col("r.r_regionkey")))
     assert kl == _cache.plan_key(j2.select(F.col("l.r_name")))
+
+
+def test_column_key_normalizes_lambda_variables(spark):
+    """r9: higher-order lambda variables print with a session-global
+    counter ('x_1' vs 'x_15'), so str(Column) of the SAME expression
+    built twice differs — column_key renumbers them in first-occurrence
+    order, while genuinely different expressions stay distinct."""
+    def feat():
+        return F.size(F.filter(F.split(F.col("text"), " "),
+                               lambda t: F.length(t) > 3))
+
+    k1, k2 = _cache.column_key(feat()), _cache.column_key(feat())
+    assert k1 == k2
+    assert "x_0" in k1  # renumbered, not erased
+    other = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda t: F.length(t) > 4))
+    assert _cache.column_key(other) != k1
