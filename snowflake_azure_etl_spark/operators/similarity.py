@@ -598,3 +598,63 @@ def mean_pool(df: DataFrame, group_cols: list[str],
                                         F.col("_n"))).alias("_ndist"),
                  F.max(F.col("_dim").isNull()).alias("_has_empty"))
             .select(*group_cols, guarded.alias(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (X-SQ8) — the column-wise compression sibling of
+# PQ: per-dimension (min, max) over the corpus, each value quantized
+# to an 8-bit code c = floor((x − min)·255/(max − min)), reconstructed
+# as min + c·((max − min)/255). 4× smaller than float32 (vs PQ's 64×
+# with subspace codebooks) but with NO trained codebook and exact
+# per-dim bounds — the cheap first rung of the compression ladder
+# (SQ8 → PQ → IVF-PQ) every vector store ships.
+#
+# Engine portability: codes are integers from floor over IEEE
+# +,−,×,÷ doubles (deterministic); reconstruction and the squared
+# error use the same sequential-fold dot idiom the cosine legs attest.
+# One corpus pass for the 2·d-value stats row (broadcast), one
+# projection for codes/error — vectors never shuffle.
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255
+
+
+def sq8_stats(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE-ROW relation of per-dimension bounds: (_mn0.._mn{d-1},
+    _mx0.._mx{d-1}) — 2·d aggregate columns over one corpus scan,
+    map-side combined."""
+    v = as_double_vec(vec_col)
+    return df.agg(
+        *[F.min(F.element_at(v, i + 1)).alias(f"_mn{i}")
+          for i in range(dim)],
+        *[F.max(F.element_at(v, i + 1)).alias(f"_mx{i}")
+          for i in range(dim)])
+
+
+def sq8_encode(df: DataFrame, id_col: str, vec_col: str, dim: int,
+               stats: DataFrame) -> DataFrame:
+    """(id, sq8_codes: array<int>, sq8_err: double): 8-bit codes per
+    dimension plus the squared reconstruction error. A degenerate
+    dimension (max == min) codes to 0 and reconstructs exactly (its
+    error term is 0 by construction)."""
+    v = as_double_vec(vec_col)
+    out = df.select(F.col(id_col), v.alias("_v")) \
+            .crossJoin(F.broadcast(stats))
+    codes, recon = [], []
+    for i in range(dim):
+        x = F.element_at("_v", i + 1)
+        mn, mx = F.col(f"_mn{i}"), F.col(f"_mx{i}")
+        degen = mx == mn
+        c = F.when(degen, F.lit(0).cast("long")).otherwise(
+            F.least(F.floor(((x - mn) * F.lit(255.0)) / (mx - mn)),
+                    F.lit(SQ8_LEVELS).cast("long")))
+        codes.append(c)
+        recon.append(F.when(degen, mn).otherwise(
+            mn + c.cast("double") * ((mx - mn) / F.lit(255.0))))
+    diff = F.zip_with(F.col("_v"), F.array(*recon), lambda x, r: x - r)
+    err = F.aggregate(F.zip_with(diff, diff, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return out.select(
+        id_col,
+        F.array(*[c.cast("int") for c in codes]).alias("sq8_codes"),
+        err.alias("sq8_err"))

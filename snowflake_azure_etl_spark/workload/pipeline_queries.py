@@ -786,9 +786,35 @@ _BUCKET_SQL = "(" + " || ".join(
 
 @query(
     "q55_ann_lsh_bucketed_topk",
-    covers=("X-ANN-LSH", "X-DEDUP-EMBED"),
+    covers=("X-ANN-LSH", "X-DEDUP-EMBED", "X-SQ8"),
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+    WITH sq_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    sq_d AS (SELECT s + 1 AS dim, MIN(v[s + 1]) AS mn, MAX(v[s + 1]) AS mx
+             FROM sq_v, (SELECT unnest(range(0, {_PQ_DIM})) AS s)
+             GROUP BY 1),
+    sq_st AS (SELECT list(mn ORDER BY dim) AS mns,
+                     list(mx ORDER BY dim) AS mxs
+              FROM sq_d),
+    sq_e AS (
+        SELECT vec_id, list_dot_product(d, d) AS err
+        FROM (SELECT vec_id,
+                     list_transform(range(1, {_PQ_DIM + 1}), i -> v[i]
+                       - (CASE WHEN mxs[i] = mns[i] THEN mns[i]
+                               ELSE mns[i]
+                                    + CAST(least(CAST(floor(
+                                          ((v[i] - mns[i])
+                                           * CAST(255.0 AS DOUBLE))
+                                          / (mxs[i] - mns[i]))
+                                          AS BIGINT), 255) AS DOUBLE)
+                                      * ((mxs[i] - mns[i])
+                                         / CAST(255.0 AS DOUBLE))
+                          END)) AS d
+              FROM sq_v CROSS JOIN sq_st)),
+    sq_rk AS (SELECT vec_id, err,
+                     ROW_NUMBER() OVER (ORDER BY err DESC, vec_id) AS rk
+              FROM sq_e),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
                       {_BUCKET_SQL} AS bucket
                FROM embeddings WHERE vec_id % 50 = 0),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
@@ -831,6 +857,9 @@ _BUCKET_SQL = "(" + " || ".join(
     WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    UNION ALL
+    SELECT 'sq8', vec_id, CAST(NULL AS BIGINT), err, CAST(rk AS INT)
+    FROM sq_rk WHERE rk <= 20
     """,
 )
 def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,7 +874,17 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scale guards as its text sibling: buckets wider than
     EMBED_MAX_BUCKET are dropped whole (oracle-mirrored), and the
     self-join build side broadcasts only under the parquet-footer
-    corpus-size attestation."""
+    corpus-size attestation.
+
+    **SQ8 leg** (similarity.sq8_stats/sq8_encode, X-SQ8 — r9): scalar
+    8-bit quantization, the cheap first rung of the compression
+    ladder (SQ8 → PQ → IVF-PQ). Per-dim bounds come from ONE corpus
+    scan (a 2·d-value broadcast row, session-memoized), codes and the
+    squared reconstruction error from one projection — vectors never
+    shuffle. Emits the top-20 hardest-to-compress vectors by error
+    (the monitoring view a vector store exposes); the error doubles
+    hash-match because codes are floor over IEEE arithmetic and the
+    error fold is the attested sequential dot idiom."""
     emb = _emb(spark, sf_dir)
     n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -860,7 +899,25 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            n_rows=n_vecs)
             .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
                     "cos_sim", F.lit(None).cast("int").alias("rn")))
-    return topk.unionByName(dups)
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators._cache import cached_build, plan_key
+    stats = cached_build(
+        spark, ("sq8_stats", plan_key(emb), _PQ_DIM),
+        lambda: similarity.sq8_stats(emb, "embedding", _PQ_DIM)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    from pyspark.sql import Window
+    sq_w = Window.orderBy(F.desc("sq8_err"), F.asc("vec_id"))
+    sq_leg = (similarity.sq8_encode(emb, "vec_id", "embedding",
+                                    _PQ_DIM, stats)
+              .orderBy(F.desc("sq8_err"), F.asc("vec_id")).limit(20)
+              .withColumn("rk", F.row_number().over(sq_w))
+              .select(F.lit("sq8").alias("role"),
+                      F.col("vec_id").alias("id_a"),
+                      F.lit(None).cast("bigint").alias("id_b"),
+                      F.col("sq8_err").alias("cos_sim"),
+                      F.col("rk").cast("int").alias("rn")))
+    return topk.unionByName(dups).unionByName(sq_leg)
 
 
 _BPE_PAT_SQL = text.BPE_PRETOKEN_PATTERN.replace("'", "''")

@@ -266,3 +266,40 @@ def test_ivf_pq_topk_public_composition(spark):
         dists = [r["adc_dist"] for r in sorted(rows,
                                                key=lambda r: r["rn"])]
         assert dists == sorted(dists)
+
+
+def test_sq8_codes_bounded_and_reconstruction_tight(spark):
+    """Codes live in [0,255]; per-dim extremes code to 0/255; the
+    squared reconstruction error is bounded by d*(range/255)^2 (each
+    dim's error is below one quantization step)."""
+    from snowflake_azure_etl_spark.operators import similarity
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.uniform(-2, 3, 8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = similarity.sq8_stats(df, "embedding", 8)
+    enc = similarity.sq8_encode(df, "vec_id", "embedding", 8, stats)
+    got = enc.collect()
+    assert all(0 <= c <= 255 for r in got for c in r["sq8_codes"])
+    st = stats.collect()[0]
+    step2 = sum(((st[f"_mx{i}"] - st[f"_mn{i}"]) / 255.0) ** 2
+                for i in range(8))
+    assert all(0 <= r["sq8_err"] <= step2 + 1e-12 for r in got)
+
+
+def test_sq8_degenerate_dimension_is_exact(spark):
+    """A constant dimension (max == min) codes to 0 and reconstructs
+    exactly — zero contribution to the error."""
+    from snowflake_azure_etl_spark.operators import similarity
+    rows = [(1, [5.0, 1.0]), (2, [5.0, 2.0]), (3, [5.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = similarity.sq8_stats(df, "embedding", 2)
+    got = {r["vec_id"]: r for r in
+           similarity.sq8_encode(df, "vec_id", "embedding", 2,
+                                 stats).collect()}
+    assert all(got[i]["sq8_codes"][0] == 0 for i in (1, 2, 3))
+    # dim-2 extremes hit the exact grid points: 1.0->0, 3.0->255
+    assert got[1]["sq8_codes"][1] == 0
+    assert got[3]["sq8_codes"][1] == 255
+    assert got[1]["sq8_err"] == 0.0 and got[3]["sq8_err"] == 0.0
