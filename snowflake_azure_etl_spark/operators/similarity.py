@@ -640,7 +640,12 @@ def sq8_encode(df: DataFrame, id_col: str, vec_col: str, dim: int,
     v = as_double_vec(vec_col)
     out = df.select(F.col(id_col), v.alias("_v")) \
             .crossJoin(F.broadcast(stats))
-    codes, recon = [], []
+    # codes and per-dim squared errors materialize as NAMED columns
+    # first: inlining 64 recon trees into one array-fold expression
+    # duplicated every subtree through the interpreted higher-order
+    # path (measured 10× slower); named columns stay in whole-stage
+    # codegen and are computed once each
+    code_cols, err_cols = [], []
     for i in range(dim):
         x = F.element_at("_v", i + 1)
         mn, mx = F.col(f"_mn{i}"), F.col(f"_mx{i}")
@@ -648,13 +653,20 @@ def sq8_encode(df: DataFrame, id_col: str, vec_col: str, dim: int,
         c = F.when(degen, F.lit(0).cast("long")).otherwise(
             F.least(F.floor(((x - mn) * F.lit(255.0)) / (mx - mn)),
                     F.lit(SQ8_LEVELS).cast("long")))
-        codes.append(c)
-        recon.append(F.when(degen, mn).otherwise(
-            mn + c.cast("double") * ((mx - mn) / F.lit(255.0))))
-    diff = F.zip_with(F.col("_v"), F.array(*recon), lambda x, r: x - r)
-    err = F.aggregate(F.zip_with(diff, diff, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return out.select(
+        code_cols.append(c.alias(f"_c{i}"))
+        r = F.when(degen, mn).otherwise(
+            mn + c.cast("double") * ((mx - mn) / F.lit(255.0)))
+        err_cols.append(((x - r) * (x - r)).alias(f"_e{i}"))
+    staged = out.select(id_col, "_v", *code_cols, *err_cols)
+    # explicit left-associated + chain == the sequential fold with a
+    # 0.0 init bit-for-bit (x + 0.0 is an IEEE identity and every
+    # term is a non-negative square), so the oracle's
+    # list_dot_product mirror holds
+    err = F.col("_e0")
+    for i in range(1, dim):
+        err = err + F.col(f"_e{i}")
+    return staged.select(
         id_col,
-        F.array(*[c.cast("int") for c in codes]).alias("sq8_codes"),
+        F.array(*[F.col(f"_c{i}").cast("int")
+                  for i in range(dim)]).alias("sq8_codes"),
         err.alias("sq8_err"))

@@ -899,24 +899,32 @@ def q55_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            n_rows=n_vecs)
             .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
                     "cos_sim", F.lit(None).cast("int").alias("rn")))
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     from ..operators._cache import cached_build, plan_key
-    stats = cached_build(
-        spark, ("sq8_stats", plan_key(emb), _PQ_DIM),
-        lambda: similarity.sq8_stats(emb, "embedding", _PQ_DIM)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    from pyspark.sql import Window
-    sq_w = Window.orderBy(F.desc("sq8_err"), F.asc("vec_id"))
-    sq_leg = (similarity.sq8_encode(emb, "vec_id", "embedding",
-                                    _PQ_DIM, stats)
-              .orderBy(F.desc("sq8_err"), F.asc("vec_id")).limit(20)
-              .withColumn("rk", F.row_number().over(sq_w))
-              .select(F.lit("sq8").alias("role"),
-                      F.col("vec_id").alias("id_a"),
-                      F.lit(None).cast("bigint").alias("id_b"),
-                      F.col("sq8_err").alias("cos_sim"),
-                      F.col("rk").cast("int").alias("rn")))
+
+    # the whole leg is memoized on the SMALL input plan: analyzing the
+    # 64-dim-wide encode projection costs seconds of driver time per
+    # construction (the q54 giant-plan lesson), and the top-20 output
+    # is a bounded artifact
+    def build_sq_leg():
+        stats = (similarity.sq8_stats(emb, "embedding", _PQ_DIM)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        sq_w = Window.orderBy(F.desc("sq8_err"), F.asc("vec_id"))
+        return (similarity.sq8_encode(emb, "vec_id", "embedding",
+                                      _PQ_DIM, stats)
+                .orderBy(F.desc("sq8_err"), F.asc("vec_id")).limit(20)
+                .withColumn("rk", F.row_number().over(sq_w))
+                .select(F.lit("sq8").alias("role"),
+                        F.col("vec_id").alias("id_a"),
+                        F.lit(None).cast("bigint").alias("id_b"),
+                        F.col("sq8_err").alias("cos_sim"),
+                        F.col("rk").cast("int").alias("rn"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+    sq_leg = cached_build(spark, ("sq8_leg", plan_key(emb), _PQ_DIM),
+                          build_sq_leg)
     return topk.unionByName(dups).unionByName(sq_leg)
 
 
