@@ -318,3 +318,68 @@ def bloom_probe(bloom: DataFrame, candidates: DataFrame, key_col: str,
     return (probes.join(F.broadcast(bloom), ["word_idx"], "left")
             .groupBy(*carry)
             .agg((F.min(bit) == 1).alias("bloom_pass")))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram + quantile interpolation (X-SKETCH-HIST) — the
+# mergeable-quantiles sketch class (the role t-digest/KLL play in
+# production): bin counts are EXACT integer aggregates that merge by
+# plain SUM, so per-partition/per-day partials roll up losslessly,
+# and any quantile is answered from the bins-sized relation by linear
+# interpolation — never by sorting the corpus. Bounds come from the
+# caller (a catalog min/max or a first pass); everything downstream
+# is integer-exact until the final interpolation divide, which is
+# IEEE-portable (the BM25/anomaly contract), so a DuckDB oracle
+# replays both the bins and the quantile estimates bit-for-bit.
+# Error bound: a quantile is off by at most one bin width.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 16
+
+
+def equiwidth_histogram(df: DataFrame, value: Column | str,
+                        lo: float, hi: float,
+                        bins: int = HIST_BINS) -> DataFrame:
+    """(bin, cnt): exact counts per equi-width bin over [lo, hi] —
+    one hash aggregate, map-side combined, merge law = SUM. Values at
+    or beyond the bounds clamp into the edge bins (a histogram built
+    with catalog bounds must absorb every row, not drop strays)."""
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    w = F.lit(float(hi)) - F.lit(float(lo))
+    raw = F.floor(((v - F.lit(float(lo))) * F.lit(float(bins))) / w)
+    b = F.greatest(F.lit(0).cast("long"),
+                   F.least(raw, F.lit(int(bins) - 1).cast("long")))
+    return (df.select(b.alias("bin")).groupBy("bin")
+            .agg(F.count("*").alias("cnt")))
+
+
+def histogram_quantiles(hist: DataFrame, lo: float, hi: float,
+                        ps: "list[float]",
+                        bins: int = HIST_BINS) -> DataFrame:
+    """(p, est): linear-interpolated quantile estimates from the
+    bins-sized histogram relation. rank = p·(N−1) over the cumulative
+    counts (the SQL percentile_cont convention); within the owning
+    bin the estimate interpolates position/(cnt) across the bin span.
+    All inputs to the divide are exact longs, so the doubles are
+    engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin")
+    c = (hist.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("prev", F.col("cum") - F.col("cnt")))
+    n = hist.agg(F.sum("cnt").alias("n"))
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(float(bins))
+    out = None
+    for p in ps:
+        rank = F.lit(float(p)) * (F.col("n").cast("double") - F.lit(1.0))
+        # owning bin: first with cum > rank (prev <= rank < cum)
+        est = (F.lit(float(lo))
+               + (F.col("bin").cast("double")
+                  + ((rank - F.col("prev").cast("double"))
+                     / F.col("cnt").cast("double"))) * width)
+        leg = (c.crossJoin(F.broadcast(n))
+               .filter((F.col("prev").cast("double") <= rank)
+                       & (rank < F.col("cum").cast("double")))
+               .select(F.lit(float(p)).alias("p"), est.alias("est")))
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -175,7 +175,7 @@ CMS_HEAVY_MIN = 80
 @query(
     "q47_kmv_sketch",
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
-            "X-SKETCH-BLOOM"),
+            "X-SKETCH-BLOOM", "X-SKETCH-HIST"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -197,6 +197,52 @@ CMS_HEAVY_MIN = 80
            CAST(COUNT(DISTINCT c.c_nationkey) AS DOUBLE)
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY e.event_type
+    UNION ALL
+    SELECT 'hist_value', CAST(bin AS VARCHAR), CAST(cnt AS BIGINT),
+           CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+    FROM (
+        WITH hb AS (
+            SELECT GREATEST(CAST(0 AS BIGINT), LEAST(CAST(floor(
+                       ((CAST(value AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                        * CAST(16.0 AS DOUBLE))
+                       / (CAST(1024.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)))
+                       AS BIGINT), CAST(15 AS BIGINT))) AS bin
+            FROM events),
+        hc AS (SELECT bin, COUNT(*) AS cnt FROM hb GROUP BY 1)
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+               (SELECT SUM(cnt) FROM hc) AS n
+        FROM hc)
+    UNION ALL
+    SELECT 'hist_quantile', lbl, CAST(NULL AS BIGINT), est
+    FROM (
+        WITH hb2 AS (
+            SELECT GREATEST(CAST(0 AS BIGINT), LEAST(CAST(floor(
+                       ((CAST(value AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                        * CAST(16.0 AS DOUBLE))
+                       / (CAST(1024.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)))
+                       AS BIGINT), CAST(15 AS BIGINT))) AS bin
+            FROM events),
+        hc2 AS (SELECT bin, COUNT(*) AS cnt FROM hb2 GROUP BY 1),
+        hm AS (SELECT bin, cnt,
+                      SUM(cnt) OVER (ORDER BY bin) AS cum,
+                      SUM(cnt) OVER (ORDER BY bin) - cnt AS prev
+               FROM hc2),
+        hn AS (SELECT SUM(cnt) AS n FROM hc2)
+        SELECT q.lbl,
+               CAST(0.0 AS DOUBLE)
+               + (CAST(bin AS DOUBLE)
+                  + ((q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                      - CAST(prev AS DOUBLE)) / CAST(cnt AS DOUBLE)))
+                 * ((CAST(1024.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                    / CAST(16.0 AS DOUBLE)) AS est
+        FROM hm CROSS JOIN hn
+        JOIN (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+                     ('p90', CAST(0.9 AS DOUBLE)),
+                     ('p99', CAST(0.99 AS DOUBLE))) q(lbl, p)
+          ON CAST(prev AS DOUBLE)
+                 <= q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         AND q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                 < CAST(cum AS DOUBLE))
     UNION ALL
     SELECT 'bloom_prune', l_returnflag, CAST(exact_n AS BIGINT),
            CAST(est AS DOUBLE)
@@ -307,6 +353,15 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every counter, probe, and min — heavy selection filters on the
     ESTIMATE, which is deterministic and ≥ exact on both engines.
 
+    **Histogram legs** (operators.sketches.equiwidth_histogram /
+    histogram_quantiles, X-SKETCH-HIST — r9): the mergeable-quantiles
+    sketch class (production t-digest/KLL role). Bin counts are exact
+    integer aggregates over catalog bounds [0, 1024) (strays clamp
+    into edge bins) that merge by SUM; p50/p90/p99 are answered from
+    the 16-row relation by linear interpolation — never by sorting
+    the corpus; error ≤ one bin width. All inputs to the divides are
+    exact longs, so the estimate doubles hash-match unquantized.
+
     **Bloom leg** (operators.sketches.bloom_build/bloom_probe,
     X-SKETCH-BLOOM — r9): runtime semi-join pruning. A 4096-bit/3-hash
     filter over EUROPE's supplier keys is probed by lineitem's
@@ -366,6 +421,29 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n").cast("long").alias("exact_n"),
                        F.col("cms_estimate").cast("double")
                        .alias("estimate")))
+    from pyspark.sql import Window
+
+    from ..operators._cache import cached_relation
+    from ..operators.sketches import (equiwidth_histogram,
+                                      histogram_quantiles)
+    hist = cached_relation(equiwidth_histogram(e, "value", 0.0, 1024.0),
+                           "q47_hist", eager=False)
+    n_rel = hist.agg(F.sum("cnt").alias("n"))
+    wb = Window.orderBy("bin")
+    hist_leg = (hist.withColumn("cum", F.sum("cnt").over(wb))
+                .crossJoin(F.broadcast(n_rel))
+                .select(F.lit("hist_value").alias("leg"),
+                        F.col("bin").cast("string").alias("event_type"),
+                        F.col("cnt").cast("long").alias("exact_n"),
+                        (F.col("cum").cast("double")
+                         / F.col("n").cast("double")).alias("estimate")))
+    lbl = (F.when(F.col("p") == 0.5, "p50")
+           .when(F.col("p") == 0.9, "p90").otherwise("p99"))
+    q_leg = (histogram_quantiles(hist, 0.0, 1024.0, [0.5, 0.9, 0.99])
+             .select(F.lit("hist_quantile").alias("leg"),
+                     lbl.alias("event_type"),
+                     F.lit(None).cast("long").alias("exact_n"),
+                     F.col("est").alias("estimate")))
     t = load_tables(spark, sf_dir,
                     ("supplier", "nation", "region", "lineitem"))
     mem = (t["supplier"]
@@ -397,7 +475,8 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("l_returnflag").alias("event_type"),
                          F.col("_exact").cast("long").alias("exact_n"),
                          F.col("_est").cast("double").alias("estimate")))
-    return (kmv_leg.unionByName(hll_leg).unionByName(bloom_leg)
+    return (kmv_leg.unionByName(hll_leg).unionByName(hist_leg)
+            .unionByName(q_leg).unionByName(bloom_leg)
             .unionByName(cms_leg))
 
 

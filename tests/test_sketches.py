@@ -250,3 +250,37 @@ def test_bloom_empty_filter_rejects_everything(spark):
     got = [r["bloom_pass"] for r in
            sketches.bloom_probe(empty, cand, "k").collect()]
     assert got == [False, False]
+
+
+def test_histogram_merges_by_sum_and_clamps_strays(spark):
+    """Bin counts merge by plain SUM (partials == one-shot) and
+    out-of-bounds values clamp into the edge bins instead of
+    disappearing (a catalog-bounds histogram must absorb every row)."""
+    from snowflake_azure_etl_spark.operators import sketches
+    a = spark.createDataFrame([(float(i),) for i in range(0, 50)],
+                              "v double")
+    b = spark.createDataFrame([(-5.0,), (999.0,), (120.0,)], "v double")
+    ha = sketches.equiwidth_histogram(a, "v", 0.0, 100.0, bins=10)
+    hb = sketches.equiwidth_histogram(b, "v", 0.0, 100.0, bins=10)
+    merged = {r["bin"]: r["cnt"] for r in
+              ha.unionByName(hb).groupBy("bin")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    direct = {r["bin"]: r["cnt"] for r in sketches.equiwidth_histogram(
+        a.unionByName(b), "v", 0.0, 100.0, bins=10).collect()}
+    assert merged == direct
+    assert direct[0] == 11        # 0..9 plus the clamped -5.0
+    assert direct[9] == 2         # 999.0 AND 120.0 clamp to the top bin
+
+
+def test_histogram_quantiles_within_one_bin_width(spark):
+    """Interpolated quantiles land within one bin width of the exact
+    percentile (the sketch's error bound) on a uniform corpus."""
+    from snowflake_azure_etl_spark.operators import sketches
+    df = spark.createDataFrame([(float(i),) for i in range(1000)],
+                               "v double")
+    hist = sketches.equiwidth_histogram(df, "v", 0.0, 1000.0, bins=20)
+    got = {r["p"]: r["est"] for r in sketches.histogram_quantiles(
+        hist, 0.0, 1000.0, [0.5, 0.9, 0.99], bins=20).collect()}
+    width = 1000.0 / 20
+    for p, est in got.items():
+        assert abs(est - p * 999.0) <= width
