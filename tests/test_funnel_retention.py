@@ -151,3 +151,47 @@ def test_hot_user_state_cap_fails_loud(spark):
     ok = funnel_anchors(df, ("signup", "view"),
                         max_events_per_user=8).collect()
     assert {r["user_id"] for r in ok} == {1, 9}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# random per-user event streams over the step alphabet + noise types
+_events = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6),          # user
+              st.sampled_from(list(FUNNEL_STEPS) + ["noise"]),  # type
+              st.integers(min_value=0, max_value=120)),       # minute
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ev=_events)
+def test_funnel_fold_equals_min_after_chain_property(spark, ev):
+    """Property form of the fold≡chain equivalence the q40 oracle
+    attests: for ANY event multiset (dup timestamps, out-of-order
+    steps, noise types, absent users), the greedy sorted-array fold
+    reaches exactly the user sets the min-after join chain reaches,
+    step by step."""
+    rows = [_ev(u, t, m) for u, t, m in ev]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz")
+    anchors = {r["user_id"]: r["a"] for r in funnel_anchors(df).collect()}
+    fold = {s: {u for u, a in anchors.items()
+                if a[f"t{i}"] is not None}
+            for i, s in enumerate(FUNNEL_STEPS)}
+    # python min-after reference
+    per_user = {}
+    for u, t, m in ev:
+        per_user.setdefault(u, []).append((m, t))
+    chain = {s: set() for s in FUNNEL_STEPS}
+    for u, evs in per_user.items():
+        prev = None
+        for i, s in enumerate(FUNNEL_STEPS):
+            cand = [m for m, t in evs if t == s
+                    and (i == 0 or (prev is not None and m > prev))]
+            if not cand:
+                break
+            prev = min(cand)
+            chain[s].add(u)
+    assert fold == chain
