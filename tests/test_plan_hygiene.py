@@ -18,12 +18,17 @@ import __spark_entry__ as entry
 #: broadcast attaches — centroid array (q63), token-frequency map
 #: (q57), PageRank's per-round dangling-mass aggregate (q43 — visible
 #: in the final plan since the fixed-3-round leg skips mid-loop
-#: checkpoints), and the funnel/retention denominators (q40 — the
-#: one-row step-1 and total-users counts broadcast onto the leg rows).
+#: checkpoints), the funnel/retention denominators (q40 — the
+#: one-row step-1 and total-users counts broadcast onto the leg rows),
+#: and the r9 one-row stats rows: hourly anomaly moments (q41),
+#: histogram total + quantile denominators (q47), BM25 corpus
+#: stats (q58), and SQ8 per-dim bounds (q55).
 BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
            "q54_ann_brute_force_topk", "q63_ann_ivf_topk",
            "q57_text_stats", "q43_events_json_props",
-           "q40_events_tumbling_window"}
+           "q40_events_tumbling_window", "q41_events_sliding_window",
+           "q47_kmv_sketch", "q58_token_vocab",
+           "q55_ann_lsh_bucketed_topk"}
 
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.
