@@ -515,12 +515,21 @@ BM25_SCALE = 1 << 20
 def bm25_topk(docs, queries, id_col: str = "doc_id",
               text_col: str = "text", k: int = 5,
               k1: float = BM25_K1, b: float = BM25_B,
-              scale: int = BM25_SCALE):
+              scale: int = BM25_SCALE,
+              max_df_ratio: float = 0.9):
     """(query, doc_id, score_q, rank): top-k documents per literal
     query string by quantized rational-IDF BM25 (module comment);
     ties break on doc id. `queries` is a small literal list — the
     query relation is built as a JVM one-row explode (no Python
-    worker on the plan)."""
+    worker on the plan).
+
+    `max_df_ratio` drops query terms present in more than that
+    fraction of documents (the standard stopword-class cut): besides
+    contributing near-zero IDF, such a term makes the CANDIDATE SET
+    corpus-sized — the per-query top-k partition would hold nearly
+    every document, the exact blow-up the term-prune exists to
+    prevent at 100 TB. The filter compares exact integers against one
+    double product, mirrored verbatim in the SQL oracle."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession
@@ -529,7 +538,12 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     qtf = tf.filter(F.col("token").isin(*terms))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
-    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    dfreq = (qtf.groupBy("token").agg(F.count("*").alias("df"))
+             .crossJoin(F.broadcast(stats).select("n"))
+             .filter(F.col("df").cast("double")
+                     <= F.lit(float(max_df_ratio))
+                     * F.col("n").cast("double"))
+             .drop("n"))
     qt = (spark.range(1).select(F.explode(F.array(*[
         F.struct(F.lit(q).alias("query"), F.lit(t).alias("token"))
         for q in queries for t in sorted(set(q.split())) if t]))

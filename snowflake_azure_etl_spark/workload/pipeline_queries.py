@@ -1310,9 +1310,9 @@ _COOC_TOP_K = 50
 _BM25_QUERIES = ("fast table scan", "spark stream join",
                  "customer query value")
 _BM25_VALUES = ", ".join(f"('{q}')" for q in _BM25_QUERIES)
-#: The BM25 score expression, shared verbatim between the oracle's
-#: two uses and kept in ONE f-string so the parenthesization — which
-#: fixes the IEEE operation order — cannot drift from the Spark tree.
+#: The BM25 score expression, kept in ONE f-string so the
+#: parenthesization — which fixes the IEEE operation order — cannot
+#: drift from the Spark tree as the oracle evolves.
 _BM25_SCORE_SQL = """
            (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE))
              + CAST(0.5 AS DOUBLE))
@@ -1369,9 +1369,12 @@ _BM25_SCORE_SQL = """
     bm_st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM bm_dl),
     bm_qt AS (SELECT query, unnest(string_split(query, ' ')) AS token
               FROM (VALUES {_BM25_VALUES}) v(query)),
-    bm_df AS (SELECT token, COUNT(*) AS df FROM bm_tf
-              WHERE token IN (SELECT DISTINCT token FROM bm_qt)
-              GROUP BY 1),
+    bm_df AS (SELECT token, df FROM (
+                  SELECT token, COUNT(*) AS df FROM bm_tf
+                  WHERE token IN (SELECT DISTINCT token FROM bm_qt)
+                  GROUP BY 1) CROSS JOIN bm_st
+              WHERE CAST(df AS DOUBLE)
+                        <= CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE)),
     bm_sc AS (
         SELECT q.query, t.doc_id,
                CAST(SUM(CAST(floor(({_BM25_SCORE_SQL})
