@@ -126,3 +126,45 @@ def _local_precap(df: DataFrame, class_cols: list[str],
             yield buf
 
     return df.mapInPandas(cap, df.schema)
+
+
+#: Fixed-point scale for the temperature-sampling share weights.
+MIX_SCALE = 1 << 20
+
+
+def mixture_rates(df: DataFrame, source_col: str, weight: Column | str,
+                  budget_fraction: float = 0.5,
+                  temperature: float = 2.0) -> DataFrame:
+    """(source, toks, rate): per-source sampling rates that hit a
+    total token budget with temperature-flattened shares — the
+    data-mixing step every multilingual/multi-domain LM pipeline runs
+    (share_s ∝ toks_s^(1/τ); τ=2 ⇒ sqrt, the standard flattening that
+    upsamples small domains without letting any one domain dominate).
+
+    rate_s = min(1, (share_s · budget) / toks_s), where budget =
+    budget_fraction · Σ toks. Engine-portable by the fixed-point
+    contract: per-source weights are floor(sqrt(toks)·2^20) LONGS
+    (sqrt is IEEE correctly-rounded, ·2^20 exact, floor unambiguous),
+    so the share denominator is an order-invariant integer sum; the
+    remaining arithmetic is +,×,÷ doubles with pinned parenthesization.
+    The whole computation is source-count-sized after ONE weighted
+    aggregate over the corpus. τ must currently be 2 — other
+    temperatures need pow(), which is not bit-portable across
+    engines; fail loud rather than silently unportable."""
+    if temperature != 2.0:
+        raise ValueError("mixture_rates: only temperature=2.0 (sqrt) "
+                         "is engine-portable; pow() is not")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    src = df.groupBy(source_col).agg(F.sum(w).alias("toks"))
+    q = F.floor(F.sqrt(F.col("toks").cast("double"))
+                * F.lit(float(MIX_SCALE))).cast("long")
+    per = src.select(source_col, "toks", q.alias("qs"))
+    tot = per.agg(F.sum("toks").alias("tot"), F.sum("qs").alias("qq"))
+    rate = F.least(
+        F.lit(1.0),
+        ((F.col("qs").cast("double") / F.col("qq").cast("double"))
+         * (F.col("tot").cast("double")
+            * F.lit(float(budget_fraction))))
+        / F.col("toks").cast("double"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(source_col, "toks", rate.alias("rate")))

@@ -175,7 +175,7 @@ CMS_HEAVY_MIN = 80
 @query(
     "q47_kmv_sketch",
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
-            "X-SKETCH-BLOOM", "X-SKETCH-HIST"),
+            "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -197,6 +197,23 @@ CMS_HEAVY_MIN = 80
            CAST(COUNT(DISTINCT c.c_nationkey) AS DOUBLE)
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY e.event_type
+    UNION ALL
+    SELECT 'mix', source, CAST(toks AS BIGINT),
+           least(CAST(1.0 AS DOUBLE),
+                 ((CAST(qs AS DOUBLE) / CAST(qq AS DOUBLE))
+                  * (CAST(tot AS DOUBLE) * CAST(0.5 AS DOUBLE)))
+                 / CAST(toks AS DOUBLE))
+    FROM (
+        WITH mx_src AS (
+            SELECT source, SUM(len(string_split(text, ' '))) AS toks
+            FROM documents GROUP BY 1),
+        mx_q AS (SELECT source, toks,
+                        CAST(floor(sqrt(CAST(toks AS DOUBLE))
+                                   * CAST(1048576.0 AS DOUBLE))
+                             AS BIGINT) AS qs
+                 FROM mx_src),
+        mx_t AS (SELECT SUM(toks) AS tot, SUM(qs) AS qq FROM mx_q)
+        SELECT source, toks, qs, tot, qq FROM mx_q CROSS JOIN mx_t)
     UNION ALL
     SELECT 'hist_value', CAST(bin AS VARCHAR), CAST(cnt AS BIGINT),
            CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
@@ -353,6 +370,14 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every counter, probe, and min — heavy selection filters on the
     ESTIMATE, which is deterministic and ≥ exact on both engines.
 
+    **Mixture leg** (operators.sampling.mixture_rates, X-MIXTURE —
+    r9): per-source sampling rates hitting a 50% token budget with
+    temperature-2 flattened shares (share ∝ √tokens — the standard
+    multi-domain LM mixing step). Source-count-sized after one
+    weighted aggregate; the fixed-point share weights make the
+    denominator an order-invariant integer sum, so the rate doubles
+    hash-match.
+
     **Histogram legs** (operators.sketches.equiwidth_histogram /
     histogram_quantiles, X-SKETCH-HIST — r9): the mergeable-quantiles
     sketch class (production t-digest/KLL role). Bin counts are exact
@@ -424,8 +449,20 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators._cache import cached_relation
+    from ..operators.sampling import mixture_rates
     from ..operators.sketches import (equiwidth_histogram,
                                       histogram_quantiles)
+    from ..operators.text import n_tokens
+    docs = rebalance_single_split(
+        spark, load_tables(spark, sf_dir, ("documents",))["documents"],
+        sf_dir, "documents")
+    mix_leg = (mixture_rates(
+        docs.select("source", n_tokens("text").alias("nt")),
+        "source", "nt")
+        .select(F.lit("mix").alias("leg"),
+                F.col("source").alias("event_type"),
+                F.col("toks").cast("long").alias("exact_n"),
+                F.col("rate").alias("estimate")))
     hist = cached_relation(equiwidth_histogram(e, "value", 0.0, 1024.0),
                            "q47_hist", eager=False)
     n_rel = hist.agg(F.sum("cnt").alias("n"))
@@ -475,9 +512,9 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("l_returnflag").alias("event_type"),
                          F.col("_exact").cast("long").alias("exact_n"),
                          F.col("_est").cast("double").alias("estimate")))
-    return (kmv_leg.unionByName(hll_leg).unionByName(hist_leg)
-            .unionByName(q_leg).unionByName(bloom_leg)
-            .unionByName(cms_leg))
+    return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
+            .unionByName(hist_leg).unionByName(q_leg)
+            .unionByName(bloom_leg).unionByName(cms_leg))
 
 
 @query(

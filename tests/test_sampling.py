@@ -101,3 +101,24 @@ def test_quota_precap_identical_and_bounded(spark):
             == sorted(map(tuple,
                           sampling.quota_cap(dense, ["cls"], ["id"],
                                              3).collect())))
+
+
+def test_mixture_rates_flatten_and_respect_budget(spark):
+    """Temperature-2 mixing: a skewed corpus (90/9/1) gets rates that
+    UPSAMPLE small sources relative to big ones (share ∝ sqrt), every
+    rate is capped at 1, and the expected token total stays at or
+    under the budget (min() can only remove mass)."""
+    from snowflake_azure_etl_spark.operators.sampling import mixture_rates
+    rows = ([("big", 10) for _ in range(900)]
+            + [("mid", 10) for _ in range(90)]
+            + [("small", 10) for _ in range(10)])
+    df = spark.createDataFrame(rows, "source string, nt long")
+    got = {r["source"]: r for r in
+           mixture_rates(df, "source", "nt").collect()}
+    assert got["small"]["rate"] == 1.0  # tiny source fully kept
+    assert got["big"]["rate"] < got["mid"]["rate"] <= 1.0
+    expected = sum(r["rate"] * r["toks"] for r in got.values())
+    assert expected <= 0.5 * sum(r["toks"] for r in got.values()) + 1e-6
+    import pytest
+    with pytest.raises(ValueError, match="temperature"):
+        mixture_rates(df, "source", "nt", temperature=1.0)
