@@ -1462,13 +1462,21 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantized rational-IDF BM25 (text.bm25_topk — exp-free IDF so
     # the doubles are engine-portable, fixed-point term scores so the
     # per-doc sum is an order-invariant long; the oracle mirrors the
-    # exact IEEE parenthesization from ONE shared SQL fragment)
-    bm_leg = (text.bm25_topk(docs, _BM25_QUERIES, k=5)
-              .select(F.lit("bm25").alias("leg"),
-                      F.col("query").alias("token"),
-                      F.col("doc_id").alias("doc_freq"),
-                      F.col("score_q").alias("total_freq"),
-                      F.col("rank").cast("int").alias("rank")))
+    # exact IEEE parenthesization from ONE shared SQL fragment).
+    # Memoized on the small corpus plan with a lazy persist (the q54
+    # lesson): the output is queries×k rows
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators._cache import cached_build, plan_key
+    bm_leg = cached_build(
+        spark, ("q58_bm25_leg", plan_key(docs), _BM25_QUERIES, 5),
+        lambda: text.bm25_topk(docs, _BM25_QUERIES, k=5)
+        .select(F.lit("bm25").alias("leg"),
+                F.col("query").alias("token"),
+                F.col("doc_id").alias("doc_freq"),
+                F.col("score_q").alias("total_freq"),
+                F.col("rank").cast("int").alias("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
             .unionByName(cooc_leg))
 
