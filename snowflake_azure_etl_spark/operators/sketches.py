@@ -344,6 +344,9 @@ def equiwidth_histogram(df: DataFrame, value: Column | str,
     one hash aggregate, map-side combined, merge law = SUM. Values at
     or beyond the bounds clamp into the edge bins (a histogram built
     with catalog bounds must absorb every row, not drop strays)."""
+    if not (float(hi) > float(lo)):
+        raise ValueError(f"equiwidth_histogram: hi ({hi}) must exceed "
+                         f"lo ({lo}) — a zero-width range has no bins")
     v = (F.col(value) if isinstance(value, str) else value).cast("double")
     w = F.lit(float(hi)) - F.lit(float(lo))
     raw = F.floor(((v - F.lit(float(lo))) * F.lit(float(bins))) / w)

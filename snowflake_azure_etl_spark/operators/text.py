@@ -537,7 +537,11 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     terms = sorted({t for q in queries for t in q.split() if t})
     qtf = tf.filter(F.col("token").isin(*terms))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+    # lazy persist: the one-row stats relation feeds BOTH the df cut
+    # and the scoring crossJoin — uncached, each reference re-runs
+    # the corpus aggregate
+    stats = (dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+             .persist())
     dfreq = (qtf.groupBy("token").agg(F.count("*").alias("df"))
              .crossJoin(F.broadcast(stats).select("n"))
              .filter(F.col("df").cast("double")
