@@ -221,6 +221,12 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
     which would add a shuffle of the same rows for nothing."""
     key = F.col(key_col)
     carry = list(candidates.columns)
+    reserved = {"j", "bucket", "cnt", "cms_estimate"}
+    clash = reserved.intersection(carry)
+    if clash:
+        raise ValueError(f"cms_estimate: candidate column(s) {sorted(clash)} "
+                         "collide with the probe's internal names "
+                         f"{sorted(reserved)} — rename them first")
     probes = (candidates.select(
         *carry, F.explode(F.array(*[
             F.struct(F.lit(j).cast("int").alias("j"),
@@ -307,6 +313,12 @@ def bloom_probe(bloom: DataFrame, candidates: DataFrame, key_col: str,
     be functionally dependent on `key_col`)."""
     key = F.col(key_col)
     carry = list(candidates.columns)
+    reserved = {"word_idx", "word", "_off", "_pos", "bloom_pass"}
+    clash = reserved.intersection(carry)
+    if clash:
+        raise ValueError(f"bloom_probe: candidate column(s) {sorted(clash)} "
+                         "collide with the probe's internal names "
+                         f"{sorted(reserved)} — rename them first")
     probes = (candidates.select(
         *carry, F.explode(F.array(*[
             _bloom_pos(key, j, bits) for j in range(hashes)]))
