@@ -157,8 +157,19 @@ def test_dedup_no_corpus_broadcast_above_threshold(spark, sf_dir):
 def test_kmv_two_phase_no_window(spark, sf_dir):
     """VERDICT r3 #4: the KMV sketch must merge k-minima through
     aggregates (bucketed slice(array_sort(...)) partials), never sort
-    the full distinct set through a per-group Window."""
-    plan = plan_of(spark, sf_dir, "q47_kmv_sketch")
+    the full distinct set through a per-group Window. Asserted on the
+    kmv_mins RELATION itself (r9: the q47 union now also carries the
+    histogram legs, whose 16-row cumulative windows are by-design and
+    would false-positive a whole-query 'no Window' sweep)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators.sketches import kmv_mins
+    from snowflake_azure_etl_spark.sources.registry import load_tables
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    h = e.select("event_type",
+                 F.md5(F.col("user_id").cast("string")).alias("hv"))
+    rel = kmv_mins(h, "event_type", "hv", 16, n_rows=10_000)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     # two SHUFFLED aggregate phases (per-bucket + per-group merge), each
     # compiling to partial+final HashAggregate — a regression to one
