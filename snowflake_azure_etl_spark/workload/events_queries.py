@@ -43,28 +43,45 @@ FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 FUNNEL_MAX_EVENTS_PER_USER = 100_000
 
 
-def _funnel_oracle_ctes() -> str:
+#: Time bound for q40's bounded-funnel leg (X-FUNNEL-BOUNDED): step k
+#: must land within this many seconds of the step-(k-1) anchor. Six
+#: hours is discriminative for the synthetic events (150/15/1/0 at
+#: sf0.01 vs 150/150/150/150 unbounded), so the bound is visibly
+#: doing work in the attested counts.
+FUNNEL_WITHIN_SECONDS = 21_600
+
+
+def _funnel_oracle_ctes(tag: str = "fu",
+                        within_seconds: int | None = None) -> str:
+    bound = ("" if within_seconds is None else
+             f" AND e.ts <= u.t + INTERVAL {int(within_seconds)} SECOND")
     ctes = [f"""
-    fu0 AS (SELECT user_id, MIN(ts) AS t FROM events
+    {tag}0 AS (SELECT user_id, MIN(ts) AS t FROM events
             WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"""]
     for i, s in enumerate(FUNNEL_STEPS[1:], start=1):
         ctes.append(f"""
-    fu{i} AS (SELECT e.user_id, MIN(e.ts) AS t
-              FROM events e JOIN fu{i - 1} u USING (user_id)
-              WHERE e.event_type = '{s}' AND e.ts > u.t
+    {tag}{i} AS (SELECT e.user_id, MIN(e.ts) AS t
+              FROM events e JOIN {tag}{i - 1} u USING (user_id)
+              WHERE e.event_type = '{s}' AND e.ts > u.t{bound}
               GROUP BY e.user_id)""")
-    counts = ", ".join(f"(SELECT COUNT(*) FROM fu{i}) AS n{i}"
+    counts = ", ".join(f"(SELECT COUNT(*) FROM {tag}{i}) AS n{i}"
                        for i in range(len(FUNNEL_STEPS)))
     ctes.append(f"""
-    fn AS (SELECT {counts})""")
+    {tag}n AS (SELECT {counts})""")
     return ",".join(ctes)
 
 
-_FUNNEL_LEG_SQL = " UNION ALL ".join(
-    f"SELECT 'funnel' AS window_start, '{i + 1}_{s}' AS event_type, "
-    f"n{i} AS n_events, n{i} AS n_users, "
-    f"CAST(n{i} AS DOUBLE) / NULLIF(n0, 0) AS total_value FROM fn"
-    for i, s in enumerate(FUNNEL_STEPS))
+def _funnel_leg_sql(label: str, counts_cte: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{label}' AS window_start, '{i + 1}_{s}' AS event_type, "
+        f"n{i} AS n_events, n{i} AS n_users, "
+        f"CAST(n{i} AS DOUBLE) / NULLIF(n0, 0) AS total_value "
+        f"FROM {counts_cte}"
+        for i, s in enumerate(FUNNEL_STEPS))
+
+
+_FUNNEL_LEG_SQL = _funnel_leg_sql("funnel", "fun")
+_FUNNEL_BOUNDED_LEG_SQL = _funnel_leg_sql("funnel_6h", "fbn")
 
 _RETENTION_ORACLE = """
     rf AS (SELECT user_id, MIN(ts) AS first_ts FROM events
@@ -171,9 +188,12 @@ def retention_offsets(ev: DataFrame) -> DataFrame:
 
 @query(
     "q40_events_tumbling_window",
-    covers=("E1", "X-FUNNEL", "X-RETENTION"),
+    covers=("E1", "X-FUNNEL", "X-FUNNEL-BOUNDED",
+            "X-RETENTION"),
     oracle=f"""
-    WITH {_funnel_oracle_ctes()}, {_RETENTION_ORACLE}
+    WITH {_funnel_oracle_ctes()},
+    {_funnel_oracle_ctes('fb', FUNNEL_WITHIN_SECONDS)},
+    {_RETENTION_ORACLE}
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
            event_type,
@@ -183,6 +203,7 @@ def retention_offsets(ev: DataFrame) -> DataFrame:
     FROM events
     GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
     UNION ALL {_FUNNEL_LEG_SQL}
+    UNION ALL {_FUNNEL_BOUNDED_LEG_SQL}
     UNION ALL {_RETENTION_LEG_SQL}
     """,
 )
@@ -229,28 +250,39 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the user's step-typed events only, fail-loud-capped at
     # FUNNEL_MAX_EVENTS_PER_USER (r9 — see funnel_anchors / SCALE.md).
     k_n = len(FUNNEL_STEPS)
-    anchors = funnel_anchors(ev, FUNNEL_STEPS)
-    # COALESCE to 0: a corpus with zero funnel-step events leaves
-    # anchors empty and SUM returns NULL while the oracle's COUNT(*)
-    # returns 0; NULLIF-guard the conversion denominator the same way
-    # on both sides (r8 review finding)
-    ns = anchors.agg(*[
-        F.coalesce(
-            F.sum(F.col("a").getField(f"t{i}").isNotNull().cast("long")),
-            F.lit(0).cast("long"))
-        .alias(f"n{i}") for i in range(k_n)])
-    funnel = (ns.select(F.explode(F.array(*[
-        F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
-                 F.col(f"n{i}").alias("n"),
-                 (F.col(f"n{i}").cast("double")
-                  / F.nullif(F.col("n0"), F.lit(0)))
-                 .alias("conv"))
-        for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
-        .select(F.lit("funnel").alias("window_start"),
-                F.col("x.step").alias("event_type"),
-                F.col("x.n").alias("n_events"),
-                F.col("x.n").alias("n_users"),
-                F.col("x.conv").alias("total_value")))
+
+    def funnel_leg(label, within_seconds):
+        anchors = funnel_anchors(ev, FUNNEL_STEPS,
+                                 within_seconds=within_seconds)
+        # COALESCE to 0: a corpus with zero funnel-step events leaves
+        # anchors empty and SUM returns NULL while the oracle's
+        # COUNT(*) returns 0; NULLIF-guard the conversion denominator
+        # the same way on both sides (r8 review finding)
+        ns = anchors.agg(*[
+            F.coalesce(
+                F.sum(F.col("a").getField(f"t{i}").isNotNull()
+                      .cast("long")),
+                F.lit(0).cast("long"))
+            .alias(f"n{i}") for i in range(k_n)])
+        return (ns.select(F.explode(F.array(*[
+            F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
+                     F.col(f"n{i}").alias("n"),
+                     (F.col(f"n{i}").cast("double")
+                      / F.nullif(F.col("n0"), F.lit(0)))
+                     .alias("conv"))
+            for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
+            .select(F.lit(label).alias("window_start"),
+                    F.col("x.step").alias("event_type"),
+                    F.col("x.n").alias("n_events"),
+                    F.col("x.n").alias("n_users"),
+                    F.col("x.conv").alias("total_value")))
+
+    funnel = funnel_leg("funnel", None)
+    # bounded variant (r9, X-FUNNEL-BOUNDED): step k within 6h of the
+    # step-(k-1) anchor — the more common product funnel; the oracle
+    # runs the bounded min-after chain, so greedy≡min-after under the
+    # bound is itself driver-attested
+    funnel_6h = funnel_leg("funnel_6h", FUNNEL_WITHIN_SECONDS)
     # retention: week offsets from each user's own first event
     offs = retention_offsets(ev)
     total = (ev.select("user_id").distinct()
@@ -266,7 +298,8 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_events", "n_users",
                          (F.col("n_users").cast("double") / F.col("nu"))
                          .alias("total_value")))
-    return base.unionByName(funnel).unionByName(retention)
+    return (base.unionByName(funnel).unionByName(funnel_6h)
+            .unionByName(retention))
 
 
 @query(
