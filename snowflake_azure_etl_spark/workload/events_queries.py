@@ -128,12 +128,27 @@ def funnel_anchors(ev: DataFrame,
     output expression (Catalyst prunes side-channel asserts — the
     mean_pool lesson): a user over the cap raises with their id
     rather than materializing an unbounded array in one task."""
-    seq = (ev.filter(F.col("event_type").isin(*steps))
-           .groupBy("user_id")
-           .agg(F.array_sort(F.collect_list(F.struct(
-               F.col("ts").alias("t"),
-               F.col("event_type").alias("y")))).alias("seq")))
+    return _step_seq(ev, steps).select(
+        "user_id",
+        _guarded_fold(ev, steps, within_seconds,
+                      max_events_per_user).alias("a"))
 
+
+def _step_seq(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """(user_id, seq): the user's step-typed events as one ts-sorted
+    array — the single user-keyed shuffle every funnel variant folds
+    over (funnel_anchor_variants shares ONE of these across bounds)."""
+    return (ev.filter(F.col("event_type").isin(*steps))
+            .groupBy("user_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_type").alias("y")))).alias("seq")))
+
+
+def _guarded_fold(ev: DataFrame, steps: tuple[str, ...],
+                  within_seconds: int | None,
+                  max_events_per_user: int):
+    """The capped greedy-fold expression over a `seq` column."""
     def step_fold(acc, x):
         fields = []
         for i, s in enumerate(steps):
@@ -159,7 +174,7 @@ def funnel_anchors(ev: DataFrame,
                       for i in range(len(steps))])
     a_type = "struct<" + ",".join(
         f"t{i}:{ts_type}" for i in range(len(steps))) + ">"
-    guarded = F.when(
+    return F.when(
         F.size("seq") <= F.lit(int(max_events_per_user)),
         F.aggregate("seq", init, step_fold),
     ).otherwise(
@@ -170,7 +185,21 @@ def funnel_anchors(ev: DataFrame,
                   "step events (max_events_per_user) — per-user fold "
                   "state would be unbounded; pre-prune the corpus or "
                   "raise the cap explicitly"))).cast(a_type))
-    return seq.select("user_id", guarded.alias("a"))
+
+
+def funnel_anchor_variants(ev: DataFrame,
+                           steps: tuple[str, ...] = FUNNEL_STEPS,
+                           bounds: "list[int | None]" = (None,),
+                           max_events_per_user: int =
+                           FUNNEL_MAX_EVENTS_PER_USER) -> DataFrame:
+    """(user_id, a0, a1, …): one anchor struct PER BOUND from a single
+    collected sequence — running k time-bound variants costs ONE
+    user-keyed shuffle and one pass over each user's array, not k
+    (r9: q40's bounded leg re-shuffled the events before this)."""
+    return _step_seq(ev, steps).select(
+        "user_id",
+        *[_guarded_fold(ev, steps, b, max_events_per_user)
+          .alias(f"a{i}") for i, b in enumerate(bounds)])
 
 
 def retention_offsets(ev: DataFrame) -> DataFrame:
@@ -250,25 +279,32 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the user's step-typed events only, fail-loud-capped at
     # FUNNEL_MAX_EVENTS_PER_USER (r9 — see funnel_anchors / SCALE.md).
     k_n = len(FUNNEL_STEPS)
+    # BOTH funnel variants (unbounded + the r9 6h-bounded leg,
+    # X-FUNNEL-BOUNDED — the more common product funnel) fold the SAME
+    # collected sequence and aggregate in ONE pass: one user-keyed
+    # shuffle, one single-row aggregate of 2·k counts. The oracle runs
+    # the bounded min-after chain, so greedy≡min-after under the bound
+    # is itself driver-attested.
+    variants = funnel_anchor_variants(
+        ev, FUNNEL_STEPS, bounds=[None, FUNNEL_WITHIN_SECONDS])
+    # COALESCE to 0: a corpus with zero funnel-step events leaves
+    # anchors empty and SUM returns NULL while the oracle's COUNT(*)
+    # returns 0; NULLIF-guard the conversion denominator the same way
+    # on both sides (r8 review finding)
+    ns = variants.agg(*[
+        F.coalesce(
+            F.sum(F.col(f"a{v}").getField(f"t{i}").isNotNull()
+                  .cast("long")),
+            F.lit(0).cast("long"))
+        .alias(f"n{v}_{i}")
+        for v in range(2) for i in range(k_n)])
 
-    def funnel_leg(label, within_seconds):
-        anchors = funnel_anchors(ev, FUNNEL_STEPS,
-                                 within_seconds=within_seconds)
-        # COALESCE to 0: a corpus with zero funnel-step events leaves
-        # anchors empty and SUM returns NULL while the oracle's
-        # COUNT(*) returns 0; NULLIF-guard the conversion denominator
-        # the same way on both sides (r8 review finding)
-        ns = anchors.agg(*[
-            F.coalesce(
-                F.sum(F.col("a").getField(f"t{i}").isNotNull()
-                      .cast("long")),
-                F.lit(0).cast("long"))
-            .alias(f"n{i}") for i in range(k_n)])
+    def funnel_leg(label, v):
         return (ns.select(F.explode(F.array(*[
             F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
-                     F.col(f"n{i}").alias("n"),
-                     (F.col(f"n{i}").cast("double")
-                      / F.nullif(F.col("n0"), F.lit(0)))
+                     F.col(f"n{v}_{i}").alias("n"),
+                     (F.col(f"n{v}_{i}").cast("double")
+                      / F.nullif(F.col(f"n{v}_0"), F.lit(0)))
                      .alias("conv"))
             for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
             .select(F.lit(label).alias("window_start"),
@@ -277,12 +313,8 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("x.n").alias("n_users"),
                     F.col("x.conv").alias("total_value")))
 
-    funnel = funnel_leg("funnel", None)
-    # bounded variant (r9, X-FUNNEL-BOUNDED): step k within 6h of the
-    # step-(k-1) anchor — the more common product funnel; the oracle
-    # runs the bounded min-after chain, so greedy≡min-after under the
-    # bound is itself driver-attested
-    funnel_6h = funnel_leg("funnel_6h", FUNNEL_WITHIN_SECONDS)
+    funnel = funnel_leg("funnel", 0)
+    funnel_6h = funnel_leg("funnel_6h", 1)
     # retention: week offsets from each user's own first event
     offs = retention_offsets(ev)
     total = (ev.select("user_id").distinct()
