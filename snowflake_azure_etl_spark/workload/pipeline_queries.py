@@ -348,29 +348,41 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner. The oracle mirrors the transitive closure with a recursive
     CTE — connected components is driver-attested here, not just
     pytest-verified."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators._cache import cached_build, plan_key
     docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
-    sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
-                                           k=MINHASH_K, n=SHINGLE_N)
-    cands = dedup.lsh_candidate_pairs(sig, "doc_id",
-                                      bands=LSH_BANDS, rows=LSH_ROWS,
-                                      n_docs=n_docs)
-    jac = dedup.exact_jaccard(docs, cands, "doc_id", "text", n_docs=n_docs,
-                              shingle_n=SHINGLE_N)
-    from ..operators._cache import cached_relation
+    dk = plan_key(docs)
+
     # the verified pair set is referenced twice (cluster edges + final
     # join) and the CC supersteps would otherwise re-execute the whole
     # LSH+Jaccard pipeline per reference — materialize it once, like
-    # the band-key index relation it derives from
-    verified = cached_relation(
-        jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD), "verified_pairs")
-    # the resolved cluster map is memoized per (session, verified-pair
-    # plan) like the SemDeDup relation: dup_clusters' supersteps run
-    # eager checkpoint/convergence jobs at BUILD time, so an
-    # unmemoized repeat invocation re-pays the whole resolution
-    from ..operators._cache import cached_build, plan_key
+    # the band-key index relation it derives from. Keyed on the SMALL
+    # corpus plan (r9): the shingled-minhash plan string is enormous
+    # and plan_key over it cost driver time per invocation
+    def build_verified():
+        sig = dedup.minhash_signature_shingled(docs, "doc_id", "text",
+                                               k=MINHASH_K, n=SHINGLE_N)
+        cands = dedup.lsh_candidate_pairs(sig, "doc_id",
+                                          bands=LSH_BANDS, rows=LSH_ROWS,
+                                          n_docs=n_docs)
+        jac = dedup.exact_jaccard(docs, cands, "doc_id", "text",
+                                  n_docs=n_docs, shingle_n=SHINGLE_N)
+        p = (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+        p.count()   # eager: many downstream references
+        return p
+
+    verified = cached_build(
+        spark, ("verified_pairs", dk, MINHASH_K, SHINGLE_N,
+                LSH_BANDS, LSH_ROWS), build_verified)
+    # the resolved cluster map is memoized per (session, corpus plan)
+    # like the SemDeDup relation: dup_clusters' supersteps run eager
+    # checkpoint/convergence jobs at BUILD time, so an unmemoized
+    # repeat invocation re-pays the whole resolution
     clusters = cached_build(
-        spark, ("dup_clusters", plan_key(verified)),
+        spark, ("dup_clusters", dk),
         lambda: graph.dup_clusters(verified.select("id_a", "id_b")))
     return verified.join(
         clusters.select(F.col("id").alias("id_a"), "keeper"), "id_a")
