@@ -156,8 +156,23 @@ def mixture_rates(df: DataFrame, source_col: str, weight: Column | str,
                          "is engine-portable; pow() is not")
     w = F.col(weight) if isinstance(weight, str) else weight
     src = df.groupBy(source_col).agg(F.sum(w).alias("toks"))
-    q = F.floor(F.sqrt(F.col("toks").cast("double"))
-                * F.lit(float(MIX_SCALE))).cast("long")
+    # fail loud on a non-positive source total (ADVICE r9): toks=0
+    # would make rate = 0.0/0.0 = NaN (double division is IEEE even
+    # under ANSI mode) and silently poison the mixture downstream;
+    # the guard lives inside the weight expression so column pruning
+    # cannot disarm it
+    q = F.when(
+        F.col("toks") <= 0,
+        F.raise_error(F.concat(
+            F.lit("mixture_rates: source "),
+            F.col(source_col).cast("string"),
+            F.lit(" has non-positive token total "),
+            F.col("toks").cast("string"),
+            F.lit(" — its share is undefined (0/0); filter it out "
+                  "or fix the weight column"))).cast("long"),
+    ).otherwise(
+        F.floor(F.sqrt(F.col("toks").cast("double"))
+                * F.lit(float(MIX_SCALE))).cast("long"))
     per = src.select(source_col, "toks", q.alias("qs"))
     tot = per.agg(F.sum("toks").alias("tot"), F.sum("qs").alias("qq"))
     rate = F.least(

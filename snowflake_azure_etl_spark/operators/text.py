@@ -537,11 +537,17 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     terms = sorted({t for q in queries for t in q.split() if t})
     qtf = tf.filter(F.col("token").isin(*terms))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    # lazy persist: the one-row stats relation feeds BOTH the df cut
-    # and the scoring crossJoin — uncached, each reference re-runs
-    # the corpus aggregate
-    stats = (dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
-             .persist())
+    # lazy persist via the session cache registry (ADVICE r9: a raw
+    # .persist() here was invisible to clear_cache, leaking one cached
+    # one-row relation per distinct corpus plan in a long sweeping
+    # session): the stats relation feeds BOTH the df cut and the
+    # scoring crossJoin — uncached, each reference re-runs the corpus
+    # aggregate. Keyed on its own plan (which embeds the corpus plan
+    # and the tokenization); k1/b/max_df_ratio don't enter the stats.
+    from ._cache import cached_relation
+    stats = cached_relation(
+        dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot")),
+        "bm25_stats", eager=False)
     dfreq = (qtf.groupBy("token").agg(F.count("*").alias("df"))
              .crossJoin(F.broadcast(stats).select("n"))
              .filter(F.col("df").cast("double")

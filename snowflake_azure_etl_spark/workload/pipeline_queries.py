@@ -376,13 +376,18 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     verified = cached_build(
         spark, ("verified_pairs", dk, MINHASH_K, SHINGLE_N,
-                LSH_BANDS, LSH_ROWS), build_verified)
+                LSH_BANDS, LSH_ROWS, JACCARD_THRESHOLD), build_verified)
     # the resolved cluster map is memoized per (session, corpus plan)
     # like the SemDeDup relation: dup_clusters' supersteps run eager
     # checkpoint/convergence jobs at BUILD time, so an unmemoized
     # repeat invocation re-pays the whole resolution
+    # keyed on the SAME (corpus, MinHash/LSH/threshold) tuple as the
+    # pair set it derives from (ADVICE r9): a narrower key would hand
+    # an in-session parameter sweep a stale cluster map inconsistent
+    # with its freshly recomputed pairs
     clusters = cached_build(
-        spark, ("dup_clusters", dk),
+        spark, ("dup_clusters", dk, MINHASH_K, SHINGLE_N,
+                LSH_BANDS, LSH_ROWS, JACCARD_THRESHOLD),
         lambda: graph.dup_clusters(verified.select("id_a", "id_b")))
     return verified.join(
         clusters.select(F.col("id").alias("id_a"), "keeper"), "id_a")

@@ -119,3 +119,28 @@ def test_column_key_normalizes_lambda_variables(spark):
     other = F.size(F.filter(F.split(F.col("text"), " "),
                             lambda t: F.length(t) > 4))
     assert _cache.column_key(other) != k1
+
+
+def test_bm25_stats_register_in_session_cache(spark, sf_dir):
+    """ADVICE r9 / VERDICT r9 #6: bm25_topk's one-row stats relation
+    must ride the _cache registry — visible to clear_cache (no
+    orphaned persist) and shared by repeat queries over the same
+    corpus. File-backed corpus: a LocalRelation plan is deliberately
+    construction-unique (the opaque-source exception), so only a
+    file-backed plan exercises the cross-invocation share."""
+    from snowflake_azure_etl_spark.operators.text import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _cache.clear_cache(spark)
+    bm25_topk(docs, ["the data"], k=2).collect()
+    cache = _cache.session_cache(spark)
+    keys = [k for k in cache if k and k[0] == "bm25_stats"]
+    assert len(keys) == 1
+    stats = cache[keys[0]]
+    assert stats.storageLevel.useMemory  # actually persisted
+    # repeat query hits the same entry (no second registration)
+    bm25_topk(docs, ["other words"], k=2).collect()
+    assert len([k for k in cache if k[0] == "bm25_stats"]) == 1
+    # and clear_cache evicts it
+    _cache.clear_cache(spark)
+    assert not [k for k in cache if k and k[0] == "bm25_stats"]
+    assert not stats.storageLevel.useMemory

@@ -122,3 +122,17 @@ def test_mixture_rates_flatten_and_respect_budget(spark):
     import pytest
     with pytest.raises(ValueError, match="temperature"):
         mixture_rates(df, "source", "nt", temperature=1.0)
+
+
+def test_mixture_rates_fail_loud_on_nonpositive_source(spark):
+    """ADVICE r9: a source whose weight sums to 0 must raise (its
+    share is 0/0 = NaN under IEEE division), not silently poison the
+    mixture; the guard lives inside the weight expression so pruning
+    cannot disarm it."""
+    import pytest
+
+    from snowflake_azure_etl_spark.operators.sampling import mixture_rates
+    rows = [("ok", 10), ("ok", 5), ("zero", 0)]
+    df = spark.createDataFrame(rows, "source string, nt long")
+    with pytest.raises(Exception, match="non-positive token total"):
+        mixture_rates(df, "source", "nt").collect()

@@ -284,3 +284,67 @@ def test_histogram_quantiles_within_one_bin_width(spark):
     width = 1000.0 / 20
     for p, est in got.items():
         assert abs(est - p * 999.0) <= width
+
+
+def test_histogram_quantiles_fail_loud_on_empty(spark):
+    """n=0 must raise (VERDICT r9 #3), not silently return zero rows:
+    an empty histogram falsifies every ownership predicate, so without
+    the guard the requested quantile rows would just vanish."""
+    import pytest
+
+    from snowflake_azure_etl_spark.operators import sketches
+    empty = spark.createDataFrame([], "v double")
+    hist = sketches.equiwidth_histogram(empty, "v", 0.0, 10.0, bins=4)
+    with pytest.raises(Exception, match="histogram is empty"):
+        sketches.histogram_quantiles(hist, 0.0, 10.0, [0.5],
+                                     bins=4).collect()
+
+
+def test_histogram_quantiles_edge_ownership(spark):
+    """p=0.0 is owned by the first non-empty bin and p=1.0 by the
+    last (rank = p·(N−1): 0 and N−1 respectively), each emitting
+    exactly one row — the edge cases of the prev<=rank<cum predicate."""
+    from snowflake_azure_etl_spark.operators import sketches
+    # values concentrated in bins 1 and 3 (bins 0 and 2 empty)
+    df = spark.createDataFrame(
+        [(float(v),) for v in [3.0, 3.5, 9.0, 9.5, 9.9]], "v double")
+    hist = sketches.equiwidth_histogram(df, "v", 0.0, 10.0, bins=4)
+    rows = sketches.histogram_quantiles(hist, 0.0, 10.0, [0.0, 1.0],
+                                        bins=4).collect()
+    got = {r["p"]: r["est"] for r in rows}
+    assert len(rows) == 2                       # exactly one row per p
+    # p=0: rank 0, first non-empty bin is 1 ([2.5,5)): est = 2.5
+    assert got[0.0] == 2.5
+    # p=1: rank N-1=4, owner bin 3 ([7.5,10)), prev=2, cnt=3:
+    # est = (3 + (4-2)/3) * 2.5
+    assert abs(got[1.0] - (3 + 2 / 3) * 2.5) < 1e-12
+
+
+def test_grouped_histogram_quantiles_match_per_group_reference(spark):
+    """Grouped form: bins keyed (group, bin), quantiles per group from
+    the groups×bins relation — each group's estimates must equal the
+    global function run on that group alone."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = ([("a", float(i)) for i in range(100)]
+            + [("b", float(i * 3 % 50)) for i in range(40)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = sketches.equiwidth_histogram(df, "v", 0.0, 100.0, bins=10,
+                                        group_cols=("g",))
+    got = {(r["g"], r["p"]): r["est"]
+           for r in sketches.histogram_quantiles(
+               hist, 0.0, 100.0, [0.0, 0.5, 0.95, 1.0], bins=10,
+               group_cols=("g",)).collect()}
+    for g in ("a", "b"):
+        sub = df.filter(F.col("g") == g)
+        h1 = sketches.equiwidth_histogram(sub, "v", 0.0, 100.0, bins=10)
+        ref = {r["p"]: r["est"] for r in sketches.histogram_quantiles(
+            h1, 0.0, 100.0, [0.0, 0.5, 0.95, 1.0], bins=10).collect()}
+        for p, est in ref.items():
+            assert got[(g, p)] == est
+    # grouped bins merge by SUM back to the global histogram
+    regrouped = {r["bin"]: r["cnt"] for r in
+                 hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+                 .collect()}
+    direct = {r["bin"]: r["cnt"] for r in sketches.equiwidth_histogram(
+        df, "v", 0.0, 100.0, bins=10).collect()}
+    assert regrouped == direct
