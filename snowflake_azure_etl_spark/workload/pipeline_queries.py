@@ -688,7 +688,20 @@ _COS_ORACLE = f"""
         SELECT query_id, neighbor_id, fs,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY fs DESC, neighbor_id) AS rr
-        FROM rrf)
+        FROM rrf),
+    -- recall@3 legs (r10): exact-integer hit counts from joining the
+    -- two top-3 rankings; queries the ADC ranking missed entirely
+    -- still appear (LEFT from the query set) with 0 hits
+    rec AS (
+        SELECT e.query_id, COUNT(*) AS hits
+        FROM (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 3) e
+        JOIN (SELECT query_id, neighbor_id FROM pq_ranked
+              WHERE rn <= 3) a
+          USING (query_id, neighbor_id)
+        GROUP BY 1),
+    rec_q AS (
+        SELECT q.query_id, COALESCE(r.hits, CAST(0 AS BIGINT)) AS hits
+        FROM q LEFT JOIN rec r USING (query_id))
     SELECT 'exact' AS leg, query_id, neighbor_id, cos_sim AS metric,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -701,11 +714,22 @@ _COS_ORACLE = f"""
     UNION ALL
     SELECT 'rrf', query_id, neighbor_id, fs, CAST(rr AS INT)
     FROM rrf_rk WHERE rr <= 3
+    UNION ALL
+    SELECT 'recall', query_id, CAST(hits AS BIGINT),
+           CAST(hits AS DOUBLE) / CAST(3.0 AS DOUBLE), CAST(1 AS INT)
+    FROM rec_q
+    UNION ALL
+    SELECT 'recall_mean', CAST(-1 AS BIGINT), CAST(SUM(hits) AS BIGINT),
+           CAST(SUM(hits) AS DOUBLE)
+           / (CAST(3.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)),
+           CAST(1 AS INT)
+    FROM rec_q
 """
 
 
 @query("q54_ann_brute_force_topk",
-       covers=("X-ANN-BRUTE", "X-PQ-ADC", "X-POOLING", "X-RRF"),
+       covers=("X-ANN-BRUTE", "X-PQ-ADC", "X-POOLING", "X-RRF",
+               "X-ANN-RECALL"),
        oracle=_COS_ORACLE)
 def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two ends of the vector-search accuracy/cost spectrum over
@@ -759,21 +783,32 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, (tag, ek, _PQ_DIM, _PQ_M, _PQ_K),
             lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
 
-    exact = leg_cache("q54_exact", lambda: similarity.brute_force_topk(
+    # Memoization line (VERDICT r9 #1, SCALE.md "What memoizes"):
+    # only INDEX/MODEL artifacts session-memoize here (pq_codes, the
+    # pooled doc-level embeddings). The exact/ADC top-k lists are
+    # search RESULTS — a real system recomputes them per query
+    # against the persisted index — so they rebuild per invocation;
+    # the eager localCheckpoint is per-invocation materialization for
+    # their three consumers (own leg + RRF fusion + recall join),
+    # released by the ContextCleaner when the result is dropped, and
+    # invisible to (because never in) the session cache.
+    exact = (similarity.brute_force_topk(
         emb, queries, "vec_id", "embedding", k=3)
         .select(F.lit("exact").alias("leg"), "query_id",
-                "neighbor_id", F.col("cos_sim").alias("metric"), "rn"))
+                "neighbor_id", F.col("cos_sim").alias("metric"), "rn")
+        .localCheckpoint(eager=True))
     cb = pq.pq_codebooks(emb, "vec_id", "embedding", dim=_PQ_DIM,
                          m=_PQ_M, k=_PQ_K, n_iter=0)
     # the code table IS the PQ index artifact (m ints per vector —
     # what a vector store persists); build once per (session, corpus)
     codes = leg_cache("pq_codes", lambda: pq.pq_encode(
         emb, "vec_id", "embedding", _PQ_DIM, cb, m=_PQ_M))
-    adc = leg_cache("q54_adc", lambda: pq.pq_adc_topk(
+    adc = (pq.pq_adc_topk(
         codes, queries, "vec_id", "embedding", _PQ_DIM,
         cb, m=_PQ_M, k_neighbors=3)
         .select(F.lit("pq_adc").alias("leg"), "query_id",
-                "neighbor_id", F.col("adc_dist").alias("metric"), "rn"))
+                "neighbor_id", F.col("adc_dist").alias("metric"), "rn")
+        .localCheckpoint(eager=True))
 
     # pooled leg: quantize → grouped mean_pool → L2 normalize → per-dim
     # rows (fixed-point pre-quantization makes the distributed mean
@@ -813,8 +848,39 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("rrf").alias("leg"), "query_id", "neighbor_id",
                    F.col("fs").alias("metric"),
                    F.col("rr").cast("int").alias("rn")))
+    # recall@3 legs (r10, X-ANN-RECALL — VERDICT r9 #4): the quality
+    # metric every vector store reports — per query, how many of the
+    # exact top-3 the ADC ranking recovered, plus the corpus mean.
+    # Hit counts are exact integers from one small equi-join of the
+    # two (already materialized) rankings; the only doubles are one
+    # divide each (hits/3, Σhits/(3·n_q)) with pinned
+    # parenthesization, so both hash-match the oracle.
+    hits = (exact.select("query_id", "neighbor_id")
+            .join(adc.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("hits")))
+    per_q = (queries.select(F.col("vec_id").alias("query_id"))
+             .join(hits, "query_id", "left")
+             .select("query_id",
+                     F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+                     .alias("hits")))
+    recall = per_q.select(
+        F.lit("recall").alias("leg"), "query_id",
+        F.col("hits").cast("long").alias("neighbor_id"),
+        (F.col("hits").cast("double") / F.lit(3.0)).alias("metric"),
+        F.lit(1).cast("int").alias("rn"))
+    recall_mean = (per_q.agg(F.sum("hits").alias("th"),
+                             F.count("*").alias("nq"))
+                   .select(F.lit("recall_mean").alias("leg"),
+                           F.lit(-1).cast("bigint").alias("query_id"),
+                           F.col("th").cast("long").alias("neighbor_id"),
+                           (F.col("th").cast("double")
+                            / (F.lit(3.0) * F.col("nq").cast("double")))
+                           .alias("metric"),
+                           F.lit(1).cast("int").alias("rn")))
     return (exact.unionByName(adc).unionByName(pooled)
-            .unionByName(rrf))
+            .unionByName(rrf).unionByName(recall)
+            .unionByName(recall_mean))
 
 
 _BUCKET_SQL = "(" + " || ".join(
