@@ -172,28 +172,37 @@ def cms_bucket(key: Column, j: int, width: int = CMS_WIDTH) -> Column:
 
 def cms_build(df: DataFrame, key: Column | str,
               depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
-              weight: Column | str | None = None) -> DataFrame:
-    """(j, bucket, cnt): the Count-Min sketch of `key`'s frequency
-    distribution. One pass: each row explodes to its d (j, bucket)
-    probes and ONE hash aggregate counts them — absent (j, bucket)
-    cells are implicit zeros, so the relation is at most d·w rows.
+              weight: Column | str | None = None,
+              group_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(*group_cols, j, bucket, cnt): the Count-Min sketch of `key`'s
+    frequency distribution. One pass: each row explodes to its d
+    (j, bucket) probes and ONE hash aggregate counts them — absent
+    (j, bucket) cells are implicit zeros, so the relation is at most
+    d·w rows (per group).
 
     `weight` sums that column per probe instead of counting rows —
     counters are additive, so building from a PRE-AGGREGATED
     (key, count) relation with weight=count yields the identical
     sketch while hashing each key once instead of once per
     occurrence (the q47 plan: the exact-count aggregate the leg
-    already needs doubles as the build input)."""
+    already needs doubles as the build input).
+
+    `group_cols` builds one PARTIAL per group in the same single
+    aggregate — the epoch/day/partition partials that
+    `streaming.sketches` lands per micro-batch; `cms_merge` (plain
+    SUM) rolls them up to the full-stream sketch (linearity, the
+    merge law pinned in tests and driver-attested in q47)."""
     key = F.col(key) if isinstance(key, str) else key
     w = (F.lit(1).cast("long") if weight is None
          else (F.col(weight) if isinstance(weight, str) else weight))
+    gc = list(group_cols)
     probes = F.explode(F.array(*[
         F.struct(F.lit(j).cast("int").alias("j"),
                  cms_bucket(key, j, width).alias("bucket"))
         for j in range(depth)]))
-    return (df.select(probes.alias("_p"), w.cast("long").alias("_w"))
-            .select("_p.j", "_p.bucket", "_w")
-            .groupBy("j", "bucket")
+    return (df.select(*gc, probes.alias("_p"), w.cast("long").alias("_w"))
+            .select(*gc, "_p.j", "_p.bucket", "_w")
+            .groupBy(*gc, "j", "bucket")
             .agg(F.sum("_w").alias("cnt")))
 
 
@@ -274,21 +283,27 @@ def _bloom_pos(key: Column, j: int, bits: int) -> Column:
 
 def bloom_build(df: DataFrame, key: Column | str,
                 bits: int = BLOOM_BITS,
-                hashes: int = BLOOM_HASHES) -> DataFrame:
-    """(word_idx, word): the Bloom filter of `key`'s distinct set —
-    one pass, one bit_or hash aggregate; absent words are implicit
-    zeros, so the relation is at most bits/32 rows."""
+                hashes: int = BLOOM_HASHES,
+                group_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """(*group_cols, word_idx, word): the Bloom filter of `key`'s
+    distinct set — one pass, one bit_or hash aggregate; absent words
+    are implicit zeros, so the relation is at most bits/32 rows (per
+    group). `group_cols` builds one PARTIAL per group — the epoch
+    partials of `streaming.sketches` — which `bloom_merge` (aligned
+    bit_or) rolls up to filter(∪ groups), word for word."""
     key = F.col(key) if isinstance(key, str) else key
+    gc = list(group_cols)
     pos = F.explode(F.array(*[
         _bloom_pos(key, j, bits) for j in range(hashes)])).alias("_pos")
-    return (df.select(pos)
-            .select(F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
+    return (df.select(*gc, pos)
+            .select(*gc,
+                    F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
                     # shiftleft via expr: the Python API's numBits is
                     # literal-only, the SQL function takes a column
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                            f"CAST(_pos % {_BLOOM_WORD} AS INT))")
                     .alias("_bit"))
-            .groupBy("word_idx")
+            .groupBy(*gc, "word_idx")
             .agg(F.bit_or("_bit").alias("word")))
 
 

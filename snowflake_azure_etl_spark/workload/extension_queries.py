@@ -175,7 +175,8 @@ CMS_HEAVY_MIN = 80
 @query(
     "q47_kmv_sketch",
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
-            "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE"),
+            "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE",
+            "X-SKETCH-ROLLUP", "X-SKETCH-HIST-GROUPED"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -326,6 +327,93 @@ CMS_HEAVY_MIN = 80
                FROM events GROUP BY 1)
         SELECT k, n, est FROM est JOIN ex USING (k)
         WHERE est >= {CMS_HEAVY_MIN})
+    UNION ALL
+    SELECT 'cms_rollup',
+           CAST(j AS VARCHAR) || ':' || CAST(bucket AS VARCHAR),
+           CAST(full_cnt AS BIGINT), CAST(m_cnt AS DOUBLE)
+    FROM (
+        WITH cr_ep AS (
+            SELECT CAST(floor(value) AS BIGINT) % 3 AS ep, j,
+                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 512 AS bucket,
+                   COUNT(*) AS cnt
+            FROM events, (SELECT unnest(range(0, 4)) AS j)
+            GROUP BY 1, 2, 3),
+        cr_m AS (SELECT j, bucket, SUM(cnt) AS m_cnt
+                 FROM cr_ep GROUP BY 1, 2),
+        cr_f AS (SELECT j, bucket, SUM(cnt) AS full_cnt
+                 FROM cr_ep GROUP BY 1, 2)
+        SELECT COALESCE(f.j, m.j) AS j,
+               COALESCE(f.bucket, m.bucket) AS bucket,
+               COALESCE(f.full_cnt, 0) AS full_cnt,
+               COALESCE(m.m_cnt, 0) AS m_cnt
+        FROM cr_f f FULL JOIN cr_m m
+          ON f.j = m.j AND f.bucket = m.bucket)
+    UNION ALL
+    SELECT 'bloom_rollup', CAST(word_idx AS VARCHAR),
+           CAST(full_w AS BIGINT), CAST(m_w AS DOUBLE)
+    FROM (
+        WITH br_mem AS (
+            SELECT DISTINCT s_suppkey
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        br_pos AS (SELECT s_suppkey % 3 AS ep,
+                          CAST('0x' || substr(md5(CAST(j AS VARCHAR)
+                               || ':' || CAST(s_suppkey AS VARCHAR)),
+                               1, 15) AS BIGINT) % 4096 AS pos
+                   FROM br_mem, (SELECT unnest(range(0, 3)) AS j)),
+        br_ep AS (SELECT ep, CAST(floor(pos / 32) AS BIGINT) AS word_idx,
+                         bit_or(CAST(1 AS BIGINT)
+                                << CAST(pos % 32 AS INT)) AS word
+                  FROM br_pos GROUP BY 1, 2),
+        br_m AS (SELECT word_idx, bit_or(word) AS m_w
+                 FROM br_ep GROUP BY 1),
+        br_f AS (SELECT CAST(floor(pos / 32) AS BIGINT) AS word_idx,
+                        bit_or(CAST(1 AS BIGINT)
+                               << CAST(pos % 32 AS INT)) AS full_w
+                 FROM br_pos GROUP BY 1)
+        SELECT COALESCE(f.word_idx, m.word_idx) AS word_idx,
+               COALESCE(f.full_w, 0) AS full_w,
+               COALESCE(m.m_w, 0) AS m_w
+        FROM br_f f FULL JOIN br_m m ON f.word_idx = m.word_idx)
+    UNION ALL
+    SELECT 'hist_group_quantile', event_type || ':' || lbl,
+           CAST(NULL AS BIGINT), est
+    FROM (
+        WITH gb AS (
+            SELECT event_type,
+                   GREATEST(CAST(0 AS BIGINT), LEAST(CAST(floor(
+                       ((CAST(value AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                        * CAST(16.0 AS DOUBLE))
+                       / (CAST(1024.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)))
+                       AS BIGINT), CAST(15 AS BIGINT))) AS bin
+            FROM events),
+        gc2 AS (SELECT event_type, bin, COUNT(*) AS cnt
+                FROM gb GROUP BY 1, 2),
+        gm AS (SELECT event_type, bin, cnt,
+                      SUM(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bin) AS cum,
+                      SUM(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bin) - cnt AS prev,
+                      SUM(cnt) OVER (PARTITION BY event_type) AS n
+               FROM gc2)
+        SELECT gm.event_type, q.lbl,
+               CAST(0.0 AS DOUBLE)
+               + (CAST(bin AS DOUBLE)
+                  + ((q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                      - CAST(prev AS DOUBLE)) / CAST(cnt AS DOUBLE)))
+                 * ((CAST(1024.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                    / CAST(16.0 AS DOUBLE)) AS est
+        FROM gm
+        JOIN (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+                     ('p95', CAST(0.95 AS DOUBLE))) q(lbl, p)
+          ON CAST(prev AS DOUBLE)
+                 <= q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         AND q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                 < CAST(cum AS DOUBLE))
     """,
 )
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +475,24 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus; error ≤ one bin width. All inputs to the divides are
     exact longs, so the estimate doubles hash-match unquantized.
 
+    **Rollup legs** (cms_build/bloom_build `group_cols` + cms_merge/
+    bloom_merge, X-SKETCH-ROLLUP — r10, VERDICT r9 #2): the streaming
+    maintenance claim, driver-attested. Rows/keys land in 3 epochs;
+    each epoch's bounded PARTIAL (d×w counters / m∕32 words — the
+    relation `streaming.sketches` lands per micro-batch) is built in
+    one grouped aggregate, rolled up by the merge law (SUM / aligned
+    bit_or), and emitted cell-by-cell BESIDE the full-stream build
+    while the oracle replays the partial-union independently.
+    Linearity — the reason per-epoch partials answer stream-lifetime
+    frequency/membership questions with bounded state at 100 TB — is
+    hash-checked cross-engine, not just pytest-pinned.
+
+    **Grouped quantile leg** (equiwidth_histogram/histogram_quantiles
+    `group_cols`, X-SKETCH-HIST-GROUPED — r10): per-event-type value
+    p50/p95 from the (group, bin) relation — groups×bins state, same
+    exact-long interpolation arithmetic with a group-partitioned
+    window replacing the global totals relation.
+
     **Bloom leg** (operators.sketches.bloom_build/bloom_probe,
     X-SKETCH-BLOOM — r9): runtime semi-join pruning. A 4096-bit/3-hash
     filter over EUROPE's supplier keys is probed by lineitem's
@@ -399,8 +505,9 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build side is too big to broadcast raw, broadcast its m/32
     words instead (Spark's runtime bloom join, as a persistable,
     mergeable, attestable relation)."""
-    from ..operators.sketches import (bloom_build, bloom_probe,
-                                      cms_build, cms_estimate,
+    from ..operators.sketches import (bloom_build, bloom_merge,
+                                      bloom_probe, cms_build,
+                                      cms_estimate, cms_merge,
                                       hll_partials, hll_rollup, kmv_mins)
     from ..sources.registry import stage_row_count
     e = rebalance_single_split(
@@ -445,26 +552,55 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, (tag, plan_key(key_rel)),
             lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
 
-    # ONE events pass for the CMS leg: the exact-count aggregate is
-    # both the weighted BUILD input (counters are additive, so the
-    # pre-aggregated sketch is bit-identical) and the candidate
-    # watchlist riding THROUGH the probe (cms_estimate carries
-    # candidate columns) — no distinct() shuffle, no estimate↔exact
-    # join, keys hashed once instead of once per occurrence.
-    # localCheckpoint: referenced twice (build + candidates);
-    # uncached it would re-run the events aggregate per reference
+    # ONE events pass for BOTH CMS legs: the per-(epoch, key) count
+    # aggregate is the epoch-partial build input AND (summed over
+    # epochs) the exact-count watchlist riding THROUGH the probe
+    # (cms_estimate carries candidate columns) — no distinct()
+    # shuffle, no estimate↔exact join, keys hashed once per epoch
+    # instead of once per occurrence. localCheckpoint: referenced
+    # three times (partials + full build + candidates).
+    #
+    # cms_rollup leg (r10, VERDICT r9 #2 — the streaming merge-law
+    # attestation): rows land in 3 epochs (floor(value) mod 3 — keys
+    # span epochs, so the split is a real stream, not a key
+    # partition); each epoch's d×w PARTIAL is built in one grouped
+    # aggregate (cms_build group_cols — the relation
+    # streaming.sketches.cms_ingest_sink lands per micro-batch) and
+    # cms_merge (plain SUM) rolls them up. The leg emits the merged
+    # counter BESIDE the full-stream build's counter for every
+    # non-empty cell, and the DuckDB oracle replays the partial-union
+    # independently — linearity, the whole reason per-epoch partials
+    # answer stream-lifetime frequency questions at 100 TB, is now
+    # driver-hashed, not just pytest-pinned.
     def build_cms_leg():
-        keys = e.select(F.col("user_id").cast("string").alias("k"))
-        exact = (keys.groupBy("k").agg(F.count("*").alias("n"))
-                 .localCheckpoint(eager=True))
+        ep = F.pmod(F.floor(F.col("value")).cast("long"), F.lit(3))
+        ep_exact = (e.select(ep.alias("ep"),
+                             F.col("user_id").cast("string").alias("k"))
+                    .groupBy("ep", "k").agg(F.count("*").alias("n"))
+                    .localCheckpoint(eager=True))
+        exact = ep_exact.groupBy("k").agg(F.sum("n").alias("n"))
         cms = cms_build(exact, "k", weight="n")
-        return (cms_estimate(cms, exact, "k")
-                .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
-                .select(F.lit("cms_heavy").alias("leg"),
-                        F.col("k").alias("event_type"),
-                        F.col("n").cast("long").alias("exact_n"),
-                        F.col("cms_estimate").cast("double")
-                        .alias("estimate")))
+        heavy = (cms_estimate(cms, exact, "k")
+                 .filter(F.col("cms_estimate") >= CMS_HEAVY_MIN)
+                 .select(F.lit("cms_heavy").alias("leg"),
+                         F.col("k").alias("event_type"),
+                         F.col("n").cast("long").alias("exact_n"),
+                         F.col("cms_estimate").cast("double")
+                         .alias("estimate")))
+        partials = cms_build(ep_exact, "k", weight="n",
+                             group_cols=("ep",))
+        merged = cms_merge(partials.select("j", "bucket", "cnt"))
+        rollup = (merged.join(cms.withColumnRenamed("cnt", "_full"),
+                              ["j", "bucket"], "full")
+                  .select(F.lit("cms_rollup").alias("leg"),
+                          F.concat(F.col("j").cast("string"), F.lit(":"),
+                                   F.col("bucket").cast("string"))
+                          .alias("event_type"),
+                          F.coalesce(F.col("_full"), F.lit(0).cast("long"))
+                          .alias("exact_n"),
+                          F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+                          .cast("double").alias("estimate")))
+        return heavy.unionByName(rollup)
 
     cms_leg = leg_cache("q47_cms_leg", e, build_cms_leg)
     docs = rebalance_single_split(
@@ -495,6 +631,24 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lbl.alias("event_type"),
                      F.lit(None).cast("long").alias("exact_n"),
                      F.col("est").alias("estimate")))
+    # grouped quantile leg (r10, VERDICT r9 #7): per-event-type value
+    # p50/p95 from the (group, bin) histogram relation — the
+    # per-source distribution question every corpus report asks;
+    # groups×bins state, quantiles interpolated per group by the same
+    # exact-long arithmetic (window partitioned by the group replaces
+    # the global totals relation)
+    ghist = cached_relation(
+        equiwidth_histogram(e, "value", 0.0, 1024.0,
+                            group_cols=("event_type",)),
+        "q47_ghist", eager=False)
+    glbl = F.when(F.col("p") == 0.5, "p50").otherwise("p95")
+    gq_leg = (histogram_quantiles(ghist, 0.0, 1024.0, [0.5, 0.95],
+                                  group_cols=("event_type",))
+              .select(F.lit("hist_group_quantile").alias("leg"),
+                      F.concat(F.col("event_type"), F.lit(":"), glbl)
+                      .alias("event_type"),
+                      F.lit(None).cast("long").alias("exact_n"),
+                      F.col("est").alias("estimate")))
     t = load_tables(spark, sf_dir,
                     ("supplier", "nation", "region", "lineitem"))
     mem = (t["supplier"]
@@ -530,9 +684,38 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("_est").cast("double").alias("estimate")))
 
     bloom_leg = leg_cache("q47_bloom_leg", li, build_bloom_leg)
+
+    # bloom_rollup leg (r10, VERDICT r9 #2): the membership sibling of
+    # cms_rollup — the build keys land in 3 epochs (suppkey mod 3),
+    # each epoch's m/32-word PARTIAL comes from one grouped bit_or
+    # (bloom_build group_cols — streaming.sketches.bloom_ingest_sink's
+    # per-micro-batch relation) and bloom_merge rolls them up; the leg
+    # emits the merged word BESIDE the full build's word for every
+    # non-empty word_idx, oracle-replayed word for word:
+    # filter(∪ epochs) == ∪ filter(epoch), the law that lets a stream
+    # maintain membership state as idempotent epoch partials
+    def build_bloom_rollup_leg():
+        keyed = mem.select(
+            F.pmod(F.col("s_suppkey"), F.lit(3)).alias("ep"),
+            F.col("s_suppkey").cast("string").alias("k"))
+        partials = bloom_build(keyed, "k", group_cols=("ep",))
+        merged = bloom_merge(partials.select("word_idx", "word"))
+        return (merged.join(bloom.withColumnRenamed("word", "_full"),
+                            ["word_idx"], "full")
+                .select(F.lit("bloom_rollup").alias("leg"),
+                        F.col("word_idx").cast("string")
+                        .alias("event_type"),
+                        F.coalesce(F.col("_full"), F.lit(0).cast("long"))
+                        .alias("exact_n"),
+                        F.coalesce(F.col("word"), F.lit(0).cast("long"))
+                        .cast("double").alias("estimate")))
+
+    bloom_rollup_leg = leg_cache("q47_bloom_rollup", mem,
+                                 build_bloom_rollup_leg)
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
             .unionByName(hist_leg).unionByName(q_leg)
-            .unionByName(bloom_leg).unionByName(cms_leg))
+            .unionByName(gq_leg).unionByName(bloom_leg)
+            .unionByName(bloom_rollup_leg).unionByName(cms_leg))
 
 
 @query(
