@@ -682,6 +682,112 @@ def scrub_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Exact variable-length substring scrub (X-DEDUP-SUBSTR) — the
+# ExactSubstr class (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): remove every repeated token run of
+# length >= min_len, wherever and however long it is — the long-match
+# complement of the fixed-window `scrub_repeated_spans`.
+#
+# Position-cover formulation (what makes it distributable WITHOUT the
+# paper's monolithic suffix array): a token position belongs to some
+# repeated substring of length >= L  iff  it is covered by at least one
+# sliding L-token window whose content occurs >= min_count times in the
+# corpus. (=>: a repeated run of length M >= L contains, for each of
+# its positions, an L-window lying wholly inside the run, and every
+# such window inherits the run's repetition. <=: a repeated L-window IS
+# a repeated substring covering its positions.) So the union of covered
+# positions equals the union of maximal repeated runs — matched runs of
+# ANY length extend implicitly through overlapping windows; no
+# iterative extension step, no cross-partition run state.
+#
+# Scale shape: the window-occurrence relation is corpus-token-sized ×
+# one 32-hex digest column (windows are hashed BEFORE the shuffle, so
+# shuffle width is independent of L); the repetition count is one
+# uniform map-side-combinable aggregate; the occurrence->repeated
+# semi-join probes an aggregate gated by min_count (shared boilerplate,
+# not corpus-sized — AQE broadcasts it when small); covered positions
+# explode to <= L × repeated-occurrences rows and anti-join the token
+# relation on (doc, pos); reassembly is ONE doc-keyed shuffle with
+# per-doc state bounded by the doc's own token count (the chunking
+# bound). All counting includes intra-doc repeats (the paper's
+# semantics: a string repeated twice in one document is as much a
+# duplicate as one repeated across documents).
+
+SUBSTR_MIN_LEN = 8
+SUBSTR_MIN_COUNT = 2
+
+
+def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_len: int = SUBSTR_MIN_LEN,
+                              min_count: int = SUBSTR_MIN_COUNT
+                              ) -> DataFrame:
+    """(id_col, tpos): every token position covered by a repeated
+    sliding window — i.e. lying inside some repeated substring of
+    length >= min_len. Rows may repeat (one position can be covered
+    by several windows); callers anti-join, which doesn't care."""
+    toks = ws_tokens(text_col)
+    starts = F.when(
+        F.size(toks) >= min_len,
+        F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = (docs.select(F.col(id_col), toks.alias("_t"),
+                       F.explode(starts).alias("p"))
+           .select(id_col, "p",
+                   F.md5(F.array_join(
+                       F.slice("_t", F.col("p") + 1, min_len), " "))
+                   .alias("_h")))
+    rep = (occ.groupBy("_h").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= int(min_count)).select("_h"))
+    return (occ.join(rep, "_h", "left_semi")
+            .select(id_col,
+                    F.explode(F.sequence(
+                        F.col("p"), F.col("p") + (min_len - 1)))
+                    .alias("tpos")))
+
+
+def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               min_len: int = SUBSTR_MIN_LEN,
+                               min_count: int = SUBSTR_MIN_COUNT
+                               ) -> DataFrame:
+    """Remove every token run that is part of a repeated substring of
+    length >= min_len (corpus-wide occurrence count >= min_count,
+    intra-doc repeats included). Output: (id_col, n_tokens, n_removed,
+    cleaned) with surviving tokens rejoined in original order —
+    the scrub report a pipeline persists beside the cleaned corpus.
+
+    Docs shorter than min_len tokens pass through untouched; a doc
+    that is entirely repeated content cleans to ''. ALL copies of a
+    repeated substring are removed (the deterministic, symmetric
+    choice — matching the module's span-scrub semantics; keep-one
+    policies need an ordering authority, which a 100 TB stream does
+    not have)."""
+    covered = repeated_window_positions(docs, id_col, text_col,
+                                        min_len, min_count)
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(text_col)).alias("tpos", "tok"))
+    kept = tok.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("tpos", "tok"))),
+                            lambda x: x["tok"]), " ").alias("cleaned"),
+                    F.count("*").alias("_n_kept")))
+    base = docs.select(F.col(id_col),
+                       F.size(ws_tokens(text_col)).alias("n_tokens"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(
+                id_col, "n_tokens",
+                (F.col("n_tokens") - F.coalesce(F.col("_n_kept"),
+                                                F.lit(0)))
+                .cast("long").alias("n_removed"),
+                F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned")))
+
+
+# ---------------------------------------------------------------------------
 # Incremental near-dup (X-DEDUP-INCR-NEAR) — the MinHash sibling of
 # `incremental_exact`: dedup an ingest batch against a PERSISTED corpus
 # LSH index without recomputing corpus signatures.

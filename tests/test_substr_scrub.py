@@ -1,0 +1,115 @@
+"""Exact variable-length substring scrub
+(operators.dedup.scrub_duplicate_substrings, X-DEDUP-SUBSTR — the
+ExactSubstr class of Lee et al. 2021): semantics vs a Python
+reference on planted cross-doc and intra-doc repeats, variable run
+lengths (the fixed-window span scrub can't express these), and a
+property sweep over random corpora."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from snowflake_azure_etl_spark.operators import dedup
+
+
+def _py_scrub(rows, min_len, min_count=2):
+    """Position-cover reference: count every sliding min_len-window,
+    mark positions covered by windows with count >= min_count, drop
+    covered tokens."""
+    toks = {did: t.split(" ") for did, t in rows}
+    wc = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - min_len + 1):
+            wc[" ".join(tk[i:i + min_len])] += 1
+    out = {}
+    for did, tk in toks.items():
+        cov = set()
+        for i in range(len(tk) - min_len + 1):
+            if wc[" ".join(tk[i:i + min_len])] >= min_count:
+                cov.update(range(i, i + min_len))
+        kept = [t for p, t in enumerate(tk) if p not in cov]
+        out[did] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+# a 10-token run planted in docs 1 and 2 (longer than min_len=8, at
+# different offsets — variable-length extension through overlapping
+# windows); doc 3 repeats an 8-token run INSIDE itself; docs 4-5 are
+# unique; doc 6 is shorter than min_len
+RUN = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    (1, "intro one two " + RUN + " outro aaa bbb"),
+    (2, RUN + " completely different tail here xyz"),
+    (3, "p1 p2 p3 p4 p5 p6 p7 p8 filler p1 p2 p3 p4 p5 p6 p7 p8"),
+    (4, "a wholly unique document body with no repeats whatsoever ok"),
+    (5, "another singular text nothing shared between these words no"),
+    (6, "short doc"),
+]
+
+
+def test_substr_scrub_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in dedup.scrub_duplicate_substrings(docs).collect()}
+    ref = _py_scrub(DOCS, 8)
+    assert got == ref
+    # the full 10-token run went from BOTH docs (all copies removed)
+    assert got[1][1] == 10 and got[2][1] == 10
+    assert "alpha" not in got[1][2] and "kappa" not in got[2][2]
+    # surviving context kept, in order
+    assert got[1][2].startswith("intro one two")
+    assert got[1][2].endswith("outro aaa bbb")
+    # intra-doc repeat scrubbed too (both copies: 16 of 17 tokens)
+    assert got[3][1] == 16 and got[3][2] == "filler"
+    # unique and too-short docs untouched
+    assert got[4][1] == 0 and got[5][1] == 0
+    assert got[6] == (2, 0, "short doc")
+
+
+def test_substr_scrub_run_shorter_than_min_len_survives(spark):
+    """A repeated run of length < min_len must NOT be scrubbed — the
+    length threshold is the operator's whole contract."""
+    seven = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [(1, seven + " unique tail one two three"),
+            (2, seven + " other ending four five six")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_removed"]
+           for r in dedup.scrub_duplicate_substrings(docs).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_substr_scrub_entirely_duplicated_doc_cleans_to_empty(spark):
+    rows = [(1, RUN), (2, RUN), (3, "some other text entirely here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_removed"], r["cleaned"])
+           for r in dedup.scrub_duplicate_substrings(docs).collect()}
+    assert got[1] == (10, "") and got[2] == (10, "")
+    assert got[3] == (0, "some other text entirely here")
+
+
+@st.composite
+def corpus_case(draw):
+    min_len = draw(st.integers(min_value=2, max_value=4))
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    words = ["a", "b", "c"]  # tiny vocab forces organic repeats
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=1, max_value=14))
+        docs.append((i, " ".join(
+            draw(st.sampled_from(words)) for _ in range(n_tok))))
+    return docs, min_len
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=corpus_case())
+def test_substr_scrub_matches_reference_on_random_corpora(spark, case):
+    rows, min_len = case
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in dedup.scrub_duplicate_substrings(
+               docs, min_len=min_len).collect()}
+    assert got == _py_scrub(rows, min_len)
