@@ -50,10 +50,17 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-#: Symbol-boundary sentinel. Prefixing every symbol makes the merge
-#: pattern "<SENT>a <SENT>b" unambiguous: it cannot match inside a
-#: longer symbol ("<SENT>xa <SENT>b" does not contain "<SENT>a"), so a
-#: plain literal replace is a correct single-pass greedy merge.
+#: Symbol-boundary sentinel. Prefixing every symbol guards the LEFT
+#: boundary of the merge pattern "<SENT>a <SENT>b " ("<SENT>xa" does
+#: not contain "<SENT>a "), and the symbol string's TRAILING space —
+#: `symbolize` terminates the string so every symbol, including the
+#: last, is space-terminated — guards the RIGHT: without it the
+#: pattern's tail "<SENT>b" could match the PREFIX of a longer symbol
+#: ("<SENT>a <SENT>c" matches inside "<SENT>a <SENT>cc", fusing 'acc'
+#: — a real divergence from token-aligned BPE found by the r10
+#: hypothesis sweep on 'ac acccc'). With both boundaries guarded a
+#: plain literal replace of "a b " → "ab " is a correct single-pass
+#: greedy merge.
 SENT = "\x01"
 
 
@@ -66,19 +73,23 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def symbolize(word: Column | str) -> Column:
-    """Sentinel-prefixed, space-joined character symbols of a word."""
+    """Sentinel-prefixed, space-joined character symbols of a word,
+    SPACE-TERMINATED (every symbol, including the last, is followed by
+    a space — the right-boundary guard the merge replace needs; see
+    the SENT comment)."""
     c = F.col(word) if isinstance(word, str) else word
     chars = F.transform(F.sequence(F.lit(1), F.length(c)),
                         lambda i: F.substr(c, i, F.lit(1)))
-    return F.array_join(
-        F.transform(chars, lambda ch: F.concat(F.lit(SENT), ch)), " ")
+    return F.concat(F.array_join(
+        F.transform(chars, lambda ch: F.concat(F.lit(SENT), ch)), " "),
+        F.lit(" "))
 
 
 def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent symbol pairs over the symbolized words,
     weighted by word frequency. Single-symbol words contribute nothing
     (their shifted view is empty)."""
-    sy = F.split(F.col("symstr"), " ")
+    sy = F.split(F.rtrim(F.col("symstr")), " ")
     shifted = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(1)))
     pairs = F.filter(
         F.zip_with(sy, shifted,
@@ -133,10 +144,12 @@ def _train(docs: DataFrame, text_col: str, n_merges: int,
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
+        # both pattern and replacement carry the terminating space —
+        # the right-boundary guard (see the SENT comment)
         words = words.withColumn(
             "symstr",
-            F.replace(F.col("symstr"), F.lit(f"{a} {b}"),
-                      F.lit(a + b[len(SENT):])))
+            F.replace(F.col("symstr"), F.lit(f"{a} {b} "),
+                      F.lit(a + b[len(SENT):] + " ")))
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
             words = words.localCheckpoint(eager=True)
     return merges
@@ -174,8 +187,9 @@ def apply_merges(text: Column | str,
         # a word-final/word-initial symbol pair could falsely match
         sym = symbolize(w)
         for a, b, _ in merges:
-            sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b[len(SENT):]))
-        return F.split(sym, " ")
+            sym = F.replace(sym, F.lit(f"{a} {b} "),
+                            F.lit(a + b[len(SENT):] + " "))
+        return F.split(F.rtrim(sym), " ")
 
     # empty whitespace tokens (double/leading/trailing spaces, empty
     # text) are dropped BEFORE encoding — symbolize('') would emit
@@ -321,3 +335,35 @@ def encode_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
     return (docs.crossJoin(F.broadcast(vmap))
             .select(F.col(id_col), ids.alias("token_ids"))
             .withColumn("n_ids", F.size("token_ids")))
+
+
+def decode_ids(encoded: DataFrame, vocab: DataFrame,
+               id_col: str = "doc_id",
+               ids_col: str = "token_ids",
+               unk_token: str = "�") -> DataFrame:
+    """(id, detok): DECODE — token ids back to surface text, the
+    inverse of `encode_ids` and the last piece of the tokenizer
+    round-trip contract: because BPE segments partition each word's
+    characters and `ws_tokens` drops only spaces, decode(encode(text))
+    == text with spaces removed, an identity a driver can attest
+    WITHOUT replaying the merge loop per document (q58's roundtrip
+    leg does exactly that). Ids unknown to the vocab (possible only
+    on ids not produced by this vocab's encode) render as
+    `unk_token` — fail-visible, never silently dropped.
+
+    Same plan shape as encode: the inverse (id → token) map rides as
+    a ONE-ROW broadcast map column, the lookup is a row-local
+    element_at inside transform — no explode, no shuffle, plan size
+    O(1) in vocabulary size."""
+    imap = (vocab.groupBy("token_id")
+            .agg(F.min("token").alias("token"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token_id", "token")))
+                .alias("_imap")))
+    toks = F.transform(
+        F.col(ids_col),
+        lambda i: F.coalesce(F.element_at(F.col("_imap"), i),
+                             F.lit(unk_token)))
+    return (encoded.crossJoin(F.broadcast(imap))
+            .select(F.col(id_col),
+                    F.array_join(toks, "").alias("detok")))

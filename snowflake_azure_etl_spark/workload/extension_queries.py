@@ -613,8 +613,18 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("source").alias("event_type"),
                 F.col("toks").cast("long").alias("exact_n"),
                 F.col("rate").alias("estimate")))
-    hist = cached_relation(equiwidth_histogram(e, "value", 0.0, 1024.0),
-                           "q47_hist", eager=False)
+    # the grouped histogram is built first and the GLOBAL histogram
+    # derived from it by the SUM merge law (r10): one events pass
+    # serves both legs, and the merge that makes the sketch mergeable
+    # is exercised inside the plan itself (exact integers — identical
+    # counts either way)
+    ghist = cached_relation(
+        equiwidth_histogram(e, "value", 0.0, 1024.0,
+                            group_cols=("event_type",)),
+        "q47_ghist", eager=False)
+    hist = cached_relation(
+        ghist.groupBy("bin").agg(F.sum("cnt").alias("cnt")),
+        "q47_hist", eager=False)
     n_rel = hist.agg(F.sum("cnt").alias("n"))
     wb = Window.orderBy("bin")
     hist_leg = (hist.withColumn("cum", F.sum("cnt").over(wb))
@@ -637,10 +647,6 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups×bins state, quantiles interpolated per group by the same
     # exact-long arithmetic (window partitioned by the group replaces
     # the global totals relation)
-    ghist = cached_relation(
-        equiwidth_histogram(e, "value", 0.0, 1024.0,
-                            group_cols=("event_type",)),
-        "q47_ghist", eager=False)
     glbl = F.when(F.col("p") == 0.5, "p50").otherwise("p95")
     gq_leg = (histogram_quantiles(ghist, 0.0, 1024.0, [0.5, 0.95],
                                   group_cols=("event_type",))

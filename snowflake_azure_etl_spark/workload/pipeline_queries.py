@@ -1434,18 +1434,24 @@ def _bpe_round_cte(r: int) -> str:
     """One BPE training round as DuckDB CTEs (mirrors
     operators.bpe.train_bpe_merges round `r`): adjacent-pair counts
     over the space-split symbol strings, the (cnt desc, a, b) argmax,
-    and the sentinel-safe literal replace — both engines' replace is
-    left-to-right non-overlapping, i.e. the greedy merge order."""
+    and the boundary-guarded literal replace — pattern and
+    replacement carry the terminating space (the symbol strings are
+    space-terminated), so the pattern's tail cannot match the PREFIX
+    of a longer right symbol (the r10 fix — see operators.bpe.SENT);
+    both engines' replace is left-to-right non-overlapping, i.e. the
+    greedy merge order."""
     return f"""
     p{r} AS (SELECT sy[g] AS a, sy[g+1] AS b, SUM(freq) AS cnt
-             FROM (SELECT string_split(symstr, ' ') AS sy, freq,
-                          unnest(range(1, len(string_split(symstr, ' '))))
+             FROM (SELECT string_split(rtrim(symstr), ' ') AS sy, freq,
+                          unnest(range(1,
+                              len(string_split(rtrim(symstr), ' '))))
                               AS g
                    FROM w{r})
              GROUP BY 1, 2),
     b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
-    w{r + 1} AS (SELECT replace(symstr, x.a || ' ' || x.b,
-                                x.a || substr(x.b, 2)) AS symstr, freq
+    w{r + 1} AS (SELECT replace(symstr, x.a || ' ' || x.b || ' ',
+                                x.a || substr(x.b, 2) || ' ') AS symstr,
+                        freq
                  FROM w{r} CROSS JOIN b{r} x)"""
 
 
@@ -1484,7 +1490,8 @@ _BM25_SCORE_SQL = """
 
 @query(
     "q58_token_vocab",
-    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25"),
+    covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25",
+            "X-BPE-ROUNDTRIP"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -1513,7 +1520,7 @@ _BM25_SCORE_SQL = """
     w0 AS (SELECT array_to_string(list_transform(
                       range(1, length(word) + 1),
                       i -> chr(1) || substr(word, CAST(i AS INT), 1)),
-                      ' ') AS symstr,
+                      ' ') || ' ' AS symstr,
                   freq FROM wf),
     {_BPE_CTES},
     merges AS ({_BPE_MERGES}),
@@ -1557,6 +1564,15 @@ _BM25_SCORE_SQL = """
     SELECT 'cooc', pair, CAST(NULL AS BIGINT), n_cooc,
            CAST(crank AS INT)
     FROM ctop WHERE crank <= {_COOC_TOP_K}
+    UNION ALL
+    -- roundtrip leg (r10): decode(encode(text)) must equal the
+    -- space-stripped text — the oracle hashes the direct transform,
+    -- NO merge replay, so equality attests the engine's whole
+    -- encode→decode loop
+    SELECT 'roundtrip', substr(md5(replace(text, ' ', '')), 1, 16),
+           doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT),
+           CAST(1 AS INT)
+    FROM documents
     """,
 )
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,22 +1633,40 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the doubles are engine-portable, fixed-point term scores so the
     # per-doc sum is an order-invariant long; the oracle mirrors the
     # exact IEEE parenthesization from ONE shared SQL fragment).
-    # Memoized on the small corpus plan with a lazy persist (the q54
-    # lesson): the output is queries×k rows
-    from pyspark.storagelevel import StorageLevel
-
+    # NOT memoized (r10, the memoization decision rule): a BM25
+    # ranking is a search RESULT — recomputed per invocation against
+    # the persisted corpus stats (bm25_topk's one-row stats relation
+    # rides the session cache registry; that part IS the artifact).
+    bm_leg = (text.bm25_topk(docs, _BM25_QUERIES, k=5)
+              .select(F.lit("bm25").alias("leg"),
+                      F.col("query").alias("token"),
+                      F.col("doc_id").alias("doc_freq"),
+                      F.col("score_q").alias("total_freq"),
+                      F.col("rank").cast("int").alias("rank")))
+    # fifth leg (r10, X-BPE-ROUNDTRIP): the tokenizer round-trip
+    # contract — text → merges → vocabulary ids (encode_ids) → back
+    # to surface text (decode_ids) must reconstruct every document's
+    # space-stripped characters exactly (BPE segments partition each
+    # word; a lost/duplicated/unk id breaks the md5). The oracle side
+    # needs NO merge replay: it hashes replace(text,' ','') directly,
+    # so the equality is a true cross-engine attestation of the whole
+    # encode→decode loop over every doc. The vocab (base alphabet +
+    # merge surfaces in rank order) is the shippable MODEL artifact —
+    # memoized per (session, corpus, n_merges); both id maps ride as
+    # one-row broadcast map columns (no explode, no shuffle).
     from ..operators._cache import cached_build, plan_key
-    bm_leg = cached_build(
-        spark, ("q58_bm25_leg", plan_key(docs), _BM25_QUERIES, 5),
-        lambda: text.bm25_topk(docs, _BM25_QUERIES, k=5)
-        .select(F.lit("bm25").alias("leg"),
-                F.col("query").alias("token"),
-                F.col("doc_id").alias("doc_freq"),
-                F.col("score_q").alias("total_freq"),
-                F.col("rank").cast("int").alias("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    vocab = cached_build(
+        spark, ("q58_vocab", plan_key(docs), _BPE_N_MERGES),
+        lambda: bpe.vocab_from_merges(spark, docs, merges))
+    enc = bpe.encode_ids(docs, merges, vocab)
+    rt_leg = (bpe.decode_ids(enc, vocab)
+              .select(F.lit("roundtrip").alias("leg"),
+                      F.substring(F.md5("detok"), 1, 16).alias("token"),
+                      F.col("doc_id").alias("doc_freq"),
+                      F.length("detok").cast("long").alias("total_freq"),
+                      F.lit(1).cast("int").alias("rank")))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
-            .unionByName(cooc_leg))
+            .unionByName(cooc_leg).unionByName(rt_leg))
 
 
 @query(

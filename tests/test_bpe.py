@@ -307,3 +307,38 @@ def test_apply_merges_ignores_empty_tokens(spark):
     arrow = {r["doc_id"]: list(r["segs"]) for r in
              bpe.apply_merges_arrow(docs, merges).collect()}
     assert arrow == expr
+
+
+def test_train_right_boundary_guard_regression(spark):
+    """r10 regression (hypothesis find): the merge replace must not
+    match the PREFIX of a longer right symbol. On 'ac acccc' round 2
+    merges ('a','c'); without the terminating-space guard the pattern
+    '<S>a <S>c' also fused inside '<S>a <S>cc', yielding a phantom
+    'acc' symbol and a diverging round-3 merge ('acc','cc') instead
+    of ('a','cc')."""
+    docs = spark.createDataFrame([(0, "ac acccc")],
+                                 "doc_id int, text string")
+    got = _strip(bpe.train_bpe_merges(docs, "text", n_merges=3))
+    assert got == ref_train(["ac acccc"], 3)
+    assert got[2] == ("a", "cc", 1)
+
+
+def test_decode_ids_roundtrip_and_unk(spark):
+    """decode_ids inverts encode_ids: concatenated decoded tokens
+    equal the space-stripped text for every doc (BPE segments
+    partition each word); an id outside the vocab renders as the unk
+    glyph, never silently drops."""
+    rows = [(1, "low lower lowest"), (2, "new newer newest"),
+            (3, ""), (4, "low new")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = bpe.train_bpe_merges(docs, "text", n_merges=4)
+    vocab = bpe.vocab_from_merges(spark, docs, merges)
+    enc = bpe.encode_ids(docs, merges, vocab)
+    got = {r["doc_id"]: r["detok"]
+           for r in bpe.decode_ids(enc, vocab).collect()}
+    assert got == {did: t.replace(" ", "") for did, t in rows}
+    # unknown id -> unk glyph
+    bad = spark.createDataFrame([(9, [0, 10**6])],
+                                "doc_id bigint, token_ids array<int>")
+    out = bpe.decode_ids(bad, vocab).collect()[0]["detok"]
+    assert "\N{REPLACEMENT CHARACTER}" in out
