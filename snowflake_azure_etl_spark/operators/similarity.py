@@ -540,6 +540,60 @@ def _semantic_dedup_build(emb: DataFrame, id_col: str, vec_col: str,
             .withColumn("is_dup", F.col("keeper") != F.col("id")))
 
 
+def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_cells: int = 8,
+                      train_iters: int = 2, threshold: float = 0.95,
+                      n_rows: int | None = None) -> DataFrame:
+    """Semantic benchmark decontamination (X-DECONTAM-SEMANTIC) — the
+    embedding-space sibling of `decontam.py`'s n-gram overlap filter:
+    a TRAIN row is contaminated iff its cosine similarity to ANY
+    benchmark/eval vector reaches `threshold`. `eval_ids` is the
+    benchmark membership id-relation (column named like `id_col`);
+    rows in it are the eval side, all other corpus rows the train
+    side. Output, one row per TRAIN vector: (id, cell_id, n_hits,
+    max_sim, is_contaminated) — the drop-list report a pipeline
+    persists beside its decontaminated corpus.
+
+    Scale shape (the SemDeDup approximation applied to
+    decontamination): candidates are compared only WITHIN the shared
+    IVF quantizer cells — the same `_ivf_index` artifact `ivf_topk` /
+    `semantic_dedup` already build, so a pipeline that searches,
+    dedups, AND decontaminates trains the quantizer once. The
+    quadratic stage is train×eval per cell, but the eval side is a
+    benchmark — bounded and broadcastable (size-attested via
+    `n_rows`, the dedup contract) — so per-cell cost stays linear in
+    the train rows; the hit aggregate is keyed on the train id; the
+    final left join is hit-proportional. Train vectors never shuffle:
+    assignment is the broadcast-projection, the eval side moves to
+    them. A cross-cell near-hit is missed by construction (the
+    published recipe's trade); raise n_cells' train_iters or lower
+    n_cells to tighten."""
+    from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
+    _, assigned = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
+    ev_ids = eval_ids.select(F.col(id_col).alias("_id"))
+    c = assigned.select(F.col("neighbor_id").alias("_id"), "cv",
+                        "cell_id", l2_norm(F.col("cv")).alias("_n"))
+    ev = (c.join(F.broadcast(ev_ids), "_id", "left_semi")
+          .select("cell_id", F.col("cv").alias("ve"),
+                  F.col("_n").alias("ne")))
+    tr = c.join(F.broadcast(ev_ids), "_id", "left_anti")
+    cos = dot(F.col("cv"), F.col("ve")) / (F.col("_n") * F.col("ne"))
+    hits = (tr.join(_maybe_broadcast(ev, n_rows, BROADCAST_MAX_ROWS),
+                    "cell_id")
+            .filter(cos >= threshold)
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.max(cos).alias("max_sim")))
+    return (tr.select("_id", "cell_id").join(hits, "_id", "left")
+            .select(F.col("_id").alias("id"), "cell_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                    .alias("n_hits"),
+                    F.col("max_sim"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                    .alias("is_contaminated")))
+
+
 def normalize_vec(vec: Column | str) -> Column:
     """L2-normalize a vector column (row-local higher-order exprs —
     the preprocessing that turns dot products into cosines so ANN

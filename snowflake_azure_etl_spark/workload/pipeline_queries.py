@@ -1845,7 +1845,7 @@ _SEMDEDUP_THRESHOLD = 0.4
 @query(
     "q63_ann_ivf_topk",
     covers=("X-ANN-IVF", "X-ANN-KMEANS", "X-DEDUP-SEMANTIC",
-            "X-ANN-IVF-INCR"),
+            "X-ANN-IVF-INCR", "X-DECONTAM-SEMANTIC"),
     oracle=f"""
     WITH RECURSIVE
     corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
@@ -1905,7 +1905,16 @@ _SEMDEDUP_THRESHOLD = 0.4
                       COALESCE(b.n_new IS NOT NULL
                                AND b.mcn < i.mci - 0.02, FALSE)
                           AS retrain
-               FROM istat i LEFT JOIN bstat b USING (cell_id))
+               FROM istat i LEFT JOIN bstat b USING (cell_id)),
+    dc_hit AS (
+        SELECT t.neighbor_id AS tid, t.cell_id,
+               COUNT(*) AS n_hits,
+               MAX({_COS.format(a='t.v', b='e.v')}) AS mx
+        FROM (SELECT * FROM assigned WHERE neighbor_id % 7 != 0) t
+        JOIN (SELECT * FROM assigned WHERE neighbor_id % 7 = 0) e
+          USING (cell_id)
+        WHERE {_COS.format(a='t.v', b='e.v')} >= {_SEMDEDUP_THRESHOLD}
+        GROUP BY 1, 2)
     SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -1922,6 +1931,10 @@ _SEMDEDUP_THRESHOLD = 0.4
     SELECT 'ivf_cells', CAST(cell_id AS BIGINT), CAST(n_index AS BIGINT),
            mci, CAST(NULL AS INT)
     FROM cdrift
+    UNION ALL
+    SELECT 'decontam', tid, CAST(n_hits AS BIGINT), mx,
+           CAST(cell_id AS INT)
+    FROM dc_hit
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1983,4 +1996,29 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_index").cast("long").alias("neighbor_id"),
         F.col("mean_cos_index").alias("cos_sim"),
         F.lit(None).cast("int").alias("rn"))
-    return topk.unionByName(sd).unionByName(dnew).unionByName(dbase)
+    # fourth leg (r10, X-DECONTAM-SEMANTIC): semantic benchmark
+    # decontamination — vec_id ≡ 0 (mod 7) stands in for a benchmark
+    # set embedded in the lake; TRAIN rows whose within-cell cosine
+    # to any benchmark vector reaches the semdedup threshold are the
+    # drop list (similarity.semantic_decontam — the embedding-space
+    # sibling of decontam.py's n-gram filter, over the SAME shared
+    # `_ivf_index` quantizer as all three legs above: search, dedup,
+    # drift, and decontamination from ONE index build). neighbor_id
+    # carries the hit count, cos_sim the max similarity (both
+    # exact/order-invariant), rn the cell.
+    dc = (similarity.semantic_decontam(emb,
+                                       emb.filter(F.col("vec_id") % 7
+                                                  == 0)
+                                       .select("vec_id"),
+                                       "vec_id", "embedding",
+                                       n_cells=8, train_iters=2,
+                                       threshold=_SEMDEDUP_THRESHOLD,
+                                       n_rows=n_vecs)
+          .filter("is_contaminated")
+          .select(F.lit("decontam").alias("leg"),
+                  F.col("id").alias("query_id"),
+                  F.col("n_hits").cast("long").alias("neighbor_id"),
+                  F.col("max_sim").alias("cos_sim"),
+                  F.col("cell_id").cast("int").alias("rn")))
+    return (topk.unionByName(sd).unionByName(dnew).unionByName(dbase)
+            .unionByName(dc))
