@@ -838,15 +838,17 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pooled doc-level embeddings). The exact/ADC top-k lists are
     # search RESULTS — a real system recomputes them per query
     # against the persisted index — so they rebuild per invocation;
-    # the eager localCheckpoint is per-invocation materialization for
-    # their three consumers (own leg + RRF fusion + recall join),
-    # released by the ContextCleaner when the result is dropped, and
-    # invisible to (because never in) the session cache.
+    # the LAZY localCheckpoint is per-invocation materialization for
+    # their three consumers (own leg + RRF fusion + recall join) —
+    # computed once inside the single output job rather than as two
+    # extra eager driver jobs — released by the ContextCleaner when
+    # the result is dropped, and invisible to (because never in) the
+    # session cache.
     exact = (similarity.brute_force_topk(
         emb, queries, "vec_id", "embedding", k=3)
         .select(F.lit("exact").alias("leg"), "query_id",
                 "neighbor_id", F.col("cos_sim").alias("metric"), "rn")
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     cb = pq.pq_codebooks(emb, "vec_id", "embedding", dim=_PQ_DIM,
                          m=_PQ_M, k=_PQ_K, n_iter=0)
     # the code table IS the PQ index artifact (m ints per vector —
@@ -858,7 +860,7 @@ def q54_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb, m=_PQ_M, k_neighbors=3)
         .select(F.lit("pq_adc").alias("leg"), "query_id",
                 "neighbor_id", F.col("adc_dist").alias("metric"), "rn")
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
 
     # pooled leg: quantize → grouped mean_pool → L2 normalize → per-dim
     # rows (fixed-point pre-quantization makes the distributed mean
@@ -1572,7 +1574,7 @@ _BM25_SCORE_SQL = """
     SELECT 'roundtrip', substr(md5(replace(text, ' ', '')), 1, 16),
            doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT),
            CAST(1 AS INT)
-    FROM documents
+    FROM documents WHERE doc_id % 5 = 0
     """,
 )
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,7 +1660,14 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = cached_build(
         spark, ("q58_vocab", plan_key(docs), _BPE_N_MERGES),
         lambda: bpe.vocab_from_merges(spark, docs, merges))
-    enc = bpe.encode_ids(docs, merges, vocab)
+    # deterministic 1-in-5 subsample (the q53 simhash-leg pattern):
+    # the encode is the interpreted 8-replace expression chain per
+    # word — attestation strength is per-doc regardless of how many
+    # docs ride, so the leg doesn't pay a full-corpus encode per
+    # bench invocation; the full-corpus encode path stays pinned by
+    # tests/test_bpe.py (expression == Arrow == Python reference)
+    sub = docs.filter(F.col("doc_id") % 5 == 0)
+    enc = bpe.encode_ids(sub, merges, vocab)
     rt_leg = (bpe.decode_ids(enc, vocab)
               .select(F.lit("roundtrip").alias("leg"),
                       F.substring(F.md5("detok"), 1, 16).alias("token"),
