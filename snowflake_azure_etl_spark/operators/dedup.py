@@ -717,6 +717,36 @@ SUBSTR_MIN_LEN = 8
 SUBSTR_MIN_COUNT = 2
 
 
+def _window_occurrences(docs: DataFrame, id_col: str, text_col: str,
+                        min_len: int) -> DataFrame:
+    """(id_col, p, _h): every sliding min_len-token window as (start
+    position, md5 digest) — hashed row-locally BEFORE any shuffle, so
+    downstream key width is independent of min_len."""
+    toks = ws_tokens(text_col)
+    starts = F.when(
+        F.size(toks) >= min_len,
+        F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (docs.select(F.col(id_col), toks.alias("_t"),
+                        F.explode(starts).alias("p"))
+            .select(id_col, "p",
+                    F.md5(F.array_join(
+                        F.slice("_t", F.col("p") + 1, min_len), " "))
+                    .alias("_h")))
+
+
+def _covered_positions(occ: DataFrame, rep_hashes: DataFrame,
+                       id_col: str, min_len: int) -> DataFrame:
+    """(id_col, tpos): token positions covered by an occurrence whose
+    hash is in `rep_hashes` (column ``_h``). Rows may repeat; callers
+    anti-join, which doesn't care."""
+    return (occ.join(rep_hashes.select("_h"), "_h", "left_semi")
+            .select(id_col,
+                    F.explode(F.sequence(
+                        F.col("p"), F.col("p") + (min_len - 1)))
+                    .alias("tpos")))
+
+
 def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               min_len: int = SUBSTR_MIN_LEN,
@@ -726,24 +756,10 @@ def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
     sliding window — i.e. lying inside some repeated substring of
     length >= min_len. Rows may repeat (one position can be covered
     by several windows); callers anti-join, which doesn't care."""
-    toks = ws_tokens(text_col)
-    starts = F.when(
-        F.size(toks) >= min_len,
-        F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
-    ).otherwise(F.array().cast("array<int>"))
-    occ = (docs.select(F.col(id_col), toks.alias("_t"),
-                       F.explode(starts).alias("p"))
-           .select(id_col, "p",
-                   F.md5(F.array_join(
-                       F.slice("_t", F.col("p") + 1, min_len), " "))
-                   .alias("_h")))
+    occ = _window_occurrences(docs, id_col, text_col, min_len)
     rep = (occ.groupBy("_h").agg(F.count("*").alias("_c"))
-           .filter(F.col("_c") >= int(min_count)).select("_h"))
-    return (occ.join(rep, "_h", "left_semi")
-            .select(id_col,
-                    F.explode(F.sequence(
-                        F.col("p"), F.col("p") + (min_len - 1)))
-                    .alias("tpos")))
+           .filter(F.col("_c") >= int(min_count)))
+    return _covered_positions(occ, rep, id_col, min_len)
 
 
 def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
@@ -765,6 +781,14 @@ def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
     not have)."""
     covered = repeated_window_positions(docs, id_col, text_col,
                                         min_len, min_count)
+    return _scrub_report(docs, covered, id_col, text_col)
+
+
+def _scrub_report(docs: DataFrame, covered: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(id_col, n_tokens, n_removed, cleaned): drop the covered token
+    positions and reassemble survivors in order — one doc-keyed
+    shuffle, per-doc state bounded by the doc's own token count."""
     tok = docs.select(
         F.col(id_col),
         F.posexplode(ws_tokens(text_col)).alias("tpos", "tok"))
@@ -785,6 +809,70 @@ def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
                                                 F.lit(0)))
                 .cast("long").alias("n_removed"),
                 F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned")))
+
+
+def window_hash_index(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
+    """(window_hash, n_occurrences): the persistable substring-dedup
+    INDEX artifact — corpus-wide occurrence counts per sliding
+    min_len-window digest. Bounded by distinct windows × one 32-hex
+    column; merge law = plain SUM (the CMS/histogram linearity), so a
+    pipeline grows it per ingest batch — `merge_window_index` — the
+    same grow-the-index contract as `incremental_exact`'s content
+    hashes and the band-key index. Land it bucketed on window_hash
+    (`plans.layout.land_bucketed`) so batch probes join co-located."""
+    occ = _window_occurrences(docs, id_col, text_col, min_len)
+    return (occ.groupBy(F.col("_h").alias("window_hash"))
+            .agg(F.count("*").alias("n_occurrences")))
+
+
+def merge_window_index(*indexes: DataFrame) -> DataFrame:
+    """SUM-merge of window-hash indexes built with the SAME min_len —
+    index(A) ⊎ index(B) == index(A ∪ B), the law that grows the
+    artifact per batch without re-scanning the corpus (pinned in
+    tests/test_substr_scrub.py)."""
+    out = indexes[0]
+    for ix in indexes[1:]:
+        out = out.unionByName(ix)
+    return (out.groupBy("window_hash")
+            .agg(F.sum("n_occurrences").alias("n_occurrences")))
+
+
+def incremental_scrub_duplicate_substrings(
+        new_docs: DataFrame, index: DataFrame,
+        id_col: str = "doc_id", text_col: str = "text",
+        min_len: int = SUBSTR_MIN_LEN,
+        min_count: int = SUBSTR_MIN_COUNT) -> DataFrame:
+    """Scrub an INGEST BATCH against the persisted corpus
+    `window_hash_index` without re-scanning the corpus — the
+    substring sibling of `incremental_exact` /
+    `incremental_near_dup_candidates`, completing the per-artifact
+    incremental family. A batch window is repeated iff its batch
+    count PLUS the index count reaches min_count (counts are
+    additive), so the output equals the full-corpus
+    `scrub_duplicate_substrings(corpus ∪ batch)` restricted to the
+    batch docs — pinned in tests. Returns the batch's scrub report;
+    the caller grows the index with
+    `merge_window_index(index, window_hash_index(new_docs))`.
+
+    Scale shape: the batch side is hashed once; the only
+    corpus-sized relation is the index, probed by ONE equi-join on
+    the digest (batch-count-sized left side — land the index
+    bucketed and the join is co-located, the incremental_exact
+    plan contract); everything else is batch-sized."""
+    occ = _window_occurrences(new_docs, id_col, text_col, min_len)
+    batch = occ.groupBy("_h").agg(F.count("*").alias("_cb"))
+    tot = (batch.join(index.select(F.col("window_hash").alias("_h"),
+                                   F.col("n_occurrences").alias("_ci")),
+                      "_h", "left")
+           .select("_h",
+                   (F.col("_cb")
+                    + F.coalesce(F.col("_ci"), F.lit(0).cast("long")))
+                   .alias("_c")))
+    rep = tot.filter(F.col("_c") >= int(min_count))
+    covered = _covered_positions(occ, rep, id_col, min_len)
+    return _scrub_report(new_docs, covered, id_col, text_col)
 
 
 # ---------------------------------------------------------------------------

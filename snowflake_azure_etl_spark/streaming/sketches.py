@@ -81,6 +81,35 @@ def bloom_rollup(spark: SparkSession, table: str) -> DataFrame:
             .agg(F.bit_or("word").alias("word")))
 
 
+def hist_ingest_sink(table: str, value_col: str, lo: float, hi: float,
+                     bins: int | None = None
+                     ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: land each micro-batch's equi-width
+    histogram PARTIAL (bin, cnt) as its own epoch partition — the
+    quantile-sketch member of the maintenance family (bin counts are
+    exact integers, merge law = SUM, same linearity as CMS). Bounds
+    are the caller's catalog bounds, fixed for the table's lifetime:
+    partials with different bounds would merge into nonsense."""
+    from ..operators.sketches import HIST_BINS, equiwidth_histogram
+    bins = HIST_BINS if bins is None else bins
+    write = idempotent_epoch_sink(table)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write(equiwidth_histogram(batch_df, value_col, lo, hi, bins),
+              epoch_id)
+
+    return sink
+
+
+def hist_rollup(spark: SparkSession, table: str) -> DataFrame:
+    """(bin, cnt): the stream-lifetime histogram — SUM over all epoch
+    partials; feed it straight to
+    `operators.sketches.histogram_quantiles` for stream-lifetime
+    p50/p95 without ever sorting (or even retaining) the stream."""
+    return (spark.table(table).groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
 def compact_epochs(spark: SparkSession, table: str, upto_epoch: int,
                    merge_cols: dict[str, str]) -> int:
     """Merge all epoch partials BELOW `upto_epoch` into ONE baseline

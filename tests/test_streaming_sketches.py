@@ -100,3 +100,51 @@ def test_compaction_preserves_every_rollup_answer(spark):
            .select("_epoch_id").distinct().collect()}
     assert eps == {1, 2}
     assert sorted(map(tuple, cms_rollup(spark, t).collect())) == before
+
+
+def _num_stream_dir(batches):
+    d = tempfile.mkdtemp(prefix="skh_stream_")
+    base = time.time() - 100
+    for i, vals in enumerate(batches):
+        path = os.path.join(d, f"batch_{i}.parquet")
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.float64())}), path)
+        os.utime(path, (base + i, base + i))
+    return d
+
+
+def test_hist_epoch_partials_roll_up_and_answer_quantiles(spark):
+    """Histogram partials land per epoch, SUM-roll up to the one-shot
+    batch histogram, replay is idempotent, and the rolled-up relation
+    feeds histogram_quantiles directly — stream-lifetime p50 without
+    retaining the stream."""
+    from snowflake_azure_etl_spark.streaming.sketches import (
+        hist_ingest_sink, hist_rollup)
+    batches = [[float(i % 50) for i in range(40)],
+               [float(i % 97) for i in range(60)],
+               [float(i % 13) for i in range(30)]]
+    t = _table(spark, "hist_partials")
+    sink = hist_ingest_sink(t, "v", 0.0, 100.0, bins=10)
+    src = _num_stream_dir(batches)
+    stream = (spark.readStream.schema("v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="skh_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rolled = sorted(map(tuple, hist_rollup(spark, t).collect()))
+    whole = spark.createDataFrame(
+        [(v,) for b in batches for v in b], "v double")
+    direct = sorted(map(tuple, sk.equiwidth_histogram(
+        whole, "v", 0.0, 100.0, bins=10).collect()))
+    assert rolled == direct
+    # replay changes nothing
+    sink(spark.createDataFrame([(v,) for v in batches[1]], "v double"), 1)
+    assert sorted(map(tuple, hist_rollup(spark, t).collect())) == rolled
+    # the rollup answers quantiles directly
+    got = {r["p"]: r["est"] for r in sk.histogram_quantiles(
+        hist_rollup(spark, t), 0.0, 100.0, [0.5], bins=10).collect()}
+    ref = {r["p"]: r["est"] for r in sk.histogram_quantiles(
+        sk.equiwidth_histogram(whole, "v", 0.0, 100.0, bins=10),
+        0.0, 100.0, [0.5], bins=10).collect()}
+    assert got == ref

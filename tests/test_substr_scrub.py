@@ -113,3 +113,47 @@ def test_substr_scrub_matches_reference_on_random_corpora(spark, case):
            for r in dedup.scrub_duplicate_substrings(
                docs, min_len=min_len).collect()}
     assert got == _py_scrub(rows, min_len)
+
+
+def test_window_index_merge_law(spark):
+    """index(A) SUM-merged with index(B) == index(A ∪ B), hash for
+    hash — the law that grows the artifact per batch."""
+    a = spark.createDataFrame(DOCS[:3], "doc_id bigint, text string")
+    b = spark.createDataFrame(DOCS[3:], "doc_id bigint, text string")
+    full = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    merged = {r["window_hash"]: r["n_occurrences"]
+              for r in dedup.merge_window_index(
+                  dedup.window_hash_index(a),
+                  dedup.window_hash_index(b)).collect()}
+    direct = {r["window_hash"]: r["n_occurrences"]
+              for r in dedup.window_hash_index(full).collect()}
+    assert merged == direct
+
+
+def test_incremental_scrub_equals_full_corpus_restriction(spark):
+    """Batch-vs-index scrub == the full-corpus scrub restricted to
+    the batch docs: counts are additive, so probing the persisted
+    index is exact, not an approximation. Covers a run repeated only
+    ACROSS the corpus/batch boundary (one copy in each)."""
+    corpus_rows = [(1, "intro one two " + RUN + " outro aaa bbb"),
+                   (2, "some other corpus text with no overlap here")]
+    batch_rows = [(10, RUN + " completely fresh tail words"),
+                  (11, "a clean batch document nothing shared"),
+                  # repeated INSIDE the batch only (both copies >= L)
+                  (12, "q1 q2 q3 q4 q5 q6 q7 q8 mid q1 q2 q3 q4 q5 q6 q7 q8")]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows,
+                                  "doc_id bigint, text string")
+    index = dedup.window_hash_index(corpus)
+    inc = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+           for r in dedup.incremental_scrub_duplicate_substrings(
+               batch, index).collect()}
+    full = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+            for r in dedup.scrub_duplicate_substrings(
+                corpus.unionByName(batch)).collect()
+            if r["doc_id"] >= 10}
+    assert inc == full
+    # the boundary-crossing run was scrubbed, the clean doc untouched,
+    # the batch-internal repeat caught without any index hit
+    assert inc[10][1] == 10 and inc[11][1] == 0 and inc[12][1] == 16
