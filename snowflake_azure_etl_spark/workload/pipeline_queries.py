@@ -432,7 +432,7 @@ _SIMHASH_KEYS = " UNION ALL ".join(
 @query(
     "q53_dedup_simhash",
     covers=("X-DEDUP-SIMHASH", "X-DEDUP-SIMHASH-PAIRS", "X-TEXT-FPRINT",
-            "X-DEDUP-SPAN", "X-DEDUP-SUBSTR"),
+            "X-DEDUP-SPAN", "X-DEDUP-SUBSTR", "X-DEDUP-SUBSTR-INCR"),
     oracle=rf"""
     WITH {_TOKS_CTE},
     spt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -517,6 +517,14 @@ _SIMHASH_KEYS = " UNION ALL ".join(
     SELECT 'substr_scrub', doc_id, CAST(NULL AS BIGINT),
            CAST(n_tok - n_kept AS BIGINT), substr(md5(cleaned), 1, 16)
     FROM sxk
+    UNION ALL
+    -- incremental-parity leg: the engine scrubs the mod-5 batch
+    -- against the rest-of-corpus window index; additivity makes that
+    -- EQUAL the full-corpus scrub restricted to the batch, so the
+    -- oracle needs no incremental machinery at all
+    SELECT 'substr_incr', doc_id, CAST(NULL AS BIGINT),
+           CAST(n_tok - n_kept AS BIGINT), substr(md5(cleaned), 1, 16)
+    FROM sxk WHERE doc_id % 5 = 0
     """,
 )
 def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,8 +628,30 @@ def q53_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("n_removed").alias("metric"),
                                    F.substring(F.md5("cleaned"), 1, 16)
                                    .alias("fingerprint")))
+
+    # fifth leg (r10, X-DEDUP-SUBSTR-INCR — incremental-parity, the
+    # q51 pattern): docs ≡0 (mod 5) replayed as an ingest batch
+    # scrubbed against the REST-of-corpus window_hash_index (the
+    # persisted artifact, memoized per corpus plan). The ENGINE runs
+    # the incremental path; the ORACLE just restricts the full-corpus
+    # scrub to the batch docs — so the additivity claim
+    # (batch count + index count is exact, no approximation) is
+    # driver-hashed, not merely pytest-pinned.
+    def build_substr_incr():
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        rest = docs.filter(F.col("doc_id") % 5 != 0)
+        idx = dedup.window_hash_index(rest)
+        return (dedup.incremental_scrub_duplicate_substrings(batch, idx)
+                .select(F.lit("substr_incr").alias("role"),
+                        F.col("doc_id").alias("id_a"),
+                        F.lit(None).cast("long").alias("id_b"),
+                        F.col("n_removed").alias("metric"),
+                        F.substring(F.md5("cleaned"), 1, 16)
+                        .alias("fingerprint")))
+
+    substr_incr_leg = leg_cache("q53_substr_incr_leg", build_substr_incr)
     return (doc_leg.unionByName(pair_leg).unionByName(span_leg)
-            .unionByName(substr_leg))
+            .unionByName(substr_leg).unionByName(substr_incr_leg))
 
 
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
