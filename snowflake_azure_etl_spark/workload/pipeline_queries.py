@@ -293,7 +293,8 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q52_dedup_jaccard_verify",
-    covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD", "X-GRAPH-CC"),
+    covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD", "X-GRAPH-CC",
+            "X-DEDUP-MINHASH-QUALITY"),
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE},
     {_PAIRS_CTE},
@@ -323,10 +324,23 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
     ),
     comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
-             FROM reach GROUP BY s)
+             FROM reach GROUP BY s),
+    -- estimator-quality columns (r10): agreeing signature positions
+    -- per pair, from the SAME sig relation the banding used
+    esig AS (
+        SELECT p.id_a, p.id_b,
+               ({' + '.join(f'CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END'
+                            for i in range(MINHASH_K))}) AS est_matches
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.id_a
+        JOIN sig b ON b.doc_id = p.id_b)
     SELECT vp.id_a, vp.id_b, vp.shared, vp.size_a, vp.size_b, vp.jaccard,
-           CAST(comp.keeper AS BIGINT) AS keeper
+           CAST(comp.keeper AS BIGINT) AS keeper,
+           CAST(e.est_matches AS INT) AS est_matches,
+           CAST(e.est_matches AS DOUBLE) / CAST({MINHASH_K} AS DOUBLE)
+               AS est_jaccard
     FROM vp JOIN comp ON comp.id = vp.id_a
+    JOIN esig e ON e.id_a = vp.id_a AND e.id_b = vp.id_b
     """,
 )
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +383,33 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           n_docs=n_docs)
         jac = dedup.exact_jaccard(docs, cands, "doc_id", "text",
                                   n_docs=n_docs, shingle_n=SHINGLE_N)
+        # estimator-quality columns (r10, X-DEDUP-MINHASH-QUALITY):
+        # the MinHash-ESTIMATED Jaccard (agreeing signature positions
+        # / k — E[est] = true Jaccard, the Broder bound) emitted
+        # BESIDE the exact verify value per pair, so the driver
+        # attests the estimator the LSH stage banded on — the sketch
+        # family's analog of q54's recall@k. Exact ints + one /k
+        # divide: hash-portable. Signature sides are doc-count-
+        # attested broadcasts (the lsh_candidate_pairs contract).
+        from ..operators.dedup import _maybe_broadcast
+        sa = sig.select(F.col("doc_id").alias("id_a"),
+                        *[F.col(f"h{i}").alias(f"_a{i}")
+                          for i in range(MINHASH_K)])
+        sb = sig.select(F.col("doc_id").alias("id_b"),
+                        *[F.col(f"h{i}").alias(f"_b{i}")
+                          for i in range(MINHASH_K)])
+        agree = sum(
+            (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+            for i in range(MINHASH_K))
         p = (jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+             .join(_maybe_broadcast(sa, n_docs), "id_a")
+             .join(_maybe_broadcast(sb, n_docs), "id_b")
+             .withColumn("est_matches", agree)
+             .withColumn("est_jaccard",
+                         F.col("est_matches").cast("double")
+                         / F.lit(float(MINHASH_K)))
+             .drop(*[f"_a{i}" for i in range(MINHASH_K)],
+                   *[f"_b{i}" for i in range(MINHASH_K)])
              .persist(StorageLevel.MEMORY_AND_DISK))
         p.count()   # eager: many downstream references
         return p
@@ -1629,11 +1669,27 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode path (`bpe.apply_merges`) and deep-merge behavior are
     pytest-pinned against an independent Python reference
     (tests/test_bpe.py)."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators import bpe
+    from ..operators._cache import cached_build, plan_key
     docs = _docs(spark, sf_dir)
-    vocab_leg = text.token_vocab(docs, "text", top_k=100).select(
+    dk = plan_key(docs)
+
+    # memoization rule (SCALE.md): the ranked token VOCABULARY and the
+    # co-occurrence relation are persisted training-prep ARTIFACTS
+    # (what tokenizer training and word2vec/GloVe prep land beside the
+    # corpus) — they memoize like the merge list; the BM25 ranking is
+    # a search RESULT and rebuilds per invocation.
+    def leg_cache(tag, build):
+        return cached_build(
+            spark, (tag, dk),
+            lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
+
+    vocab_leg = leg_cache("q58_vocab_leg", lambda: text.token_vocab(
+        docs, "text", top_k=100).select(
         F.lit("vocab").alias("leg"), "token", "doc_freq", "total_freq",
-        "rank")
+        "rank"))
     merges = bpe.train_bpe_merges(docs, "text", n_merges=_BPE_N_MERGES)
     bpe_leg = bpe.merges_table(spark, merges).select(
         F.lit("bpe_merge").alias("leg"),
@@ -1648,11 +1704,12 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Top-k rides the same TakeOrderedAndProject + k-row-window shape
     # as the vocab leg; the ln-valued PMI weight over these counts is
     # pytest-pinned (tests/test_tfidf_cooc.py).
-    cooc = text.cooccurrence_pairs(docs, "text", window=_COOC_WINDOW)
-    cooc_order = [F.desc("n_cooc"), F.asc("pair")]
-    cooc_head = cooc.orderBy(*cooc_order).limit(_COOC_TOP_K)
-    from pyspark.sql import Window as _W
-    cooc_leg = (cooc_head
+    def build_cooc_leg():
+        cooc = text.cooccurrence_pairs(docs, "text", window=_COOC_WINDOW)
+        cooc_order = [F.desc("n_cooc"), F.asc("pair")]
+        cooc_head = cooc.orderBy(*cooc_order).limit(_COOC_TOP_K)
+        from pyspark.sql import Window as _W
+        return (cooc_head
                 .withColumn("crank",
                             F.row_number().over(_W.orderBy(*cooc_order)))
                 .select(F.lit("cooc").alias("leg"),
@@ -1660,6 +1717,8 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("long").alias("doc_freq"),
                         F.col("n_cooc").alias("total_freq"),
                         F.col("crank").cast("int").alias("rank")))
+
+    cooc_leg = leg_cache("q58_cooc_leg", build_cooc_leg)
     # fourth leg (r9, X-BM25): top-5 docs per literal query by
     # quantized rational-IDF BM25 (text.bm25_topk — exp-free IDF so
     # the doubles are engine-portable, fixed-point term scores so the
@@ -1686,9 +1745,8 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge surfaces in rank order) is the shippable MODEL artifact —
     # memoized per (session, corpus, n_merges); both id maps ride as
     # one-row broadcast map columns (no explode, no shuffle).
-    from ..operators._cache import cached_build, plan_key
     vocab = cached_build(
-        spark, ("q58_vocab", plan_key(docs), _BPE_N_MERGES),
+        spark, ("q58_vocab", dk, _BPE_N_MERGES),
         lambda: bpe.vocab_from_merges(spark, docs, merges))
     # deterministic 1-in-5 subsample (the q53 simhash-leg pattern):
     # the encode is the interpreted 8-replace expression chain per
