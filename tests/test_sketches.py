@@ -348,3 +348,40 @@ def test_grouped_histogram_quantiles_match_per_group_reference(spark):
     direct = {r["bin"]: r["cnt"] for r in sketches.equiwidth_histogram(
         df, "v", 0.0, 100.0, bins=10).collect()}
     assert regrouped == direct
+
+
+def test_grouped_cms_partials_equal_per_group_builds_and_merge(spark):
+    """cms_build(group_cols) builds each group's partial exactly as a
+    standalone per-group build would, and cms_merge over the partials
+    equals the full-stream sketch (the q47 rollup legs' law, pinned
+    engine-side)."""
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(i % 3, f"k{i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "ep int, k string")
+    partials = sketches.cms_build(df, "k", depth=2, width=32,
+                                  group_cols=("ep",))
+    for ep in range(3):
+        standalone = sorted(map(tuple, sketches.cms_build(
+            df.filter(F.col("ep") == ep), "k", depth=2,
+            width=32).collect()))
+        grouped = sorted(map(tuple, partials.filter(F.col("ep") == ep)
+                             .drop("ep").collect()))
+        assert grouped == standalone
+    merged = sorted(map(tuple, sketches.cms_merge(
+        partials.select("j", "bucket", "cnt")).collect()))
+    full = sorted(map(tuple, sketches.cms_build(
+        df, "k", depth=2, width=32).collect()))
+    assert merged == full
+
+
+def test_grouped_bloom_partials_merge_to_full_filter(spark):
+    from snowflake_azure_etl_spark.operators import sketches
+    rows = [(i % 2, f"s{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "ep int, k string")
+    partials = sketches.bloom_build(df, "k", bits=256, hashes=2,
+                                    group_cols=("ep",))
+    merged = sorted(map(tuple, sketches.bloom_merge(
+        partials.select("word_idx", "word")).collect()))
+    full = sorted(map(tuple, sketches.bloom_build(
+        df, "k", bits=256, hashes=2).collect()))
+    assert merged == full
