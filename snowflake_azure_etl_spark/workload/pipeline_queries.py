@@ -2011,7 +2011,27 @@ _SEMDEDUP_THRESHOLD = 0.4
         JOIN (SELECT * FROM assigned WHERE neighbor_id % 7 = 0) e
           USING (cell_id)
         WHERE {_COS.format(a='t.v', b='e.v')} >= {_SEMDEDUP_THRESHOLD}
-        GROUP BY 1, 2)
+        GROUP BY 1, 2),
+    -- IVF recall@3 (r10): exact brute-force ranking over the same
+    -- query subset, joined with the probed IVF ranking
+    ex_ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {_COS.format(a='c.v', b='q.qv')} DESC,
+                            neighbor_id) AS rn
+        FROM (SELECT nid AS neighbor_id, v FROM corpus) c
+        CROSS JOIN qset q WHERE neighbor_id != query_id),
+    rc_hit AS (
+        SELECT e.query_id, COUNT(*) AS hits
+        FROM (SELECT query_id, neighbor_id FROM ex_ranked
+              WHERE rn <= 3) e
+        JOIN (SELECT query_id, neighbor_id FROM ranked
+              WHERE rn <= 3) a USING (query_id, neighbor_id)
+        GROUP BY 1),
+    rc AS (SELECT q.query_id,
+                  COALESCE(r.hits, CAST(0 AS BIGINT)) AS hits
+           FROM (SELECT DISTINCT query_id FROM qset) q
+           LEFT JOIN rc_hit r USING (query_id))
     SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -2032,6 +2052,16 @@ _SEMDEDUP_THRESHOLD = 0.4
     SELECT 'decontam', tid, CAST(n_hits AS BIGINT), mx,
            CAST(cell_id AS INT)
     FROM dc_hit
+    UNION ALL
+    SELECT 'recall', query_id, CAST(hits AS BIGINT),
+           CAST(hits AS DOUBLE) / CAST(3.0 AS DOUBLE), CAST(1 AS INT)
+    FROM rc
+    UNION ALL
+    SELECT 'recall_mean', CAST(-1 AS BIGINT), CAST(SUM(hits) AS BIGINT),
+           CAST(SUM(hits) AS DOUBLE)
+           / (CAST(3.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)),
+           CAST(1 AS INT)
+    FROM rc
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,5 +2147,37 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_hits").cast("long").alias("neighbor_id"),
                   F.col("max_sim").alias("cos_sim"),
                   F.col("cell_id").cast("int").alias("rn")))
+    # fifth leg (r10, X-ANN-RECALL): IVF recall@3 against the exact
+    # brute-force ranking over the same query subset — q54 attests
+    # the PQ-ADC family's recall, this attests the cell-probe
+    # family's, so BOTH approximate indexes carry a driver-hashed
+    # quality metric. Exact-integer hit counts; the exact baseline is
+    # a search result, rebuilt per invocation (the memoization rule).
+    ex = similarity.brute_force_topk(emb, queries, "vec_id",
+                                     "embedding", k=3)
+    hits = (ex.select("query_id", "neighbor_id")
+            .join(topk.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("hits")))
+    per_q = (queries.select(F.col("vec_id").alias("query_id"))
+             .join(hits, "query_id", "left")
+             .select("query_id",
+                     F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+                     .alias("hits")))
+    recall = per_q.select(
+        F.lit("recall").alias("leg"), "query_id",
+        F.col("hits").cast("long").alias("neighbor_id"),
+        (F.col("hits").cast("double") / F.lit(3.0)).alias("cos_sim"),
+        F.lit(1).cast("int").alias("rn"))
+    recall_mean = (per_q.agg(F.sum("hits").alias("th"),
+                             F.count("*").alias("nq"))
+                   .select(F.lit("recall_mean").alias("leg"),
+                           F.lit(-1).cast("bigint").alias("query_id"),
+                           F.col("th").cast("long").alias("neighbor_id"),
+                           (F.col("th").cast("double")
+                            / (F.lit(3.0) * F.col("nq").cast("double")))
+                           .alias("cos_sim"),
+                           F.lit(1).cast("int").alias("rn")))
     return (topk.unionByName(sd).unionByName(dnew).unionByName(dbase)
-            .unionByName(dc))
+            .unionByName(dc).unionByName(recall)
+            .unionByName(recall_mean))
