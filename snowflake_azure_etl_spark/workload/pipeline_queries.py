@@ -2086,10 +2086,14 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg; keeper != query_id marks the rows a pipeline drops."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # lazy localCheckpoint: the IVF ranking feeds its own leg AND the
+    # recall join — computed once inside the output job (a search
+    # RESULT, so per-invocation materialization, never session-cached)
     topk = (similarity.ivf_topk(emb, queries, "vec_id", "embedding",
                                 k=3, n_cells=8, nprobe=2, train_iters=2)
             .select(F.lit("topk").alias("leg"), "query_id",
-                    "neighbor_id", "cos_sim", "rn"))
+                    "neighbor_id", "cos_sim", "rn")
+            .localCheckpoint(eager=False))
     n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
     sd = (similarity.semantic_dedup(emb, "vec_id", "embedding",
                                     n_cells=8, train_iters=2,
