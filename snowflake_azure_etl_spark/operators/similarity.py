@@ -568,7 +568,28 @@ def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
     assignment is the broadcast-projection, the eval side moves to
     them. A cross-cell near-hit is missed by construction (the
     published recipe's trade); raise n_cells' train_iters or lower
-    n_cells to tighten."""
+    n_cells to tighten.
+
+    Like `semantic_dedup`'s cluster map, the report is memoized per
+    (session, corpus plan, eval plan, params): the contamination
+    drop-list is the artifact a pipeline persists beside its
+    decontaminated corpus and applies across many downstream jobs."""
+    from ._cache import cached_build, plan_key
+    key = ("semantic_decontam", plan_key(emb), plan_key(eval_ids),
+           id_col, vec_col, n_cells, train_iters, threshold, n_rows)
+    return cached_build(
+        emb.sparkSession, key,
+        lambda: _semantic_decontam_build(emb, eval_ids, id_col,
+                                         vec_col, n_cells, train_iters,
+                                         threshold, n_rows))
+
+
+def _semantic_decontam_build(emb: DataFrame, eval_ids: DataFrame,
+                             id_col: str, vec_col: str, n_cells: int,
+                             train_iters: int, threshold: float,
+                             n_rows: int | None) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
     _, assigned = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
     ev_ids = eval_ids.select(F.col(id_col).alias("_id"))
@@ -591,7 +612,8 @@ def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
                     .alias("n_hits"),
                     F.col("max_sim"),
                     (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
-                    .alias("is_contaminated")))
+                    .alias("is_contaminated"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def normalize_vec(vec: Column | str) -> Column:
