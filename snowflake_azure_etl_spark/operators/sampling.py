@@ -183,3 +183,24 @@ def mixture_rates(df: DataFrame, source_col: str, weight: Column | str,
         / F.col("toks").cast("double"))
     return (per.crossJoin(F.broadcast(tot))
             .select(source_col, "toks", rate.alias("rate")))
+
+
+def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
+                  id_col: Column | str,
+                  salt: str = "mixture") -> DataFrame:
+    """APPLY a mixture plan: keep each source's rows at that source's
+    rate — the sampling step that turns `mixture_rates`' plan into the
+    mixed corpus. Per-row decision = deterministic md5-bucket
+    thresholding (the `hash_keep` semantics, so the sample is exact in
+    expected rate, order/partitioning-independent, and replayable),
+    with the threshold coming from the BROADCAST rates relation
+    (source-count-sized) instead of a Python literal — one row-local
+    filter over the corpus, zero shuffles. round(rate·10⁴) is
+    half-up on both engines (positive rates), so the kept set is
+    engine-portable and oracle-attestable."""
+    thr = F.round(F.col("rate")
+                  * F.lit(float(FRACTION_DENOM))).cast("long")
+    return (df.join(F.broadcast(rates.select(source_col, "rate")),
+                    source_col)
+            .filter(_bucket(id_col, salt) < thr)
+            .drop("rate"))

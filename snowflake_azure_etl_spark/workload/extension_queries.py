@@ -176,7 +176,8 @@ CMS_HEAVY_MIN = 80
     "q47_kmv_sketch",
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
             "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE",
-            "X-SKETCH-ROLLUP", "X-SKETCH-HIST-GROUPED"),
+            "X-SKETCH-ROLLUP", "X-SKETCH-HIST-GROUPED",
+            "X-MIXTURE-APPLY"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -215,6 +216,36 @@ CMS_HEAVY_MIN = 80
                  FROM mx_src),
         mx_t AS (SELECT SUM(toks) AS tot, SUM(qs) AS qq FROM mx_q)
         SELECT source, toks, qs, tot, qq FROM mx_q CROSS JOIN mx_t)
+    UNION ALL
+    SELECT 'mix_applied', source, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(nt) AS DOUBLE)
+    FROM (
+        WITH ma_doc AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS nt
+            FROM documents),
+        ma_src AS (SELECT source, SUM(nt) AS toks FROM ma_doc
+                   GROUP BY 1),
+        ma_q AS (SELECT source, toks,
+                        CAST(floor(sqrt(CAST(toks AS DOUBLE))
+                                   * CAST(1048576.0 AS DOUBLE))
+                             AS BIGINT) AS qs
+                 FROM ma_src),
+        ma_t AS (SELECT SUM(toks) AS tot, SUM(qs) AS qq FROM ma_q),
+        ma_r AS (SELECT source,
+                        least(CAST(1.0 AS DOUBLE),
+                              ((CAST(qs AS DOUBLE) / CAST(qq AS DOUBLE))
+                               * (CAST(tot AS DOUBLE)
+                                  * CAST(0.5 AS DOUBLE)))
+                              / CAST(toks AS DOUBLE)) AS rate
+                 FROM ma_q CROSS JOIN ma_t)
+        SELECT d.source, d.nt
+        FROM ma_doc d JOIN ma_r r USING (source)
+        WHERE CAST('0x' || substr(md5('mixture:'
+                       || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 10000
+              < CAST(round(r.rate * 10000.0) AS BIGINT)
+    ) GROUP BY source
     UNION ALL
     SELECT 'hist_value', CAST(bin AS VARCHAR), CAST(cnt AS BIGINT),
            CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
@@ -613,6 +644,32 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("source").alias("event_type"),
                 F.col("toks").cast("long").alias("exact_n"),
                 F.col("rate").alias("estimate")))
+
+    # mix_applied leg (r10): the APPLICATION of the mixture plan —
+    # apply_mixture keeps each source's docs at its rate via the
+    # deterministic md5-bucket threshold (hash_keep semantics, rate
+    # from the broadcast plan relation, one row-local corpus filter);
+    # emitted as per-source kept-doc and kept-token counts, both
+    # exact integers the oracle replays row for row. Rates come FROM
+    # the memoized mix leg, so plan and application are attested
+    # consistent.
+    def build_mix_applied():
+        from ..operators.sampling import apply_mixture
+        rates = mix_leg.select(F.col("event_type").alias("source"),
+                               F.col("estimate").alias("rate"))
+        nt = docs.select("doc_id", "source",
+                         n_tokens("text").alias("nt"))
+        kept = apply_mixture(nt, rates, "source", "doc_id")
+        return (kept.groupBy("source")
+                .agg(F.count("*").alias("_n"),
+                     F.sum("nt").alias("_t"))
+                .select(F.lit("mix_applied").alias("leg"),
+                        F.col("source").alias("event_type"),
+                        F.col("_n").cast("long").alias("exact_n"),
+                        F.col("_t").cast("double").alias("estimate")))
+
+    mix_applied_leg = leg_cache("q47_mix_applied", docs,
+                                build_mix_applied)
     # the grouped histogram is built first and the GLOBAL histogram
     # derived from it by the SUM merge law (r10): one events pass
     # serves both legs, and the merge that makes the sketch mergeable
@@ -719,6 +776,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_rollup_leg = leg_cache("q47_bloom_rollup", mem,
                                  build_bloom_rollup_leg)
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
+            .unionByName(mix_applied_leg)
             .unionByName(hist_leg).unionByName(q_leg)
             .unionByName(gq_leg).unionByName(bloom_leg)
             .unionByName(bloom_rollup_leg).unionByName(cms_leg))

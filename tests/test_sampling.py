@@ -136,3 +136,34 @@ def test_mixture_rates_fail_loud_on_nonpositive_source(spark):
     df = spark.createDataFrame(rows, "source string, nt long")
     with pytest.raises(Exception, match="non-positive token total"):
         mixture_rates(df, "source", "nt").collect()
+
+
+def test_apply_mixture_matches_python_reference(spark):
+    """apply_mixture keeps exactly the rows whose md5 bucket clears
+    the per-source threshold — replayed in Python; kept fractions
+    track the rates; a row's fate is independent of other rows."""
+    import hashlib
+
+    from snowflake_azure_etl_spark.operators.sampling import (
+        FRACTION_DENOM, apply_mixture, mixture_rates)
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"),
+             10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    rates = mixture_rates(df, "source", "nt")
+    rate_map = {r["source"]: r["rate"] for r in rates.collect()}
+    kept = {r["doc_id"] for r in
+            apply_mixture(df, rates, "source", "doc_id").collect()}
+
+    def py_keep(doc_id, src):
+        b = int(hashlib.md5(f"mixture:{doc_id}".encode())
+                .hexdigest()[:8], 16) % FRACTION_DENOM
+        # Spark F.round is HALF_UP on positives, same as Python's
+        # decimal-style round for these magnitudes via int(x+0.5)
+        return b < int(rate_map[src] * FRACTION_DENOM + 0.5)
+
+    expect = {i for i, src, _ in rows if py_keep(i, src)}
+    assert kept == expect
+    # the flattened plan keeps every 'small' row and downsamples 'big'
+    assert all(i in kept for i, s, _ in rows if s == "small")
+    n_big = sum(1 for i, s, _ in rows if s == "big" and i in kept)
+    assert 0 < n_big < 900
