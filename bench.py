@@ -110,12 +110,13 @@ def main() -> None:
     # ~1.0 means "the box is comparable", >1.1 means "co-tenant load —
     # read per-query regressions against this index first"
     # (memory: bench-noise-protocol).
-    noise_ratio, noise_vs = _noise_vs_prev(timings)
+    noise_ratio, noise_vs = _noise_vs_prev(timings, sf)
 
     # detail line FIRST (humans / BENCH_NOTES), compact summary LAST
     # (the driver's tail capture parses the final line — keep it small)
     print(json.dumps({
         "detail": "per_query",
+        "sf": sf,
         "queries": timings,
         "queries_cold_sweep": cold,
     }))
@@ -133,11 +134,12 @@ def main() -> None:
     spark.stop()
 
 
-def _noise_vs_prev(timings: dict[str, float]):
+def _noise_vs_prev(timings: dict[str, float], sf: float | None):
     """(median current/previous per-query ratio, artifact name) against
     the newest BENCH_r*.json whose parsed payload (or detail line
-    embedded in its tail) has a per-query map; (None, None) when no
-    prior round is recoverable."""
+    embedded in its tail) has a per-query map AT THE SAME sf — a
+    cross-sf ratio would measure data scale, not box noise. Returns
+    (None, None) when no comparable prior round is recoverable."""
     import glob
     import statistics
 
@@ -149,21 +151,23 @@ def _noise_vs_prev(timings: dict[str, float]):
                 rec = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        prev = None
-        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if not isinstance(rec, dict):
+            continue
+        prev, prev_sf = None, None
+        parsed = rec.get("parsed")
         if isinstance(parsed, dict) and isinstance(parsed.get("queries"),
                                                    dict):
-            prev = parsed["queries"]
+            prev, prev_sf = parsed["queries"], parsed.get("sf")
         else:
             # r11+ artifacts may carry the detail line in the tail
             for mm in re.finditer(r'\{"detail": "per_query".*?\}\}',
-                                  rec.get("tail", "") if isinstance(rec, dict)
-                                  else ""):
+                                  rec.get("tail", "")):
                 try:
-                    prev = json.loads(mm.group(0)).get("queries")
+                    d = json.loads(mm.group(0))
+                    prev, prev_sf = d.get("queries"), d.get("sf")
                 except json.JSONDecodeError:
                     prev = None
-        if not prev:
+        if not prev or prev_sf != sf:
             continue
         ratios = [timings[q] / prev[q] for q in timings
                   if q in prev and prev[q] > 0]
