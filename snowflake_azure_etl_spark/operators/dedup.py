@@ -663,22 +663,12 @@ def scrub_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(doc_spans(text_col, span_tokens))
         .alias("pos", "span"))
     kept = sp.join(common.select("span"), "span", "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("pos", "span"))),
-                            lambda x: x["span"]), " ").alias("cleaned"),
-                    F.count("*").alias("_n_kept")))
     base = docs.select(
         F.col(id_col),
         F.size(doc_spans(text_col, span_tokens)).alias("n_spans"))
-    return (base.join(rebuilt, id_col, "left")
-            .select(
-                id_col, "n_spans",
-                (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-                .cast("long").alias("n_removed"),
-                F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned")))
+    return _reassemble_scrub(kept, base, id_col,
+                             count_col="n_spans",
+                             pos_col="pos", unit_col="span")
 
 
 # ---------------------------------------------------------------------------
@@ -793,20 +783,34 @@ def _scrub_report(docs: DataFrame, covered: DataFrame, id_col: str,
         F.col(id_col),
         F.posexplode(ws_tokens(text_col)).alias("tpos", "tok"))
     kept = tok.join(covered, [id_col, "tpos"], "left_anti")
+    base = docs.select(F.col(id_col),
+                       F.size(ws_tokens(text_col)).alias("n_tokens"))
+    return _reassemble_scrub(kept, base, id_col,
+                             count_col="n_tokens",
+                             pos_col="tpos", unit_col="tok")
+
+
+def _reassemble_scrub(kept: DataFrame, base: DataFrame, id_col: str, *,
+                      count_col: str, pos_col: str,
+                      unit_col: str) -> DataFrame:
+    """The ONE order-preserving scrub reassembly (ADVICE r10 — was
+    inlined twice): survivors (id, pos, unit) group per doc, sort by
+    position, rejoin with spaces; docs with zero survivors COALESCE to
+    '' via the left join to `base` (id, count_col). Output:
+    (id_col, count_col, n_removed, cleaned). One doc-keyed shuffle,
+    per-doc state bounded by the doc's own unit count."""
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                         F.transform(
                             F.array_sort(F.collect_list(
-                                F.struct("tpos", "tok"))),
-                            lambda x: x["tok"]), " ").alias("cleaned"),
+                                F.struct(pos_col, unit_col))),
+                            lambda x: x[unit_col]), " ").alias("cleaned"),
                     F.count("*").alias("_n_kept")))
-    base = docs.select(F.col(id_col),
-                       F.size(ws_tokens(text_col)).alias("n_tokens"))
     return (base.join(rebuilt, id_col, "left")
             .select(
-                id_col, "n_tokens",
-                (F.col("n_tokens") - F.coalesce(F.col("_n_kept"),
-                                                F.lit(0)))
+                id_col, count_col,
+                (F.col(count_col) - F.coalesce(F.col("_n_kept"),
+                                               F.lit(0)))
                 .cast("long").alias("n_removed"),
                 F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned")))
 
@@ -814,29 +818,53 @@ def _scrub_report(docs: DataFrame, covered: DataFrame, id_col: str,
 def window_hash_index(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
-    """(window_hash, n_occurrences): the persistable substring-dedup
-    INDEX artifact — corpus-wide occurrence counts per sliding
-    min_len-window digest. Bounded by distinct windows × one 32-hex
-    column; merge law = plain SUM (the CMS/histogram linearity), so a
-    pipeline grows it per ingest batch — `merge_window_index` — the
-    same grow-the-index contract as `incremental_exact`'s content
-    hashes and the band-key index. Land it bucketed on window_hash
-    (`plans.layout.land_bucketed`) so batch probes join co-located."""
+    """(window_hash, n_occurrences, min_len): the persistable
+    substring-dedup INDEX artifact — corpus-wide occurrence counts per
+    sliding min_len-window digest. Bounded by distinct windows × one
+    32-hex column; merge law = plain SUM (the CMS/histogram
+    linearity), so a pipeline grows it per ingest batch —
+    `merge_window_index` — the same grow-the-index contract as
+    `incremental_exact`'s content hashes and the band-key index. Land
+    it bucketed on window_hash (`plans.layout.land_bucketed`) so batch
+    probes join co-located.
+
+    `min_len` rides IN the artifact (ADVICE r10): two indexes built
+    with different window widths count incomparable things, and a
+    probe at the wrong width silently misses every digest — so the
+    merge and the incremental scrub fail loud on a width mismatch
+    instead of trusting a docstring."""
     occ = _window_occurrences(docs, id_col, text_col, min_len)
     return (occ.groupBy(F.col("_h").alias("window_hash"))
-            .agg(F.count("*").alias("n_occurrences")))
+            .agg(F.count("*").alias("n_occurrences"))
+            .withColumn("min_len", F.lit(int(min_len))))
 
 
 def merge_window_index(*indexes: DataFrame) -> DataFrame:
     """SUM-merge of window-hash indexes built with the SAME min_len —
     index(A) ⊎ index(B) == index(A ∪ B), the law that grows the
     artifact per batch without re-scanning the corpus (pinned in
-    tests/test_substr_scrub.py)."""
+    tests/test_substr_scrub.py).
+
+    Mixed-min_len input fails loud (ADVICE r10): the widths need not
+    share a single digest, so a per-row check could never fire — the
+    guard is GLOBAL (one index-bounded aggregate, broadcast as one
+    row) and lives inside the merged count expression itself, where
+    column pruning cannot disarm it."""
     out = indexes[0]
     for ix in indexes[1:]:
         out = out.unionByName(ix)
-    return (out.groupBy("window_hash")
-            .agg(F.sum("n_occurrences").alias("n_occurrences")))
+    chk = out.agg(F.countDistinct("min_len").alias("_nml"))
+    merged = F.when(
+        F.max("_nml") > 1,
+        F.raise_error(F.lit(
+            "merge_window_index: inputs were built with different "
+            "min_len window widths — their counts are incomparable; "
+            "rebuild one side at the other's width")).cast("long"),
+    ).otherwise(F.sum("n_occurrences"))
+    return (out.crossJoin(F.broadcast(chk))
+            .groupBy("window_hash")
+            .agg(merged.alias("n_occurrences"),
+                 F.max("min_len").alias("min_len")))
 
 
 def incremental_scrub_duplicate_substrings(
@@ -863,13 +891,29 @@ def incremental_scrub_duplicate_substrings(
     plan contract); everything else is batch-sized."""
     occ = _window_occurrences(new_docs, id_col, text_col, min_len)
     batch = occ.groupBy("_h").agg(F.count("*").alias("_cb"))
+    # width-provenance guard (ADVICE r10): an index built at another
+    # min_len shares (almost) no digests with the batch windows, so a
+    # per-row check could never fire — the check is GLOBAL (one
+    # index-bounded aggregate, broadcast as one row; empty index ⇒
+    # NULLs ⇒ pass) and folds into the total-count expression so
+    # pruning cannot disarm it
+    chk = index.agg(F.countDistinct("min_len").alias("_nml"),
+                    F.max("min_len").alias("_iml"))
+    bad = (F.col("_nml") > 1) | (F.col("_iml") != int(min_len))
+    total = F.when(
+        F.coalesce(bad, F.lit(False)),
+        F.raise_error(F.lit(
+            "incremental_scrub_duplicate_substrings: the persisted "
+            f"index was built at a different min_len than {min_len} — "
+            "its digests cannot match this batch's windows; rebuild "
+            "the index at this width")).cast("long"),
+    ).otherwise(F.col("_cb")
+                + F.coalesce(F.col("_ci"), F.lit(0).cast("long")))
     tot = (batch.join(index.select(F.col("window_hash").alias("_h"),
                                    F.col("n_occurrences").alias("_ci")),
                       "_h", "left")
-           .select("_h",
-                   (F.col("_cb")
-                    + F.coalesce(F.col("_ci"), F.lit(0).cast("long")))
-                   .alias("_c")))
+           .crossJoin(F.broadcast(chk))
+           .select("_h", total.alias("_c")))
     rep = tot.filter(F.col("_c") >= int(min_count))
     covered = _covered_positions(occ, rep, id_col, min_len)
     return _scrub_report(new_docs, covered, id_col, text_col)

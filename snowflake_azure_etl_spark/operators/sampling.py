@@ -197,10 +197,25 @@ def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
     (source-count-sized) instead of a Python literal — one row-local
     filter over the corpus, zero shuffles. round(rate·10⁴) is
     half-up on both engines (positive rates), so the kept set is
-    engine-portable and oracle-attestable."""
-    thr = F.round(F.col("rate")
-                  * F.lit(float(FRACTION_DENOM))).cast("long")
+    engine-portable and oracle-attestable.
+
+    A source ABSENT from `rates` fails loud (ADVICE r10): the join is
+    LEFT and a null rate raises, rather than the inner-join behavior
+    of silently dropping every row of an unplanned source — the same
+    fail-loud contract as `mixture_rates`' non-positive-total guard.
+    The raise lives inside the threshold expression so column pruning
+    cannot disarm it."""
+    thr = F.when(
+        F.col("rate").isNull(),
+        F.raise_error(F.concat(
+            F.lit("apply_mixture: source "),
+            F.col(source_col).cast("string"),
+            F.lit(" has no rate in the mixture plan — rebuild "
+                  "mixture_rates over the full corpus or filter the "
+                  "source out explicitly"))).cast("long"),
+    ).otherwise(
+        F.round(F.col("rate") * F.lit(float(FRACTION_DENOM))).cast("long"))
     return (df.join(F.broadcast(rates.select(source_col, "rate")),
-                    source_col)
+                    source_col, "left")
             .filter(_bucket(id_col, salt) < thr)
             .drop("rate"))

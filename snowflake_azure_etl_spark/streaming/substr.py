@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (SUBSTR_MIN_COUNT, SUBSTR_MIN_LEN,
                                incremental_scrub_duplicate_substrings,
-                               window_hash_index)
+                               merge_window_index, window_hash_index)
 from .sinks import EPOCH_COL, idempotent_epoch_sink
 
 
@@ -54,10 +54,13 @@ def substr_scrub_ingest_sink(index_table: str, scrub_table: str, *,
         spark = batch_df.sparkSession
         partial = window_hash_index(batch_df, id_col, text_col, min_len)
         if spark.catalog.tableExists(index_table):
-            index = (spark.table(index_table)
-                     .filter(F.col(EPOCH_COL) < int(epoch_id))
-                     .groupBy("window_hash")
-                     .agg(F.sum("n_occurrences").alias("n_occurrences")))
+            # merge_window_index carries the min_len provenance column
+            # and fails loud if the table holds mixed-width partials
+            # (e.g. two sinks configured differently — ADVICE r10)
+            index = merge_window_index(
+                spark.table(index_table)
+                .filter(F.col(EPOCH_COL) < int(epoch_id))
+                .drop(EPOCH_COL))
         else:
             index = partial.limit(0)
         report = incremental_scrub_duplicate_substrings(
@@ -69,8 +72,8 @@ def substr_scrub_ingest_sink(index_table: str, scrub_table: str, *,
 
 
 def substr_index_rollup(spark: SparkSession, table: str) -> DataFrame:
-    """(window_hash, n_occurrences): the stream-lifetime index — SUM
-    over all epoch partials (identical to `window_hash_index` over the
-    concatenated stream; the `merge_window_index` law)."""
-    return (spark.table(table).groupBy("window_hash")
-            .agg(F.sum("n_occurrences").alias("n_occurrences")))
+    """(window_hash, n_occurrences, min_len): the stream-lifetime
+    index — SUM over all epoch partials (identical to
+    `window_hash_index` over the concatenated stream; the
+    `merge_window_index` law, width-guarded)."""
+    return merge_window_index(spark.table(table).drop(EPOCH_COL))

@@ -167,3 +167,22 @@ def test_apply_mixture_matches_python_reference(spark):
     assert all(i in kept for i, s, _ in rows if s == "small")
     n_big = sum(1 for i, s, _ in rows if s == "big" and i in kept)
     assert 0 < n_big < 900
+
+
+def test_apply_mixture_fails_loud_on_unplanned_source(spark):
+    """ADVICE r10: a row whose source is ABSENT from the rates
+    relation must raise, not silently vanish through an inner join —
+    the same fail-loud contract as mixture_rates' non-positive-total
+    guard."""
+    import pytest
+
+    from snowflake_azure_etl_spark.operators.sampling import (
+        apply_mixture, mixture_rates)
+    planned = spark.createDataFrame(
+        [(i, "big", 10) for i in range(20)],
+        "doc_id long, source string, nt long")
+    rates = mixture_rates(planned, "source", "nt")
+    with_stray = planned.unionByName(spark.createDataFrame(
+        [(99, "unplanned", 10)], "doc_id long, source string, nt long"))
+    with pytest.raises(Exception, match="no rate in the mixture plan"):
+        apply_mixture(with_stray, rates, "source", "doc_id").collect()

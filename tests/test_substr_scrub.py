@@ -157,3 +157,29 @@ def test_incremental_scrub_equals_full_corpus_restriction(spark):
     # the boundary-crossing run was scrubbed, the clean doc untouched,
     # the batch-internal repeat caught without any index hit
     assert inc[10][1] == 10 and inc[11][1] == 0 and inc[12][1] == 16
+
+
+def test_window_index_min_len_provenance_fail_loud(spark):
+    """ADVICE r10: the index artifact records its window width; a
+    mixed-width merge and a wrong-width incremental probe both raise
+    instead of silently producing wrong scrubs (the widths share no
+    digests, so a per-row check could never fire — the guard is
+    global)."""
+    import pytest
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    ix8 = dedup.window_hash_index(docs, min_len=8)
+    ix4 = dedup.window_hash_index(docs, min_len=4)
+    assert {r["min_len"] for r in ix8.select("min_len").distinct()
+            .collect()} == {8}
+    with pytest.raises(Exception, match="different min_len"):
+        dedup.merge_window_index(ix8, ix4).collect()
+    batch = spark.createDataFrame(
+        [(10, RUN + " fresh tail words here")],
+        "doc_id bigint, text string")
+    with pytest.raises(Exception, match="different min_len"):
+        dedup.incremental_scrub_duplicate_substrings(
+            batch, ix4, min_len=8).collect()
+    # matching width still exact (the provenance column is inert)
+    ok = dedup.incremental_scrub_duplicate_substrings(
+        batch, ix8, min_len=8).collect()
+    assert len(ok) == 1
