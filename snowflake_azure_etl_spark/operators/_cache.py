@@ -175,3 +175,33 @@ def cached_build(spark: SparkSession, key: tuple,
     if key not in cache:
         cache[key] = build()
     return cache[key]
+
+
+#: Module-scope cache of built Column EXPRESSIONS (VERDICT r10 #2).
+#: Constructing a deep higher-order expression tree (a 64-dim fold, an
+#: m-subspace ADC sum) costs hundreds of py4j round-trips — ~2 s per
+#: invocation on the de-memoized q54 legs, CONSTANT in data size but
+#: the dominant driver-side latency of a result leg. A Column is an
+#: immutable UNRESOLVED expression — pure code, not data, so caching
+#: it is plan-identical and hash-identical (the memoization rule in
+#: SCALE.md is about relations/results; expressions are neither).
+#: Keyed on the py4j gateway identity: a Column holds a JVM object
+#: reference, so entries from a torn-down JVM must never be returned
+#: to a new one.
+_COLUMN_CACHE: dict = {}
+
+
+def cached_column(name: tuple, build: Callable[[], object]):
+    """Build a Column expression once per (py4j gateway, name) and
+    reuse it. `name` must fully determine the expression (column
+    names, dims, layout) — the caller's contract."""
+    from pyspark import SparkContext
+    gw = getattr(SparkContext, "_gateway", None)
+    if gw is None:  # no JVM yet (connect-mode or unstarted) — no reuse
+        return build()
+    key = (id(gw), name)
+    col = _COLUMN_CACHE.get(key)
+    if col is None:
+        col = build()
+        _COLUMN_CACHE[key] = col
+    return col

@@ -219,3 +219,162 @@ def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
                     source_col, "left")
             .filter(_bucket(id_col, salt) < thr)
             .drop("rate"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (X-SAMPLE-DSIR; Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# arXiv:2302.03169) — the published tier above temperature mixing:
+# score every raw document by the log likelihood ratio of a TARGET
+# bag-of-hashed-n-grams model over the RAW model, then resample the
+# highest-importance documents.
+#
+# Engine-portable by construction (the module's fixed-point
+# contract): features are md5-hashed word n-grams (the split/md5
+# idioms every dedup leg already attests); the per-bucket
+# log-ratio uses `plog2` — an EXACT-INTEGER piecewise-linear log2
+# (exponent from the binary-string length, fractional part by linear
+# interpolation within the octave, fixed point 2^20; max error
+# ~0.086 log2 units, monotone) — because IEEE ln/exp/pow are NOT
+# bit-portable across engines (SCALE.md oracle contract) while
+# string length, shifts, and integer division are. Per-document
+# scores are therefore exact longs: order-invariant, rerun-stable,
+# and oracle-checkable hash-for-hash.
+#
+# Scale (100 TB): the importance MODEL is two bucket-count
+# aggregations (uniform md5 keys, map-side combinable) reduced to a
+# bucket-count-sized stats relation — the persistable artifact, one
+# broadcast row-set; scoring is one narrow join + row-local dot of
+# counts × lambdas; selection is either a rank window (exact top-k)
+# or a score threshold (row-local, no shuffle).
+# ---------------------------------------------------------------------------
+
+PLOG2_SCALE = 1 << 20
+DSIR_BUCKETS = 4_096
+
+
+def plog2(n: Column, scale: int = PLOG2_SCALE) -> Column:
+    """Exact-integer fixed-point log2 of a positive integer column:
+    e·scale + ((n − 2^e)·scale) div 2^e with e = floor(log2 n) taken
+    from the binary-string length. Every step is integer-exact in
+    both engines (Spark: conv/shiftleft/div; DuckDB: format('{:b}'),
+    <<, //) — the portable surrogate for the banned ln()."""
+    e = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
+    p2 = F.call_function("shiftleft", F.lit(1).cast("long"), e)
+    frac = F.call_function(
+        "div", (n.cast("long") - p2) * F.lit(int(scale)), p2)
+    return e.cast("long") * F.lit(int(scale)) + frac
+
+
+def plog2_sql(expr: str, scale: int = PLOG2_SCALE) -> str:
+    """The DuckDB mirror of `plog2` for oracle strings. The input is
+    pinned to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, whose
+    format('{:b}') is rejected."""
+    v = f"CAST({expr} AS BIGINT)"
+    e = f"(length(format('{{:b}}', {v})) - 1)"
+    p2 = f"(CAST(1 AS BIGINT) << {e})"
+    return (f"(CAST({e} AS BIGINT) * {scale} "
+            f"+ (({v} - {p2}) * {scale}) // {p2})")
+
+
+def hashed_ngram_counts(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, n_buckets: int = DSIR_BUCKETS,
+                        salt: str = "dsir") -> DataFrame:
+    """(id_col, bucket, c): md5-hashed word-n-gram counts per
+    document — the DSIR feature map. Full-width grams only (a doc
+    with fewer than `n` tokens contributes nothing); repeats count
+    (bag semantics, the paper's model). Row-local until the one
+    uniform-key (id, bucket) aggregate."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("_g"))), 1, 8),
+        16, 10).cast("long") % n_buckets)
+    return (df.select(F.col(id_col), F.explode(grams).alias("_g"))
+            .select(id_col, bucket.alias("bucket"))
+            .groupBy(id_col, "bucket").agg(F.count("*").alias("c")))
+
+
+def dsir_bucket_stats(df: DataFrame, target: DataFrame, id_col: str,
+                      text_col: str, n: int = 2,
+                      n_buckets: int = DSIR_BUCKETS,
+                      salt: str = "dsir",
+                      scale: int = PLOG2_SCALE) -> DataFrame:
+    """(bucket, lam): the DSIR importance model — per hashed bucket,
+    the fixed-point log2 likelihood ratio of the add-one-smoothed
+    TARGET model over the RAW model:
+
+        lam_b = plog2(n_T[b]+1) − plog2(N_T + B)
+              − plog2(n_R[b]+1) + plog2(N_R + B)
+
+    Exact longs end to end. Bounded by observed buckets (≤ B rows) —
+    the persistable artifact a pipeline trains once per (target,
+    corpus version) and broadcasts to every scoring pass. Buckets the
+    raw corpus never emits are irrelevant (no document references
+    them), so the relation is built on the raw bucket set with the
+    target counts left-joined."""
+    raw = (hashed_ngram_counts(df, id_col, text_col, n, n_buckets, salt)
+           .groupBy("bucket").agg(F.sum("c").alias("_nr")))
+    tgt = (hashed_ngram_counts(target, id_col, text_col, n, n_buckets,
+                               salt)
+           .groupBy("bucket").agg(F.sum("c").alias("_nt")))
+    joined = (raw.join(tgt, "bucket", "left")
+              .select("bucket", "_nr",
+                      F.coalesce("_nt", F.lit(0).cast("long"))
+                      .alias("_nt")))
+    totals = joined.agg(F.sum("_nr").alias("_tr"),
+                        F.sum("_nt").alias("_tt"))
+    lam = (plog2(F.col("_nt") + 1, scale)
+           - plog2(F.col("_tt") + n_buckets, scale)
+           - plog2(F.col("_nr") + 1, scale)
+           + plog2(F.col("_tr") + n_buckets, scale))
+    return (joined.crossJoin(F.broadcast(totals))
+            .select("bucket", lam.alias("lam")))
+
+
+def dsir_log_weights(df: DataFrame, stats: DataFrame, id_col: str,
+                     text_col: str, n: int = 2,
+                     n_buckets: int = DSIR_BUCKETS,
+                     salt: str = "dsir") -> DataFrame:
+    """(id_col, dsir_score): per-document importance score
+    Σ_b c_b·lam_b as an exact long (0 for docs with no full-width
+    gram — the neutral log-ratio). One narrow broadcast join of the
+    feature map against the bucket stats, one doc-keyed aggregate;
+    documents never shuffle their text."""
+    feats = hashed_ngram_counts(df, id_col, text_col, n, n_buckets, salt)
+    scored = (feats.join(F.broadcast(stats), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("c") * F.col("lam")).alias("_s")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_s", F.lit(0).cast("long"))
+                    .alias("dsir_score")))
+
+
+def dsir_resample(df: DataFrame, target: DataFrame, id_col: str,
+                  text_col: str, k: int, n: int = 2,
+                  n_buckets: int = DSIR_BUCKETS,
+                  salt: str = "dsir") -> DataFrame:
+    """Deterministic DSIR selection: the `k` highest-importance
+    documents (score desc, id asc — the engine's reproducibility
+    contract; the paper's Gumbel-noise variant needs ln(), which is
+    not engine-portable, so the deterministic top-k is the offered
+    path). Returns (id_col, dsir_score, dsir_rank).
+
+    Selection is sort+limit — TakeOrderedAndProject, the distributed
+    per-partition top-k merge, NOT a global rank window (which would
+    drag every (id, score) row to one partition); the rank attaches
+    after the limit, over k rows."""
+    stats = dsir_bucket_stats(df, target, id_col, text_col, n,
+                              n_buckets, salt)
+    top = (dsir_log_weights(df, stats, id_col, text_col, n,
+                            n_buckets, salt)
+           .orderBy(F.desc("dsir_score"), F.asc(id_col))
+           .limit(k))
+    w = Window.orderBy(F.desc("dsir_score"), F.asc(id_col))
+    return (top.withColumn("dsir_rank",
+                           F.row_number().over(w).cast("int")))

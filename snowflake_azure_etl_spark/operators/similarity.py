@@ -43,6 +43,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cos_qv_cv() -> Column:
+    """The scored-pair cosine over the module's canonical (qv, cv)
+    column names — built once per JVM (VERDICT r10 #2: the fold tree
+    costs ~40 py4j round-trips; every topk variant re-created it per
+    invocation once the result legs were de-memoized)."""
+    from ._cache import cached_column
+    return cached_column(("cos", "qv", "cv"),
+                         lambda: cosine(F.col("qv"), F.col("cv")))
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Deterministic LSH bucket: concatenated sign bits of the first
     `bits` dimensions (axis-aligned random-hyperplane family with a
@@ -69,7 +79,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, id_col: str,
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+                      _cos_qv_cv().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -94,7 +104,7 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+                      _cos_qv_cv().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -196,12 +206,16 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
     centroid array adds no exchange on the corpus side). At 100 TB this
     is the property that matters: the corpus vectors are scored in
     place and never shuffle."""
+    from ._cache import cached_column
     v = as_double_vec(vec_col)
+    cell_id = cached_column(
+        ("assign_cell_id", vec_col),
+        lambda: (-F.array_max(_cell_scores(v, F.col("_cents")))
+                 .getField("nid")).cast("int"))
     return (emb.crossJoin(F.broadcast(cent_arr))
             .select(
                 F.col(id_col).alias("neighbor_id"), v.alias("cv"),
-                (-F.array_max(_cell_scores(v, F.col("_cents")))
-                 .getField("nid")).cast("int").alias("cell_id")))
+                cell_id.alias("cell_id")))
 
 
 def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
@@ -213,8 +227,11 @@ def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
     cell; `keep_vec` carries the vector through for index sinks that
     persist it (retrain needs the vectors back). Same shuffle-free
     shape: one broadcast crossJoin projection."""
+    from ._cache import cached_column
     v = as_double_vec(vec_col)
-    best = F.array_max(_cell_scores(v, F.col("_cents")))
+    best = cached_column(
+        ("assign_best", vec_col),
+        lambda: F.array_max(_cell_scores(v, F.col("_cents"))))
     return (emb.crossJoin(F.broadcast(cent_arr))
             .select(F.col(id_col).alias("_id"),
                     (-best.getField("nid")).cast("int").alias("cell_id"),
@@ -322,6 +339,31 @@ def _ivf_index(emb: DataFrame, id_col: str, vec_col: str,
     return cached_build(spark, key, build)
 
 
+def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
+                 nprobe: int) -> DataFrame:
+    """`rel` (carrying a `cv` double-vector column) exploded to one
+    row per (row, probe cell): the row's `nprobe` nearest cells as
+    `cell_id`, replacing any prior cell column. The comparison-stage
+    half of multi-probe (VERDICT r10 #3): index/report semantics keep
+    the single primary assignment; only the candidate JOIN widens.
+    Same shuffle-free shape as assignment — a one-row broadcast
+    crossJoin scored row-locally, then an explode (×nprobe fan-out,
+    narrow)."""
+    from ._cache import cached_column
+    best = cached_column(
+        ("probe_cells_cv", nprobe),
+        lambda: F.slice(F.array_sort(_cell_scores(F.col("cv"),
+                                                  F.col("_cents"))),
+                        -nprobe, nprobe))
+    return (rel.drop("cell_id")
+            .crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "cell_id",
+                F.explode(F.transform(best, lambda s: -s.getField("nid"))))
+            .withColumn("cell_id", F.col("cell_id").cast("int"))
+            .drop("_cents"))
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 3, n_cells: int = 8, nprobe: int = 2,
              train_iters: int = 0) -> DataFrame:
@@ -350,16 +392,21 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     centroids.
     """
     from pyspark.sql import Window
+
+    from ._cache import cached_column
     cent_arr, assigned = _ivf_index(emb, id_col, vec_col, n_cells,
                                     train_iters)
     qv = as_double_vec(vec_col)
+    # ascending struct sort ⇒ the last `nprobe` entries are
+    # the best cells (ties to the smaller cell id via -id)
+    best = cached_column(
+        ("ivf_probe_best", vec_col, nprobe),
+        lambda: F.slice(F.array_sort(_cell_scores(qv, F.col("_cents"))),
+                        -nprobe, nprobe))
     probes = (queries.crossJoin(F.broadcast(cent_arr))
               .select(
                   F.col(id_col).alias("query_id"), qv.alias("qv"),
-                  # ascending struct sort ⇒ the last `nprobe` entries are
-                  # the best cells (ties to the smaller cell id via -id)
-                  F.slice(F.array_sort(_cell_scores(qv, F.col("_cents"))),
-                          -nprobe, nprobe).alias("best"))
+                  best.alias("best"))
               .select("query_id", "qv",
                       F.explode(F.transform(
                           "best", lambda s: -s.getField("nid")))
@@ -368,7 +415,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     scored = (assigned.join(F.broadcast(probes), "cell_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qv"), F.col("cv")).alias("cos_sim")))
+                      _cos_qv_cv().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -457,7 +504,8 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_cells: int = 8,
                    train_iters: int = 2, threshold: float = 0.95,
                    max_cell: int = EMBED_MAX_BUCKET,
-                   n_rows: int | None = None) -> DataFrame:
+                   n_rows: int | None = None,
+                   nprobe: int = 1) -> DataFrame:
     """SemDeDup (X-DEDUP-SEMANTIC; Abbas et al. 2023,
     arXiv:2303.09540): semantic near-duplicate removal over an
     embedding column — cluster the corpus with the TRAINED coarse
@@ -467,7 +515,15 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     `is_dup` rows are the ones a training pipeline drops.
 
     The defining approximation is the one that makes it scale: a pair
-    split across two cells is never compared (the published recipe).
+    split across two cells is never compared (the published recipe,
+    ``nprobe=1``). ``nprobe > 1`` is the recall/cost dial (VERDICT
+    r10 #3): the COMPARISON stage assigns each row to its ``nprobe``
+    nearest cells (`_probe_cells`), so a boundary pair is compared
+    whenever either member's probe set covers the other's primary
+    cell — cost ×nprobe, still cell-bounded; index semantics (one
+    primary cell per row, the persisted artifact) are unchanged. The
+    widened pair set normalizes to (least, greatest) and distincts —
+    one candidate-bounded shuffle single-probe doesn't pay.
     Per-cell work is the quadratic stage, so cells carry the same
     guards as `embedding_near_dups` buckets: cells wider than
     ``max_cell`` are dropped from the pair stage whole
@@ -490,12 +546,12 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
     is the engine-side analog."""
     from ._cache import cached_build, plan_key
     key = ("semdedup", plan_key(emb), id_col, vec_col, n_cells,
-           train_iters, threshold, max_cell, n_rows)
+           train_iters, threshold, max_cell, n_rows, nprobe)
 
     def build() -> DataFrame:
         return _semantic_dedup_build(emb, id_col, vec_col, n_cells,
                                      train_iters, threshold, max_cell,
-                                     n_rows)
+                                     n_rows, nprobe)
 
     return cached_build(emb.sparkSession, key, build)
 
@@ -503,10 +559,12 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
 def _semantic_dedup_build(emb: DataFrame, id_col: str, vec_col: str,
                           n_cells: int, train_iters: int,
                           threshold: float, max_cell: int,
-                          n_rows: int | None) -> DataFrame:
+                          n_rows: int | None,
+                          nprobe: int = 1) -> DataFrame:
     from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
     from .graph import dup_clusters
-    _, assigned = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
+    cent_arr, assigned = _ivf_index(emb, id_col, vec_col, n_cells,
+                                    train_iters)
     # per-row norm precomputed ONCE: the per-pair cosine then costs one
     # interpreted dot-aggregate instead of three (higher-order exprs are
     # not codegen'd — measured 3× on the pair stage), and the final
@@ -515,20 +573,38 @@ def _semantic_dedup_build(emb: DataFrame, id_col: str, vec_col: str,
     # oracle's
     c = assigned.select(F.col("neighbor_id").alias("_id"), "cv", "cell_id",
                         l2_norm(F.col("cv")).alias("_n"))
-    if n_rows is None or n_rows > max_cell:
+    guard = n_rows is None or n_rows > max_cell
+    if guard:
+        # widths over the PRIMARY assignment (the cell's population —
+        # probe visits don't inflate it); both the probe side and the
+        # primary side drop over-wide cells before the join
         widths = (c.groupBy("cell_id").agg(F.count("*").alias("_cw"))
                   .filter(F.col("_cw") <= max_cell).drop("_cw"))
         c = c.join(F.broadcast(widths), "cell_id")
-    a = c.select("cell_id", F.col("_id").alias("id_a"),
-                 F.col("cv").alias("va"), F.col("_n").alias("na"))
+    probe_src = c if nprobe <= 1 else _probe_cells(c, cent_arr, nprobe)
+    if nprobe > 1 and guard:
+        probe_src = probe_src.join(F.broadcast(widths), "cell_id")
+    a = probe_src.select("cell_id", F.col("_id").alias("id_a"),
+                         F.col("cv").alias("va"), F.col("_n").alias("na"))
     b = c.select("cell_id", F.col("_id").alias("id_b"),
                  F.col("cv").alias("vb"), F.col("_n").alias("nb"))
-    pairs = (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS),
-                    "cell_id")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .filter(dot(F.col("va"), F.col("vb"))
-                     / (F.col("na") * F.col("nb")) >= threshold)
-             .select("id_a", "id_b"))
+    scored = (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS),
+                     "cell_id")
+              .filter(dot(F.col("va"), F.col("vb"))
+                      / (F.col("na") * F.col("nb")) >= threshold))
+    if nprobe <= 1:
+        # one cell per row ⇒ each unordered pair meets exactly once
+        # under id_a < id_b — no dedup shuffle needed
+        pairs = (scored.filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+    else:
+        # keep BOTH directions (a pair whose only coverage is the
+        # larger-id member probing the smaller's primary cell must
+        # survive), normalize, then one candidate-bounded distinct
+        pairs = (scored.filter(F.col("id_a") != F.col("id_b"))
+                 .select(F.least("id_a", "id_b").alias("id_a"),
+                         F.greatest("id_a", "id_b").alias("id_b"))
+                 .distinct())
     clusters = dup_clusters(pairs)
     return (assigned
             .join(_maybe_broadcast(
@@ -544,7 +620,8 @@ def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding", n_cells: int = 8,
                       train_iters: int = 2, threshold: float = 0.95,
-                      n_rows: int | None = None) -> DataFrame:
+                      n_rows: int | None = None,
+                      nprobe: int = 1) -> DataFrame:
     """Semantic benchmark decontamination (X-DECONTAM-SEMANTIC) — the
     embedding-space sibling of `decontam.py`'s n-gram overlap filter:
     a TRAIN row is contaminated iff its cosine similarity to ANY
@@ -566,9 +643,14 @@ def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
     the train rows; the hit aggregate is keyed on the train id; the
     final left join is hit-proportional. Train vectors never shuffle:
     assignment is the broadcast-projection, the eval side moves to
-    them. A cross-cell near-hit is missed by construction (the
-    published recipe's trade); raise n_cells' train_iters or lower
-    n_cells to tighten.
+    them. Under the published single-probe recipe (``nprobe=1``) a
+    cross-cell near-hit is missed by construction; ``nprobe > 1`` is
+    the recall/cost dial (VERDICT r10 #3): each TRAIN row probes its
+    `nprobe` nearest cells for the comparison only (cost ×nprobe,
+    still cell-bounded; the eval side keeps its primary cell, so a
+    (train, eval) pair still meets at most once and the hit count
+    stays an exact distinct-eval count). Report semantics unchanged —
+    `cell_id` is always the primary assignment.
 
     Like `semantic_dedup`'s cluster map, the report is memoized per
     (session, corpus plan, eval plan, params): the contamination
@@ -576,22 +658,25 @@ def semantic_decontam(emb: DataFrame, eval_ids: DataFrame,
     decontaminated corpus and applies across many downstream jobs."""
     from ._cache import cached_build, plan_key
     key = ("semantic_decontam", plan_key(emb), plan_key(eval_ids),
-           id_col, vec_col, n_cells, train_iters, threshold, n_rows)
+           id_col, vec_col, n_cells, train_iters, threshold, n_rows,
+           nprobe)
     return cached_build(
         emb.sparkSession, key,
         lambda: _semantic_decontam_build(emb, eval_ids, id_col,
                                          vec_col, n_cells, train_iters,
-                                         threshold, n_rows))
+                                         threshold, n_rows, nprobe))
 
 
 def _semantic_decontam_build(emb: DataFrame, eval_ids: DataFrame,
                              id_col: str, vec_col: str, n_cells: int,
                              train_iters: int, threshold: float,
-                             n_rows: int | None) -> DataFrame:
+                             n_rows: int | None,
+                             nprobe: int = 1) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
-    _, assigned = _ivf_index(emb, id_col, vec_col, n_cells, train_iters)
+    cent_arr, assigned = _ivf_index(emb, id_col, vec_col, n_cells,
+                                    train_iters)
     ev_ids = eval_ids.select(F.col(id_col).alias("_id"))
     c = assigned.select(F.col("neighbor_id").alias("_id"), "cv",
                         "cell_id", l2_norm(F.col("cv")).alias("_n"))
@@ -599,9 +684,14 @@ def _semantic_decontam_build(emb: DataFrame, eval_ids: DataFrame,
           .select("cell_id", F.col("cv").alias("ve"),
                   F.col("_n").alias("ne")))
     tr = c.join(F.broadcast(ev_ids), "_id", "left_anti")
+    # multi-probe widens only the train side of the COMPARISON join;
+    # the eval side keeps its unique primary cell, so each (train,
+    # eval) pair meets in at most one cell and count(*) stays exact
+    probe_tr = tr if nprobe <= 1 else _probe_cells(tr, cent_arr, nprobe)
     cos = dot(F.col("cv"), F.col("ve")) / (F.col("_n") * F.col("ne"))
-    hits = (tr.join(_maybe_broadcast(ev, n_rows, BROADCAST_MAX_ROWS),
-                    "cell_id")
+    hits = (probe_tr.join(_maybe_broadcast(ev, n_rows,
+                                           BROADCAST_MAX_ROWS),
+                          "cell_id")
             .filter(cos >= threshold)
             .groupBy("_id")
             .agg(F.count("*").alias("n_hits"),
@@ -713,36 +803,47 @@ def sq8_encode(df: DataFrame, id_col: str, vec_col: str, dim: int,
     dimension plus the squared reconstruction error. A degenerate
     dimension (max == min) codes to 0 and reconstructs exactly (its
     error term is 0 by construction)."""
+    from ._cache import cached_column
     v = as_double_vec(vec_col)
     out = df.select(F.col(id_col), v.alias("_v")) \
             .crossJoin(F.broadcast(stats))
+
     # codes and per-dim squared errors materialize as NAMED columns
     # first: inlining 64 recon trees into one array-fold expression
     # duplicated every subtree through the interpreted higher-order
     # path (measured 10× slower); named columns stay in whole-stage
-    # codegen and are computed once each
-    code_cols, err_cols = [], []
-    for i in range(dim):
-        x = F.element_at("_v", i + 1)
-        mn, mx = F.col(f"_mn{i}"), F.col(f"_mx{i}")
-        degen = mx == mn
-        c = F.when(degen, F.lit(0).cast("long")).otherwise(
-            F.least(F.floor(((x - mn) * F.lit(255.0)) / (mx - mn)),
-                    F.lit(SQ8_LEVELS).cast("long")))
-        code_cols.append(c.alias(f"_c{i}"))
-        r = F.when(degen, mn).otherwise(
-            mn + c.cast("double") * ((mx - mn) / F.lit(255.0)))
-        err_cols.append(((x - r) * (x - r)).alias(f"_e{i}"))
-    staged = out.select(id_col, "_v", *code_cols, *err_cols)
+    # codegen and are computed once each. The whole 2·dim column list
+    # is ~10·dim py4j round-trips to construct — cached per JVM
+    # (VERDICT r10 #2; the names are fixed, so dim fully keys it)
+    def build_staged():
+        code_cols, err_cols = [], []
+        for i in range(dim):
+            x = F.element_at("_v", i + 1)
+            mn, mx = F.col(f"_mn{i}"), F.col(f"_mx{i}")
+            degen = mx == mn
+            c = F.when(degen, F.lit(0).cast("long")).otherwise(
+                F.least(F.floor(((x - mn) * F.lit(255.0)) / (mx - mn)),
+                        F.lit(SQ8_LEVELS).cast("long")))
+            code_cols.append(c.alias(f"_c{i}"))
+            r = F.when(degen, mn).otherwise(
+                mn + c.cast("double") * ((mx - mn) / F.lit(255.0)))
+            err_cols.append(((x - r) * (x - r)).alias(f"_e{i}"))
+        return code_cols + err_cols
+
+    staged = out.select(id_col, "_v",
+                        *cached_column(("sq8_staged", dim), build_staged))
+
     # explicit left-associated + chain == the sequential fold with a
     # 0.0 init bit-for-bit (x + 0.0 is an IEEE identity and every
     # term is a non-negative square), so the oracle's
     # list_dot_product mirror holds
-    err = F.col("_e0")
-    for i in range(1, dim):
-        err = err + F.col(f"_e{i}")
-    return staged.select(
-        id_col,
-        F.array(*[F.col(f"_c{i}").cast("int")
-                  for i in range(dim)]).alias("sq8_codes"),
-        err.alias("sq8_err"))
+    def build_out():
+        err = F.col("_e0")
+        for i in range(1, dim):
+            err = err + F.col(f"_e{i}")
+        return [F.array(*[F.col(f"_c{i}").cast("int")
+                          for i in range(dim)]).alias("sq8_codes"),
+                err.alias("sq8_err")]
+
+    return staged.select(id_col, *cached_column(("sq8_out", dim),
+                                                build_out))

@@ -235,7 +235,7 @@ def retention_offsets(ev: DataFrame) -> DataFrame:
     UNION ALL {_FUNNEL_BOUNDED_LEG_SQL}
     UNION ALL {_RETENTION_LEG_SQL}
     """,
-)
+    prepared=True)
 def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation — batch twin of the streaming
     tumbling_counts job (streaming/events.py). window() is a built-in
@@ -385,7 +385,7 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
     FROM events GROUP BY 2
     """,
-)
+    prepared=True)
 def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 15 min hop): every event lands in 4
     overlapping windows. Spark's window() enumerates the windows natively;
@@ -488,7 +488,7 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, session_seq
     """,
-)
+    prepared=True)
 def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     session ids, then per-session rollup — the batch twin of streaming
@@ -575,7 +575,7 @@ def _pr_oracle_ctes() -> str:
     SELECT 'pagerank', node, CAST(NULL AS INT), rank
     FROM pr{_PR_N_ITER}
     """,
-)
+    prepared=True)
 def q43_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: JSON field extraction + cast +
     group — get_json_object stays JVM-side (no UDF).

@@ -76,7 +76,7 @@ _GAPFILL_STEP_US = 86_400_000_000
     FROM sp ASOF LEFT JOIN onn
       ON sp.user_id = onn.user_id AND sp.g >= onn.tsu
     """,
-)
+    prepared=True)
 def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase gets the user's most recent
     view at-or-before it (operators.asof — union+window plan, one
@@ -138,7 +138,7 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM j GROUP BY start_ts
     """,
-)
+    prepared=True)
 def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment range join: events against a generated
     interval dim via (ts >= start AND ts < end). The interval side is
@@ -446,7 +446,7 @@ CMS_HEAVY_MIN = 80
          AND q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
                  < CAST(cum AS DOUBLE))
     """,
-)
+    prepared=True)
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch (deterministic, portable —
     unlike HLL whose register layout is engine-specific): estimate =
@@ -802,7 +802,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily WINDOW w AS (PARTITION BY suppkey ORDER BY ship_date),
         wr AS (PARTITION BY suppkey ORDER BY rev, ship_date)
     """,
-)
+    prepared=True)
 def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW):
     7-row rolling revenue per supplier over daily aggregates, PLUS the
@@ -871,7 +871,7 @@ def q35_window_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((c_mktsegment), (r_name), ())
     """,
-)
+    prepared=True)
 def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional subtotal aggregation (SURVEY §2.4 'not present
     in reference'): GROUP BY ROLLUP over the region→nation hierarchy
@@ -939,7 +939,7 @@ def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_nationkey FROM nation
         WHERE n_nationkey IN (SELECT s_nationkey FROM supplier))
     """,
-)
+    prepared=True)
 def q38_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (distinct semantics) over customer- vs
     supplier-present nations (SURVEY §2.7 'not present in reference')."""
@@ -972,7 +972,7 @@ def q38_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey
     """,
-)
+    prepared=True)
 def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (plans/layout.py::salted_join): lineitem's
     supplier key is split across 16 deterministic salt buckets and

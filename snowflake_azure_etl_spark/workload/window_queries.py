@@ -68,7 +68,7 @@ _BRAND_YEAR_CTE = """
                 THEN 'Above Average' ELSE 'Below Average' END AS vs_avg
     FROM brand_year
     """,
-)
+    prepared=True)
 def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANK() OVER (PARTITION BY ... ORDER BY SUM(x) DESC) — ranking over
     an aggregate (reference create_views.py:334-335, 391) — PLUS the
@@ -119,7 +119,7 @@ def q30_window_rank_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS ratio_vs_building
     FROM seg_year
     """,
-)
+    prepared=True)
 def q33_window_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregate inside a window partitioned by year —
     cross-group comparison (reference create_views.py:475-492 compares
@@ -153,7 +153,7 @@ def q33_window_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT segment, custkey, c_acctbal AS acctbal, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
     """,
-)
+    prepared=True)
 def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via row_number — the scale-safe top-k idiom (heap
     per partition, no global sort); tie-broken by key for determinism."""

@@ -22,13 +22,17 @@ import __spark_entry__ as entry
 #: one-row step-1 and total-users counts broadcast onto the leg rows),
 #: and the r9 one-row stats rows: hourly anomaly moments (q41),
 #: histogram total + quantile denominators (q47), BM25 corpus
-#: stats (q58), and SQ8 per-dim bounds (q55).
+#: stats (q58), and SQ8 per-dim bounds (q55). r11 adds q53 (the
+#: substring index's one-row min_len provenance check, ADVICE r10)
+#: and q50 (the DSIR importance model's one-row gram-total
+#: normalizers riding the bucket-stats broadcast).
 BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
            "q54_ann_brute_force_topk", "q63_ann_ivf_topk",
            "q57_text_stats", "q43_events_json_props",
            "q40_events_tumbling_window", "q41_events_sliding_window",
            "q47_kmv_sketch", "q58_token_vocab",
-           "q55_ann_lsh_bucketed_topk"}
+           "q55_ann_lsh_bucketed_topk", "q53_dedup_simhash",
+           "q50_dedup_exact"}
 
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.

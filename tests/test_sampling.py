@@ -186,3 +186,84 @@ def test_apply_mixture_fails_loud_on_unplanned_source(spark):
         [(99, "unplanned", 10)], "doc_id long, source string, nt long"))
     with pytest.raises(Exception, match="no rate in the mixture plan"):
         apply_mixture(with_stray, rates, "source", "doc_id").collect()
+
+
+def _py_plog2(n, scale=1 << 20):
+    e = n.bit_length() - 1
+    return e * scale + ((n - (1 << e)) * scale) // (1 << e)
+
+
+def _py_dsir_scores(rows, target_ids, n=2, n_buckets=4096, salt="dsir"):
+    """Python reference for the whole DSIR pipeline (hashed bigram
+    counts -> add-one plog2 ratio model -> per-doc exact scores)."""
+    import hashlib
+    from collections import Counter
+
+    def feats(text):
+        t = text.split(" ")
+        return Counter(
+            int(hashlib.md5((f"{salt}:" + " ".join(t[i:i + n]))
+                            .encode()).hexdigest()[:8], 16) % n_buckets
+            for i in range(len(t) - n + 1))
+
+    fmap = {i: feats(t) for i, t in rows}
+    nr, nt = Counter(), Counter()
+    for i, f in fmap.items():
+        nr.update(f)
+        if i in target_ids:
+            nt.update(f)
+    tr, tt = sum(nr.values()), sum(nt.values())
+    lam = {b: _py_plog2(nt[b] + 1) - _py_plog2(tt + n_buckets)
+           - _py_plog2(nr[b] + 1) + _py_plog2(tr + n_buckets)
+           for b in nr}
+    return {i: sum(c * lam[b] for b, c in f.items())
+            for i, f in fmap.items()}
+
+
+def test_plog2_exact_integer_log2(spark):
+    """plog2 == the Python bit-twiddled reference on octave
+    boundaries and interiors (the exactness the oracle hash rides on),
+    and is monotone."""
+    from snowflake_azure_etl_spark.operators.sampling import plog2
+    ns = [1, 2, 3, 5, 7, 1023, 1024, 1025, 999_999_937,
+          123_456_789_012]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    from pyspark.sql import functions as F
+    got = {r["n"]: r["p"] for r in
+           df.select("n", plog2(F.col("n")).alias("p")).collect()}
+    assert got == {n: _py_plog2(n) for n in ns}
+    ordered = [got[n] for n in sorted(ns)]
+    assert ordered == sorted(ordered)
+
+
+def test_dsir_scores_match_python_reference(spark):
+    """End-to-end DSIR scores equal the Python replay exactly (longs,
+    not approximately) and rank target-like docs above source-like
+    ones."""
+    from snowflake_azure_etl_spark.operators.sampling import (
+        dsir_bucket_stats, dsir_log_weights, dsir_resample)
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "stock market prices fell sharply today"),
+        (4, "market prices rose sharply yesterday"),
+        (5, "the dog sat on the mat"),
+        (6, "short"),                      # < n tokens -> score 0
+    ]
+    target_ids = {1, 2, 5}                 # "cat/dog prose" target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.filter(docs.doc_id.isin(*target_ids))
+    stats = dsir_bucket_stats(docs, tgt, "doc_id", "text")
+    got = {r["doc_id"]: r["dsir_score"] for r in
+           dsir_log_weights(docs, stats, "doc_id", "text").collect()}
+    ref = _py_dsir_scores(rows, target_ids)
+    ref[6] = 0                             # featureless doc
+    assert got == ref
+    # prose docs outscore the market docs under the prose target
+    assert min(got[1], got[2], got[5]) > max(got[3], got[4])
+    # deterministic top-k: ranks follow (score desc, id asc)
+    top = dsir_resample(docs, tgt, "doc_id", "text", k=3).collect()
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["dsir_score"], r["dsir_rank"])
+            for r in sorted(top, key=lambda r: r["dsir_rank"])] \
+        == [(i, s, rk + 1) for rk, (i, s) in enumerate(expect)]

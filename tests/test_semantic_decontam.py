@@ -109,3 +109,28 @@ def test_cross_cell_near_hit_is_missed_by_contract(spark):
         # landed in cell 1: cos(mid, a) ~= 0.707 >= tau, but the
         # cross-cell pair is out of contract
         assert r["n_hits"] == 0
+
+
+def test_multi_probe_catches_cross_cell_hit_single_probe_misses(spark):
+    """VERDICT r10 #3: the deterministic version of the cross-cell
+    contract test — a train vector leaning into the OTHER cell misses
+    its eval near-hit at nprobe=1 and reports it at nprobe=2 (the
+    train side probes both cells; the report's cell_id stays the
+    primary assignment)."""
+    a, b = _vec(0), _vec(1)
+    lean = [x + 1.05 * y for x, y in zip(a, b)]
+    n = math.sqrt(sum(x * x for x in lean))
+    lean = [x / n for x in lean]                  # primary cell 1
+    rows = [(0, a), (1, b), (100, lean)]
+    tau = 0.5                                     # cos(lean, a) ≈ 0.69
+    single = _run(spark, rows, eval_ids=[0], n_cells=2,
+                  train_iters=0, threshold=tau)
+    assert not single[100]["is_contaminated"]
+    assert single[100]["n_hits"] == 0
+    multi = _run(spark, rows, eval_ids=[0], n_cells=2,
+                 train_iters=0, threshold=tau, nprobe=2)
+    assert multi[100]["is_contaminated"]
+    assert multi[100]["n_hits"] == 1
+    assert abs(multi[100]["max_sim"]
+               - sum(p * q for p, q in zip(lean, a))) < 1e-12
+    assert multi[100]["cell_id"] == single[100]["cell_id"]
