@@ -92,7 +92,25 @@ def contamination_hits(docs: DataFrame, eval_docs: DataFrame,
     (eval-doc count × max grams/doc is a fine bound); under
     ``broadcast_max_rows`` the probe join broadcasts the benchmark
     side, otherwise it shuffle-equi-joins on the digest."""
-    ev = _maybe_broadcast(eval_gram_set(eval_docs, text_col, n),
+    return contamination_hits_against(
+        docs, eval_gram_set(eval_docs, text_col, n), id_col, text_col,
+        n, n_eval_grams, broadcast_max_rows)
+
+
+def contamination_hits_against(docs: DataFrame, eval_grams: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n: int = DECONTAM_N,
+                               n_eval_grams: int | None = None,
+                               broadcast_max_rows: int =
+                               BROADCAST_MAX_ROWS) -> DataFrame:
+    """`contamination_hits` against an already-MATERIALIZED benchmark
+    gram relation (column ``gram`` — the `eval_gram_set` artifact a
+    pipeline persists once per benchmark release): the probe path for
+    callers that must not re-derive the gram set per use — the
+    streaming per-micro-batch sink (`streaming.ingest
+    .decontam_ingest_sink`) and multi-corpus sweeps."""
+    ev = _maybe_broadcast(eval_grams.select("gram"),
                           n_eval_grams, broadcast_max_rows)
     grams = _gram_digests(docs, id_col, text_col, n)
     return (grams.join(ev, "gram")

@@ -378,3 +378,95 @@ def dsir_resample(df: DataFrame, target: DataFrame, id_col: str,
     w = Window.orderBy(F.desc("dsir_score"), F.asc(id_col))
     return (top.withColumn("dsir_rank",
                            F.row_number().over(w).cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted mixture (X-MIXTURE-QUALITY) — compose a trained
+# quality score (operators.classifier) into the mixture plan: rates
+# are derived per (source, quality-bucket) cell with the share TILTED
+# linearly by the bucket, so higher-quality strata of every source
+# are upsampled relative to their size while the total stays on
+# budget. The published pattern (quality-classifier-weighted sampling
+# — the fastText-filter tier of C4/CCNet-style pipelines) expressed
+# with the module's fixed-point machinery.
+# ---------------------------------------------------------------------------
+
+
+def quality_bucket(score: Column, n_buckets: int = 4) -> Column:
+    """Deterministic quality bucket of a [0,1] score: floor(p·B)
+    clamped to B−1 (p = 1.0 joins the top bucket). Row-local and
+    portable — floor over one IEEE multiply, identical in both
+    engines."""
+    return F.least(F.floor(score * n_buckets),
+                   F.lit(n_buckets - 1).cast("long")).cast("int")
+
+
+def quality_mixture_rates(df: DataFrame, source_col: str,
+                          bucket_col: str, weight: Column | str,
+                          budget_fraction: float = 0.5) -> DataFrame:
+    """(source, bucket, toks, rate): per-(source, quality-bucket)
+    sampling rates hitting `budget_fraction` of the total token mass
+    with quality-tilted temperature-2 shares:
+
+        share_cell ∝ floor(sqrt(toks_cell)·2^20) · (bucket + 1)
+        rate_cell  = min(1, (share_cell/Σshare) · (Σtoks · budget)
+                            / toks_cell)
+
+    The tilt multiplies the fixed-point sqrt weight by the exact
+    integer (bucket+1) — a top-of-4 bucket draws 4× the share of an
+    equal-sized bottom bucket — keeping the share denominator an
+    order-invariant integer sum (the `mixture_rates` portability
+    contract). Cell-count-sized after ONE weighted aggregate; fails
+    loud on a non-positive cell total exactly like `mixture_rates`."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    src = df.groupBy(source_col, bucket_col).agg(F.sum(w).alias("toks"))
+    q = F.when(
+        F.col("toks") <= 0,
+        F.raise_error(F.concat(
+            F.lit("quality_mixture_rates: cell ("),
+            F.col(source_col).cast("string"), F.lit(", "),
+            F.col(bucket_col).cast("string"),
+            F.lit(") has non-positive token total — its share is "
+                  "undefined (0/0); filter it out or fix the weight "
+                  "column"))).cast("long"),
+    ).otherwise(
+        F.floor(F.sqrt(F.col("toks").cast("double"))
+                * F.lit(float(MIX_SCALE))).cast("long")
+        * (F.col(bucket_col).cast("long") + 1))
+    per = src.select(source_col, bucket_col, "toks", q.alias("qs"))
+    tot = per.agg(F.sum("toks").alias("tot"), F.sum("qs").alias("qq"))
+    rate = F.least(
+        F.lit(1.0),
+        ((F.col("qs").cast("double") / F.col("qq").cast("double"))
+         * (F.col("tot").cast("double")
+            * F.lit(float(budget_fraction))))
+        / F.col("toks").cast("double"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(source_col, bucket_col, "toks", rate.alias("rate")))
+
+
+def apply_quality_mixture(df: DataFrame, rates: DataFrame,
+                          source_col: str, bucket_col: str,
+                          id_col: Column | str,
+                          salt: str = "qmix") -> DataFrame:
+    """APPLY a quality-weighted mixture plan: the `apply_mixture`
+    semantics with a (source, bucket) composite key — deterministic
+    md5-bucket thresholding against the broadcast rates relation, one
+    row-local filter, zero shuffles, fail-loud on a cell absent from
+    the plan."""
+    thr = F.when(
+        F.col("rate").isNull(),
+        F.raise_error(F.concat(
+            F.lit("apply_quality_mixture: cell ("),
+            F.col(source_col).cast("string"), F.lit(", "),
+            F.col(bucket_col).cast("string"),
+            F.lit(") has no rate in the mixture plan — rebuild "
+                  "quality_mixture_rates over the full corpus"))
+        ).cast("long"),
+    ).otherwise(
+        F.round(F.col("rate") * F.lit(float(FRACTION_DENOM))).cast("long"))
+    return (df.join(F.broadcast(rates.select(source_col, bucket_col,
+                                             "rate")),
+                    [source_col, bucket_col], "left")
+            .filter(_bucket(id_col, salt) < thr)
+            .drop("rate"))

@@ -78,6 +78,57 @@ def scrubbed_ingest(stream: DataFrame, text_col: str = "text",
     return out
 
 
+def decontam_ingest_sink(eval_gram_table: str, clean_table: str, *,
+                         audit_table: str | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n: int | None = None,
+                         n_eval_grams: int | None = None):
+    """Arrival-time benchmark decontamination (VERDICT r10 #6 — the
+    streaming sibling the decontam family was missing, completing the
+    per-artifact set: exact dedup → `streaming.dedup`, near-dup →
+    `streaming.neardup`, substrings → `streaming.substr`, sketches →
+    `streaming.sketches`, vectors → `streaming.vectors`, n-gram
+    decontam → here). Returns a foreachBatch function: each
+    micro-batch is probed against the PERSISTED benchmark gram index
+    (`operators.decontam.eval_gram_set` materialized once per
+    benchmark release — `eval_gram_table`), contaminated docs are
+    dropped, clean docs land in `clean_table`, and the
+    hit-proportional overlap accounting optionally lands in
+    `audit_table`. Both writes ride `sinks.idempotent_epoch_sink`, so
+    an at-least-once replay overwrites its own epoch partition —
+    exactly-once-in-effect.
+
+    Decontamination is stateless across batches (every doc is judged
+    against the same fixed benchmark), so the stream output equals
+    the batch operator over the concatenated stream — pinned in
+    tests/test_streaming_ingest.py. Per epoch only the batch pays
+    gram hashing; the benchmark side broadcasts under the
+    ``n_eval_grams`` attestation (the batch operator's contract)."""
+    from ..operators.decontam import (DECONTAM_N,
+                                      contamination_hits_against)
+    from .sinks import idempotent_epoch_sink
+
+    width = DECONTAM_N if n is None else n
+    write_clean = idempotent_epoch_sink(clean_table)
+    write_audit = (idempotent_epoch_sink(audit_table)
+                   if audit_table else None)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = spark.table(eval_gram_table)
+        hits = contamination_hits_against(
+            batch_df, ev, id_col, text_col, width, n_eval_grams)
+        # hit ids are hit-proportional (bounded by the batch); the
+        # anti-join drops contaminated docs from the clean leg
+        clean = batch_df.join(hits.select(id_col), id_col, "left_anti")
+        write_clean(clean, epoch_id)
+        if write_audit is not None:
+            write_audit(hits, epoch_id)
+
+    return write
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:

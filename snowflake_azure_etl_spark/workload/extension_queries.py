@@ -172,12 +172,101 @@ KMV_K = 16
 CMS_HEAVY_MIN = 80
 
 
+# --- X-MIXTURE-QUALITY oracle (r11, VERDICT r10 #5) -----------------
+# Quality-weighted mixture: a BINARY quality probe trained in-engine
+# (operators.classifier, 2 GD rounds — the q57 one-vs-rest replay
+# machinery specialized to one class), its rational-sigmoid score
+# bucketed to 4 quality strata, per-(source, bucket) rates from the
+# quality-tilted fixed-point machinery
+# (sampling.quality_mixture_rates), and the kept set replayed row for
+# row. Feature fragments are textually identical to q57's cfx CTE;
+# the weak label is text.quality_score >= 0.5.
+_Q_STOP = ("CAST(len(list_filter(string_split(text, ' '), "
+           "t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) "
+           "/ len(string_split(text, ' '))")
+_Q_TTR = ("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) "
+          "/ len(string_split(text, ' '))")
+_Q_LSAT = "LEAST(CAST(length(text) AS DOUBLE) / 200, 1.0)"
+
+
+def _qmix_round_cte(it: int) -> str:
+    """One binary-probe GD round (reads qw{it-1}) — the
+    pipeline_queries._clf_round_cte recurrence with the single y_q
+    label."""
+    s = "1048576.0"
+    sums = ",\n".join(
+        f"SUM(CAST(floor((r*fv[{i + 1}])*{s}) AS BIGINT)) AS s{i}"
+        for i in range(4))
+    ws = ",\n".join(f"MIN(w[{i + 1}]) AS pw{i}" for i in range(4))
+    upd = ",\n".join(
+        f"pw{i} - 0.5*((CAST(s{i} AS DOUBLE)/n)/{s})" for i in range(4))
+    return f"""
+        qgr{it} AS (SELECT fv, w,
+                           0.5*(1.0 + z/(1.0 + abs(z))) - y_q AS r
+                    FROM (SELECT fv, y_q, w,
+                                 w[1]*fv[1] + w[2]*fv[2] + w[3]*fv[3]
+                                 + w[4]*fv[4] AS z
+                          FROM qfx CROSS JOIN qw{it - 1})),
+        qgs{it} AS (SELECT {ws}, {sums}, COUNT(*) AS n FROM qgr{it}),
+        qw{it} AS (SELECT [{upd}] AS w FROM qgs{it})"""
+
+
+_QMIX_SQL = f"""
+    SELECT 'qmix' AS leg, source || ':' || CAST(qb AS VARCHAR),
+           CAST(COALESCE(kn, 0) AS BIGINT), CAST(rate AS DOUBLE)
+    FROM (
+        WITH qfx AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+                   [1.0, {_Q_STOP}, {_Q_TTR}, {_Q_LSAT}] AS fv,
+                   CASE WHEN (({_Q_LSAT} + LEAST(({_Q_STOP}) / 0.2, 1.0)
+                               + {_Q_TTR}) / 3) >= CAST(0.5 AS DOUBLE)
+                        THEN 1.0 ELSE 0.0 END AS y_q
+            FROM documents),
+        qw0 AS (SELECT [0.0, 0.0, 0.0, 0.0] AS w),
+        {_qmix_round_cte(1)},
+        {_qmix_round_cte(2)},
+        qsc AS (SELECT doc_id, source, nt,
+                       0.5*(1.0 + z/(1.0 + abs(z))) AS p
+                FROM (SELECT doc_id, source, nt,
+                             w[1]*fv[1] + w[2]*fv[2] + w[3]*fv[3]
+                             + w[4]*fv[4] AS z
+                      FROM qfx CROSS JOIN qw2)),
+        qcell AS (SELECT doc_id, source, nt,
+                         CAST(LEAST(CAST(floor(p * 4) AS BIGINT),
+                                    CAST(3 AS BIGINT)) AS INT) AS qb
+                  FROM qsc),
+        qcs AS (SELECT source, qb, SUM(nt) AS toks
+                FROM qcell GROUP BY 1, 2),
+        qqs AS (SELECT source, qb, toks,
+                       CAST(floor(sqrt(CAST(toks AS DOUBLE))
+                                  * CAST(1048576.0 AS DOUBLE))
+                            AS BIGINT) * (CAST(qb AS BIGINT) + 1) AS qs
+                FROM qcs),
+        qt AS (SELECT SUM(toks) AS tot, SUM(qs) AS qq FROM qqs),
+        qrt AS (SELECT source, qb, toks,
+                       least(CAST(1.0 AS DOUBLE),
+                             ((CAST(qs AS DOUBLE) / CAST(qq AS DOUBLE))
+                              * (CAST(tot AS DOUBLE)
+                                 * CAST(0.5 AS DOUBLE)))
+                             / CAST(toks AS DOUBLE)) AS rate
+                FROM qqs CROSS JOIN qt),
+        qk AS (SELECT c.source, c.qb, COUNT(*) AS kn
+               FROM qcell c JOIN qrt r USING (source, qb)
+               WHERE CAST('0x' || substr(md5('qmix:'
+                          || CAST(c.doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 10000
+                     < CAST(round(r.rate * 10000.0) AS BIGINT)
+               GROUP BY 1, 2)
+        SELECT r.source, r.qb, qk.kn, r.rate
+        FROM qrt r LEFT JOIN qk USING (source, qb))"""
+
+
 @query(
     "q47_kmv_sketch",
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
             "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE",
             "X-SKETCH-ROLLUP", "X-SKETCH-HIST-GROUPED",
-            "X-MIXTURE-APPLY"),
+            "X-MIXTURE-APPLY", "X-MIXTURE-QUALITY"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -445,6 +534,8 @@ CMS_HEAVY_MIN = 80
                  <= q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
          AND q.p * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
                  < CAST(cum AS DOUBLE))
+    UNION ALL
+    {_QMIX_SQL}
     """,
     prepared=True)
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,11 +866,56 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bloom_rollup_leg = leg_cache("q47_bloom_rollup", mem,
                                  build_bloom_rollup_leg)
+
+    # qmix leg (r11, X-MIXTURE-QUALITY — VERDICT r10 #5): the trained
+    # classifier score composed into the mixture. A binary quality
+    # probe (operators.classifier — 2 fixed-point GD rounds, weak
+    # label = text.quality_score >= 0.5, the same feature vector as
+    # q57's language probe) scores every doc; scores bucket to 4
+    # quality strata; sampling.quality_mixture_rates derives
+    # per-(source, stratum) rates with the share tilted by (qb+1);
+    # apply_quality_mixture keeps docs row-locally. Emits rate + kept
+    # count per cell, oracle-replayed end to end INCLUDING the
+    # training loop.
+    def build_qmix_leg():
+        from ..operators import classifier
+        from ..operators.sampling import (apply_quality_mixture,
+                                          quality_bucket,
+                                          quality_mixture_rates)
+        from ..operators.text import (quality_score, stopword_ratio,
+                                      type_token_ratio)
+        feats = [stopword_ratio("text"), type_token_ratio("text"),
+                 F.least(F.length("text").cast("double") / 200,
+                         F.lit(1.0))]
+        label = quality_score("text") >= F.lit(0.5)
+        w = classifier.train_margin_classifier(docs, feats, label,
+                                               n_iter=2)
+        scored = classifier.score_with(
+            docs.select("doc_id", "source", "text",
+                        n_tokens("text").alias("nt")),
+            feats, w, out_col="p")
+        cells = scored.select("doc_id", "source", "nt",
+                              quality_bucket(F.col("p"), 4).alias("qb"))
+        rates = quality_mixture_rates(cells, "source", "qb", "nt")
+        kept = (apply_quality_mixture(cells, rates, "source", "qb",
+                                      "doc_id")
+                .groupBy("source", "qb").agg(F.count("*").alias("_kn")))
+        return (rates.join(kept, ["source", "qb"], "left")
+                .select(F.lit("qmix").alias("leg"),
+                        F.concat(F.col("source"), F.lit(":"),
+                                 F.col("qb").cast("string"))
+                        .alias("event_type"),
+                        F.coalesce(F.col("_kn"), F.lit(0).cast("long"))
+                        .cast("long").alias("exact_n"),
+                        F.col("rate").alias("estimate")))
+
+    qmix_leg = leg_cache("q47_qmix_leg", docs, build_qmix_leg)
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
             .unionByName(mix_applied_leg)
             .unionByName(hist_leg).unionByName(q_leg)
             .unionByName(gq_leg).unionByName(bloom_leg)
-            .unionByName(bloom_rollup_leg).unionByName(cms_leg))
+            .unionByName(bloom_rollup_leg).unionByName(cms_leg)
+            .unionByName(qmix_leg))
 
 
 @query(

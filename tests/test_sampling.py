@@ -267,3 +267,49 @@ def test_dsir_scores_match_python_reference(spark):
     assert [(r["doc_id"], r["dsir_score"], r["dsir_rank"])
             for r in sorted(top, key=lambda r: r["dsir_rank"])] \
         == [(i, s, rk + 1) for rk, (i, s) in enumerate(expect)]
+
+
+def test_quality_mixture_tilts_toward_high_buckets(spark):
+    """quality_mixture_rates: equal-sized cells get rates growing with
+    the quality bucket (the (qb+1) tilt); apply_quality_mixture's kept
+    set replays in Python; an unplanned cell fails loud."""
+    import hashlib
+
+    import pytest
+
+    from snowflake_azure_etl_spark.operators.sampling import (
+        FRACTION_DENOM, apply_quality_mixture, quality_bucket,
+        quality_mixture_rates)
+    from pyspark.sql import functions as F
+
+    # 4 equal cells (one per bucket) of 250 docs x 10 tokens
+    rows = [(i, "web", 10, i % 4) for i in range(1000)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, nt long,"
+                               " qb int")
+    rates = quality_mixture_rates(df, "source", "qb", "nt")
+    rm = {r["qb"]: r["rate"] for r in rates.collect()}
+    assert rm[0] < rm[1] < rm[2] < rm[3]
+    # equal toks => rate ratio == (qb+1) ratio until the min(1,...) cap
+    assert abs(rm[1] / rm[0] - 2.0) < 1e-12
+    kept = {r["doc_id"] for r in apply_quality_mixture(
+        df, rates, "source", "qb", "doc_id").collect()}
+
+    def py_keep(doc_id, qb):
+        b = int(hashlib.md5(f"qmix:{doc_id}".encode())
+                .hexdigest()[:8], 16) % FRACTION_DENOM
+        return b < int(rm[qb] * FRACTION_DENOM + 0.5)
+
+    assert kept == {i for i, _, _, qb in rows if py_keep(i, qb)}
+    with pytest.raises(Exception, match="no rate in the mixture plan"):
+        stray = df.unionByName(spark.createDataFrame(
+            [(9999, "new", 10, 0)],
+            "doc_id long, source string, nt long, qb int"))
+        apply_quality_mixture(stray, rates, "source", "qb",
+                              "doc_id").collect()
+    # quality_bucket clamps p = 1.0 into the top bucket
+    probe = spark.range(1).select(
+        quality_bucket(F.lit(1.0), 4).alias("b"),
+        quality_bucket(F.lit(0.0), 4).alias("lo"),
+        quality_bucket(F.lit(0.49), 4).alias("mid")).collect()[0]
+    assert (probe["b"], probe["lo"], probe["mid"]) == (3, 0, 1)

@@ -148,3 +148,80 @@ def test_scored_ingest_matches_batch_probe(spark, drop_dir):
                  "t_ingest_gated").collect()}
     assert kept == {d for d, s in want.items() if s >= thr}
     assert 0 < len(kept) < len(want)
+
+
+def test_decontam_ingest_matches_batch_operator(spark):
+    """VERDICT r10 #6: per-micro-batch n-gram decontamination against
+    the persisted benchmark gram index — the streamed clean corpus
+    equals the batch `decontaminate` over the concatenated stream
+    (decontam is stateless across batches), the audit table carries
+    the batch operator's hit counts, and an epoch replay is
+    idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import decontam
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"              # one benchmark 8-gram
+    eval_rows = [(1000, "prefix " + run + " suffix")]
+    batches = [
+        [(1, "contaminated doc " + run + " indeed"),
+         (2, "a perfectly clean document body here")],
+        [(10, run + " again in epoch two"),
+         (11, "another clean one entirely")],
+    ]
+
+    def table(name):
+        db = "decontam_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    ev_docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    ev_table = table("dc_eval_grams")
+    decontam.eval_gram_set(ev_docs).write.saveAsTable(ev_table)
+
+    src = tempfile.mkdtemp(prefix="dc_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    clean_t, audit_t = table("dc_clean"), table("dc_audit")
+    sink = ingest.decontam_ingest_sink(ev_table, clean_t,
+                                       audit_table=audit_t)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="dc_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    batch_clean = {r["doc_id"] for r in
+                   decontam.decontaminate(whole, ev_docs).collect()}
+    got_clean = {r["doc_id"] for r in spark.table(clean_t).collect()}
+    assert got_clean == batch_clean == {2, 11}
+    batch_hits = {(r["doc_id"], r["contam_hits"]) for r in
+                  decontam.contamination_hits(whole, ev_docs).collect()}
+    got_hits = {(r["doc_id"], r["contam_hits"]) for r in
+                spark.table(audit_t).collect()}
+    assert got_hits == batch_hits and {d for d, _ in got_hits} == {1, 10}
+    # replaying epoch 0 overwrites its partition — nothing duplicates
+    sink(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    assert ({r["doc_id"] for r in spark.table(clean_t).collect()}
+            == batch_clean)
+    assert (spark.table(clean_t).filter(F.col(EPOCH_COL) == 0).count()
+            == 1)
