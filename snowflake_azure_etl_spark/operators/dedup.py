@@ -740,22 +740,46 @@ def _covered_positions(occ: DataFrame, rep_hashes: DataFrame,
 def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               min_len: int = SUBSTR_MIN_LEN,
-                              min_count: int = SUBSTR_MIN_COUNT
+                              min_count: int = SUBSTR_MIN_COUNT,
+                              index: DataFrame | None = None
                               ) -> DataFrame:
     """(id_col, tpos): every token position covered by a repeated
     sliding window — i.e. lying inside some repeated substring of
     length >= min_len. Rows may repeat (one position can be covered
-    by several windows); callers anti-join, which doesn't care."""
+    by several windows); callers anti-join, which doesn't care.
+
+    ``index``: an already-built `window_hash_index` of THIS corpus at
+    this min_len (the persisted artifact). When given, the repeated
+    set is its min_count filter — no second corpus-wide count
+    shuffle; the corpus is re-scanned only for the (cheap, narrow)
+    position relation. Width provenance is checked exactly as in the
+    incremental probe."""
     occ = _window_occurrences(docs, id_col, text_col, min_len)
-    rep = (occ.groupBy("_h").agg(F.count("*").alias("_c"))
-           .filter(F.col("_c") >= int(min_count)))
+    if index is None:
+        rep = (occ.groupBy("_h").agg(F.count("*").alias("_c"))
+               .filter(F.col("_c") >= int(min_count)))
+    else:
+        chk = index.agg(F.countDistinct("min_len").alias("_nml"),
+                        F.max("min_len").alias("_iml"))
+        bad = (F.col("_nml") > 1) | (F.col("_iml") != int(min_len))
+        n = F.when(
+            F.coalesce(bad, F.lit(False)),
+            F.raise_error(F.lit(
+                "repeated_window_positions: the supplied index was "
+                f"built at a different min_len than {min_len}"))
+            .cast("long"),
+        ).otherwise(F.col("n_occurrences"))
+        rep = (index.crossJoin(F.broadcast(chk))
+               .select(F.col("window_hash").alias("_h"), n.alias("_c"))
+               .filter(F.col("_c") >= int(min_count)))
     return _covered_positions(occ, rep, id_col, min_len)
 
 
 def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text",
                                min_len: int = SUBSTR_MIN_LEN,
-                               min_count: int = SUBSTR_MIN_COUNT
+                               min_count: int = SUBSTR_MIN_COUNT,
+                               index: DataFrame | None = None
                                ) -> DataFrame:
     """Remove every token run that is part of a repeated substring of
     length >= min_len (corpus-wide occurrence count >= min_count,
@@ -768,9 +792,13 @@ def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
     repeated substring are removed (the deterministic, symmetric
     choice — matching the module's span-scrub semantics; keep-one
     policies need an ordering authority, which a 100 TB stream does
-    not have)."""
+    not have).
+
+    ``index``: reuse an already-built `window_hash_index` of this
+    corpus (identical output, one fewer corpus-wide count shuffle —
+    the pipeline that persists the index anyway scrubs from it)."""
     covered = repeated_window_positions(docs, id_col, text_col,
-                                        min_len, min_count)
+                                        min_len, min_count, index)
     return _scrub_report(docs, covered, id_col, text_col)
 
 
@@ -865,6 +893,51 @@ def merge_window_index(*indexes: DataFrame) -> DataFrame:
             .groupBy("window_hash")
             .agg(merged.alias("n_occurrences"),
                  F.max("min_len").alias("min_len")))
+
+
+def subtract_window_index(index: DataFrame,
+                          removed: DataFrame) -> DataFrame:
+    """Decremental index maintenance — the deletion-side merge law:
+    index(corpus) ⊖ index(removed ⊆ corpus) == index(corpus \\ removed),
+    hash for hash (counts are additive, so they subtract exactly).
+    This is the right-to-be-forgotten path for the substring artifact
+    (`corpus.forget_documents`' sibling): drop the forgotten docs'
+    window counts without re-scanning the surviving corpus. Hashes
+    whose count reaches zero leave the index entirely.
+
+    Fail-loud contract (the module's discipline): a `removed` hash
+    the index never held, an over-subtraction (removed count >
+    indexed count — both mean `removed` was not a subset of the
+    indexed corpus), and a min_len width mismatch all raise, with the
+    guards inside the output count expression."""
+    chk = (index.select("min_len").unionByName(removed.select("min_len"))
+           .agg(F.countDistinct("min_len").alias("_nml")))
+    # each hash appears at most once per side (both are grouped
+    # indexes), so the full-outer join is 1:1 and the subtraction is
+    # a projection — no extra aggregate
+    j = (index.select("window_hash",
+                      F.col("n_occurrences").alias("_ci"), "min_len")
+         .join(removed.select("window_hash",
+                              F.col("n_occurrences").alias("_cr")),
+               "window_hash", "full_outer"))
+    n = (F.when(F.col("_nml") > 1, F.raise_error(F.lit(
+            "subtract_window_index: inputs were built with different "
+            "min_len window widths")).cast("long"))
+         .when(F.col("_ci").isNull(), F.raise_error(F.lit(
+            "subtract_window_index: removed docs contain a window the "
+            "index never held — they are not a subset of the indexed "
+            "corpus")).cast("long"))
+         .when(F.coalesce(F.col("_cr"), F.lit(0).cast("long"))
+               > F.col("_ci"),
+               F.raise_error(F.lit(
+                   "subtract_window_index: over-subtraction — a window "
+                   "is removed more times than the index counted it"))
+               .cast("long"))
+         .otherwise(F.col("_ci")
+                    - F.coalesce(F.col("_cr"), F.lit(0).cast("long"))))
+    return (j.crossJoin(F.broadcast(chk))
+            .select("window_hash", n.alias("n_occurrences"), "min_len")
+            .filter(F.col("n_occurrences") > 0))
 
 
 def incremental_scrub_duplicate_substrings(

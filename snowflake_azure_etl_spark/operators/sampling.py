@@ -317,11 +317,36 @@ def dsir_bucket_stats(df: DataFrame, target: DataFrame, id_col: str,
     raw corpus never emits are irrelevant (no document references
     them), so the relation is built on the raw bucket set with the
     target counts left-joined."""
-    raw = (hashed_ngram_counts(df, id_col, text_col, n, n_buckets, salt)
-           .groupBy("bucket").agg(F.sum("c").alias("_nr")))
+    feats = hashed_ngram_counts(df, id_col, text_col, n, n_buckets,
+                                salt)
     tgt = (hashed_ngram_counts(target, id_col, text_col, n, n_buckets,
                                salt)
            .groupBy("bucket").agg(F.sum("c").alias("_nt")))
+    return _dsir_stats(feats.groupBy("bucket")
+                       .agg(F.sum("c").alias("_nr")),
+                       tgt, n_buckets, scale)
+
+
+def dsir_bucket_stats_from(feats: DataFrame, target_ids: DataFrame,
+                           id_col: str,
+                           n_buckets: int = DSIR_BUCKETS,
+                           scale: int = PLOG2_SCALE) -> DataFrame:
+    """`dsir_bucket_stats` for the common case where the TARGET is a
+    subset of the raw corpus, over an already-built feature map
+    (`hashed_ngram_counts` output — the derived corpus representation
+    a pipeline computes once and shares between model training and
+    scoring): target counts come from a semi-join on `target_ids`, so
+    the corpus is featurized exactly once across the whole DSIR
+    pass."""
+    raw = feats.groupBy("bucket").agg(F.sum("c").alias("_nr"))
+    tgt = (feats.join(F.broadcast(target_ids.select(id_col)), id_col,
+                      "left_semi")
+           .groupBy("bucket").agg(F.sum("c").alias("_nt")))
+    return _dsir_stats(raw, tgt, n_buckets, scale)
+
+
+def _dsir_stats(raw: DataFrame, tgt: DataFrame, n_buckets: int,
+                scale: int) -> DataFrame:
     joined = (raw.join(tgt, "bucket", "left")
               .select("bucket", "_nr",
                       F.coalesce("_nt", F.lit(0).cast("long"))
@@ -346,10 +371,19 @@ def dsir_log_weights(df: DataFrame, stats: DataFrame, id_col: str,
     feature map against the bucket stats, one doc-keyed aggregate;
     documents never shuffle their text."""
     feats = hashed_ngram_counts(df, id_col, text_col, n, n_buckets, salt)
+    return dsir_log_weights_from(df.select(id_col), feats, stats, id_col)
+
+
+def dsir_log_weights_from(ids: DataFrame, feats: DataFrame,
+                          stats: DataFrame, id_col: str) -> DataFrame:
+    """`dsir_log_weights` over an already-built feature map — the
+    share-one-featurization sibling of `dsir_bucket_stats_from`.
+    `ids` is the id universe (docs with no full-width gram coalesce
+    to score 0)."""
     scored = (feats.join(F.broadcast(stats), "bucket")
               .groupBy(id_col)
               .agg(F.sum(F.col("c") * F.col("lam")).alias("_s")))
-    return (df.select(id_col).join(scored, id_col, "left")
+    return (ids.join(scored, id_col, "left")
             .select(id_col,
                     F.coalesce("_s", F.lit(0).cast("long"))
                     .alias("dsir_score")))

@@ -313,3 +313,34 @@ def test_quality_mixture_tilts_toward_high_buckets(spark):
         quality_bucket(F.lit(0.0), 4).alias("lo"),
         quality_bucket(F.lit(0.49), 4).alias("mid")).collect()[0]
     assert (probe["b"], probe["lo"], probe["mid"]) == (3, 0, 1)
+
+
+def test_dsir_from_variants_share_one_featurization(spark):
+    """dsir_bucket_stats_from / dsir_log_weights_from (one shared
+    feature map) == the two-relation API when the target is a corpus
+    subset."""
+    from snowflake_azure_etl_spark.operators.sampling import (
+        dsir_bucket_stats, dsir_bucket_stats_from, dsir_log_weights,
+        dsir_log_weights_from, hashed_ngram_counts)
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices fell sharply today"),
+        (3, "the dog sat on the mat"),
+        (4, "market prices rose sharply yesterday"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.filter(docs.doc_id.isin(1, 3))
+    a = {r["bucket"]: r["lam"] for r in
+         dsir_bucket_stats(docs, tgt, "doc_id", "text").collect()}
+    feats = hashed_ngram_counts(docs, "doc_id", "text")
+    b = {r["bucket"]: r["lam"] for r in
+         dsir_bucket_stats_from(feats, tgt.select("doc_id"),
+                                "doc_id").collect()}
+    assert a == b
+    stats = dsir_bucket_stats(docs, tgt, "doc_id", "text")
+    wa = {r["doc_id"]: r["dsir_score"] for r in
+          dsir_log_weights(docs, stats, "doc_id", "text").collect()}
+    wb = {r["doc_id"]: r["dsir_score"] for r in
+          dsir_log_weights_from(docs.select("doc_id"), feats,
+                                stats, "doc_id").collect()}
+    assert wa == wb

@@ -183,3 +183,54 @@ def test_window_index_min_len_provenance_fail_loud(spark):
     ok = dedup.incremental_scrub_duplicate_substrings(
         batch, ix8, min_len=8).collect()
     assert len(ok) == 1
+
+
+def test_window_index_subtraction_law_and_guards(spark):
+    """index(full) ⊖ index(part) == index(full \\ part), hash for
+    hash — the deletion-side merge law (the forget path for the
+    substring artifact); foreign hashes, over-subtraction, and width
+    mismatch fail loud."""
+    import pytest
+    full = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    part = spark.createDataFrame(DOCS[:2], "doc_id bigint, text string")
+    rest = spark.createDataFrame(DOCS[2:], "doc_id bigint, text string")
+    got = {r["window_hash"]: r["n_occurrences"]
+           for r in dedup.subtract_window_index(
+               dedup.window_hash_index(full),
+               dedup.window_hash_index(part)).collect()}
+    want = {r["window_hash"]: r["n_occurrences"]
+            for r in dedup.window_hash_index(rest).collect()}
+    assert got == want
+    foreign = spark.createDataFrame(
+        [(99, "totally novel words never indexed anywhere at all ok")],
+        "doc_id bigint, text string")
+    with pytest.raises(Exception, match="never held"):
+        dedup.subtract_window_index(
+            dedup.window_hash_index(full),
+            dedup.window_hash_index(foreign)).collect()
+    with pytest.raises(Exception, match="over-subtraction"):
+        dedup.subtract_window_index(
+            dedup.window_hash_index(part),
+            dedup.window_hash_index(
+                part.unionByName(part))).collect()
+    with pytest.raises(Exception, match="different min_len"):
+        dedup.subtract_window_index(
+            dedup.window_hash_index(full, min_len=8),
+            dedup.window_hash_index(part, min_len=4)).collect()
+
+
+def test_scrub_from_prebuilt_index_identical(spark):
+    """scrub_duplicate_substrings(index=...) == the self-counting
+    path row for row, and a wrong-width index fails loud."""
+    import pytest
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    idx = dedup.window_hash_index(docs)
+    a = sorted(map(tuple, dedup.scrub_duplicate_substrings(docs)
+                   .collect()))
+    b = sorted(map(tuple, dedup.scrub_duplicate_substrings(
+        docs, index=idx).collect()))
+    assert a == b
+    with pytest.raises(Exception, match="different min_len"):
+        dedup.scrub_duplicate_substrings(
+            docs, index=dedup.window_hash_index(docs, min_len=4)
+        ).collect()
