@@ -236,8 +236,13 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = docs.select(F.col("doc_id").alias("keeper_id"), "lang")
     # ONE featurization serves model training AND scoring (the
     # _from variants): the feature map is the derived corpus
-    # representation a pipeline computes once per corpus version
-    feats = sampling.hashed_ngram_counts(docs, "doc_id", "text")
+    # representation a pipeline computes once per corpus version —
+    # persisted (lazily) because its three plan references prune
+    # different columns, so exchange reuse can never fire on them
+    from ..operators._cache import cached_relation
+    feats = cached_relation(
+        sampling.hashed_ngram_counts(docs, "doc_id", "text"),
+        "q50_dsir_feats", eager=False)
     dsir_stats = sampling.dsir_bucket_stats_from(
         feats, docs.filter(F.col("lang") == "en").select("doc_id"),
         "doc_id")
