@@ -113,13 +113,26 @@ def main() -> None:
     noise_ratio, noise_vs = _noise_vs_prev(timings, sf)
 
     # detail line FIRST (humans / BENCH_NOTES), compact summary LAST
-    # (the driver's tail capture parses the final line — keep it small)
-    print(json.dumps({
+    # (the driver's tail capture parses the final line — keep it
+    # small). The detail also lands in BENCH_DETAIL_LAST.json —
+    # written AFTER the noise computation read the previous run's
+    # copy — because the driver artifact keeps only a ~2000-char
+    # stdout tail that truncates the detail line's front: without the
+    # file, no round after r10 would have a machine-readable
+    # per-query map and the noise index would pin to ever-older
+    # artifacts (review finding r11).
+    detail = {
         "detail": "per_query",
         "sf": sf,
         "queries": timings,
         "queries_cold_sweep": cold,
-    }))
+    }
+    print(json.dumps(detail))
+    try:
+        with open(_detail_path(), "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the detail
     print(json.dumps({
         "metric": "workload_total_wall_clock",
         "value": total,
@@ -134,14 +147,37 @@ def main() -> None:
     spark.stop()
 
 
+def _detail_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL_LAST.json")
+
+
 def _noise_vs_prev(timings: dict[str, float], sf: float | None):
-    """(median current/previous per-query ratio, artifact name) against
-    the newest BENCH_r*.json whose parsed payload (or detail line
-    embedded in its tail) has a per-query map AT THE SAME sf — a
-    cross-sf ratio would measure data scale, not box noise. Returns
-    (None, None) when no comparable prior round is recoverable."""
+    """(median current/previous per-query ratio, source name): the
+    previous run's per-query map at the SAME sf — a cross-sf ratio
+    would measure data scale, not box noise. Sources, newest-first:
+    BENCH_DETAIL_LAST.json (written by the most recent bench run —
+    the only reliable carrier since r11's two-line stdout contract,
+    whose detail line overflows the driver's tail capture), then the
+    BENCH_r*.json artifacts' parsed payloads or tail-embedded detail
+    lines. Returns (None, None) when nothing comparable is
+    recoverable."""
     import glob
     import statistics
+
+    try:
+        with open(_detail_path()) as fh:
+            d = json.load(fh)
+        if (isinstance(d, dict) and d.get("sf") == sf
+                and isinstance(d.get("queries"), dict)):
+            prev = d["queries"]
+            ratios = [timings[q] / prev[q] for q in timings
+                      if q in prev and prev[q] > 0]
+            if ratios:
+                return (round(statistics.median(ratios), 3),
+                        os.path.basename(_detail_path()))
+    except (OSError, json.JSONDecodeError):
+        pass
 
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),

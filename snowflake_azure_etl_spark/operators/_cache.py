@@ -194,14 +194,19 @@ _COLUMN_CACHE: dict = {}
 def cached_column(name: tuple, build: Callable[[], object]):
     """Build a Column expression once per (py4j gateway, name) and
     reuse it. `name` must fully determine the expression (column
-    names, dims, layout) — the caller's contract."""
+    names, dims, layout) — the caller's contract. The live gateway
+    OBJECT is stored beside each entry and identity-compared on
+    lookup (not id(), whose value a GC'd gateway could recycle —
+    review finding r11): a JVM restart invalidates every entry by
+    reference inequality, and stale entries are overwritten in place
+    so the cache never grows past one generation per name."""
     from pyspark import SparkContext
     gw = getattr(SparkContext, "_gateway", None)
     if gw is None:  # no JVM yet (connect-mode or unstarted) — no reuse
         return build()
-    key = (id(gw), name)
-    col = _COLUMN_CACHE.get(key)
-    if col is None:
-        col = build()
-        _COLUMN_CACHE[key] = col
+    hit = _COLUMN_CACHE.get(name)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    col = build()
+    _COLUMN_CACHE[name] = (gw, col)
     return col

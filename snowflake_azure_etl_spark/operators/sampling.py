@@ -330,17 +330,23 @@ def dsir_bucket_stats(df: DataFrame, target: DataFrame, id_col: str,
 def dsir_bucket_stats_from(feats: DataFrame, target_ids: DataFrame,
                            id_col: str,
                            n_buckets: int = DSIR_BUCKETS,
-                           scale: int = PLOG2_SCALE) -> DataFrame:
+                           scale: int = PLOG2_SCALE,
+                           n_target: int | None = None) -> DataFrame:
     """`dsir_bucket_stats` for the common case where the TARGET is a
     subset of the raw corpus, over an already-built feature map
     (`hashed_ngram_counts` output — the derived corpus representation
     a pipeline computes once and shares between model training and
     scoring): target counts come from a semi-join on `target_ids`, so
     the corpus is featurized exactly once across the whole DSIR
-    pass."""
+    pass. `target_ids` is corpus-proportional in the worst case, so
+    it broadcasts ONLY under the module-standard size attestation
+    (``n_target`` ≤ `dedup.BROADCAST_MAX_ROWS`); unattested, the
+    semi-join shuffles and AQE may still broadcast at runtime."""
+    from .dedup import BROADCAST_MAX_ROWS, _maybe_broadcast
     raw = feats.groupBy("bucket").agg(F.sum("c").alias("_nr"))
-    tgt = (feats.join(F.broadcast(target_ids.select(id_col)), id_col,
-                      "left_semi")
+    tgt = (feats.join(_maybe_broadcast(target_ids.select(id_col),
+                                       n_target, BROADCAST_MAX_ROWS),
+                      id_col, "left_semi")
            .groupBy("bucket").agg(F.sum("c").alias("_nt")))
     return _dsir_stats(raw, tgt, n_buckets, scale)
 

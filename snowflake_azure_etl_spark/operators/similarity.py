@@ -588,22 +588,26 @@ def _semantic_dedup_build(emb: DataFrame, id_col: str, vec_col: str,
                          F.col("cv").alias("va"), F.col("_n").alias("na"))
     b = c.select("cell_id", F.col("_id").alias("id_b"),
                  F.col("cv").alias("vb"), F.col("_n").alias("nb"))
+    # the CHEAP id predicate runs before the interpreted per-pair
+    # cosine (non-codegen'd — the module's measured 3× cost), halving
+    # the dominant quadratic stage; single-probe keeps id_a < id_b
+    # (one cell per row ⇒ each unordered pair meets exactly once, no
+    # dedup shuffle), multi-probe keeps BOTH directions (a pair whose
+    # only coverage is the larger-id member probing the smaller's
+    # primary cell must survive)
+    id_pred = (F.col("id_a") < F.col("id_b") if nprobe <= 1
+               else F.col("id_a") != F.col("id_b"))
     scored = (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS),
                      "cell_id")
+              .filter(id_pred)
               .filter(dot(F.col("va"), F.col("vb"))
                       / (F.col("na") * F.col("nb")) >= threshold))
     if nprobe <= 1:
-        # one cell per row ⇒ each unordered pair meets exactly once
-        # under id_a < id_b — no dedup shuffle needed
-        pairs = (scored.filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b"))
+        pairs = scored.select("id_a", "id_b")
     else:
-        # keep BOTH directions (a pair whose only coverage is the
-        # larger-id member probing the smaller's primary cell must
-        # survive), normalize, then one candidate-bounded distinct
-        pairs = (scored.filter(F.col("id_a") != F.col("id_b"))
-                 .select(F.least("id_a", "id_b").alias("id_a"),
-                         F.greatest("id_a", "id_b").alias("id_b"))
+        # normalize, then one candidate-bounded distinct
+        pairs = (scored.select(F.least("id_a", "id_b").alias("id_a"),
+                               F.greatest("id_a", "id_b").alias("id_b"))
                  .distinct())
     clusters = dup_clusters(pairs)
     return (assigned

@@ -119,6 +119,13 @@ def decontam_ingest_sink(eval_gram_table: str, clean_table: str, *,
         ev = spark.table(eval_gram_table)
         hits = contamination_hits_against(
             batch_df, ev, id_col, text_col, width, n_eval_grams)
+        if write_audit is not None:
+            # hits feeds BOTH sinks — materialize once (eager, an
+            # epoch-bounded relation) so the gram hashing + eval join
+            # run once per epoch, not once per sink; not the session
+            # cache, because a long-running stream submits a new plan
+            # per epoch and plan-keyed entries would accumulate
+            hits = hits.localCheckpoint(eager=True)
         # hit ids are hit-proportional (bounded by the batch); the
         # anti-join drops contaminated docs from the clean leg
         clean = batch_df.join(hits.select(id_col), id_col, "left_anti")

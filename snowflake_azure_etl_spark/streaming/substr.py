@@ -57,10 +57,10 @@ def substr_scrub_ingest_sink(index_table: str, scrub_table: str, *,
             # merge_window_index carries the min_len provenance column
             # and fails loud if the table holds mixed-width partials
             # (e.g. two sinks configured differently — ADVICE r10)
-            index = merge_window_index(
+            index = merge_window_index(_ensure_min_len(
                 spark.table(index_table)
                 .filter(F.col(EPOCH_COL) < int(epoch_id))
-                .drop(EPOCH_COL))
+                .drop(EPOCH_COL), min_len))
         else:
             index = partial.limit(0)
         report = incremental_scrub_duplicate_substrings(
@@ -71,9 +71,26 @@ def substr_scrub_ingest_sink(index_table: str, scrub_table: str, *,
     return write
 
 
-def substr_index_rollup(spark: SparkSession, table: str) -> DataFrame:
+def substr_index_rollup(spark: SparkSession, table: str,
+                        min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
     """(window_hash, n_occurrences, min_len): the stream-lifetime
     index — SUM over all epoch partials (identical to
     `window_hash_index` over the concatenated stream; the
-    `merge_window_index` law, width-guarded)."""
-    return merge_window_index(spark.table(table).drop(EPOCH_COL))
+    `merge_window_index` law, width-guarded). ``min_len`` is only the
+    legacy-table assumption (see `_ensure_min_len`)."""
+    return merge_window_index(_ensure_min_len(
+        spark.table(table).drop(EPOCH_COL), min_len))
+
+
+def _ensure_min_len(index: DataFrame, min_len: int) -> DataFrame:
+    """Legacy shim: an index table created before the min_len
+    provenance column existed (pre-r11) — or one whose first epoch was
+    bootstrapped without it, which also makes `idempotent_epoch_sink`
+    silently align newer partials to the old schema — reads as the
+    caller's configured width. A sink enforces ONE width by
+    construction, so the assumption is sound for tables it wrote;
+    tables of unknown provenance should be rebuilt at a declared
+    width instead."""
+    if "min_len" not in index.columns:
+        index = index.withColumn("min_len", F.lit(int(min_len)))
+    return index

@@ -111,3 +111,19 @@ def test_stream_replay_and_rollup(spark):
         [r for b in BATCHES for r in b], "doc_id long, text string")
     direct = sorted(map(tuple, dedup.window_hash_index(whole).collect()))
     assert before_idx == direct
+
+
+def test_rollup_reads_legacy_table_without_min_len(spark):
+    """Review finding r11: a pre-provenance index table (no min_len
+    column) must still roll up — the shim assumes the caller's
+    configured width instead of crashing the stream."""
+    t = _table(spark, "sx_legacy")
+    docs = spark.createDataFrame(BATCHES[0], "doc_id long, text string")
+    legacy = (dedup.window_hash_index(docs).drop("min_len")
+              .withColumn(EPOCH_COL, F.lit(0).cast("long")))
+    legacy.write.partitionBy(EPOCH_COL).format("parquet").saveAsTable(t)
+    got = {r["window_hash"]: (r["n_occurrences"], r["min_len"])
+           for r in substr_index_rollup(spark, t).collect()}
+    want = {r["window_hash"]: (r["n_occurrences"], 8)
+            for r in dedup.window_hash_index(docs).collect()}
+    assert got == want
