@@ -2040,7 +2040,7 @@ _SEMDEDUP_THRESHOLD = 0.4
     "q63_ann_ivf_topk",
     covers=("X-ANN-IVF", "X-ANN-KMEANS", "X-DEDUP-SEMANTIC",
             "X-ANN-IVF-INCR", "X-DECONTAM-SEMANTIC",
-            "X-DECONTAM-SEMANTIC-MP"),
+            "X-DECONTAM-SEMANTIC-MP", "X-DEDUP-SEMANTIC-MP"),
     oracle=f"""
     WITH RECURSIVE
     corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
@@ -2085,6 +2085,30 @@ _SEMDEDUP_THRESHOLD = 0.4
         SELECT r.s, y.d FROM sreach r JOIN ssym y ON r.d = y.s),
     scomp AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
               FROM sreach GROUP BY s),
+    -- multi-probe semdedup (r11, VERDICT r10 #3): every row probes
+    -- its 2 nearest cells for the COMPARISON; a pair is compared
+    -- when either member's probe set covers the other's primary
+    -- cell; distinct (least, greatest) normalization
+    mprob AS (SELECT neighbor_id, v, cell_id FROM (
+        SELECT a.neighbor_id, a.v, ct.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY a.neighbor_id
+                   ORDER BY {_COS.format(a='a.v', b='ct.cv')} DESC,
+                            ct.cell_id) AS mrn
+        FROM assigned a CROSS JOIN c2 ct) WHERE mrn <= 2),
+    sp2 AS (SELECT DISTINCT LEAST(p.neighbor_id, b.neighbor_id) AS ia,
+                   GREATEST(p.neighbor_id, b.neighbor_id) AS ib
+            FROM mprob p JOIN assigned b USING (cell_id)
+            WHERE p.neighbor_id != b.neighbor_id
+              AND {_COS.format(a='p.v', b='b.v')}
+                      >= {_SEMDEDUP_THRESHOLD}),
+    ssym2 AS (SELECT ia AS s, ib AS d FROM sp2
+              UNION SELECT ib, ia FROM sp2),
+    sreach2 AS (
+        SELECT s, d FROM ssym2
+        UNION
+        SELECT r.s, y.d FROM sreach2 r JOIN ssym2 y ON r.d = y.s),
+    scomp2 AS (SELECT s AS id, LEAST(s, MIN(d)) AS keeper
+               FROM sreach2 GROUP BY s),
     acos AS (SELECT a.neighbor_id AS nid, a.cell_id,
                     {_COS.format(a='a.v', b='ct.cv')} AS c
              FROM assigned a JOIN c2 ct USING (cell_id)),
@@ -2157,6 +2181,11 @@ _SEMDEDUP_THRESHOLD = 0.4
            CAST(COALESCE(c.keeper, a.neighbor_id) AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(a.cell_id AS INT)
     FROM assigned a LEFT JOIN scomp c ON c.id = a.neighbor_id
+    UNION ALL
+    SELECT 'semdedup_mp', a.neighbor_id,
+           CAST(COALESCE(c.keeper, a.neighbor_id) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(a.cell_id AS INT)
+    FROM assigned a LEFT JOIN scomp2 c ON c.id = a.neighbor_id
     UNION ALL
     SELECT 'ivf_drift', CAST(cell_id AS BIGINT), CAST(n_new AS BIGINT),
            mcn, CAST(retrain AS INT)
@@ -2234,15 +2263,25 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ("q63_prepared", plan_key(emb)), build_prepared)
     topk = topk_plan.localCheckpoint(eager=False)
     n_vecs = stage_row_count(sf_dir, "embeddings") or emb.count()
-    sd = (similarity.semantic_dedup(emb, "vec_id", "embedding",
-                                    n_cells=8, train_iters=2,
-                                    threshold=_SEMDEDUP_THRESHOLD,
-                                    n_rows=n_vecs)
-          .select(F.lit("semdedup").alias("leg"),
-                  F.col("id").alias("query_id"),
-                  F.col("keeper").alias("neighbor_id"),
-                  F.lit(None).cast("double").alias("cos_sim"),
-                  F.col("cell_id").cast("int").alias("rn")))
+
+    def semdedup_leg(tag: str, nprobe: int) -> DataFrame:
+        return (similarity.semantic_dedup(emb, "vec_id", "embedding",
+                                          n_cells=8, train_iters=2,
+                                          threshold=_SEMDEDUP_THRESHOLD,
+                                          n_rows=n_vecs, nprobe=nprobe)
+                .select(F.lit(tag).alias("leg"),
+                        F.col("id").alias("query_id"),
+                        F.col("keeper").alias("neighbor_id"),
+                        F.lit(None).cast("double").alias("cos_sim"),
+                        F.col("cell_id").cast("int").alias("rn")))
+
+    sd = semdedup_leg("semdedup", 1)
+    # r11 (VERDICT r10 #3): the SAME dedup at nprobe=2 — boundary
+    # pairs either member's probe set covers are merged; the oracle
+    # resolves components over the widened pair set with a second
+    # recursive CTE, so the dial is driver-hashed for BOTH semantic
+    # operators (decontam_mp below is the other)
+    sd2 = semdedup_leg("semdedup_mp", 2)
     # third leg (r8, X-ANN-IVF-INCR): incremental index maintenance —
     # vec_id ≡ 0 (mod 5) stands in for a new-arrival batch assigned to
     # the SAME persisted quantizer (no retrain; `_ivf_index` cache
@@ -2327,6 +2366,7 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(3.0) * F.col("nq").cast("double")))
                            .alias("cos_sim"),
                            F.lit(1).cast("int").alias("rn")))
-    return (topk.unionByName(sd).unionByName(dnew).unionByName(dbase)
+    return (topk.unionByName(sd).unionByName(sd2)
+            .unionByName(dnew).unionByName(dbase)
             .unionByName(dc).unionByName(dc2).unionByName(recall)
             .unionByName(recall_mean))
