@@ -46,8 +46,11 @@ def main() -> None:
     from pyspark.sql import Window, functions as F
     warm = spark.read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
-    warm.select(F.lit(1).alias("x")).limit(1).mapInPandas(
-        lambda it: it, "x int").write.format("noop").mode("overwrite").save()
+    # spin up the FULL Python/Arrow worker pool (one task per core),
+    # not just one worker: the first Arrow-heavy query otherwise pays
+    # ~32 daemon forks + Arrow init inside its cold reading
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
     # broadcast-join / window / distinct machinery on a 5x25-row join:
     # first use costs ~1s in exchange threads + codegen paths that every
     # real query would otherwise absorb into its first timed run
