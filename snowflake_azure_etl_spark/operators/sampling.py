@@ -253,16 +253,29 @@ PLOG2_SCALE = 1 << 20
 DSIR_BUCKETS = 4_096
 
 
+#: Largest exponent whose full-precision fractional step fits a
+#: BIGINT: (2^e − 1)·2^20 < 2^63 ⇔ e ≤ 43, kept one octave back for
+#: headroom. Inputs above 2^43 pre-shift their mantissa (hypothesis
+#: found the overflow at n ≈ 2^44.6 — exactly the gram-total
+#: magnitude a 100 TB corpus produces), trading fractional bits below
+#: the shift for range; both engines shift identically, so the result
+#: stays exact-identical cross-engine.
+_PLOG2_MAX_E = 42
+
+
 def plog2(n: Column, scale: int = PLOG2_SCALE) -> Column:
     """Exact-integer fixed-point log2 of a positive integer column:
-    e·scale + ((n − 2^e)·scale) div 2^e with e = floor(log2 n) taken
-    from the binary-string length. Every step is integer-exact in
-    both engines (Spark: conv/shiftleft/div; DuckDB: format('{:b}'),
-    <<, //) — the portable surrogate for the banned ln()."""
+    e·scale + ((m − 2^(e−s))·scale) div 2^(e−s), where e = floor(log2
+    n) comes from the binary-string length and m = n >> s with
+    s = max(e − 42, 0) (the overflow-safe mantissa — see
+    `_PLOG2_MAX_E`). Every step is integer-exact in both engines
+    (Spark: conv/shiftleft/shiftright/div; DuckDB: format('{:b}'),
+    <<, >>, //) — the portable surrogate for the banned ln()."""
     e = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
-    p2 = F.call_function("shiftleft", F.lit(1).cast("long"), e)
-    frac = F.call_function(
-        "div", (n.cast("long") - p2) * F.lit(int(scale)), p2)
+    s = F.greatest(e - F.lit(_PLOG2_MAX_E), F.lit(0))
+    m = F.call_function("shiftright", n.cast("long"), s)
+    p2 = F.call_function("shiftleft", F.lit(1).cast("long"), e - s)
+    frac = F.call_function("div", (m - p2) * F.lit(int(scale)), p2)
     return e.cast("long") * F.lit(int(scale)) + frac
 
 
@@ -272,9 +285,11 @@ def plog2_sql(expr: str, scale: int = PLOG2_SCALE) -> str:
     format('{:b}') is rejected."""
     v = f"CAST({expr} AS BIGINT)"
     e = f"(length(format('{{:b}}', {v})) - 1)"
-    p2 = f"(CAST(1 AS BIGINT) << {e})"
+    s = f"greatest({e} - {_PLOG2_MAX_E}, 0)"
+    m = f"({v} >> {s})"
+    p2 = f"(CAST(1 AS BIGINT) << ({e} - {s}))"
     return (f"(CAST({e} AS BIGINT) * {scale} "
-            f"+ (({v} - {p2}) * {scale}) // {p2})")
+            f"+ (({m} - {p2}) * {scale}) // {p2})")
 
 
 def hashed_ngram_counts(df: DataFrame, id_col: str, text_col: str,

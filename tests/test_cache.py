@@ -144,3 +144,41 @@ def test_bm25_stats_register_in_session_cache(spark, sf_dir):
     _cache.clear_cache(spark)
     assert not [k for k in cache if k and k[0] == "bm25_stats"]
     assert not stats.storageLevel.useMemory
+
+
+def test_cached_column_one_build_per_gateway(spark):
+    """cached_column (r11, VERDICT r10 #2): the builder runs once per
+    (gateway, name) and the SAME Column object returns thereafter; a
+    different name builds independently; entries are keyed by the
+    live gateway OBJECT (identity), so the current gateway always
+    hits."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return F.lit(1) + F.lit(2)
+
+    key = ("test_cc", "unique", 42)
+    c1 = _cache.cached_column(key, build)
+    c2 = _cache.cached_column(key, build)
+    assert c1 is c2 and len(calls) == 1
+    c3 = _cache.cached_column(("test_cc", "other", 42), build)
+    assert c3 is not c1 and len(calls) == 2
+    # the cached expression is usable in a real plan
+    assert spark.range(1).select(c1.alias("x")).collect()[0]["x"] == 3
+
+
+def test_prepared_query_reinvocation_is_consistent(spark, sf_dir):
+    """prepared=True queries (r11): repeat invocations return the
+    session-cached PLAN — same unmaterialized DataFrame object — and
+    re-executing it yields identical rows (nothing in the plan holds
+    result state)."""
+    from snowflake_azure_etl_spark.workload import QUERIES
+
+    fn = QUERIES["q53_dedup_simhash"].fn
+    a = fn(spark, sf_dir)
+    b = fn(spark, sf_dir)
+    assert a is b  # the prepared-statement cache
+    r1 = sorted(map(tuple, a.collect()))
+    r2 = sorted(map(tuple, b.collect()))
+    assert r1 == r2 and len(r1) > 0

@@ -8,6 +8,8 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from snowflake_azure_etl_spark.operators import sampling
@@ -190,7 +192,9 @@ def test_apply_mixture_fails_loud_on_unplanned_source(spark):
 
 def _py_plog2(n, scale=1 << 20):
     e = n.bit_length() - 1
-    return e * scale + ((n - (1 << e)) * scale) // (1 << e)
+    s = max(e - 42, 0)               # the engine's overflow pre-shift
+    m = n >> s
+    return e * scale + ((m - (1 << (e - s))) * scale) // (1 << (e - s))
 
 
 def _py_dsir_scores(rows, target_ids, n=2, n_buckets=4096, salt="dsir"):
@@ -344,3 +348,18 @@ def test_dsir_from_variants_share_one_featurization(spark):
           dsir_log_weights_from(docs.select("doc_id"), feats,
                                 stats, "doc_id").collect()}
     assert wa == wb
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ns=st.lists(st.integers(min_value=1, max_value=2**62),
+                   min_size=1, max_size=12, unique=True))
+def test_plog2_property_sweep(spark, ns):
+    """plog2 == the Python bit-twiddled reference over random
+    positive longs up to 2^45 (hypothesis) — the exactness the q50
+    oracle hash rides on."""
+    from snowflake_azure_etl_spark.operators.sampling import plog2
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {r["n"]: r["p"] for r in
+           df.select("n", plog2(F.col("n")).alias("p")).collect()}
+    assert got == {n: _py_plog2(n) for n in ns}

@@ -234,3 +234,29 @@ def test_scrub_from_prebuilt_index_identical(spark):
         dedup.scrub_duplicate_substrings(
             docs, index=dedup.window_hash_index(docs, min_len=4)
         ).collect()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=corpus_case(), cut=st.integers(min_value=0, max_value=5))
+def test_window_index_subtraction_property(spark, case, cut):
+    """Property sweep of the deletion-side merge law: for ANY random
+    corpus split, index(full) ⊖ index(removed) == index(rest)."""
+    rows, min_len = case
+    removed = rows[:min(cut, len(rows))]
+    rest = rows[min(cut, len(rows)):]
+    full_df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_rel = dedup.subtract_window_index(
+        dedup.window_hash_index(full_df, min_len=min_len),
+        dedup.window_hash_index(
+            spark.createDataFrame(removed, "doc_id bigint, text string")
+            if removed else full_df.limit(0), min_len=min_len))
+    got = {r["window_hash"]: r["n_occurrences"]
+           for r in got_rel.collect()}
+    want = {r["window_hash"]: r["n_occurrences"]
+            for r in dedup.window_hash_index(
+                spark.createDataFrame(
+                    rest, "doc_id bigint, text string")
+                if rest else full_df.limit(0),
+                min_len=min_len).collect()}
+    assert got == want
