@@ -348,7 +348,9 @@ def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
     the single primary assignment; only the candidate JOIN widens.
     Same shuffle-free shape as assignment — a one-row broadcast
     crossJoin scored row-locally, then an explode (×nprobe fan-out,
-    narrow)."""
+    narrow). nprobe ≥ n_cells degrades gracefully to exhaustive cell
+    coverage (slice of a shorter array returns the whole array —
+    verified live)."""
     from ._cache import cached_column
     best = cached_column(
         ("probe_cells_cv", nprobe),
