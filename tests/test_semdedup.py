@@ -126,3 +126,65 @@ def test_multi_probe_catches_boundary_pair_single_probe_misses(spark):
                for i in single)
     # seeds stay singletons (orthogonal — below threshold everywhere)
     assert not multi[0]["is_dup"] and not multi[1]["is_dup"]
+
+
+def test_multi_probe_matches_python_reference_on_random_vectors(spark):
+    """Property sweep: nprobe=2 semantic dedup equals a Python replay
+    (assign primary + second-best cell per row, pair when either
+    member's probe set covers the other's primary, union-find over
+    the thresholded pairs, min-id keeper) on deterministic
+    pseudo-random unit vectors."""
+    import hashlib
+
+    def cos(x, y):
+        d = sum(p * q for p, q in zip(x, y))
+        nx = math.sqrt(sum(p * p for p in x))
+        ny = math.sqrt(sum(q * q for q in y))
+        return d / (nx * ny)
+
+    def prand_vec(i, dim=6):
+        # deterministic "random" vector from md5 bytes (no RNG state)
+        h = hashlib.md5(f"v:{i}".encode()).digest()
+        v = [(h[j] - 127.5) / 127.5 for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    n_cells, tau, nprobe = 3, 0.5, 2
+    rows = [(i, prand_vec(i)) for i in range(24)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id bigint, embedding array<double>")
+    got = {r["id"]: r["keeper"] for r in similarity.semantic_dedup(
+        emb, "vec_id", "embedding", n_cells=n_cells, train_iters=0,
+        threshold=tau, nprobe=nprobe).collect()}
+
+    cents = {i: v for i, v in rows if i < n_cells}
+
+    def probe_cells(v, k):
+        scored = sorted(cents.items(),
+                        key=lambda cv: (-cos(v, cv[1]), cv[0]))
+        return [c for c, _ in scored[:k]]
+
+    primary = {i: probe_cells(v, 1)[0] for i, v in rows}
+    probes = {i: set(probe_cells(v, nprobe)) for i, v in rows}
+    vecs = dict(rows)
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            covered = (primary[b] in probes[a]
+                       or primary[a] in probes[b])
+            if covered and cos(vecs[a], vecs[b]) >= tau:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    assert got == want
