@@ -342,6 +342,21 @@ def dsir_bucket_stats(df: DataFrame, target: DataFrame, id_col: str,
                        tgt, n_buckets, scale)
 
 
+def dsir_feats_artifact(docs: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, n_buckets: int = DSIR_BUCKETS,
+                        salt: str = "dsir") -> DataFrame:
+    """The session-shared DSIR feature map: `hashed_ngram_counts`
+    persisted once per (corpus plan, params) — the derived corpus
+    representation every DSIR consumer (model training, scoring,
+    top-k selection — q50 and q47 share it) reads instead of
+    re-featurizing. Lazy persist: the first executing consumer
+    materializes it."""
+    from ._cache import cached_relation
+    return cached_relation(
+        hashed_ngram_counts(docs, id_col, text_col, n, n_buckets, salt),
+        "dsir_feats", eager=False)
+
+
 def dsir_bucket_stats_from(feats: DataFrame, target_ids: DataFrame,
                            id_col: str,
                            n_buckets: int = DSIR_BUCKETS,

@@ -17,6 +17,7 @@ from ..operators import asof
 from ..sources.registry import (load_tables,
                                 rebalance_single_split)
 from ._registry import query
+from .pipeline_queries import _DSIR_CTES
 
 
 def _epoch_us(df: DataFrame, colname: str):
@@ -266,7 +267,8 @@ _QMIX_SQL = f"""
     covers=("X-SKETCH-KMV", "X-SKETCH-HLL", "X-SKETCH-CMS",
             "X-SKETCH-BLOOM", "X-SKETCH-HIST", "X-MIXTURE",
             "X-SKETCH-ROLLUP", "X-SKETCH-HIST-GROUPED",
-            "X-MIXTURE-APPLY", "X-MIXTURE-QUALITY"),
+            "X-MIXTURE-APPLY", "X-MIXTURE-QUALITY",
+            "X-SAMPLE-DSIR-TOPK"),
     oracle=f"""
     WITH h AS (SELECT DISTINCT event_type,
                       md5(CAST(user_id AS VARCHAR)) AS hv
@@ -536,6 +538,18 @@ _QMIX_SQL = f"""
                  < CAST(cum AS DOUBLE))
     UNION ALL
     {_QMIX_SQL}
+    UNION ALL
+    SELECT 'dsir_topk', CAST(doc_id AS VARCHAR), CAST(s AS BIGINT),
+           CAST(rk AS DOUBLE)
+    FROM (
+        WITH {_DSIR_CTES},
+        qdu AS (SELECT d.doc_id, COALESCE(ds.s, CAST(0 AS BIGINT)) AS s
+                FROM documents d LEFT JOIN dsir_sc ds USING (doc_id)),
+        qdr AS (SELECT doc_id, s,
+                       ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                           AS rk
+                FROM qdu)
+        SELECT doc_id, s, rk FROM qdr WHERE rk <= 5)
     """,
     prepared=True)
 def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,12 +924,43 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("rate").alias("estimate")))
 
     qmix_leg = leg_cache("q47_qmix_leg", docs, build_qmix_leg)
+
+    # dsir_topk leg (r11, X-SAMPLE-DSIR-TOPK): the SELECTION half of
+    # DSIR — the k most target-like documents by the exact-integer
+    # importance score, via sort+limit (TakeOrderedAndProject, never a
+    # global rank window; ranks attach over the k survivors). The
+    # feature map is the session artifact SHARED with q50's scoring
+    # legs (sampling.dsir_feats_artifact — one corpus featurization
+    # across both queries), and the oracle ranks the identical scores.
+    def build_dsir_topk_leg():
+        from ..operators.sampling import (dsir_bucket_stats_from,
+                                          dsir_feats_artifact,
+                                          dsir_log_weights_from)
+        feats = dsir_feats_artifact(docs, "doc_id", "text")
+        stats = dsir_bucket_stats_from(
+            feats, docs.filter(F.col("lang") == "en").select("doc_id"),
+            "doc_id")
+        top = (dsir_log_weights_from(docs.select("doc_id"), feats,
+                                     stats, "doc_id")
+               .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+               .limit(5))
+        w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        return (top.withColumn("rk", F.row_number().over(w))
+                .select(F.lit("dsir_topk").alias("leg"),
+                        F.col("doc_id").cast("string")
+                        .alias("event_type"),
+                        F.col("dsir_score").cast("long")
+                        .alias("exact_n"),
+                        F.col("rk").cast("double").alias("estimate")))
+
+    dsir_topk_leg = leg_cache("q47_dsir_topk", docs,
+                              build_dsir_topk_leg)
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
             .unionByName(mix_applied_leg)
             .unionByName(hist_leg).unionByName(q_leg)
             .unionByName(gq_leg).unionByName(bloom_leg)
             .unionByName(bloom_rollup_leg).unionByName(cms_leg)
-            .unionByName(qmix_leg))
+            .unionByName(qmix_leg).unionByName(dsir_topk_leg))
 
 
 @query(

@@ -238,11 +238,10 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _from variants): the feature map is the derived corpus
     # representation a pipeline computes once per corpus version —
     # persisted (lazily) because its three plan references prune
-    # different columns, so exchange reuse can never fire on them
-    from ..operators._cache import cached_relation
-    feats = cached_relation(
-        sampling.hashed_ngram_counts(docs, "doc_id", "text"),
-        "q50_dsir_feats", eager=False)
+    # different columns, so exchange reuse can never fire on them;
+    # SHARED with q47's dsir_topk selection leg (the _ivf_index
+    # cross-query pattern)
+    feats = sampling.dsir_feats_artifact(docs, "doc_id", "text")
     dsir_stats = sampling.dsir_bucket_stats_from(
         feats, docs.filter(F.col("lang") == "en").select("doc_id"),
         "doc_id")
