@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from .text import tokens
 
 #: Symbol-boundary sentinel. Prefixing every symbol guards the LEFT
@@ -332,7 +334,9 @@ def encode_ids(docs: DataFrame, merges: list[tuple[str, str, int]],
         segs,
         lambda s: F.coalesce(F.element_at(F.col("_vmap"), s),
                              F.lit(unk_id)))
-    return (docs.crossJoin(F.broadcast(vmap))
+    return (docs.crossJoin(bounded_broadcast(
+            vmap, bound="one-row BPE vocab map (vocab-bounded)",
+            max_rows=1))
             .select(F.col(id_col), ids.alias("token_ids"))
             .withColumn("n_ids", F.size("token_ids")))
 
@@ -364,6 +368,8 @@ def decode_ids(encoded: DataFrame, vocab: DataFrame,
         F.col(ids_col),
         lambda i: F.coalesce(F.element_at(F.col("_imap"), i),
                              F.lit(unk_token)))
-    return (encoded.crossJoin(F.broadcast(imap))
+    return (encoded.crossJoin(bounded_broadcast(
+            imap, bound="one-row BPE inverse-vocab map (vocab-bounded)",
+            max_rows=1))
             .select(F.col(id_col),
                     F.array_join(toks, "").alias("detok")))

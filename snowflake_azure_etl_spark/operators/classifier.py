@@ -62,6 +62,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 #: Fixed-point scale for per-doc gradient quantization. 2^20 keeps
 #: |grad| ≤ ~8·10³ per doc representable in a long with ~10¹² docs of
 #: headroom before the exact BIGINT sum could overflow (gradients here
@@ -157,7 +159,7 @@ def train_margin_classifier(df: DataFrame,
     for _ in range(n_iter):
         z = _margin(F.col("_w"), slots)
         r = squash(z) - y
-        joined = df.crossJoin(F.broadcast(w)).select(
+        joined = df.crossJoin(bounded_broadcast(w, bound="one-row weight vector", max_rows=1)).select(
             F.col("_w"),
             *[F.floor((r * slots[i]) * F.lit(float(scale)))
               .cast("long").alias(f"_g{i}")
@@ -199,7 +201,7 @@ def score_with(df: DataFrame, feature_cols: Sequence[Column],
     weights relation — a pure projection, the corpus never shuffles."""
     slots = _slots(feature_cols)
     score = squash(_margin(F.col("_w"), slots))
-    return (df.crossJoin(F.broadcast(weights))
+    return (df.crossJoin(bounded_broadcast(weights, bound="one-row weight vector", max_rows=1))
             .withColumn(out_col,
                         _arity_guarded(score, F.col("_w"), len(slots),
                                        "score_with"))
@@ -292,7 +294,7 @@ def train_one_vs_rest(df: DataFrame,
             grads += [F.floor((r * slots[i]) * F.lit(float(scale)))
                       .cast("long").alias(f"_g{k}_{i}")
                       for i in range(d + 1)]
-        joined = df.crossJoin(F.broadcast(w)).select(
+        joined = df.crossJoin(bounded_broadcast(w, bound="one-row weight vector", max_rows=1)).select(
             *[F.col(f"_w{k}") for k in range(k_n)], *grads)
         agg = joined.agg(
             *[F.min(F.element_at(f"_w{k}", i + 1)).alias(f"_w{k}_{i}")
@@ -326,7 +328,7 @@ def predict_with(df: DataFrame, feature_cols: Sequence[Column],
     per-class score as `{prefix}{class}`."""
     slots = _slots(feature_cols)
     k_n = len(classes)
-    out = df.crossJoin(F.broadcast(weights))
+    out = df.crossJoin(bounded_broadcast(weights, bound="one-row weight vector", max_rows=1))
     scores = [squash(_margin(F.col(f"_w{k}"), slots))
               for k in range(k_n)]
     if score_prefix is not None:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from . import dedup, text
 
 
@@ -142,8 +144,10 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
         # corpus-LM rare-token cut (X-TEXT-LM): the frequency model
         # trains on the ORIGINAL corpus (one bounded one-row map,
         # broadcast) so the cut is stable under the other filters
-        kept = (kept.crossJoin(F.broadcast(text.token_freq_map(docs,
-                                                               text_col)))
+        kept = (kept.crossJoin(bounded_broadcast(
+                text.token_freq_map(docs, text_col),
+                bound="one-row token-frequency map (vocab-bounded)",
+                max_rows=1))
                 .filter(text.mean_token_freq(text_col)
                         >= min_mean_tok_freq)
                 .drop("_tf"))

@@ -21,7 +21,7 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 #: Per-doc sides under this many rows may be broadcast; above it they
 #: must shuffle. ~1M rows × ~100 B/row ≈ 100 MB — the upper edge of a
 #: sane executor broadcast; corpus-scale tables are orders beyond it.
-BROADCAST_MAX_ROWS = 1_000_000
+#: One source of truth for the whole package (plans.attest); this
+#: module re-exports it because the dedup/ANN stack attested against
+#: it first and every operator signature already names it.
+from ..plans.attest import BROADCAST_MAX_ROWS, bounded_broadcast
 
 
 def _maybe_broadcast(side: DataFrame, n_rows: int | None,
@@ -45,9 +48,9 @@ def _maybe_broadcast(side: DataFrame, n_rows: int | None,
     broadcast at runtime if the materialized side proves tiny, but the
     *plan* never commits to holding a corpus-sized table in memory.
     """
-    if n_rows is not None and n_rows <= max_rows:
-        return F.broadcast(side)
-    return side
+    if n_rows is None:
+        return side
+    return bounded_broadcast(side, n_rows=n_rows, max_rows=max_rows)
 
 
 def ws_tokens(text: Column | str) -> Column:
@@ -133,14 +136,24 @@ def minhash_signature_shingled(df: DataFrame, id_col: str, text_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str,
+                       carry_cols: Sequence[str] = ()) -> DataFrame:
     """Exact dedup via content-hash group-by: one row per distinct
     content with the keeper (min id) and the duplicate count.
     Hash-groupBy is the 100 TB-safe exact method: one shuffle on a
-    uniformly distributed 128-bit key."""
+    uniformly distributed 128-bit key.
+
+    `carry_cols` are keeper attributes (e.g. lang, source) carried
+    THROUGH the same aggregate via min_by(col, id) — the keeper is
+    the min id, so min_by yields exactly the keeper's value. This is
+    the scale-safe way to attach keeper attributes: a post-hoc join
+    back to the corpus is either a second corpus-sized shuffle or —
+    worse — a corpus-sized broadcast (the r11 q50 defect)."""
+    aggs = [F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies")]
+    aggs += [F.min_by(c, id_col).alias(c) for c in carry_cols]
     return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
-            .agg(F.min(id_col).alias("keeper_id"),
-                 F.count("*").alias("n_copies")))
+            .agg(*aggs))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -291,7 +304,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, bands: int = 2,
             cond = cond & ~matched_i
         if small:
             pairs_b = (a.repartition(nparts)
-                       .join(F.broadcast(bb), cond)
+                       .join(bounded_broadcast(
+                           bb, n_rows=n_docs,
+                           max_rows=broadcast_max_rows), cond)
                        .select("id_a", "id_b"))
         else:
             # corpus-scale: shuffle-equi-join on the band key; the
@@ -398,7 +413,9 @@ def _bitset_masks(toks: DataFrame, n_vocab: int, vocab: DataFrame) -> DataFrame:
     n_words = (n_vocab + 63) // 64
     ids = vocab.withColumn(
         "_tid", F.row_number().over(Window.orderBy("_tok")) - 1)
-    tagged = (toks.join(F.broadcast(ids), "_tok")
+    tagged = (toks.join(bounded_broadcast(
+        ids, bound="SimHash dense-id vocab (caller-bounded n_vocab)"),
+        "_tok")
               .withColumn("_w", (F.col("_tid") / 64).cast("int"))
               .withColumn("_bit", F.col("_tid") % 64))
     word_aggs = [
@@ -629,7 +646,10 @@ def scrub_repeated_spans_bcast(docs: DataFrame, id_col: str = "doc_id",
     spans = doc_spans(text_col, span_tokens)
     kept = F.filter(spans, lambda s: F.element_at(F.col("_cs"), s).isNull())
     return (docs
-            .crossJoin(F.broadcast(repeated_span_map(common, max_entries)))
+            .crossJoin(bounded_broadcast(
+                repeated_span_map(common, max_entries),
+                bound="one-row span map (fail-loud max_entries cap)",
+                max_rows=1))
             .select(
                 F.col(id_col),
                 F.size(spans).alias("n_spans"),
@@ -769,7 +789,8 @@ def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
                 f"built at a different min_len than {min_len}"))
             .cast("long"),
         ).otherwise(F.col("n_occurrences"))
-        rep = (index.crossJoin(F.broadcast(chk))
+        rep = (index.crossJoin(bounded_broadcast(
+            chk, bound="one-row min_len provenance check", max_rows=1))
                .select(F.col("window_hash").alias("_h"), n.alias("_c"))
                .filter(F.col("_c") >= int(min_count)))
     return _covered_positions(occ, rep, id_col, min_len)
@@ -889,7 +910,8 @@ def merge_window_index(*indexes: DataFrame) -> DataFrame:
             "min_len window widths — their counts are incomparable; "
             "rebuild one side at the other's width")).cast("long"),
     ).otherwise(F.sum("n_occurrences"))
-    return (out.crossJoin(F.broadcast(chk))
+    return (out.crossJoin(bounded_broadcast(
+            chk, bound="one-row min_len provenance check", max_rows=1))
             .groupBy("window_hash")
             .agg(merged.alias("n_occurrences"),
                  F.max("min_len").alias("min_len")))
@@ -935,7 +957,8 @@ def subtract_window_index(index: DataFrame,
                .cast("long"))
          .otherwise(F.col("_ci")
                     - F.coalesce(F.col("_cr"), F.lit(0).cast("long"))))
-    return (j.crossJoin(F.broadcast(chk))
+    return (j.crossJoin(bounded_broadcast(
+            chk, bound="one-row subtraction-law check", max_rows=1))
             .select("window_hash", n.alias("n_occurrences"), "min_len")
             .filter(F.col("n_occurrences") > 0))
 
@@ -985,7 +1008,8 @@ def incremental_scrub_duplicate_substrings(
     tot = (batch.join(index.select(F.col("window_hash").alias("_h"),
                                    F.col("n_occurrences").alias("_ci")),
                       "_h", "left")
-           .crossJoin(F.broadcast(chk))
+           .crossJoin(bounded_broadcast(
+               chk, bound="one-row min_len provenance check", max_rows=1))
            .select("_h", total.alias("_c")))
     rep = tot.filter(F.col("_c") >= int(min_count))
     covered = _covered_positions(occ, rep, id_col, min_len)

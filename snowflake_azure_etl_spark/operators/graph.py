@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 CHECKPOINT_EVERY = 1
 
 
@@ -182,7 +184,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
                     .withColumn("dshare", F.expr(f"dm div {n}")))
         ranks = (nodes.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dangling))
+                 .crossJoin(bounded_broadcast(
+                     dangling,
+                     bound="one-row dangling-mass aggregate",
+                     max_rows=1))
                  .select(
                      "node",
                      (F.lit(base) + F.expr(

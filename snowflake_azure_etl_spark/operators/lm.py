@@ -1,0 +1,241 @@
+"""Interpolated bigram language-model perplexity filter — the
+CCNet/KenLM quality tier above the unigram corpus LM (VERDICT r11 #5).
+
+CCNet (Wenzek et al. 2019) scores every document with a KenLM n-gram
+model and keeps the low-perplexity head/middle of the distribution;
+this module is that tier re-expressed in the engine's exact-integer
+fixed-point discipline so the whole pipeline — training counts,
+per-token scores, the keep decision — is oracle-replayable
+hash-for-hash (ln/exp are NOT bit-portable across engines; integer
+shifts and string length are — see `sampling.plog2`).
+
+Model. Token unigram counts c1(w) and adjacent-bigram counts
+c2(w1,w2) over the corpus, each with a min-count floor (rare grams
+drop to 0 — the KenLM pruning analog that bounds the artifact). The
+per-position score is the LOG-LINEAR interpolation (product-of-
+experts smoothing — portable where the classic linear interpolation
+is not, because log(a+b) has no exact-integer form):
+
+    score(w1,w2) = lam · [plog2(c2+1) − plog2(c1(w1)+V)]
+                 + (LAM_DEN−lam) · [plog2(c1(w2)+1) − plog2(N+V)]
+
+with add-one smoothing over the vocab V, N = total tokens. Both
+bracketed terms are ≤ 0 (c2 ≤ c1(w1) and c1 ≤ N, and a floored-out
+w1 floors every bigram it leads), so per-document totals are exact
+non-positive longs. The per-document perplexity proxy is
+
+    ppl_bits = (−Σ score) div n_positions
+
+— average cost per position in units of LAM_DEN·PLOG2_SCALE·log2 —
+and the keep decision compares it to the CORPUS-average cost (one
+one-row aggregate): keep ≡ ppl_bits ≤ (Σ_corpus −score) div
+(Σ_corpus positions), CCNet's "head+middle of the distribution" with
+an exact-integer cut.
+
+Scale (100 TB):
+- training = two grouped counts over exploded tokens/bigrams with
+  map-side combine; the floor bounds the persisted artifact (the
+  model a pipeline trains once per corpus version);
+- scoring = one (doc, w1, w2) bag aggregate (uniform keys), then
+  equi-joins against the model relations — UNhinted, so AQE
+  broadcasts them when they fit and shuffle-joins on token keys when
+  a 100 TB vocab does not (a forced broadcast here would be the
+  r11 q50 defect); the totals/threshold relations are one-row
+  attested broadcasts;
+- the keep decision is row-local against the one-row threshold — no
+  global sort, no rank window over the corpus.
+
+Reference parity note: the reference repo (rahil911/snowflake-azure-etl)
+has no LM tier — this extends the LLM-pipeline surface
+(SURVEY §2 north-star extensions), following operators/sampling.py's
+DSIR fixed-point conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.attest import bounded_broadcast
+from .sampling import PLOG2_SCALE, plog2, plog2_sql
+
+#: Interpolation weight lam/LAM_DEN on the bigram expert (0.75 — the
+#: conventional heavy-bigram mix); exact integers so both engines
+#: compute identical scores.
+LM_LAMBDA_NUM = 3
+LM_LAMBDA_DEN = 4
+
+#: Min-count floor for model grams: counts below it drop from the
+#: model (score as unseen). Bounds the persisted artifact the way
+#: KenLM pruning does.
+LM_MIN_COUNT = 2
+
+
+def _toks(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def _bigram_pairs(text_col: Column | str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs (empty for docs
+    under 2 tokens) — two shifted views zipped, the word_shingles
+    construction specialized to n=2 with the pair kept structured."""
+    toks = _toks(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm_model(docs: DataFrame, text_col: str = "text",
+                    min_count: int = LM_MIN_COUNT
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: (uni, bi, totals).
+
+    - uni: (tok, c) unigram counts with the floor applied;
+    - bi: (w1, w2, c) adjacent-bigram counts with the floor applied;
+    - totals: ONE row (n = total tokens, v = distinct tokens), both
+      computed BEFORE the floor (the smoothing denominator must cover
+      the full distribution, not the pruned artifact).
+    """
+    toks = docs.select(F.explode(_toks(text_col)).alias("tok"))
+    uni_all = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = uni_all.agg(F.sum("c").alias("n"),
+                         F.count("*").alias("v"))
+    uni = uni_all.filter(F.col("c") >= min_count)
+    bi = (docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count("*").alias("c"))
+          .filter(F.col("c") >= min_count))
+    return uni, bi, totals
+
+
+def bigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
+                   uni: DataFrame, bi: DataFrame, totals: DataFrame,
+                   lam_num: int = LM_LAMBDA_NUM,
+                   lam_den: int = LM_LAMBDA_DEN,
+                   scale: int = PLOG2_SCALE) -> DataFrame:
+    """(id, lm_bits, lm_n_pos, lm_ppl_bits): per-document interpolated
+    log2-likelihood (exact long, ≤ 0) over adjacent-token positions,
+    the position count, and the per-position perplexity proxy
+    (NULL for documents under 2 tokens — nothing to score).
+
+    One uniform-key (id, w1, w2) bag aggregate, equi-joins against
+    the model (unhinted — AQE picks broadcast vs shuffle by real
+    size), one-row totals broadcast, one per-doc re-aggregate.
+    """
+    pairs = (docs.select(F.col(id_col),
+                         F.explode(_bigram_pairs(text_col)).alias("p"))
+             .select(id_col, F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2"))
+             .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k")))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_c2"))
+    b = bi.select("w1", "w2", F.col("c").alias("_cb"))
+    zero = F.lit(0).cast("long")
+    j = (pairs.join(u1, "w1", "left").join(u2, "w2", "left")
+         .join(b, ["w1", "w2"], "left")
+         .crossJoin(bounded_broadcast(
+             totals, bound="one-row LM totals (N tokens, V vocab)",
+             max_rows=1)))
+    term = (F.lit(lam_num)
+            * (plog2(F.coalesce(F.col("_cb"), zero) + 1, scale)
+               - plog2(F.coalesce(F.col("_c1"), zero) + F.col("v"),
+                       scale))
+            + F.lit(lam_den - lam_num)
+            * (plog2(F.coalesce(F.col("_c2"), zero) + 1, scale)
+               - plog2(F.col("n") + F.col("v"), scale)))
+    per_doc = (j.groupBy(id_col)
+               .agg(F.sum(F.col("k") * term).alias("lm_bits"),
+                    F.sum("k").alias("lm_n_pos")))
+    ppl = F.call_function("div", -F.col("lm_bits"), F.col("lm_n_pos"))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col, "lm_bits",
+                    F.col("lm_n_pos").cast("long").alias("lm_n_pos"),
+                    ppl.alias("lm_ppl_bits")))
+
+
+def lm_corpus_threshold(scored: DataFrame) -> DataFrame:
+    """ONE row (thr): the corpus-average per-position cost —
+    (Σ −lm_bits) div (Σ positions) over the scored relation. The
+    exact-integer CCNet cut: keep documents at or below average
+    perplexity. A bounded artifact (train once, broadcast always)."""
+    return scored.agg(
+        F.call_function(
+            "div",
+            F.coalesce(F.sum(-F.col("lm_bits")), F.lit(0).cast("long")),
+            F.greatest(F.coalesce(F.sum("lm_n_pos"),
+                                  F.lit(0).cast("long")),
+                       F.lit(1).cast("long"))).alias("thr"))
+
+
+def lm_keep(scored: DataFrame, threshold: DataFrame) -> DataFrame:
+    """scored + lm_keep: row-local compare against the one-row
+    threshold. Unscorable documents (< 2 tokens, NULL ppl) are kept —
+    length-based quality gates own that regime (Gopher rules), not
+    the LM."""
+    return (scored.crossJoin(bounded_broadcast(
+                threshold, bound="one-row LM perplexity threshold",
+                max_rows=1))
+            .withColumn("lm_keep",
+                        F.coalesce(F.col("lm_ppl_bits") <= F.col("thr"),
+                                   F.lit(True)))
+            .drop("thr"))
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle fragment — the training + scoring + threshold replay as
+# CTEs (the DSIR pattern): workload queries splice this next to their
+# other CTEs and join lm_scored/lm_thr by doc id.
+# --------------------------------------------------------------------------
+
+def lm_oracle_ctes(min_count: int = LM_MIN_COUNT,
+                   lam_num: int = LM_LAMBDA_NUM,
+                   lam_den: int = LM_LAMBDA_DEN) -> str:
+    """CTE chain ending in lm_scored(doc_id, lm_bits, lm_n_pos,
+    lm_ppl_bits) and lm_thr(thr) over the `documents` view."""
+    p = plog2_sql
+    term = (f"({lam_num} * ({p('COALESCE(b.c, 0) + 1')}"
+            f" - {p('COALESCE(u1.c, 0) + t.v')})"
+            f" + {lam_den - lam_num} * ({p('COALESCE(u2.c, 0) + 1')}"
+            f" - {p('t.n + t.v')}))")
+    return f"""
+    lm_tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents),
+    lm_uni_all AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(tk) AS tok FROM lm_tk) GROUP BY tok),
+    lm_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                      CAST(COUNT(*) AS BIGINT) AS v FROM lm_uni_all),
+    lm_uni AS (SELECT tok, c FROM lm_uni_all WHERE c >= {min_count}),
+    lm_pos AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i + 1])) AS w2
+        FROM lm_tk WHERE len(tk) >= 2),
+    lm_k AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+             FROM lm_pos GROUP BY doc_id, w1, w2),
+    lm_bi AS (SELECT w1, w2, SUM(k) AS c FROM lm_k
+              GROUP BY w1, w2 HAVING SUM(k) >= {min_count}),
+    lm_doc AS (
+        SELECT lm_k.doc_id,
+               CAST(SUM(k * {term}) AS BIGINT) AS lm_bits,
+               CAST(SUM(k) AS BIGINT) AS lm_n_pos
+        FROM lm_k
+        LEFT JOIN lm_uni u1 ON u1.tok = lm_k.w1
+        LEFT JOIN lm_uni u2 ON u2.tok = lm_k.w2
+        LEFT JOIN lm_bi b ON b.w1 = lm_k.w1 AND b.w2 = lm_k.w2
+        CROSS JOIN lm_tot t
+        GROUP BY lm_k.doc_id),
+    lm_scored AS (
+        SELECT d.doc_id, s.lm_bits, s.lm_n_pos,
+               (-s.lm_bits) // s.lm_n_pos AS lm_ppl_bits
+        FROM documents d LEFT JOIN lm_doc s USING (doc_id)),
+    lm_thr AS (
+        SELECT COALESCE(SUM(-lm_bits), 0)
+               // GREATEST(COALESCE(SUM(lm_n_pos), 0), 1) AS thr
+        FROM lm_scored)"""

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ._cache import cached_column
 from .similarity import KMEANS_SCALE, as_double_vec, dot
 
@@ -124,7 +126,7 @@ def _best_cell(sv: Column, cb: Column, sub: Column) -> Column:
 def _assign_codes(subs: DataFrame, cb_arr: DataFrame) -> DataFrame:
     """(sub, cell_id, sv) per (vector, subspace) — a narrow map (the
     one-row codebook crossJoin adds no exchange on the corpus side)."""
-    return (subs.crossJoin(F.broadcast(cb_arr))
+    return (subs.crossJoin(bounded_broadcast(cb_arr, bound="one-row codebook array", max_rows=1))
             .select("_id", "sub", "sv",
                     _best_cell(F.col("sv"), F.col("_cb"), F.col("sub"))
                     .cast("int").alias("cell_id")))
@@ -146,7 +148,8 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str, dim: int,
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: _best_cell(_subvec(v, s, sub_dim),
                                  F.col("_cb"), s).cast("int")))
-    return (emb.crossJoin(F.broadcast(_codebook_array(codebooks)))
+    return (emb.crossJoin(bounded_broadcast(
+            _codebook_array(codebooks), bound="one-row codebook array", max_rows=1))
             .select(F.col(id_col).alias("neighbor_id"),
                     code.alias("code")))
 
@@ -170,7 +173,8 @@ def _query_luts(queries: DataFrame, id_col: str, vec_col: str,
                 c.getField("cell_id").alias("cell_id"),
                 _l2sq(_subvec(qv, c.getField("sub"), sub_dim),
                       c.getField("ctv")).alias("d"))))
-    return (queries.crossJoin(F.broadcast(_codebook_array(codebooks)))
+    return (queries.crossJoin(bounded_broadcast(
+            _codebook_array(codebooks), bound="one-row codebook array", max_rows=1))
             .select(F.col(id_col).alias("query_id"), lut.alias("lut")))
 
 
@@ -232,7 +236,9 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame, id_col: str,
     luts = (_query_luts(queries, id_col, vec_col, dim, codebooks, m)
             .withColumn("_j", F.lit(True)))
     scored = (codes.withColumn("_j", F.lit(True))
-              .join(F.broadcast(luts), "_j")
+              .join(bounded_broadcast(
+                  luts, bound="per-query ADC LUTs (eval-set-bounded)"),
+                  "_j")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       _adc_expr(m).alias("adc_dist")))
@@ -283,8 +289,12 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                        "cell_id"))
     luts = _query_luts(queries, id_col, vec_col, dim, books, m)
     probe = (codes
-             .join(F.broadcast(q_cells), "cell_id")
-             .join(F.broadcast(luts), "query_id")
+             .join(bounded_broadcast(
+                 q_cells, bound="per-query probe cells (eval-set-bounded)"),
+                 "cell_id")
+             .join(bounded_broadcast(
+                 luts, bound="per-query ADC LUTs (eval-set-bounded)"),
+                 "query_id")
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id",
                      _adc_expr(m).alias("adc_dist")))

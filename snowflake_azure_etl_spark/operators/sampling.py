@@ -33,6 +33,8 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 #: Hash-space resolution for fraction thresholds: fractions are exact
 #: in units of 1/10000 (md5 buckets are uniform over [0, 10000)).
 FRACTION_DENOM = 10_000
@@ -181,7 +183,8 @@ def mixture_rates(df: DataFrame, source_col: str, weight: Column | str,
          * (F.col("tot").cast("double")
             * F.lit(float(budget_fraction))))
         / F.col("toks").cast("double"))
-    return (per.crossJoin(F.broadcast(tot))
+    return (per.crossJoin(bounded_broadcast(
+                tot, bound="one-row corpus token total", max_rows=1))
             .select(source_col, "toks", rate.alias("rate")))
 
 
@@ -215,7 +218,9 @@ def apply_mixture(df: DataFrame, rates: DataFrame, source_col: str,
                   "source out explicitly"))).cast("long"),
     ).otherwise(
         F.round(F.col("rate") * F.lit(float(FRACTION_DENOM))).cast("long"))
-    return (df.join(F.broadcast(rates.select(source_col, "rate")),
+    return (df.join(bounded_broadcast(
+                    rates.select(source_col, "rate"),
+                    bound="mixture rates (one row per source)"),
                     source_col, "left")
             .filter(_bucket(id_col, salt) < thr)
             .drop("rate"))
@@ -393,7 +398,9 @@ def _dsir_stats(raw: DataFrame, tgt: DataFrame, n_buckets: int,
            - plog2(F.col("_tt") + n_buckets, scale)
            - plog2(F.col("_nr") + 1, scale)
            + plog2(F.col("_tr") + n_buckets, scale))
-    return (joined.crossJoin(F.broadcast(totals))
+    return (joined.crossJoin(bounded_broadcast(
+                totals, bound="one-row gram-total normalizers",
+                max_rows=1))
             .select("bucket", lam.alias("lam")))
 
 
@@ -416,7 +423,9 @@ def dsir_log_weights_from(ids: DataFrame, feats: DataFrame,
     share-one-featurization sibling of `dsir_bucket_stats_from`.
     `ids` is the id universe (docs with no full-width gram coalesce
     to score 0)."""
-    scored = (feats.join(F.broadcast(stats), "bucket")
+    scored = (feats.join(bounded_broadcast(
+        stats, bound="DSIR bucket model (<= n_buckets rows)",
+        max_rows=DSIR_BUCKETS), "bucket")
               .groupBy(id_col)
               .agg(F.sum(F.col("c") * F.col("lam")).alias("_s")))
     return (ids.join(scored, id_col, "left")
@@ -511,7 +520,8 @@ def quality_mixture_rates(df: DataFrame, source_col: str,
          * (F.col("tot").cast("double")
             * F.lit(float(budget_fraction))))
         / F.col("toks").cast("double"))
-    return (per.crossJoin(F.broadcast(tot))
+    return (per.crossJoin(bounded_broadcast(
+                tot, bound="one-row corpus token total", max_rows=1))
             .select(source_col, bucket_col, "toks", rate.alias("rate")))
 
 
@@ -535,8 +545,9 @@ def apply_quality_mixture(df: DataFrame, rates: DataFrame,
         ).cast("long"),
     ).otherwise(
         F.round(F.col("rate") * F.lit(float(FRACTION_DENOM))).cast("long"))
-    return (df.join(F.broadcast(rates.select(source_col, bucket_col,
-                                             "rate")),
+    return (df.join(bounded_broadcast(
+                    rates.select(source_col, bucket_col, "rate"),
+                    bound="mixture rates (one row per source x stratum)"),
                     [source_col, bucket_col], "left")
             .filter(_bucket(id_col, salt) < thr)
             .drop("rate"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 
 def as_double_vec(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
@@ -76,7 +78,8 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                        as_double_vec(vec_col).alias("qv"))
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    as_double_vec(vec_col).alias("cv"))
-    scored = (c.crossJoin(F.broadcast(q))
+    scored = (c.crossJoin(bounded_broadcast(
+        q, bound="eval query set (caller-bounded; declared brute-force baseline)"))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       _cos_qv_cv().alias("cos_sim")))
@@ -101,7 +104,8 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
     c = emb.select(F.col(id_col).alias("neighbor_id"),
                    as_double_vec(vec_col).alias("cv"),
                    sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    scored = (c.join(F.broadcast(q), "bucket")
+    scored = (c.join(bounded_broadcast(
+        q, bound="eval query set (caller-bounded)"), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       _cos_qv_cv().alias("cos_sim")))
@@ -212,7 +216,7 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
         ("assign_cell_id", vec_col),
         lambda: (-F.array_max(_cell_scores(v, F.col("_cents")))
                  .getField("nid")).cast("int"))
-    return (emb.crossJoin(F.broadcast(cent_arr))
+    return (emb.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
             .select(
                 F.col(id_col).alias("neighbor_id"), v.alias("cv"),
                 cell_id.alias("cell_id")))
@@ -232,7 +236,7 @@ def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
     best = cached_column(
         ("assign_best", vec_col),
         lambda: F.array_max(_cell_scores(v, F.col("_cents"))))
-    return (emb.crossJoin(F.broadcast(cent_arr))
+    return (emb.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
             .select(F.col(id_col).alias("_id"),
                     (-best.getField("nid")).cast("int").alias("cell_id"),
                     best.getField("s").alias("cell_cos"),
@@ -358,7 +362,7 @@ def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
                                                   F.col("_cents"))),
                         -nprobe, nprobe))
     return (rel.drop("cell_id")
-            .crossJoin(F.broadcast(cent_arr))
+            .crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
             .withColumn(
                 "cell_id",
                 F.explode(F.transform(best, lambda s: -s.getField("nid"))))
@@ -405,7 +409,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         ("ivf_probe_best", vec_col, nprobe),
         lambda: F.slice(F.array_sort(_cell_scores(qv, F.col("_cents"))),
                         -nprobe, nprobe))
-    probes = (queries.crossJoin(F.broadcast(cent_arr))
+    probes = (queries.crossJoin(bounded_broadcast(
+        cent_arr, bound="one-row centroid array", max_rows=1))
               .select(
                   F.col(id_col).alias("query_id"), qv.alias("qv"),
                   best.alias("best"))
@@ -414,7 +419,9 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                           "best", lambda s: -s.getField("nid")))
                       .alias("cell_id"))
               .withColumn("cell_id", F.col("cell_id").cast("int")))
-    scored = (assigned.join(F.broadcast(probes), "cell_id")
+    scored = (assigned.join(bounded_broadcast(
+        probes, bound="eval query set x nprobe (query-set-bounded)"),
+        "cell_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
                       _cos_qv_cv().alias("cos_sim")))
@@ -490,7 +497,9 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         # n_rows <= max_bucket the guard is provably a no-op — skip it
         widths = (c.groupBy("bucket").agg(F.count("*").alias("_bw"))
                   .filter(F.col("_bw") <= max_bucket).drop("_bw"))
-        c = c.join(F.broadcast(widths), "bucket")
+        c = c.join(bounded_broadcast(
+            widths, bound="sign-bucket widths (<= 2^bits rows)"),
+            "bucket")
     a = c.select(F.col("bucket"), F.col("_id").alias("id_a"),
                  F.col("v").alias("va"))
     b = c.select(F.col("bucket"), F.col("_id").alias("id_b"),
@@ -582,10 +591,14 @@ def _semantic_dedup_build(emb: DataFrame, id_col: str, vec_col: str,
         # primary side drop over-wide cells before the join
         widths = (c.groupBy("cell_id").agg(F.count("*").alias("_cw"))
                   .filter(F.col("_cw") <= max_cell).drop("_cw"))
-        c = c.join(F.broadcast(widths), "cell_id")
+        c = c.join(bounded_broadcast(
+            widths, bound="cell widths (<= n_cells rows)"), "cell_id")
     probe_src = c if nprobe <= 1 else _probe_cells(c, cent_arr, nprobe)
     if nprobe > 1 and guard:
-        probe_src = probe_src.join(F.broadcast(widths), "cell_id")
+        probe_src = probe_src.join(
+            bounded_broadcast(widths,
+                              bound="cell widths (<= n_cells rows)"),
+            "cell_id")
     a = probe_src.select("cell_id", F.col("_id").alias("id_a"),
                          F.col("cv").alias("va"), F.col("_n").alias("na"))
     b = c.select("cell_id", F.col("_id").alias("id_b"),
@@ -686,10 +699,14 @@ def _semantic_decontam_build(emb: DataFrame, eval_ids: DataFrame,
     ev_ids = eval_ids.select(F.col(id_col).alias("_id"))
     c = assigned.select(F.col("neighbor_id").alias("_id"), "cv",
                         "cell_id", l2_norm(F.col("cv")).alias("_n"))
-    ev = (c.join(F.broadcast(ev_ids), "_id", "left_semi")
+    ev = (c.join(bounded_broadcast(
+        ev_ids, bound="benchmark eval id set (caller-bounded)"),
+        "_id", "left_semi")
           .select("cell_id", F.col("cv").alias("ve"),
                   F.col("_n").alias("ne")))
-    tr = c.join(F.broadcast(ev_ids), "_id", "left_anti")
+    tr = c.join(bounded_broadcast(
+        ev_ids, bound="benchmark eval id set (caller-bounded)"),
+        "_id", "left_anti")
     # multi-probe widens only the train side of the COMPARISON join;
     # the eval side keeps its unique primary cell, so each (train,
     # eval) pair meets in at most one cell and count(*) stays exact
@@ -812,7 +829,8 @@ def sq8_encode(df: DataFrame, id_col: str, vec_col: str, dim: int,
     from ._cache import cached_column
     v = as_double_vec(vec_col)
     out = df.select(F.col(id_col), v.alias("_v")) \
-            .crossJoin(F.broadcast(stats))
+            .crossJoin(bounded_broadcast(
+                stats, bound="one-row per-dim SQ8 bounds", max_rows=1))
 
     # codes and per-dim squared errors materialize as NAMED columns
     # first: inlining 64 recon trees into one array-fold expression

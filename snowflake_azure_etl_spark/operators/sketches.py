@@ -40,6 +40,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 #: Coarse bucket count (the final merge fan-in) — 64 keeps the last
 #: merge state at 64·k hashes while still spreading level-0 states.
 KMV_COARSE = 64
@@ -242,7 +244,9 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
                      cms_bucket(key, j, width).alias("bucket"))
             for j in range(depth)])).alias("_p"))
         .select(*carry, "_p.j", "_p.bucket"))
-    return (probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return (probes.join(bounded_broadcast(
+                sketch, bound="CMS sketch (depth x width rows)"),
+                ["j", "bucket"], "left")
             .groupBy(*carry)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("cms_estimate")))
@@ -342,7 +346,9 @@ def bloom_probe(bloom: DataFrame, candidates: DataFrame, key_col: str,
                 F.floor(F.col("_pos") / _BLOOM_WORD).alias("word_idx"),
                 (F.col("_pos") % _BLOOM_WORD).cast("int").alias("_off")))
     bit = F.expr("shiftright(COALESCE(word, CAST(0 AS BIGINT)), _off) % 2")
-    return (probes.join(F.broadcast(bloom), ["word_idx"], "left")
+    return (probes.join(bounded_broadcast(
+                bloom, bound="Bloom filter words (m/64 rows)"),
+                ["word_idx"], "left")
             .groupBy(*carry)
             .agg((F.min(bit) == 1).alias("bloom_pass")))
 
@@ -440,7 +446,8 @@ def histogram_quantiles(hist: DataFrame, lo: float, hi: float,
     # histogram would be pruned whole by PropagateEmptyRelation,
     # disarming any raise before it could evaluate; the left join
     # preserves pr, so the guards in the output expression always run
-    j = pr.join(F.broadcast(c), own, "left")
+    j = pr.join(bounded_broadcast(
+        c, bound="cumulative histogram (bins-bounded)"), own, "left")
     est_g = (F.when(
         F.col("n") <= 0,
         F.raise_error(F.lit(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 # Tiny deterministic stopword lists for the lang-ID heuristic.
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in"),
@@ -549,7 +551,9 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
         dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot")),
         "bm25_stats", eager=False)
     dfreq = (qtf.groupBy("token").agg(F.count("*").alias("df"))
-             .crossJoin(F.broadcast(stats).select("n"))
+             .crossJoin(bounded_broadcast(
+                 stats, bound="one-row corpus stats", max_rows=1)
+                 .select("n"))
              .filter(F.col("df").cast("double")
                      <= F.lit(float(max_df_ratio))
                      * F.col("n").cast("double"))
@@ -572,10 +576,14 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     q_t = F.floor((idf * (num / denom)) * F.lit(float(scale))) \
            .cast("long")
 
-    scored = (qtf.join(F.broadcast(qt), "token")
-              .join(F.broadcast(dfreq), "token")
+    scored = (qtf.join(bounded_broadcast(
+                  qt, bound="query-term literals"), "token")
+              .join(bounded_broadcast(
+                  dfreq, bound="df per query token (query-vocab-bounded)"),
+                  "token")
               .join(dl, id_col)
-              .crossJoin(F.broadcast(stats))
+              .crossJoin(bounded_broadcast(
+                  stats, bound="one-row corpus stats", max_rows=1))
               .groupBy("query", id_col)
               .agg(F.sum(q_t).alias("score_q")))
     w = Window.partitionBy("query").orderBy(F.desc("score_q"),

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .attest import bounded_broadcast
+
 
 def land_bucketed(df: DataFrame, table: str, key: str, buckets: int,
                   sort: bool = True, mode: str = "overwrite") -> None:
@@ -246,7 +248,10 @@ def prefilter_semi(big: DataFrame, filtered: DataFrame, on: list[str],
             f"prefilter key set exceeds {max_filter_rows} rows; a "
             "broadcast semi-filter at this size hurts more than it "
             "helps — rely on the runtime bloom filter instead")
-    return big.join(F.broadcast(keys), on, "left_semi")
+    return big.join(bounded_broadcast(keys, n_rows=n,
+                                      max_rows=max_filter_rows,
+                                      key_only=True),
+                    on, "left_semi")
 
 
 DEFAULT_MAX_BNL_BUILD_ROWS = 1_000_000
@@ -274,7 +279,9 @@ def guarded_theta_join(left: DataFrame, right: DataFrame, cond,
             f"theta-join build side has >{max_build_rows} rows; a "
             "BroadcastNestedLoopJoin at this size is quadratic — bucket "
             "the condition into an equi-join + residual predicate instead")
-    return left.join(F.broadcast(right), cond, how)
+    return left.join(bounded_broadcast(right, n_rows=n,
+                                       max_rows=max_build_rows),
+                     cond, how)
 
 
 def compact_landing(spark: SparkSession, path: str,

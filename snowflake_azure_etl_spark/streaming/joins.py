@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 
 def purchases_with_recent_views(purchases: DataFrame, views: DataFrame,
                                 within: str = "1 hour",
@@ -54,4 +56,8 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: list[str],
     (no per-batch shuffle of the stream); for dims too big to
     broadcast, drop the hint and pre-bucket both sides instead —
     exactly the batch star-join levers (plans.layout)."""
-    return stream.join(F.broadcast(dim), on, how)
+    return stream.join(
+        bounded_broadcast(dim, bound="stream-static dim (caller "
+                          "contract: drop the hint for dims past the "
+                          "cap and pre-bucket instead)"),
+        on, how)

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.attest import KEY_ONLY_MAX_ROWS, bounded_broadcast
+
 from ..plans.surrogate import with_surrogate_key
 
 
@@ -44,7 +46,10 @@ def append_new_members(spark: SparkSession, table: str,
     max_key = existing.agg(F.max(key_col).alias("m")).collect()[0]["m"] or 0
     n_cand = candidates.count()
     fresh = candidates.join(
-        F.broadcast(existing.select(*business_keys).distinct()),
+        bounded_broadcast(
+            existing.select(*business_keys).distinct(),
+            bound="dim-grain distinct business keys (key-only projection)",
+            key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
         business_keys, "left_anti")
     keyed = with_surrogate_key(
         fresh, key_col, order_by=order_by or business_keys,

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.attest import KEY_ONLY_MAX_ROWS, bounded_broadcast
+
 from ..functions.scalar import coalesce_unknown, date_key, dec, safe_div
 from ..plans.datedim import build_dim_date
 from ..plans.surrogate import with_surrogate_key
@@ -111,8 +113,10 @@ def build_dim_customer(spark: SparkSession, t: dict[str, DataFrame],
     location key (J3 pattern — load_dimension_tables.py:158-163), unknown
     fallback, surrogate keys in business-key order."""
     c = t["customer"]
-    joined = (c.join(F.broadcast(dim_location.filter(
-                  F.col("dim_location_id") != UNKNOWN_KEY)),
+    joined = (c.join(bounded_broadcast(
+                  dim_location.filter(
+                      F.col("dim_location_id") != UNKNOWN_KEY),
+                  bound="warehouse dim (dim-grain relation)"),
                   c.c_nationkey == F.col("nationkey"), "left")
               .select(F.col("c_custkey").alias("custkey"),
                       coalesce_unknown("c_name").alias("customer_name"),
@@ -138,8 +142,10 @@ def build_dim_supplier(spark: SparkSession, t: dict[str, DataFrame],
     """Supplier dim (store/reseller role): same J3 location resolution +
     the store-name concat with the float artifact *fixed* (SURVEY §1.4.2)."""
     s = t["supplier"]
-    joined = (s.join(F.broadcast(dim_location.filter(
-                  F.col("dim_location_id") != UNKNOWN_KEY)),
+    joined = (s.join(bounded_broadcast(
+                  dim_location.filter(
+                      F.col("dim_location_id") != UNKNOWN_KEY),
+                  bound="warehouse dim (dim-grain relation)"),
                   s.s_nationkey == F.col("nationkey"), "left")
               .select(F.col("s_suppkey").alias("suppkey"),
                       coalesce_unknown("s_name").alias("supplier_name"),
@@ -168,7 +174,8 @@ def build_dim_channel(spark: SparkSession, t: dict[str, DataFrame],
     equi-join). Role mapping (FIXTURES.md §3): nation≈channel,
     region≈channelcategory."""
     n, r = t["nation"], t["region"]
-    joined = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined = (n.join(bounded_broadcast(r, bound="warehouse dim (dim-grain relation)"),
+               n.n_regionkey == r.r_regionkey)
               .select(F.col("n_nationkey").alias("channelkey"),
                       F.col("n_regionkey").alias("categorykey"),
                       coalesce_unknown("n_name").alias("channel_name"),
@@ -246,11 +253,11 @@ def build_fact_sales(spark: SparkSession, t: dict[str, DataFrame],
     dbp = F.round(F.col("l_discount") * 10000).cast("long")         # s4
     net = (epc * (10000 - dbp)).cast("double") / F.lit(1000000.0)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-            .join(F.broadcast(cust_keys),
+            .join(bounded_broadcast(cust_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
                   orders.o_custkey == cust_keys.custkey, "left")
-            .join(F.broadcast(supp_keys),
+            .join(bounded_broadcast(supp_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
                   li.l_suppkey == supp_keys.suppkey, "left")
-            .join(F.broadcast(part_keys),
+            .join(bounded_broadcast(part_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
                   li.l_partkey == part_keys.partkey, "left")
             .select(
                 F.col("l_orderkey").alias("orderkey"),
@@ -283,7 +290,8 @@ def build_fact_sales_target(spark: SparkSession, t: dict[str, DataFrame],
                          F.year("o_orderdate").alias("target_year"))
                 .agg(F.sum(dec("l_quantity")).cast("double")
                      .alias("target_quantity")))
-    return (per_year.join(F.broadcast(part_keys), "partkey", "left")
+    return (per_year.join(bounded_broadcast(part_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
+                          "partkey", "left")
             .select(F.coalesce("dim_part_id",
                                F.lit(UNKNOWN_KEY)).alias("dim_part_id"),
                     (F.col("target_year") * 10000 + F.lit(101))
@@ -320,8 +328,10 @@ def build_fact_src_sales_target(spark: SparkSession, t: dict[str, DataFrame],
                                    .cast("string")))
                    .otherwise(F.col("s_name")))
     src = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-           .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-           .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+           .join(bounded_broadcast(sup, bound="warehouse dim (dim-grain relation)"),
+                 li.l_suppkey == sup.s_suppkey)
+           .join(bounded_broadcast(nat, bound="warehouse dim (dim-grain relation)"),
+                 sup.s_nationkey == nat.n_nationkey)
            .groupBy(target_name.alias("target_name"),
                     F.col("n_name").alias("channel_name"),
                     F.year("o_orderdate").alias("target_year"))
@@ -337,11 +347,11 @@ def build_fact_src_sales_target(spark: SparkSession, t: dict[str, DataFrame],
         .select(F.col("channel_name").alias("_channel_name"),
                 F.col("dim_channel_id").alias("_channel_id"))
     return (src
-            .join(F.broadcast(store_keys),
+            .join(bounded_broadcast(store_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
                   src.target_name == F.col("_store_name"), "left")
-            .join(F.broadcast(reseller_keys),
+            .join(bounded_broadcast(reseller_keys, bound="dim surrogate-key map (key-only)", key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
                   src.target_name == F.col("_reseller_name"), "left")
-            .join(F.broadcast(channel_keys),
+            .join(bounded_broadcast(channel_keys, bound="warehouse dim (dim-grain relation)"),
                   src.channel_name == F.col("_channel_name"), "left")
             .select(F.coalesce("_store_id",
                                F.lit(UNKNOWN_KEY)).alias("dim_store_id"),

@@ -17,6 +17,8 @@ class WorkloadQuery:
     doc: str
     fn: QueryFn
     oracle: str | None        # DuckDB SQL over views region/nation/.../embeddings
+    raw: QueryFn              # fn without the prepared-statement cache wrapper
+    prepared: bool            # whether fn session-caches the built plan
 
 
 QUERIES: dict[str, WorkloadQuery] = {}
@@ -49,6 +51,6 @@ def query(name: str, covers: tuple[str, ...] | list[str],
                                     lambda: _fn(spark, sf_dir))
         QUERIES[name] = WorkloadQuery(
             name=name, covers=tuple(covers), doc=(fn.__doc__ or "").strip(),
-            fn=run, oracle=oracle)
+            fn=run, oracle=oracle, raw=fn, prepared=prepared)
         return fn
     return deco

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..functions.scalar import dec
 from ..sources.registry import (load_tables,
                                 rebalance_single_split)
@@ -322,7 +324,8 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention = (offs.groupBy("wk")
                  .agg(F.count("*").alias("n_events"),
                       F.countDistinct("user_id").alias("n_users"))
-                 .crossJoin(F.broadcast(total))
+                 .crossJoin(bounded_broadcast(
+                     total, bound="one-row user total", max_rows=1))
                  .select(F.lit("retention").alias("window_start"),
                          F.concat(F.lit("week"),
                                   F.col("wk").cast("string"))
@@ -438,7 +441,8 @@ def q41_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = ((F.col("n").cast("double") - (s1_d / b_d))
          / F.sqrt(((b_d * s2_d) - (s1_d * s1_d))
                   / (b_d * (b_d - F.lit(1.0)))))
-    anomaly = (hourly.crossJoin(F.broadcast(an_st))
+    anomaly = (hourly.crossJoin(bounded_broadcast(
+        an_st, bound="one-row anomaly moments", max_rows=1))
                .select(F.date_format("bucket", TS_FMT)
                        .alias("bucket_start"),
                        F.col("n").alias("n_events"), z.alias("z"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..functions.scalar import dec
 from ..operators import asof
 from ..sources.registry import (load_tables,
@@ -151,12 +153,14 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "events")
     # one-row lower bound kept lazy (cross join, not a driver collect)
     lo = e.agg(F.date_trunc("day", F.min("ts")).alias("lo"))
-    iv = (spark.range(41).crossJoin(F.broadcast(lo))
+    iv = (spark.range(41).crossJoin(bounded_broadcast(
+        lo, bound="one-row date lower bound", max_rows=1))
           .select((F.col("lo") + F.make_interval(days=F.col("id").cast("int")))
                   .alias("start_ts"))
           .withColumn("end_ts",
                       F.col("start_ts") + F.expr("interval 1 day")))
-    j = e.join(F.broadcast(iv),
+    j = e.join(bounded_broadcast(iv, bound="41-row date spine",
+                                 max_rows=41),
                (e.ts >= iv.start_ts) & (e.ts < iv.end_ts))
     return (j.groupBy("start_ts")
             .agg(F.count("*").alias("n_events"),
@@ -790,7 +794,8 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rel = hist.agg(F.sum("cnt").alias("n"))
     wb = Window.orderBy("bin")
     hist_leg = (hist.withColumn("cum", F.sum("cnt").over(wb))
-                .crossJoin(F.broadcast(n_rel))
+                .crossJoin(bounded_broadcast(
+                    n_rel, bound="one-row histogram total", max_rows=1))
                 .select(F.lit("hist_value").alias("leg"),
                         F.col("bin").cast("string").alias("event_type"),
                         F.col("cnt").cast("long").alias("exact_n"),
@@ -836,9 +841,10 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_key = (li.groupBy("l_suppkey", "l_returnflag")
                    .agg(F.count("*").alias("_n")))
         flags = (bloom_probe(bloom, per_key, "l_suppkey")
-                 .join(F.broadcast(
+                 .join(bounded_broadcast(
                      mem.select(F.col("s_suppkey").alias("l_suppkey"),
-                                F.lit(1).alias("_mem"))),
+                                F.lit(1).alias("_mem")),
+                     bound="bloom membership dim (supplier-bounded)"),
                      "l_suppkey", "left"))
         return (flags.groupBy("l_returnflag")
                 .agg(F.sum(F.when(F.col("_mem").isNotNull(),
@@ -1065,9 +1071,9 @@ def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why cube beats N re-aggregations at any scale."""
     t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
     j = (t["customer"]
-         .join(F.broadcast(t["nation"]),
+         .join(bounded_broadcast(t["nation"], bound="TPC-H dim (dim-grain relation)"),
                t["customer"].c_nationkey == t["nation"].n_nationkey)
-         .join(F.broadcast(t["region"]),
+         .join(bounded_broadcast(t["region"], bound="TPC-H dim (dim-grain relation)"),
                t["nation"].n_regionkey == t["region"].r_regionkey))
     def measures():
         return [F.count("c_custkey").alias("n_customers"),

@@ -11,8 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..operators import (classifier, dedup, graph, multimodal,
                          similarity, text)
+from ..operators import lm as lm_ops
 from ..operators.sampling import DSIR_BUCKETS, plog2_sql
 from ..sources.registry import (load_tables, rebalance_single_split,
                                 stage_row_count)
@@ -232,8 +235,12 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = decontam.contamination_hits(docs, eval_docs,
                                        n=DECONTAM_N, n_eval_grams=n_eval)
     hits = hits.withColumnRenamed("doc_id", "keeper_id")
-    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
-    langs = docs.select(F.col("doc_id").alias("keeper_id"), "lang")
+    # lang rides THROUGH the content-hash aggregate (min_by beside
+    # the keeper selection) — the r11 verdict's fix for the
+    # corpus-sized F.broadcast(langs) hint: no second corpus join,
+    # no broadcast of a per-document relation at any scale.
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text",
+                                      carry_cols=("lang",))
     # ONE featurization serves model training AND scoring (the
     # _from variants): the feature map is the derived corpus
     # representation a pipeline computes once per corpus version —
@@ -248,7 +255,7 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = (sampling.dsir_log_weights_from(docs.select("doc_id"),
                                            feats, dsir_stats, "doc_id")
             .withColumnRenamed("doc_id", "keeper_id"))
-    out = (groups.join(F.broadcast(langs), "keeper_id")
+    out = (groups
             .join(hits, "keeper_id", "left")
             .join(dsir, "keeper_id")
             .withColumn("sample_keep",
@@ -1443,16 +1450,21 @@ def _clf_pred_sql() -> str:
         WHERE rn = 1)
     ,{_CLF_FX_CTE},
     {_CLF_ROUND_CTES},
-    {_CLF_SCORE_CTE}
+    {_CLF_SCORE_CTE},
+    {lm_ops.lm_oracle_ctes()}
     SELECT base.*, token_offset // {PACK_CTX} AS pack_first_seq,
            (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
                AS pack_last_seq,
            m.mean_tok_freq, tt.top_term, tt.top_term_score,
            c.s_en AS clf_score, c.s_en >= 0.5 AS clf_keep,
-           {_clf_pred_sql()} AS clf_lang_pred
+           {_clf_pred_sql()} AS clf_lang_pred,
+           lms.lm_bits, lms.lm_n_pos, lms.lm_ppl_bits,
+           COALESCE(lms.lm_ppl_bits <= lmt.thr, TRUE) AS lm_keep
     FROM base LEFT JOIN mtf m USING (doc_id)
     LEFT JOIN ttop tt USING (doc_id)
     LEFT JOIN cclf c USING (doc_id)
+    LEFT JOIN lm_scored lms USING (doc_id)
+    CROSS JOIN lm_thr lmt
     """,
     prepared=True)
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,8 +1518,10 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lands as feature tables, and re-deriving them per invocation
     # re-runs their corpus aggregates (~1.3 s/call at sf0.1, measured)
     from ..operators._cache import cached_relation
-    packed = packed.crossJoin(F.broadcast(cached_relation(
-        text.token_freq_map(docs), "token_freq_map", eager=False)))
+    packed = packed.crossJoin(bounded_broadcast(
+        cached_relation(text.token_freq_map(docs), "token_freq_map",
+                        eager=False),
+        bound="one-row token-frequency map (vocab-bounded)", max_rows=1))
     # r7, X-TEXT-TFIDF: most-characteristic term per doc by the
     # exact-integer idf-weighted score (text.tf_icf_top_terms — the
     # hash-portable twin of the ln-valued tfidf_score, which is
@@ -1568,6 +1582,31 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.join(_maybe_broadcast(top_term, n_docs), "doc_id", "left"),
         clf_feats, clf_w, _CLF_CLASSES,
         out_col="clf_lang_pred", score_prefix="_cs_")
+    # r12 addition (X-TEXT-LM-BIGRAM, operators.lm — VERDICT r11 #5):
+    # the CCNet/KenLM perplexity tier. The trained model (floored
+    # unigram/bigram counts + one-row totals) and the per-doc score
+    # relation are session artifacts (train once per corpus version —
+    # the token_freq_map/_ivf_index contract); the keep decision is
+    # row-local against the one-row corpus-average threshold. The
+    # oracle replays training, scoring, AND the threshold as CTEs
+    # (lm_oracle_ctes), so the driver hash attests the whole tier.
+    lm_uni, lm_bi, lm_tot = lm_ops.bigram_lm_model(docs)
+    lm_scored = cached_relation(
+        lm_ops.bigram_lm_bits(docs, "doc_id", "text",
+                              cached_relation(lm_uni, "lm_uni",
+                                              eager=False),
+                              cached_relation(lm_bi, "lm_bi",
+                                              eager=False),
+                              lm_tot),
+        "lm_scored", eager=False)
+    lm_final = lm_ops.lm_keep(lm_scored,
+                              lm_ops.lm_corpus_threshold(lm_scored))
+    # join-back rides the packing/top-term pattern: the narrow per-doc
+    # LM relation is the broadcast side under the footer attestation
+    # so the WIDE corpus row never shuffles; above the cap it falls
+    # back to one doc-keyed equi-join
+    scored = scored.join(_maybe_broadcast(lm_final, n_docs),
+                         "doc_id", "left")
     return scored.select(
         "doc_id",
         "token_offset", "pack_first_seq", "pack_last_seq",
@@ -1592,6 +1631,7 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cs_en").alias("clf_score"),
         (F.col("_cs_en") >= 0.5).alias("clf_keep"),
         "clf_lang_pred",
+        "lm_bits", "lm_n_pos", "lm_ppl_bits", "lm_keep",
     )
 
 

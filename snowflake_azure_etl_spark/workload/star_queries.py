@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..functions.dates import oracle_date_attributes_sql
 from ..functions.scalar import (coalesce_unknown, date_key, davg, dec, dsum,
                                 safe_div, store_name)
@@ -102,8 +104,10 @@ def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = F.round(F.col("l_discount") * 100).cast("long")         # scale 2
     qc = F.round(F.col("l_quantity") * 100).cast("long")         # scale 2
     return (
-        li.join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(dim_date), date_key("l_shipdate") == F.col("date_pkey"))
+        li.join(bounded_broadcast(t["part"], bound="TPC-H dim (dim-grain relation)"),
+                li.l_partkey == F.col("p_partkey"))
+        .join(bounded_broadcast(dim_date, bound="date dim (days-bounded)"),
+              date_key("l_shipdate") == F.col("date_pkey"))
         .groupBy(
             F.col("year_num").alias("sale_year"),
             F.col("quarter_num").alias("sale_quarter"),
@@ -200,8 +204,10 @@ def q05_join_chain_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast: zero shuffle."""
     t = load_tables(spark, sf_dir, ("supplier", "nation", "region"))
     s, n, r = t["supplier"], t["nation"], t["region"]
-    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (s.join(bounded_broadcast(n, bound="TPC-H dim (dim-grain relation)"),
+                   s.s_nationkey == n.n_nationkey)
+            .join(bounded_broadcast(r, bound="TPC-H dim (dim-grain relation)"),
+                  n.n_regionkey == r.r_regionkey)
             .select(s.s_suppkey.alias("suppkey"),
                     F.concat_ws(" / ", s.s_name, n.n_name, r.r_name).alias("supplier_geo"),
                     r.r_name.alias("region")))
@@ -229,7 +235,7 @@ def q06_left_join_coalesce_composite(spark: SparkSession, sf_dir: str) -> DataFr
     c, s = t["customer"], t["supplier"]
     ckey = coalesce_unknown(c.c_nationkey)
     skey = coalesce_unknown(s.s_nationkey)
-    return (c.join(F.broadcast(s), ckey == skey, "left")
+    return (c.join(bounded_broadcast(s, bound="TPC-H dim (dim-grain relation)"), ckey == skey, "left")
             .groupBy(c.c_custkey.alias("custkey"), ckey.alias("nation_key_norm"))
             .agg(F.count(s.s_suppkey).alias("n_local_suppliers")))
 
@@ -263,9 +269,10 @@ def q07_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
     return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .join(bounded_broadcast(c, bound="TPC-H dim (dim-grain relation)"), o.o_custkey == c.c_custkey)
+            .join(bounded_broadcast(n, bound="TPC-H dim (dim-grain relation)"), c.c_nationkey == n.n_nationkey)
+            .join(bounded_broadcast(r, bound="TPC-H dim (dim-grain relation)"),
+                  n.n_regionkey == r.r_regionkey)
             .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
             .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"),
                  F.count("*").alias("n_lines")))
@@ -507,7 +514,9 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
                          .otherwise(0)).alias("n_urgent")))
     zero = F.lit(0).cast("decimal(18,2)")
-    return (pivoted.join(F.broadcast(urgent), "order_year")
+    return (pivoted.join(bounded_broadcast(
+                urgent, bound="per-year aggregate (years-bounded)"),
+            "order_year")
             .select("order_year",
                     F.coalesce("F", zero).cast("double")
                     .alias("finished_total"),
@@ -545,7 +554,7 @@ def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     epc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"), li.l_partkey == p.p_partkey)
             .groupBy(p.p_brand.alias("brand"))
             .agg(safe_div(F.sum(epc * dc).cast("double") / 10000.0,
                           F.sum(qc).cast("double") / 100.0)
@@ -603,7 +612,8 @@ def q16_reagg_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, p = t["lineitem"], t["part"]
     # view carries the exact scale-2 integer sum (see q01); the re-agg
     # SUM/MAX over longs hits the same integers the oracle's DECIMAL does
-    inner = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    inner = (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"),
+                     li.l_partkey == p.p_partkey)
              .groupBy(p.p_brand.alias("brand"),
                       F.year("l_shipdate").alias("yr"))
              .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
@@ -719,7 +729,7 @@ def q20_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
     cost = dec(p.p_retailprice) * dec(li.l_quantity)
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"), li.l_partkey == p.p_partkey)
             .filter(li.l_orderkey % 50 == 0)
             .select(li.l_orderkey.alias("orderkey"),
                     li.l_linenumber.alias("linenumber"),

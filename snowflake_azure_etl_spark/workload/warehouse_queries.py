@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..functions.dates import oracle_date_attributes_sql
 from ..plans.datedim import DIM_DATE_COLUMNS, build_dim_date
 from ..plans.surrogate import with_surrogate_key
@@ -93,7 +95,8 @@ def q24_unknown_member_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_part_id", order_by=["p_partkey"], offset=1)
     li = t["lineitem"]
     from ..functions.scalar import dsum
-    return (li.join(F.broadcast(dim_part), li.l_partkey == dim_part.p_partkey, "left")
+    return (li.join(bounded_broadcast(dim_part, bound="TPC-H dim (dim-grain relation)"),
+                    li.l_partkey == dim_part.p_partkey, "left")
             .groupBy(F.coalesce("dim_part_id", F.lit(1)).alias("resolved_part_id"))
             .agg(F.count("*").alias("n_lines"),
                  dsum("l_quantity").alias("total_qty")))

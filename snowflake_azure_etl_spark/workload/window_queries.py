@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.attest import bounded_broadcast
+
 from ..functions.scalar import dec
 from ..sources.registry import load_tables
 from ._registry import query
@@ -29,7 +31,7 @@ def _brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     epc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"), li.l_partkey == p.p_partkey)
             .groupBy(F.year("l_shipdate").alias("yr"),
                      p.p_brand.alias("brand"))
             .agg(F.sum(epc * (100 - dc)).alias("_rev"),
@@ -126,7 +128,7 @@ def q33_window_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     each group to a CASE-selected cohort within the year partition)."""
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     o, c = t["orders"], t["customer"]
-    base = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    base = (o.join(bounded_broadcast(c, bound="TPC-H dim (dim-grain relation)"), o.o_custkey == c.c_custkey)
             .groupBy(F.year("o_orderdate").alias("yr"),
                      c.c_mktsegment.alias("segment"))
             .agg(F.sum(dec("o_totalprice")).alias("_rev")))

@@ -1,0 +1,142 @@
+"""Interpolated bigram LM perplexity filter (operators.lm, VERDICT
+r11 #5): engine scores vs an independent pure-Python reference, edge
+cases (short docs, floors, unseen grams), and the keep contract."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import lm
+
+SCALE = 1 << 20
+MAX_E = 42
+
+
+def py_plog2(n: int, scale: int = SCALE) -> int:
+    assert n > 0
+    e = n.bit_length() - 1
+    s = max(e - MAX_E, 0)
+    m = n >> s
+    p2 = 1 << (e - s)
+    return e * scale + ((m - p2) * scale) // p2
+
+
+def py_lm(docs, min_count=lm.LM_MIN_COUNT, lam=lm.LM_LAMBDA_NUM,
+          den=lm.LM_LAMBDA_DEN):
+    """Reference implementation over [(doc_id, text)]."""
+    uni_all = Counter()
+    bi_all = Counter()
+    for _, text in docs:
+        toks = text.split(" ")
+        uni_all.update(toks)
+        bi_all.update(zip(toks, toks[1:]))
+    n = sum(uni_all.values())
+    v = len(uni_all)
+    uni = {t: c for t, c in uni_all.items() if c >= min_count}
+    bi = {g: c for g, c in bi_all.items() if c >= min_count}
+    out = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 2:
+            out[doc_id] = (None, None, None)
+            continue
+        bits = 0
+        for g in zip(toks, toks[1:]):
+            w1, w2 = g
+            bits += lam * (py_plog2(bi.get(g, 0) + 1)
+                           - py_plog2(uni.get(w1, 0) + v))
+            bits += (den - lam) * (py_plog2(uni.get(w2, 0) + 1)
+                                   - py_plog2(n + v))
+        np = len(toks) - 1
+        out[doc_id] = (bits, np, (-bits) // np)
+    tot_b = sum(-b for b, _, _ in out.values() if b is not None)
+    tot_p = sum(p for _, p, _ in out.values() if p is not None)
+    thr = tot_b // max(tot_p, 1)
+    return out, thr
+
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the hat"),
+    (3, "the dog sat on the mat"),
+    (4, "zq xv jj kw pq mn zz yy"),          # gibberish: all floored
+    (5, "the cat sat on the mat"),           # exact dup of 1
+    (6, "word"),                             # 1 token: unscorable
+    (7, ""),                                 # splits to [""] — 1 token
+    (8, "the the the the the the the the"),  # degenerate repetition
+]
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    uni, bi, tot = lm.bigram_lm_model(docs)
+    sc = lm.bigram_lm_bits(docs, "doc_id", "text", uni, bi, tot)
+    kept = lm.lm_keep(sc, lm.lm_corpus_threshold(sc))
+    return {r["doc_id"]: r for r in kept.collect()}
+
+
+def test_lm_bits_match_python_reference(scored):
+    ref, thr = py_lm(CORPUS)
+    for doc_id, (bits, np, ppl) in ref.items():
+        row = scored[doc_id]
+        assert row["lm_bits"] == bits, doc_id
+        assert row["lm_n_pos"] == np, doc_id
+        assert row["lm_ppl_bits"] == ppl, doc_id
+        if ppl is not None:
+            assert row["lm_keep"] == (ppl <= thr), doc_id
+
+
+def test_lm_orders_quality(scored):
+    # natural text scores cheaper than floored-out gibberish, and the
+    # degenerate all-one-token doc cheapest of all (its bigram is the
+    # corpus's most frequent for its unigram mass)
+    nat = scored[1]["lm_ppl_bits"]
+    gib = scored[4]["lm_ppl_bits"]
+    assert nat < gib
+    assert scored[4]["lm_keep"] is False       # gibberish: cut
+    assert scored[1]["lm_keep"] is True        # natural: kept
+    assert scored[5]["lm_ppl_bits"] == nat     # dup scores identically
+
+
+def test_lm_short_docs_unscorable_but_kept(scored):
+    for doc_id in (6, 7):
+        assert scored[doc_id]["lm_bits"] is None
+        assert scored[doc_id]["lm_ppl_bits"] is None
+        assert scored[doc_id]["lm_keep"] is True
+
+
+def test_lm_scores_are_nonpositive(scored):
+    for r in scored.values():
+        if r["lm_bits"] is not None:
+            assert r["lm_bits"] <= 0
+            assert r["lm_ppl_bits"] >= 0
+
+
+def test_lm_oracle_ctes_match_engine(spark, tmp_path):
+    """The DuckDB CTE replay produces the identical scored relation —
+    the same check the driver runs at the q57 surface, pinned here at
+    operator grain."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    pdf = pd.DataFrame(CORPUS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = (f"WITH {lm.lm_oracle_ctes()} "
+           "SELECT s.doc_id, s.lm_bits, s.lm_n_pos, s.lm_ppl_bits, "
+           "COALESCE(s.lm_ppl_bits <= t.thr, TRUE) AS lm_keep "
+           "FROM lm_scored s CROSS JOIN lm_thr t")
+    got = {int(r[0]): tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    uni, bi, tot = lm.bigram_lm_model(docs)
+    sc = lm.bigram_lm_bits(docs, "doc_id", "text", uni, bi, tot)
+    kept = lm.lm_keep(sc, lm.lm_corpus_threshold(sc))
+    for r in kept.collect():
+        o = got[r["doc_id"]]
+        assert (r["lm_bits"], r["lm_n_pos"], r["lm_ppl_bits"],
+                r["lm_keep"]) == \
+            (o[0], o[1], o[2], bool(o[3])), r["doc_id"]

@@ -8,9 +8,12 @@ UDF or an accidental cross join into the catalog fails here, not in a
 
 from __future__ import annotations
 
+import pathlib
+
 import pytest
 
 import __spark_entry__ as entry
+from snowflake_azure_etl_spark.plans import attest
 
 #: Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
 #: the size-guarded theta join (q09), the interval range join (q45),
@@ -37,6 +40,72 @@ BNLJ_OK = {"q09_theta_or_isnull_join", "q45_range_join",
 #: Queries whose plan legitimately carries Arrow-batched Python
 #: (mapInPandas): the binary media pipeline.
 ARROW_OK = {"q60_multimodal_pipeline"}
+
+
+# --- broadcast attestation (VERDICT r11 #2) --------------------------------
+# The r11 q50 defect class: a corpus-sized F.broadcast hint that no
+# audit notices because it is invisible at test scale. Two structural
+# guards make it impossible to write silently:
+#  1. grep: no raw F.broadcast anywhere in the package — every hint
+#     routes through plans.attest.bounded_broadcast, which demands a
+#     measured n_rows or a declared construction bound, and caps the
+#     declarable max at BROADCAST_MAX_ROWS (KEY_ONLY_MAX_ROWS for
+#     narrow key-only projections).
+#  2. verify: building every catalog query under attest.verify_mode()
+#     counts each declared-bound side for real — a false "one-row
+#     stats" claim fails the build, not a 100 TB run.
+
+_PKG = pathlib.Path(__file__).resolve().parents[1] / "snowflake_azure_etl_spark"
+
+
+def test_no_raw_broadcast_hints():
+    offenders = []
+    for py in sorted(_PKG.rglob("*.py")):
+        if py.name == "attest.py" and py.parent.name == "plans":
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if "F.broadcast(" in code or "functions.broadcast(" in code:
+                offenders.append(f"{py.relative_to(_PKG)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "raw broadcast hint(s) outside plans.attest — route through "
+        "bounded_broadcast with an attested bound:\n" + "\n".join(offenders))
+
+
+def test_bounded_broadcast_rejects_unattested_and_oversized(spark):
+    df = spark.range(3).toDF("x")
+    with pytest.raises(ValueError, match="unattested"):
+        attest.bounded_broadcast(df)
+    with pytest.raises(ValueError, match="cap"):
+        attest.bounded_broadcast(df, bound="laundered",
+                                 max_rows=10**12)
+    # n_rows over the cap returns the side UNhinted (AQE decides)
+    out = attest.bounded_broadcast(df, n_rows=attest.BROADCAST_MAX_ROWS + 1)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_verify_mode_is_red_on_a_false_bound(spark):
+    # the planted corpus-side hint: claims one-row, is 3 rows
+    df = spark.range(3).toDF("x")
+    with attest.verify_mode():
+        with pytest.raises(AssertionError, match="attestation .* FALSE"):
+            attest.bounded_broadcast(df, bound="one-row (planted lie)",
+                                     max_rows=1)
+        # a true bound passes and hints
+        ok = attest.bounded_broadcast(df, bound="3 literals", max_rows=3)
+    assert "ResolvedHint" in ok._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_catalog_broadcast_bounds_verified(spark, sf_dir, name):
+    """Build each catalog query from its RAW builder (bypassing the
+    prepared-statement cache) under verify_mode: every declared
+    construction bound in the plan's broadcast sides is counted for
+    real at this SF. A q50-class corpus-sized claim dies here."""
+    from snowflake_azure_etl_spark.workload._registry import QUERIES
+    with attest.verify_mode():
+        df = QUERIES[name].raw(spark, sf_dir)
+    assert df.columns  # plan built, all bounds held
 
 
 @pytest.mark.parametrize("name", sorted(entry.queries()))

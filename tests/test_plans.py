@@ -75,18 +75,25 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     # the per-doc feature computation stays a narrow projection over
     # the WIDE corpus row; every exchange belongs to a declared
     # bounded-or-narrow side stage — the one-row token-frequency map
-    # (token-keyed), and the r7 tf-icf relation's (doc, token) tf
-    # aggregate + token df aggregate + doc-keyed top-term window, all
-    # over narrow projections, re-attached via the footer-attested
-    # broadcast (the packing join-back pattern) so the wide corpus row
-    # itself never shuffles; rangepartitioning never appears (the
-    # packing prefix sum takes the single-window small path at test
-    # scale)
-    assert plan.count("hashpartitioning") <= 4
+    # (token-keyed), the r7 tf-icf relation's (doc, token) tf
+    # aggregate + token df aggregate + doc-keyed top-term window, and
+    # (r12) the bigram-LM tier's training counts (token/bigram-keyed),
+    # (doc, w1, w2) bag aggregate, model joins, and per-doc score
+    # re-aggregate — all over narrow projections, re-attached via the
+    # footer-attested broadcast (the packing join-back pattern) so the
+    # wide corpus row itself never shuffles; rangepartitioning never
+    # appears (the packing prefix sum takes the single-window small
+    # path at test scale)
+    assert plan.count("hashpartitioning") <= 18
     assert "rangepartitioning" not in plan
     assert "Python" not in plan         # no UDF tax in the hot path
-    # the top-term join-back must be the broadcast side at test scale
+    # the top-term and LM join-backs must be broadcast at test scale
     assert "BroadcastHashJoin" in plan
+    # any merge join may only move NARROW doc-keyed LM relations —
+    # the wide corpus row (its `text` column) never sorts/shuffles
+    import re
+    for frag in re.findall(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "doc_id" in frag
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):
