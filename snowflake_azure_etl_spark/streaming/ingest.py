@@ -136,6 +136,55 @@ def decontam_ingest_sink(eval_gram_table: str, clean_table: str, *,
     return write
 
 
+def dsir_ingest_sink(model_table: str, scored_table: str, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 2, n_buckets: int | None = None,
+                     salt: str = "dsir", keep_only: bool = False):
+    """Arrival-time DSIR importance scoring (VERDICT r11 #6 — the
+    streaming sibling of the r11 DSIR operator, completing its
+    maintenance family the way decontam/dedup/near-dup/substr/
+    sketches/vectors already stream). Returns a foreachBatch function:
+    each micro-batch is featurized once (`hashed_ngram_counts` — the
+    only corpus-side work, row-local until the per-doc bucket
+    aggregate), scored against the PERSISTED importance model
+    (`model_table`, the (bucket, lam) artifact `dsir_bucket_stats*`
+    trains once per (target, corpus version) — the same shared
+    artifact q50/q47 read), and lands in `scored_table` with its
+    `dsir_score` column via `sinks.idempotent_epoch_sink` (at-least-
+    once replays overwrite their own epoch partition).
+
+    Scoring is stateless across batches (every doc is judged against
+    the same fixed model), so the stream output equals the batch
+    `dsir_log_weights_from` over the concatenated stream — pinned in
+    tests/test_streaming_ingest.py. ``keep_only=True`` additionally
+    applies the row-local selection decision (score > 0: more
+    target-like than raw) at ingest — the filter-at-the-door shape.
+
+    Scale: the model is ≤ n_buckets rows (bounded broadcast via the
+    scoring operator's attestation); per epoch only the batch pays
+    gram hashing; nothing accumulates driver- or executor-side."""
+    from ..operators.sampling import (DSIR_BUCKETS, dsir_log_weights_from,
+                                      hashed_ngram_counts)
+    from .sinks import idempotent_epoch_sink
+
+    buckets = DSIR_BUCKETS if n_buckets is None else n_buckets
+    write_scored = idempotent_epoch_sink(scored_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stats = spark.table(model_table)
+        feats = hashed_ngram_counts(batch_df, id_col, text_col, n,
+                                    buckets, salt)
+        scored = dsir_log_weights_from(batch_df.select(id_col), feats,
+                                       stats, id_col)
+        out = batch_df.join(scored, id_col)
+        if keep_only:
+            out = out.filter(F.col("dsir_score") > 0)
+        write_scored(out, epoch_id)
+
+    return write
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:

@@ -2038,6 +2038,23 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))")
 
+#: |a−b|² via the dot identity, left-associated exactly like the
+#: engine's similarity._l2sq_cols (x − 2y + z parses as (x − 2y) + z
+#: in both dialects).
+_L2SQ = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+         " + list_dot_product({b}, {b}))")
+
+
+def _inertia_cte(name: str, it: int, assigned: str, cents: str) -> str:
+    """One inertia-trajectory row (mirrors similarity._inertia_row):
+    exact-long SSD of the round's assignments to the centroids the
+    round entered with, with per-vector floor(d²·2^20)."""
+    d2 = _L2SQ.format(a="a.v", b="ct.cv")
+    return (f"{name} AS (SELECT CAST({it} AS BIGINT) AS it, "
+            f"CAST(SUM(CAST(floor(({d2}) * {_KM_SCALE}.0) AS BIGINT)) "
+            f"AS BIGINT) AS inertia, COUNT(*) AS n_vec "
+            f"FROM {assigned} a JOIN {cents} ct USING (cell_id))")
+
 # One Lloyd's round as CTEs (mirrors similarity.kmeans_centroids):
 # assign to the argmax-cosine centroid of `prev`, then per-(cell, dim)
 # fixed-point mean — floor(val·2^20) summed as exact BIGINTs, so the
@@ -2211,7 +2228,16 @@ _SEMDEDUP_THRESHOLD = 0.4
     rc AS (SELECT q.query_id,
                   COALESCE(r.hits, CAST(0 AS BIGINT)) AS hits
            FROM (SELECT DISTINCT query_id FROM qset) q
-           LEFT JOIN rc_hit r USING (query_id))
+           LEFT JOIN rc_hit r USING (query_id)),
+    -- quantizer-quality attestation (r12, VERDICT r11 #7): the
+    -- k-means inertia trajectory replayed round for round from the
+    -- SAME training CTEs
+    {_inertia_cte('in1', 1, 'a1', 'c0')},
+    {_inertia_cte('in2', 2, 'a2', 'c1')},
+    {_inertia_cte('in3', 3, '(SELECT neighbor_id AS nid, v, cell_id '
+                            'FROM assigned)', 'c2')},
+    in_all AS (SELECT * FROM in1 UNION ALL SELECT * FROM in2
+               UNION ALL SELECT * FROM in3)
     SELECT 'topk' AS leg, query_id, neighbor_id, cos_sim,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
@@ -2251,6 +2277,12 @@ _SEMDEDUP_THRESHOLD = 0.4
            / (CAST(3.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)),
            CAST(1 AS INT)
     FROM rc
+    UNION ALL
+    SELECT 'inertia', it, inertia,
+           (CAST(inertia AS DOUBLE) / CAST(n_vec AS DOUBLE))
+               / {_KM_SCALE}.0,
+           CAST(it AS INT)
+    FROM in_all
     """,
 )
 def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2405,7 +2437,23 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(3.0) * F.col("nq").cast("double")))
                            .alias("cos_sim"),
                            F.lit(1).cast("int").alias("rn")))
+    # seventh leg (r12, VERDICT r11 #7): the quantizer-quality
+    # attestation — the k-means inertia trajectory as exact
+    # fixed-point longs (per-round SSD of the assignments to the
+    # centroids the round entered with, plus the shipped index's
+    # final row over the cached assignment). The oracle replays every
+    # round's SSD from the SAME a1/a2/assigned CTEs that replay
+    # training, so index QUALITY is driver-hashed the way recall@3
+    # is. query_id carries the round, neighbor_id the exact inertia,
+    # cos_sim the derived mean squared distance.
+    inertia = (similarity.ivf_inertia_trajectory(
+                   emb, "vec_id", "embedding", n_cells=8, train_iters=2)
+               .select(F.lit("inertia").alias("leg"),
+                       F.col("it").alias("query_id"),
+                       F.col("inertia").alias("neighbor_id"),
+                       F.col("mean_d2").alias("cos_sim"),
+                       F.col("it").cast("int").alias("rn")))
     return (topk.unionByName(sd).unionByName(sd2)
             .unionByName(dnew).unionByName(dbase)
             .unionByName(dc).unionByName(dc2).unionByName(recall)
-            .unionByName(recall_mean))
+            .unionByName(recall_mean).unionByName(inertia))

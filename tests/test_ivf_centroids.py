@@ -171,3 +171,38 @@ def test_scaled_bits():
     assert similarity.scaled_bits(2**30, target_bucket=1024) == 20
     assert similarity.scaled_bits(2**40) == 24                # cap
     assert similarity.scaled_bits(2**21, target_bucket=1024) == 11
+
+
+def test_inertia_trajectory_non_increasing(spark):
+    """VERDICT r11 #7: the fixed-point inertia trajectory over planted
+    clusters — Lloyd's update never increases SSD for the points it
+    re-assigns, so the rounds are monotone non-increasing, the final
+    row (the shipped index over the cached assignment) equals the last
+    round's converged cost regime, and a trained quantizer beats the
+    seed assignment by a wide margin on clustered data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import similarity
+
+    rnd = random.Random(7)
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0],
+               [0.0, 0.0, 5.0, 0.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rnd.uniform(-0.2, 0.2) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    traj = (similarity.ivf_inertia_trajectory(
+                emb, "vec_id", "embedding", n_cells=3, train_iters=2)
+            .orderBy("it").collect())
+    assert [r["it"] for r in traj] == [1, 2, 3]
+    costs = [r["inertia"] for r in traj]
+    assert all(isinstance(c, int) for c in costs)
+    assert costs[0] >= costs[1] >= costs[2]      # Lloyd's monotonicity
+    assert costs[2] < costs[0]                   # training actually helped
+    assert all(r["n_vec"] == 90 for r in traj)
+    # mean_d2 is the derived per-vector cost in vector units
+    assert abs(traj[2]["mean_d2"]
+               - costs[2] / 90 / similarity.KMEANS_SCALE) < 1e-12

@@ -225,3 +225,91 @@ def test_decontam_ingest_matches_batch_operator(spark):
             == batch_clean)
     assert (spark.table(clean_t).filter(F.col(EPOCH_COL) == 0).count()
             == 1)
+
+
+def test_dsir_ingest_matches_batch_operator(spark):
+    """VERDICT r11 #6: per-micro-batch DSIR importance scoring against
+    the persisted (bucket, lam) model — streamed scores equal the
+    batch `dsir_log_weights` over the concatenated stream bit-for-bit
+    (scoring is stateless across batches), keep_only applies the
+    row-local score>0 selection at ingest, and an epoch replay is
+    idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import sampling
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the slow brown dog naps under the tall tree", "en"),
+        (3, "der schnelle braune fuchs springt sehr hoch", "de"),
+        (4, "le renard brun rapide saute par dessus tout", "fr"),
+    ]
+    batches = [
+        [(10, "the quick brown fox naps under the dog"),
+         (11, "der braune fuchs springt hoch")],
+        [(12, "the lazy dog jumps over the tall tree"),
+         (13, "le renard rapide saute")],
+    ]
+
+    def table(name):
+        db = "dsir_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    corpus = spark.createDataFrame(train,
+                                   "doc_id long, text string, lang string")
+    stats = sampling.dsir_bucket_stats(
+        corpus, corpus.filter(F.col("lang") == "en"), "doc_id", "text")
+    model_t = table("dsir_model")
+    stats.write.saveAsTable(model_t)
+
+    src = tempfile.mkdtemp(prefix="dsir_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    scored_t, kept_t = table("dsir_scored"), table("dsir_kept")
+    for tgt, keep in ((scored_t, False), (kept_t, True)):
+        sink = ingest.dsir_ingest_sink(model_t, tgt, keep_only=keep)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="dsir_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {(r["doc_id"], r["dsir_score"]) for r in
+            sampling.dsir_log_weights(whole, stats, "doc_id", "text")
+            .collect()}
+    got = {(r["doc_id"], r["dsir_score"]) for r in
+           spark.table(scored_t).collect()}
+    assert got == want and len(got) == 4
+    # keep_only: exactly the score>0 subset, with identical scores
+    got_kept = {(r["doc_id"], r["dsir_score"]) for r in
+                spark.table(kept_t).collect()}
+    assert got_kept == {(d, s) for d, s in want if s > 0}
+    assert 0 < len(got_kept) < len(want)  # the gate actually splits
+    # replaying epoch 0 overwrites its partition — nothing duplicates
+    sink0 = ingest.dsir_ingest_sink(model_t, scored_t)
+    sink0(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    assert ({r["doc_id"] for r in spark.table(scored_t).collect()}
+            == {d for d, _ in want})
+    assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
+            == 2)
