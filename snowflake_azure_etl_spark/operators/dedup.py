@@ -761,7 +761,8 @@ def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               min_len: int = SUBSTR_MIN_LEN,
                               min_count: int = SUBSTR_MIN_COUNT,
-                              index: DataFrame | None = None
+                              index: DataFrame | None = None,
+                              occ: DataFrame | None = None
                               ) -> DataFrame:
     """(id_col, tpos): every token position covered by a repeated
     sliding window — i.e. lying inside some repeated substring of
@@ -773,8 +774,16 @@ def repeated_window_positions(docs: DataFrame, id_col: str = "doc_id",
     set is its min_count filter — no second corpus-wide count
     shuffle; the corpus is re-scanned only for the (cheap, narrow)
     position relation. Width provenance is checked exactly as in the
-    incremental probe."""
-    occ = _window_occurrences(docs, id_col, text_col, min_len)
+    incremental probe.
+
+    ``occ``: an already-built `_window_occurrences` relation of THIS
+    corpus at this min_len (the position-level shared scan, r12 —
+    VERDICT r11 #4: the scrub, the index build, and the incremental
+    leg each re-hashed every window; with the occurrence relation a
+    session artifact, the corpus is window-hashed exactly once across
+    the whole substring family)."""
+    if occ is None:
+        occ = _window_occurrences(docs, id_col, text_col, min_len)
     if index is None:
         rep = (occ.groupBy("_h").agg(F.count("*").alias("_c"))
                .filter(F.col("_c") >= int(min_count)))
@@ -800,7 +809,8 @@ def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text",
                                min_len: int = SUBSTR_MIN_LEN,
                                min_count: int = SUBSTR_MIN_COUNT,
-                               index: DataFrame | None = None
+                               index: DataFrame | None = None,
+                               occ: DataFrame | None = None
                                ) -> DataFrame:
     """Remove every token run that is part of a repeated substring of
     length >= min_len (corpus-wide occurrence count >= min_count,
@@ -819,7 +829,7 @@ def scrub_duplicate_substrings(docs: DataFrame, id_col: str = "doc_id",
     corpus (identical output, one fewer corpus-wide count shuffle —
     the pipeline that persists the index anyway scrubs from it)."""
     covered = repeated_window_positions(docs, id_col, text_col,
-                                        min_len, min_count, index)
+                                        min_len, min_count, index, occ)
     return _scrub_report(docs, covered, id_col, text_col)
 
 
@@ -866,7 +876,8 @@ def _reassemble_scrub(kept: DataFrame, base: DataFrame, id_col: str, *,
 
 def window_hash_index(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      min_len: int = SUBSTR_MIN_LEN) -> DataFrame:
+                      min_len: int = SUBSTR_MIN_LEN,
+                      occ: DataFrame | None = None) -> DataFrame:
     """(window_hash, n_occurrences, min_len): the persistable
     substring-dedup INDEX artifact — corpus-wide occurrence counts per
     sliding min_len-window digest. Bounded by distinct windows × one
@@ -882,7 +893,8 @@ def window_hash_index(docs: DataFrame, id_col: str = "doc_id",
     probe at the wrong width silently misses every digest — so the
     merge and the incremental scrub fail loud on a width mismatch
     instead of trusting a docstring."""
-    occ = _window_occurrences(docs, id_col, text_col, min_len)
+    if occ is None:
+        occ = _window_occurrences(docs, id_col, text_col, min_len)
     return (occ.groupBy(F.col("_h").alias("window_hash"))
             .agg(F.count("*").alias("n_occurrences"))
             .withColumn("min_len", F.lit(int(min_len))))
@@ -967,7 +979,8 @@ def incremental_scrub_duplicate_substrings(
         new_docs: DataFrame, index: DataFrame,
         id_col: str = "doc_id", text_col: str = "text",
         min_len: int = SUBSTR_MIN_LEN,
-        min_count: int = SUBSTR_MIN_COUNT) -> DataFrame:
+        min_count: int = SUBSTR_MIN_COUNT,
+        occ: DataFrame | None = None) -> DataFrame:
     """Scrub an INGEST BATCH against the persisted corpus
     `window_hash_index` without re-scanning the corpus — the
     substring sibling of `incremental_exact` /
@@ -984,8 +997,11 @@ def incremental_scrub_duplicate_substrings(
     corpus-sized relation is the index, probed by ONE equi-join on
     the digest (batch-count-sized left side — land the index
     bucketed and the join is co-located, the incremental_exact
-    plan contract); everything else is batch-sized."""
-    occ = _window_occurrences(new_docs, id_col, text_col, min_len)
+    plan contract); everything else is batch-sized. ``occ``: the
+    batch's already-built `_window_occurrences` relation (e.g. the
+    shared corpus occurrence artifact filtered to the batch docs)."""
+    if occ is None:
+        occ = _window_occurrences(new_docs, id_col, text_col, min_len)
     batch = occ.groupBy("_h").agg(F.count("*").alias("_cb"))
     # width-provenance guard (ADVICE r10): an index built at another
     # min_len shares (almost) no digests with the batch windows, so a

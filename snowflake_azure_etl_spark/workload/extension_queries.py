@@ -654,6 +654,17 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load_tables(spark, sf_dir, ("events",))["events"],
         sf_dir, "events")
     n_rows = stage_row_count(sf_dir, "events")
+    # r12 (VERDICT r11 #4): ONE narrow events base feeds every
+    # events-derived sketch family (KMV, HLL, both CMS legs, both
+    # histogram legs) — the four independent parquet scans + column
+    # decodes r11 paid become one cached (event_type, user_id, value,
+    # day) relation; each family still pays only its own aggregate.
+    # At 100 TB this is the maintenance job's shared scan, persisted
+    # columnar (MEMORY_AND_DISK spills).
+    from ..operators._cache import cached_relation as _crel
+    e = _crel(e.select("event_type", "user_id", "value",
+                       F.to_date("ts").alias("day")),
+              "q47_events_base", eager=False)
     h = e.select("event_type",
                  F.md5(F.col("user_id").cast("string")).alias("hv"))
     merged = kmv_mins(h, "event_type", "hv", KMV_K, n_rows=n_rows)
@@ -666,8 +677,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.lit(float(KMV_K - 1)) / frac).alias("estimate")))
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     nations = (e.join(c, e.user_id == c.c_custkey)
-               .select("event_type",
-                       F.to_date("ts").alias("day"), "c_nationkey"))
+               .select("event_type", "day", "c_nationkey"))
     daily = hll_partials(nations, ["event_type", "day"], "c_nationkey")
     hll_leg = (hll_rollup(daily, ["event_type"])
                .select(F.lit("hll_nations").alias("leg"), "event_type",
@@ -746,8 +756,26 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_single_split(
         spark, load_tables(spark, sf_dir, ("documents",))["documents"],
         sf_dir, "documents")
+    # r12 (VERDICT r11 #4): ONE documents feature base for the three
+    # mixture legs — token counts, the qmix probe's three feature
+    # doubles, and its weak label are all tokenization-heavy row-local
+    # expressions that mix/mix_applied/qmix (2 GD training scans + a
+    # scoring scan) each re-evaluated from raw text; evaluating them
+    # once into a cached narrow relation leaves every later scan a
+    # columnar read. Values are bit-identical (deterministic row-local
+    # doubles), so the oracle's replay-from-text is unchanged.
+    from ..operators.text import (quality_score, stopword_ratio,
+                                  type_token_ratio)
+    dbase = _crel(
+        docs.select("doc_id", "source", n_tokens("text").alias("nt"),
+                    stopword_ratio("text").alias("_f1"),
+                    type_token_ratio("text").alias("_f2"),
+                    F.least(F.length("text").cast("double") / 200,
+                            F.lit(1.0)).alias("_f3"),
+                    (quality_score("text") >= F.lit(0.5)).alias("_lbl")),
+        "q47_doc_feats", eager=False)
     mix_leg = leg_cache("q47_mix_leg", docs, lambda: mixture_rates(
-        docs.select("source", n_tokens("text").alias("nt")),
+        dbase.select("source", "nt"),
         "source", "nt")
         .select(F.lit("mix").alias("leg"),
                 F.col("source").alias("event_type"),
@@ -766,8 +794,7 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.sampling import apply_mixture
         rates = mix_leg.select(F.col("event_type").alias("source"),
                                F.col("estimate").alias("rate"))
-        nt = docs.select("doc_id", "source",
-                         n_tokens("text").alias("nt"))
+        nt = dbase.select("doc_id", "source", "nt")
         kept = apply_mixture(nt, rates, "source", "doc_id")
         return (kept.groupBy("source")
                 .agg(F.count("*").alias("_n"),
@@ -902,17 +929,14 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.sampling import (apply_quality_mixture,
                                           quality_bucket,
                                           quality_mixture_rates)
-        from ..operators.text import (quality_score, stopword_ratio,
-                                      type_token_ratio)
-        feats = [stopword_ratio("text"), type_token_ratio("text"),
-                 F.least(F.length("text").cast("double") / 200,
-                         F.lit(1.0))]
-        label = quality_score("text") >= F.lit(0.5)
-        w = classifier.train_margin_classifier(docs, feats, label,
-                                               n_iter=2)
+        # features/label read from the shared base — the 2 GD rounds
+        # and the scoring pass scan cached doubles, not raw text
+        feats = [F.col("_f1"), F.col("_f2"), F.col("_f3")]
+        w = classifier.train_margin_classifier(dbase, feats,
+                                               F.col("_lbl"), n_iter=2)
         scored = classifier.score_with(
-            docs.select("doc_id", "source", "text",
-                        n_tokens("text").alias("nt")),
+            dbase.select("doc_id", "source", "nt",
+                         "_f1", "_f2", "_f3"),
             feats, w, out_col="p")
         cells = scored.select("doc_id", "source", "nt",
                               quality_bucket(F.col("p"), 4).alias("qb"))
