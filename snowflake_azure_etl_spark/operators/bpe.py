@@ -134,8 +134,15 @@ def _train(docs: DataFrame, text_col: str, n_merges: int,
     # per (session, corpus plan, k) by train_bpe_merges the way
     # similarity.ivf_topk memoizes its index: a tokenizer is trained
     # once per corpus and reused by every downstream encode
+    # coalesce(4): the words relation is vocabulary-sized (~10^5-10^6
+    # rows for natural text at ANY corpus size — the Sennrich
+    # reduction), so every per-round probe job over the default
+    # shuffle partitioning is task-scheduling overhead, not compute;
+    # four partitions keep the rounds parallel enough while cutting
+    # per-round fixed cost ~8× (r12 cold-budget measurement)
     words = (word_freqs(docs, text_col)
              .select(symbolize("word").alias("symstr"), "freq")
+             .coalesce(4)
              .localCheckpoint(eager=True))
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):

@@ -279,6 +279,31 @@ def pii_email_count(text: Column | str,
     return F.regexp_count(c, F.lit(pattern)).cast("int")
 
 
+#: RE2-safe NANP-ish phone shape (optional +country, area code with
+#: optional parens, -. or space separators) — runs verbatim in DuckDB.
+PHONE_PATTERN = (r"\+?[0-9]{0,3}[-. ]?\(?[0-9]{3}\)?[-. ]"
+                 r"[0-9]{3}[-. ][0-9]{4}")
+
+#: RE2-safe dotted-quad shape (\b is ASCII word boundary in both RE2
+#: and java.util.regex). Shape screen, not a validator — 999.0.0.1
+#: matches, exactly like production PII screens that over-capture.
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    """Count of PII-shaped spans for any pattern of the family."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern)).cast("int")
+
+
+def pii_phone_count(text: Column | str) -> Column:
+    return pii_count(text, PHONE_PATTERN)
+
+
+def pii_ipv4_count(text: Column | str) -> Column:
+    return pii_count(text, IPV4_PATTERN)
+
+
 def redact_pii(text: Column | str, pattern: str = EMAIL_PATTERN,
                replacement: str = "<PII>") -> Column:
     """Replace every PII-shaped span with a fixed tag — the scrub step
@@ -286,6 +311,48 @@ def redact_pii(text: Column | str, pattern: str = EMAIL_PATTERN,
     JVM-side; composes per-row with chunking/splitting downstream."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(c, pattern, replacement)
+
+
+def redact_pii_all(text: Column | str,
+                   patterns: "tuple[str, ...]" = (EMAIL_PATTERN,
+                                                  PHONE_PATTERN,
+                                                  IPV4_PATTERN),
+                   replacement: str = "<PII>") -> Column:
+    """Chain every PII class through one projection — order is the
+    tuple order (emails first so an address inside a larger span is
+    tagged before the broader shapes run). Still row-local JVM
+    regexes; zero shuffles."""
+    c = F.col(text) if isinstance(text, str) else text
+    for p in patterns:
+        c = F.regexp_replace(c, p, replacement)
+    return c
+
+
+def duplicate_line_fraction(text: Column | str) -> Column:
+    """Fraction of newline-separated lines that repeat an earlier
+    line — the Gopher duplicate-line rule (high ⇒ templated
+    boilerplate). 0.0 for single-line documents (the same
+    single-unit convention as repeated_bigram_fraction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n)
+
+
+def top_bigram_mass(text: Column | str) -> Column:
+    """Occurrences of the single most frequent word bigram / total
+    bigrams — Gopher's top-2-gram fraction (high ⇒ one phrase loops
+    through the document). Row-local: per distinct bigram, count its
+    occurrences with a filter pass (O(d·n) per row, bounded by the
+    doc's own length — no shuffle, no UDF); 0.0 when no bigram
+    exists."""
+    bg = bigrams(text)
+    counts = F.transform(
+        F.array_distinct(bg),
+        lambda g: F.size(F.filter(bg, lambda x: x == g)))
+    return F.when(F.size(bg) < 1, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(bg))
 
 
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,

@@ -1387,7 +1387,31 @@ def _clf_pred_sql() -> str:
            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
                 AS DOUBLE) / length(text) AS symbol_ratio,
            CAST(len(regexp_extract_all(text, '{text.EMAIL_PATTERN}'))
-                AS INT) AS pii_email_count,""" + """
+                AS INT) AS pii_email_count,
+           CAST(len(regexp_extract_all(text, '{text.PHONE_PATTERN}'))
+                AS INT) AS pii_phone_count,
+           CAST(len(regexp_extract_all(text, '{text.IPV4_PATTERN}'))
+                AS INT) AS pii_ipv4_count,
+           CASE WHEN len(string_split(text, chr(10))) <= 1 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(
+                         string_split(text, chr(10)))) AS DOUBLE)
+                     / len(string_split(text, chr(10))) END
+               AS dup_line_fraction,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                ELSE CAST(list_max(list_transform(
+                         list_distinct(list_transform(
+                             generate_series(1,
+                                 len(string_split(text, ' ')) - 1),
+                             i -> string_split(text, ' ')[i] || ' '
+                                  || string_split(text, ' ')[i + 1])),
+                         g -> len(list_filter(list_transform(
+                             generate_series(1,
+                                 len(string_split(text, ' ')) - 1),
+                             i -> string_split(text, ' ')[i] || ' '
+                                  || string_split(text, ' ')[i + 1]),
+                             x -> x = g)))) AS DOUBLE)
+                     / (len(string_split(text, ' ')) - 1) END
+               AS top_bigram_mass,""" + """
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INT)
                AS n_distinct_tokens,
@@ -1633,6 +1657,14 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.mean_token_length("text").alias("mean_token_length"),
         text.symbol_ratio("text").alias("symbol_ratio"),
         text.pii_email_count("text").alias("pii_email_count"),
+        # r12: the remaining PII classes + the two Gopher repetition
+        # rules the suite lacked — all row-local JVM regex/array
+        # passes, oracle-mirrored with the identical RE2-safe
+        # patterns and the identical bigram construction
+        text.pii_phone_count("text").alias("pii_phone_count"),
+        text.pii_ipv4_count("text").alias("pii_ipv4_count"),
+        text.duplicate_line_fraction("text").alias("dup_line_fraction"),
+        text.top_bigram_mass("text").alias("top_bigram_mass"),
         text.n_tokens("text").alias("n_tokens"),
         text.n_distinct_tokens("text").alias("n_distinct_tokens"),
         text.type_token_ratio("text").alias("type_token_ratio"),

@@ -115,3 +115,48 @@ def test_referential_violations(spark):
                                   n_parent_rows=10) == 1
     clean = child.filter("pid IS NULL OR pid <= 3")
     assert referential_violations(clean, "pid", parent, "pid") == 0
+
+
+def test_pii_phone_and_ipv4_counts(spark):
+    from snowflake_azure_etl_spark.operators import text
+    import pyspark.sql.functions as F
+    rows = [
+        (1, "call +1-555-123-4567 or (555) 987-6543 today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 replied"),
+        (3, "no pii here at all"),
+        (4, "mixed: 555-123-4567 via 8.8.8.8 and a@b.co"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.pii_phone_count("text").alias("ph"),
+        text.pii_ipv4_count("text").alias("ip"),
+        text.redact_pii_all("text").alias("red")).collect()}
+    assert got[1]["ph"] == 2 and got[1]["ip"] == 0
+    assert got[2]["ip"] == 2 and got[2]["ph"] == 0
+    assert got[3]["ph"] == got[3]["ip"] == 0
+    assert got[4]["ph"] == 1 and got[4]["ip"] == 1
+    red = got[4]["red"]
+    assert "555-123-4567" not in red and "8.8.8.8" not in red \
+        and "a@b.co" not in red and red.count("<PII>") == 3
+    assert got[3]["red"] == "no pii here at all"
+
+
+def test_gopher_dup_line_and_top_bigram(spark):
+    from snowflake_azure_etl_spark.operators import text
+    rows = [
+        (1, "same line\nsame line\nother line"),     # 1/3 lines repeat
+        (2, "one line only"),
+        (3, "go go go go go"),                       # one bigram loops
+        (4, "all words fully distinct here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.duplicate_line_fraction("text").alias("dl"),
+        text.top_bigram_mass("text").alias("tb")).collect()}
+    assert abs(got[1]["dl"] - 1/3) < 1e-12
+    assert got[2]["dl"] == 0.0
+    assert got[3]["tb"] == 1.0        # "go go" is every bigram
+    assert abs(got[4]["tb"] - 0.25) < 1e-12   # 4 bigrams, all unique
+    assert got[2]["tb"] == 0.0 or got[2]["tb"] > 0  # defined, no crash
