@@ -185,6 +185,48 @@ def dsir_ingest_sink(model_table: str, scored_table: str, *,
     return write
 
 
+def lm_ingest_sink(uni_table: str, bi_table: str, totals_table: str,
+                   thr_table: str, scored_table: str, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   keep_only: bool = False):
+    """Arrival-time bigram-LM perplexity scoring (r12 — the streaming
+    sibling of `operators.lm`, completing the new quality tier's
+    maintenance family exactly like `dsir_ingest_sink` does DSIR's).
+    Returns a foreachBatch function: each micro-batch is scored
+    against the PERSISTED model (floored unigram/bigram counts +
+    one-row totals — what `lm.bigram_lm_model` trains once per corpus
+    version) and gated against the PERSISTED corpus-average threshold
+    (`lm.lm_corpus_threshold` over the training corpus — fixed at
+    ingest so the cut never drifts with batch composition); rows land
+    in `scored_table` with lm_bits/lm_n_pos/lm_ppl_bits/lm_keep via
+    the idempotent epoch sink.
+
+    Stateless across batches (fixed model, fixed threshold), so the
+    stream output equals the batch scoring of the concatenated stream
+    — pinned in tests/test_streaming_ingest.py. ``keep_only=True``
+    drops over-threshold (high-perplexity) documents at the door;
+    unscorable short documents are kept (the batch operator's
+    contract)."""
+    from ..operators.lm import bigram_lm_bits, lm_keep
+    from .sinks import idempotent_epoch_sink
+
+    write_scored = idempotent_epoch_sink(scored_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = bigram_lm_bits(batch_df, id_col, text_col,
+                                spark.table(uni_table),
+                                spark.table(bi_table),
+                                spark.table(totals_table))
+        out = batch_df.join(lm_keep(scored, spark.table(thr_table)),
+                            id_col)
+        if keep_only:
+            out = out.filter(F.col("lm_keep"))
+        write_scored(out, epoch_id)
+
+    return write
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:

@@ -276,3 +276,14 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"IVF recall@3 collapsed: {recall:.2f}"
+
+
+def test_q50_lang_rides_the_dedup_aggregate(spark, sf_dir):
+    """VERDICT r11 #1 'done' criterion: the keeper's lang is carried
+    THROUGH the content-hash aggregate (min_by beside the keeper
+    selection), not attached by a second corpus join — so no plan
+    revision can reintroduce the corpus-sized broadcast the r11 audit
+    flagged (the attestation sweep guards the hint class; this pins
+    the aggregate shape)."""
+    plan = plan_of(spark, sf_dir, "q50_dedup_exact")
+    assert "min_by" in plan

@@ -313,3 +313,96 @@ def test_dsir_ingest_matches_batch_operator(spark):
             == {d for d, _ in want})
     assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
             == 2)
+
+
+def test_lm_ingest_matches_batch_operator(spark):
+    """r12: per-micro-batch bigram-LM perplexity scoring against the
+    persisted model + the persisted TRAIN-corpus threshold — streamed
+    scores equal the batch operator over the concatenated stream
+    bit-for-bit, keep_only drops exactly the over-threshold docs, and
+    an epoch replay is idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import lm
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+        (4, "the bird flew over the mat"),
+    ]
+    batches = [
+        [(10, "the cat sat on the mat"),        # fluent under the model
+         (11, "zq xv jj kw pq mn zz yy")],      # gibberish
+        [(12, "the dog sat on the hat"),
+         (13, "word")],                         # unscorable: kept
+    ]
+
+    def table(name):
+        db = "lm_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    corpus = spark.createDataFrame(train, "doc_id long, text string")
+    uni, bi, tot = lm.bigram_lm_model(corpus)
+    sc_train = lm.bigram_lm_bits(corpus, "doc_id", "text", uni, bi, tot)
+    thr = lm.lm_corpus_threshold(sc_train)
+    uni_t, bi_t = table("lm_uni"), table("lm_bi")
+    tot_t, thr_t = table("lm_tot"), table("lm_thr")
+    uni.write.saveAsTable(uni_t); bi.write.saveAsTable(bi_t)
+    tot.write.saveAsTable(tot_t); thr.write.saveAsTable(thr_t)
+
+    src = tempfile.mkdtemp(prefix="lm_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    scored_t, kept_t = table("lm_scored_t"), table("lm_kept_t")
+    for tgt, keep in ((scored_t, False), (kept_t, True)):
+        sink = ingest.lm_ingest_sink(uni_t, bi_t, tot_t, thr_t, tgt,
+                                     keep_only=keep)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="lm_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {(r["doc_id"], r["lm_bits"], r["lm_ppl_bits"], r["lm_keep"])
+            for r in lm.lm_keep(
+                lm.bigram_lm_bits(whole, "doc_id", "text",
+                                  spark.table(uni_t), spark.table(bi_t),
+                                  spark.table(tot_t)),
+                spark.table(thr_t)).collect()}
+    got = {(r["doc_id"], r["lm_bits"], r["lm_ppl_bits"], r["lm_keep"])
+           for r in spark.table(scored_t)
+           .select("doc_id", "lm_bits", "lm_ppl_bits", "lm_keep")
+           .collect()}
+    assert got == want and len(got) == 4
+    kept = {r["doc_id"] for r in spark.table(kept_t).collect()}
+    assert kept == {d for d, _, _, k in want if k}
+    assert 11 not in kept          # gibberish cut at the door
+    assert 13 in kept              # unscorable short doc kept
+    # replaying epoch 0 overwrites its partition — nothing duplicates
+    sink0 = ingest.lm_ingest_sink(uni_t, bi_t, tot_t, thr_t, scored_t)
+    sink0(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    assert spark.table(scored_t).count() == 4
+    assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
+            == 2)
