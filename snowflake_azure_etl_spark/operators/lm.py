@@ -72,8 +72,10 @@ LM_MIN_COUNT = 2
 
 
 def _toks(text_col: Column | str) -> Column:
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(c, " ")
+    # the ONE single-space tokenizer (oracle contract: string_split
+    # semantics) — delegated so a tokenization fix lands everywhere
+    from .text import tokens
+    return tokens(text_col)
 
 
 def _bigram_pairs(text_col: Column | str) -> Column:

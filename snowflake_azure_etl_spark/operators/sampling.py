@@ -418,14 +418,17 @@ def dsir_log_weights(df: DataFrame, stats: DataFrame, id_col: str,
 
 
 def dsir_log_weights_from(ids: DataFrame, feats: DataFrame,
-                          stats: DataFrame, id_col: str) -> DataFrame:
+                          stats: DataFrame, id_col: str,
+                          n_buckets: int = DSIR_BUCKETS) -> DataFrame:
     """`dsir_log_weights` over an already-built feature map — the
     share-one-featurization sibling of `dsir_bucket_stats_from`.
     `ids` is the id universe (docs with no full-width gram coalesce
-    to score 0)."""
+    to score 0). ``n_buckets`` is the model's bucket count — the
+    broadcast attestation bound (review finding r12: a hardcoded
+    DSIR_BUCKETS bound was FALSE for callers with wider models)."""
     scored = (feats.join(bounded_broadcast(
         stats, bound="DSIR bucket model (<= n_buckets rows)",
-        max_rows=DSIR_BUCKETS), "bucket")
+        max_rows=min(n_buckets, 1_000_000)), "bucket")
               .groupBy(id_col)
               .agg(F.sum(F.col("c") * F.col("lam")).alias("_s")))
     return (ids.join(scored, id_col, "left")

@@ -241,7 +241,7 @@ def ivf_inertia_trajectory(emb: DataFrame, id_col: str, vec_col: str,
     from ._cache import cached_build, plan_key
     spark = emb.sparkSession
     key = ("ivf_inertia", plan_key(emb), id_col, vec_col, n_cells,
-           train_iters)
+           train_iters, scale)
 
     def build():
         rounds = _kmeans_rounds(emb, id_col, vec_col, n_cells,
@@ -450,6 +450,28 @@ def _ivf_index(emb: DataFrame, id_col: str, vec_col: str,
         return cent_arr, assigned
 
     return cached_build(spark, key, build)
+
+
+def _probe_rank_cell(rel: DataFrame, cent_arr: DataFrame,
+                     rank: int) -> DataFrame:
+    """`rel` with `cell_id` replaced by the row's `rank`-th nearest
+    cell (1 = the primary assignment). Rows with fewer than `rank`
+    cells available drop out. Same shuffle-free shape as assignment;
+    ties resolve by the (-cos, cell_id) struct order, so every rank
+    is a DISTINCT cell."""
+    from ._cache import cached_column
+    best = cached_column(
+        ("probe_rank_cell_cv", rank),
+        lambda: F.element_at(
+            F.array_sort(_cell_scores(F.col("cv"), F.col("_cents"))),
+            -rank))
+    return (rel.drop("cell_id")
+            .crossJoin(bounded_broadcast(
+                cent_arr, bound="one-row centroid array", max_rows=1))
+            .withColumn("cell_id",
+                        (-best.getField("nid")).cast("int"))
+            .filter(F.col("cell_id").isNotNull())
+            .drop("_cents"))
 
 
 def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
@@ -764,14 +786,16 @@ def _semdedup_clusters(emb: DataFrame, id_col: str, vec_col: str,
         base = _semdedup_clusters(emb, id_col, vec_col, n_cells,
                                   train_iters, threshold, max_cell,
                                   n_rows, nprobe - 1)
-        # EXTRA visits only: probe ranks whose cell differs from the
-        # row's primary; both directions survive (a pair whose only
-        # coverage is the larger-id member probing the smaller's
-        # primary cell must too)
-        probe = _probe_cells(c.withColumn("_prim", F.col("cell_id")),
-                             cent_arr, nprobe)
-        extra_src = (probe.filter(F.col("cell_id") != F.col("_prim"))
-                     .drop("_prim"))
+        # EXTRA visits only: exactly the nprobe-th nearest cell —
+        # ranks 1..nprobe-1 are the cached base level's coverage, so
+        # each recursion level pays ONE probe rank, not nprobe-1
+        # (review finding r12: filtering probe_cells(nprobe) by
+        # != primary re-scored ranks 2..nprobe-1 at every level).
+        # Both pair directions survive (a pair whose only coverage is
+        # the larger-id member probing the smaller's primary cell
+        # must too). Rows whose corpus has fewer than nprobe cells
+        # have no nprobe-th cell and contribute no extras.
+        extra_src = _probe_rank_cell(c, cent_arr, nprobe)
         if guard:
             extra_src = extra_src.join(
                 bounded_broadcast(widths,

@@ -275,8 +275,7 @@ def pii_email_count(text: Column | str,
                     pattern: str = EMAIL_PATTERN) -> Column:
     """Count of email-shaped spans (the canonical PII screen's cheapest
     signal; swap the pattern for phones/IDs — same plan)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_count(c, F.lit(pattern)).cast("int")
+    return pii_count(text, pattern)
 
 
 #: RE2-safe NANP-ish phone shape (optional +country, area code with

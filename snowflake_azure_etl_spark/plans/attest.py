@@ -81,17 +81,27 @@ def bounded_broadcast(side: DataFrame, *, bound: str | None = None,
     ``max_rows`` above :data:`BROADCAST_MAX_ROWS` is rejected — the
     cap is the attestation's teeth.
     """
-    if max_rows > (KEY_ONLY_MAX_ROWS if key_only else BROADCAST_MAX_ROWS):
-        raise ValueError(
-            f"max_rows={max_rows} exceeds the attestation cap "
-            f"({'KEY_ONLY_' if key_only else 'BROADCAST_'}MAX_ROWS): a "
-            "broadcast that needs a bigger cap is not a broadcast")
+    cap = KEY_ONLY_MAX_ROWS if key_only else BROADCAST_MAX_ROWS
     if n_rows is None and bound is None:
         raise ValueError(
             "unattested broadcast: pass a measured n_rows or a declared "
             "construction bound")
+    if n_rows is not None and bound is not None:
+        raise ValueError(
+            "ambiguous attestation: pass EITHER a measured n_rows OR a "
+            "declared construction bound — a bound that rides beside a "
+            "measured count is never verified (review finding r12)")
     if n_rows is not None:
-        return F.broadcast(side) if n_rows <= max_rows else side
+        # measured form: the effective threshold is the caller's cap
+        # clamped to the global one — an oversized caller cap degrades
+        # to the global cap (the side still broadcasts iff it is small
+        # in fact) instead of failing a measured-and-tiny side
+        return F.broadcast(side) if n_rows <= min(max_rows, cap) else side
+    if max_rows > cap:
+        raise ValueError(
+            f"max_rows={max_rows} exceeds the attestation cap "
+            f"({'KEY_ONLY_' if key_only else 'BROADCAST_'}MAX_ROWS): a "
+            "declared bound that needs a bigger cap is not a broadcast")
     if _verify:
         got = side.limit(max_rows + 1).count()
         if got > max_rows:

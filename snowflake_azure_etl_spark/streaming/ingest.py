@@ -176,7 +176,8 @@ def dsir_ingest_sink(model_table: str, scored_table: str, *,
         feats = hashed_ngram_counts(batch_df, id_col, text_col, n,
                                     buckets, salt)
         scored = dsir_log_weights_from(batch_df.select(id_col), feats,
-                                       stats, id_col)
+                                       stats, id_col,
+                                       n_buckets=buckets)
         out = batch_df.join(scored, id_col)
         if keep_only:
             out = out.filter(F.col("dsir_score") > 0)

@@ -9,6 +9,7 @@ UDF or an accidental cross join into the catalog fails here, not in a
 from __future__ import annotations
 
 import pathlib
+import re
 
 import pytest
 
@@ -65,7 +66,14 @@ def test_no_raw_broadcast_hints():
             continue
         for i, line in enumerate(py.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            if "F.broadcast(" in code or "functions.broadcast(" in code:
+            # \bbroadcast( catches F.broadcast / sf.broadcast / a bare
+            # `from pyspark.sql.functions import broadcast` call alike
+            # (review finding r12: the literal substrings missed
+            # aliased imports); bounded_/_maybe_ have a word char
+            # before 'broadcast', so the sanctioned wrappers don't
+            # match. No space allowed before '(' — prose in docstrings
+            # says "broadcast (x)" but code calls broadcast(x).
+            if re.search(r"\bbroadcast\(", code):
                 offenders.append(f"{py.relative_to(_PKG)}:{i}: {line.strip()}")
     assert not offenders, (
         "raw broadcast hint(s) outside plans.attest — route through "
