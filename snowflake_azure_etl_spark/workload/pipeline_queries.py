@@ -2395,13 +2395,6 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("double").alias("cos_sim"),
                         F.col("cell_id").cast("int").alias("rn")))
 
-    sd = semdedup_leg("semdedup", 1)
-    # r11 (VERDICT r10 #3): the SAME dedup at nprobe=2 — boundary
-    # pairs either member's probe set covers are merged; the oracle
-    # resolves components over the widened pair set with a second
-    # recursive CTE, so the dial is driver-hashed for BOTH semantic
-    # operators (decontam_mp below is the other)
-    sd2 = semdedup_leg("semdedup_mp", 2)
     # third leg (r8, X-ANN-IVF-INCR): incremental index maintenance —
     # vec_id ≡ 0 (mod 5) stands in for a new-arrival batch assigned to
     # the SAME persisted quantizer (no retrain; `_ivf_index` cache
@@ -2433,6 +2426,23 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries the hit count, cos_sim the max similarity (both
     # exact/order-invariant), rn the cell.
     eval_ids = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    # seventh leg (r12, VERDICT r11 #7), built FIRST: the
+    # quantizer-quality attestation — the k-means inertia trajectory
+    # as exact fixed-point longs (per-round SSD of the assignments to
+    # the centroids the round entered with, plus the shipped index's
+    # final row over the cached assignment). The oracle replays every
+    # round's SSD from the SAME a1/a2/assigned CTEs that replay
+    # training, so index QUALITY is driver-hashed the way recall@3
+    # is. query_id carries the round, neighbor_id the exact inertia,
+    # cos_sim the derived mean squared distance. Building it first
+    # also trains the shared quantizer before the threaded legs run.
+    inertia = (similarity.ivf_inertia_trajectory(
+                   emb, "vec_id", "embedding", n_cells=8, train_iters=2)
+               .select(F.lit("inertia").alias("leg"),
+                       F.col("it").alias("query_id"),
+                       F.col("inertia").alias("neighbor_id"),
+                       F.col("mean_d2").alias("cos_sim"),
+                       F.col("it").cast("int").alias("rn")))
 
     def decontam_leg(tag: str, nprobe: int) -> DataFrame:
         return (similarity.semantic_decontam(
@@ -2447,15 +2457,23 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("max_sim").alias("cos_sim"),
                         F.col("cell_id").cast("int").alias("rn")))
 
-    dc = decontam_leg("decontam", 1)
-    # sixth leg (r11, VERDICT r10 #3): the SAME decontamination at
-    # nprobe=2 — the multi-probe recall dial driver-hashed, not just
-    # pytest-pinned. Cross-cell near-hits the single-probe contract
-    # documents as missed are caught here (on this corpus the leg's
-    # extra hits are exactly the boundary pairs); the report still
-    # carries the PRIMARY cell, so both legs share the persisted
-    # `_ivf_index` and differ only in the comparison stage.
-    dc2 = decontam_leg("decontam_mp", 2)
+    # r12: the per-leg ARTIFACT builds run as concurrent Spark jobs
+    # where independent (the q47 pattern): the decontam legs (both
+    # nprobe dials — r11 VERDICT r10 #3: the multi-probe recall dial
+    # driver-hashed; the report keeps the PRIMARY cell so all legs
+    # share `_ivf_index`) overlap the semdedup resolution chain, whose
+    # two levels stay serial because nprobe=2 SEEDS from the cached
+    # nprobe=1 components. The quantizer itself is forced first (the
+    # inertia build trains rounds + index eagerly), so no thread races
+    # the shared index build.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_sd = pool.submit(semdedup_leg, "semdedup", 1)
+        f_dc = pool.submit(decontam_leg, "decontam", 1)
+        f_dc2 = pool.submit(decontam_leg, "decontam_mp", 2)
+        sd = f_sd.result()
+        sd2 = semdedup_leg("semdedup_mp", 2)
+        dc, dc2 = f_dc.result(), f_dc2.result()
     # fifth leg (r10, X-ANN-RECALL): IVF recall@3 against the exact
     # brute-force ranking over the same query subset — q54 attests
     # the PQ-ADC family's recall, this attests the cell-probe
@@ -2486,22 +2504,6 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(3.0) * F.col("nq").cast("double")))
                            .alias("cos_sim"),
                            F.lit(1).cast("int").alias("rn")))
-    # seventh leg (r12, VERDICT r11 #7): the quantizer-quality
-    # attestation — the k-means inertia trajectory as exact
-    # fixed-point longs (per-round SSD of the assignments to the
-    # centroids the round entered with, plus the shipped index's
-    # final row over the cached assignment). The oracle replays every
-    # round's SSD from the SAME a1/a2/assigned CTEs that replay
-    # training, so index QUALITY is driver-hashed the way recall@3
-    # is. query_id carries the round, neighbor_id the exact inertia,
-    # cos_sim the derived mean squared distance.
-    inertia = (similarity.ivf_inertia_trajectory(
-                   emb, "vec_id", "embedding", n_cells=8, train_iters=2)
-               .select(F.lit("inertia").alias("leg"),
-                       F.col("it").alias("query_id"),
-                       F.col("inertia").alias("neighbor_id"),
-                       F.col("mean_d2").alias("cos_sim"),
-                       F.col("it").cast("int").alias("rn")))
     return (topk.unionByName(sd).unionByName(sd2)
             .unionByName(dnew).unionByName(dbase)
             .unionByName(dc).unionByName(dc2).unionByName(recall)
