@@ -91,27 +91,79 @@ def _bigram_pairs(text_col: Column | str) -> Column:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
+def bigram_lm_counts(docs: DataFrame, text_col: str = "text"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(uni_all, bi_all): the UN-floored gram counts — the growable
+    artifact. Counts are additive, so a pipeline lands THESE per
+    corpus version/batch and grows them with `merge_gram_counts` (or
+    forgets with `subtract_gram_counts`); the floored serving model
+    derives by `lm_model_from_counts`. The floor itself is NOT
+    additive (a gram under the floor in two batches can clear it in
+    their union), which is why the floored relations never merge."""
+    toks = docs.select(F.explode(_toks(text_col)).alias("tok"))
+    uni_all = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    bi_all = (docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
+              .groupBy(F.col("p.w1").alias("w1"),
+                       F.col("p.w2").alias("w2"))
+              .agg(F.count("*").alias("c")))
+    return uni_all, bi_all
+
+
+def lm_model_from_counts(uni_all: DataFrame, bi_all: DataFrame,
+                         min_count: int = LM_MIN_COUNT
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The serving model from (possibly merged) raw counts:
+    (uni floored, bi floored, one-row totals). Totals come BEFORE the
+    floor — the smoothing denominator must cover the full
+    distribution, not the pruned artifact."""
+    totals = uni_all.agg(F.sum("c").cast("long").alias("n"),
+                         F.count("*").alias("v"))
+    return (uni_all.filter(F.col("c") >= min_count),
+            bi_all.filter(F.col("c") >= min_count),
+            totals)
+
+
 def bigram_lm_model(docs: DataFrame, text_col: str = "text",
                     min_count: int = LM_MIN_COUNT
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train the model: (uni, bi, totals).
+    """Train the model in one shot: (uni, bi, totals) =
+    `lm_model_from_counts(*bigram_lm_counts(docs))`."""
+    uni_all, bi_all = bigram_lm_counts(docs, text_col)
+    return lm_model_from_counts(uni_all, bi_all, min_count)
 
-    - uni: (tok, c) unigram counts with the floor applied;
-    - bi: (w1, w2, c) adjacent-bigram counts with the floor applied;
-    - totals: ONE row (n = total tokens, v = distinct tokens), both
-      computed BEFORE the floor (the smoothing denominator must cover
-      the full distribution, not the pruned artifact).
-    """
-    toks = docs.select(F.explode(_toks(text_col)).alias("tok"))
-    uni_all = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    totals = uni_all.agg(F.sum("c").alias("n"),
-                         F.count("*").alias("v"))
-    uni = uni_all.filter(F.col("c") >= min_count)
-    bi = (docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
-          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-          .agg(F.count("*").alias("c"))
-          .filter(F.col("c") >= min_count))
-    return uni, bi, totals
+
+def merge_gram_counts(a: DataFrame, b: DataFrame,
+                      key_cols: "tuple[str, ...]" = ("tok",)
+                      ) -> DataFrame:
+    """SUM-merge of raw gram-count relations — counts(A) ⊎ counts(B)
+    == counts(A ∪ B), the law that grows the LM artifact per ingest
+    batch without re-scanning the corpus (the `merge_window_index`
+    contract, pinned in tests/test_lm.py). Use ("w1", "w2") for the
+    bigram relation."""
+    return (a.unionByName(b).groupBy(*key_cols)
+            .agg(F.sum("c").cast("long").alias("c")))
+
+
+def subtract_gram_counts(index: DataFrame, removed: DataFrame,
+                         key_cols: "tuple[str, ...]" = ("tok",)
+                         ) -> DataFrame:
+    """Decremental maintenance — counts(corpus) ⊖ counts(removed ⊆
+    corpus) == counts(corpus \\ removed) exactly: the LM artifact's
+    right-to-be-forgotten path (the `subtract_window_index` law).
+    Over-subtraction (removed not a subset) fails loud instead of
+    landing a silently wrong model; zeroed grams leave the relation."""
+    r = removed.select(*key_cols, F.col("c").alias("_cr"))
+    n = F.when(
+        F.coalesce(F.col("_cr"), F.lit(0).cast("long")) > F.col("c"),
+        F.raise_error(F.lit(
+            "subtract_gram_counts: over-subtraction — the removed "
+            "side counts a gram more times than the index does; it "
+            "is not a subset of the indexed corpus")).cast("long"),
+    ).otherwise(F.col("c")
+                - F.coalesce(F.col("_cr"), F.lit(0).cast("long")))
+    return (index.join(r, list(key_cols), "left")
+            .select(*key_cols, n.alias("c"))
+            .filter(F.col("c") > 0))
 
 
 def bigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,

@@ -140,3 +140,48 @@ def test_lm_oracle_ctes_match_engine(spark, tmp_path):
         assert (r["lm_bits"], r["lm_n_pos"], r["lm_ppl_bits"],
                 r["lm_keep"]) == \
             (o[0], o[1], o[2], bool(o[3])), r["doc_id"]
+
+
+def test_lm_count_merge_and_subtract_laws(spark):
+    """The LM artifact's growth/forget laws (r12): merged raw counts
+    equal the union corpus's counts hash-for-hash (and therefore the
+    derived floored model + totals + scores); subtraction inverts a
+    batch exactly; over-subtraction fails loud."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    a_rows = CORPUS[:4]
+    b_rows = CORPUS[4:]
+    A = spark.createDataFrame(a_rows, "doc_id long, text string")
+    B = spark.createDataFrame(b_rows, "doc_id long, text string")
+    U = spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+    ua, ba = lm.bigram_lm_counts(A)
+    ub, bb = lm.bigram_lm_counts(B)
+    uu, bu = lm.bigram_lm_counts(U)
+
+    merged_u = lm.merge_gram_counts(ua, ub)
+    merged_b = lm.merge_gram_counts(ba, bb, key_cols=("w1", "w2"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(merged_u) == rows(uu)
+    assert rows(merged_b) == rows(bu)
+
+    # the derived serving model and scores are therefore identical
+    m1 = lm.lm_model_from_counts(merged_u, merged_b)
+    m2 = lm.bigram_lm_model(U)
+    s1 = rows(lm.bigram_lm_bits(U, "doc_id", "text", *m1))
+    s2 = rows(lm.bigram_lm_bits(U, "doc_id", "text", *m2))
+    assert s1 == s2
+
+    # subtraction inverts the merge exactly
+    back_u = lm.subtract_gram_counts(merged_u, ub)
+    back_b = lm.subtract_gram_counts(merged_b, bb, key_cols=("w1", "w2"))
+    assert rows(back_u) == rows(ua)
+    assert rows(back_b) == rows(ba)
+
+    # over-subtraction (removing a non-subset) fails loud
+    with pt.raises(Exception, match="over-subtraction"):
+        lm.subtract_gram_counts(ua, merged_u).collect()
