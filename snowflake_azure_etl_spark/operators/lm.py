@@ -151,17 +151,26 @@ def subtract_gram_counts(index: DataFrame, removed: DataFrame,
     corpus) == counts(corpus \\ removed) exactly: the LM artifact's
     right-to-be-forgotten path (the `subtract_window_index` law).
     Over-subtraction (removed not a subset) fails loud instead of
-    landing a silently wrong model; zeroed grams leave the relation."""
-    r = removed.select(*key_cols, F.col("c").alias("_cr"))
+    landing a silently wrong model; zeroed grams leave the relation.
+
+    r12 review hardening: the join is FULL OUTER (a left join dropped
+    removed-only grams before the guard could see them — a removed
+    batch containing a gram the index never held passed silently),
+    and the removed side pre-aggregates by key (duplicate keys would
+    both fan out the output and evade the per-row guard by splitting
+    one over-subtraction across rows)."""
+    r = (removed.groupBy(*key_cols)
+         .agg(F.sum("c").cast("long").alias("_cr")))
     n = F.when(
-        F.coalesce(F.col("_cr"), F.lit(0).cast("long")) > F.col("c"),
+        F.coalesce(F.col("_cr"), F.lit(0).cast("long"))
+        > F.coalesce(F.col("c"), F.lit(0).cast("long")),
         F.raise_error(F.lit(
             "subtract_gram_counts: over-subtraction — the removed "
             "side counts a gram more times than the index does; it "
             "is not a subset of the indexed corpus")).cast("long"),
-    ).otherwise(F.col("c")
+    ).otherwise(F.coalesce(F.col("c"), F.lit(0).cast("long"))
                 - F.coalesce(F.col("_cr"), F.lit(0).cast("long")))
-    return (index.join(r, list(key_cols), "left")
+    return (index.join(r, list(key_cols), "full_outer")
             .select(*key_cols, n.alias("c"))
             .filter(F.col("c") > 0))
 

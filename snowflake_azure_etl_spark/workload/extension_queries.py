@@ -983,35 +983,29 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # were the cold sweep's serial driver-side tail, and independent
     # job submission is exactly how a production driver saturates a
     # 1000-executor cluster with independent maintenance jobs. Warm
-    # invocations hit the session cache inside each future at ~0
-    # cost. Distinct cache keys per leg, shared bases (ebase/dbase/
-    # _ivf-style artifacts) pre-registered above, so the only shared
-    # state the threads touch is the GIL-protected session-cache dict
-    # and Spark's own thread-safe job scheduler.
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futs = {
-            "cms": pool.submit(leg_cache, "q47_cms_leg", e,
-                               build_cms_leg),
-            "mix": pool.submit(leg_cache, "q47_mix_leg", docs,
-                               build_mix_leg),
-            "bloom": pool.submit(leg_cache, "q47_bloom_leg", li,
-                                 build_bloom_leg),
-            "bloom_rollup": pool.submit(leg_cache, "q47_bloom_rollup",
-                                        mem, build_bloom_rollup_leg),
-            "qmix": pool.submit(leg_cache, "q47_qmix_leg", docs,
-                                build_qmix_leg),
-            "dsir": pool.submit(leg_cache, "q47_dsir_topk", docs,
-                                build_dsir_topk_leg),
-        }
-        mix_leg = futs["mix"].result()
-        mix_applied_leg = leg_cache("q47_mix_applied", docs,
-                                    build_mix_applied)
-        cms_leg = futs["cms"].result()
-        bloom_leg = futs["bloom"].result()
-        bloom_rollup_leg = futs["bloom_rollup"].result()
-        qmix_leg = futs["qmix"].result()
-        dsir_topk_leg = futs["dsir"].result()
+    # invocations hit the session cache inside each thread at ~0
+    # cost. Shared bases (ebase/dbase/the DSIR feature artifact) are
+    # pre-registered above; cached_build's per-key locks make any
+    # residual shared-artifact touch safe (_cache.concurrent_builds).
+    from ..operators._cache import concurrent_builds
+    legs = concurrent_builds({
+        "cms": lambda: leg_cache("q47_cms_leg", e, build_cms_leg),
+        "mix": lambda: leg_cache("q47_mix_leg", docs, build_mix_leg),
+        "bloom": lambda: leg_cache("q47_bloom_leg", li,
+                                   build_bloom_leg),
+        "bloom_rollup": lambda: leg_cache("q47_bloom_rollup", mem,
+                                          build_bloom_rollup_leg),
+        "qmix": lambda: leg_cache("q47_qmix_leg", docs,
+                                  build_qmix_leg),
+        "dsir": lambda: leg_cache("q47_dsir_topk", docs,
+                                  build_dsir_topk_leg),
+    })
+    mix_leg = legs["mix"]
+    mix_applied_leg = leg_cache("q47_mix_applied", docs,
+                                build_mix_applied)
+    cms_leg, bloom_leg = legs["cms"], legs["bloom"]
+    bloom_rollup_leg = legs["bloom_rollup"]
+    qmix_leg, dsir_topk_leg = legs["qmix"], legs["dsir"]
     return (kmv_leg.unionByName(hll_leg).unionByName(mix_leg)
             .unionByName(mix_applied_leg)
             .unionByName(hist_leg).unionByName(q_leg)

@@ -2426,23 +2426,13 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries the hit count, cos_sim the max similarity (both
     # exact/order-invariant), rn the cell.
     eval_ids = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
-    # seventh leg (r12, VERDICT r11 #7), built FIRST: the
-    # quantizer-quality attestation — the k-means inertia trajectory
-    # as exact fixed-point longs (per-round SSD of the assignments to
-    # the centroids the round entered with, plus the shipped index's
-    # final row over the cached assignment). The oracle replays every
-    # round's SSD from the SAME a1/a2/assigned CTEs that replay
-    # training, so index QUALITY is driver-hashed the way recall@3
-    # is. query_id carries the round, neighbor_id the exact inertia,
-    # cos_sim the derived mean squared distance. Building it first
-    # also trains the shared quantizer before the threaded legs run.
-    inertia = (similarity.ivf_inertia_trajectory(
-                   emb, "vec_id", "embedding", n_cells=8, train_iters=2)
-               .select(F.lit("inertia").alias("leg"),
-                       F.col("it").alias("query_id"),
-                       F.col("inertia").alias("neighbor_id"),
-                       F.col("mean_d2").alias("cos_sim"),
-                       F.col("it").cast("int").alias("rn")))
+    # The seventh leg (r12, VERDICT r11 #7) — the quantizer-quality
+    # inertia trajectory (exact fixed-point SSD per training round +
+    # the shipped index's final row; the oracle replays every round
+    # from the SAME a1/a2/assigned CTEs that replay training, so
+    # index QUALITY is driver-hashed the way recall@3 is) — builds in
+    # the concurrent block below; its quantizer/rounds dependencies
+    # are eagerly cached by the prepared-plan construction above.
 
     def decontam_leg(tag: str, nprobe: int) -> DataFrame:
         return (similarity.semantic_decontam(
@@ -2458,22 +2448,39 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("cell_id").cast("int").alias("rn")))
 
     # r12: the per-leg ARTIFACT builds run as concurrent Spark jobs
-    # where independent (the q47 pattern): the decontam legs (both
-    # nprobe dials — r11 VERDICT r10 #3: the multi-probe recall dial
-    # driver-hashed; the report keeps the PRIMARY cell so all legs
-    # share `_ivf_index`) overlap the semdedup resolution chain, whose
-    # two levels stay serial because nprobe=2 SEEDS from the cached
-    # nprobe=1 components. The quantizer itself is forced first (the
-    # inertia build trains rounds + index eagerly), so no thread races
-    # the shared index build.
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_sd = pool.submit(semdedup_leg, "semdedup", 1)
-        f_dc = pool.submit(decontam_leg, "decontam", 1)
-        f_dc2 = pool.submit(decontam_leg, "decontam_mp", 2)
-        sd = f_sd.result()
-        sd2 = semdedup_leg("semdedup_mp", 2)
-        dc, dc2 = f_dc.result(), f_dc2.result()
+    # where independent (the q47 pattern, _cache.concurrent_builds):
+    # the decontam legs (both nprobe dials — r11 VERDICT r10 #3: the
+    # multi-probe recall dial driver-hashed; the report keeps the
+    # PRIMARY cell so all legs share `_ivf_index`) and the inertia
+    # trajectory's training-round replays overlap the semdedup
+    # resolution chain, whose two levels stay serial INSIDE one
+    # thread because nprobe=2 SEEDS from the cached nprobe=1
+    # components. The shared quantizer + rounds are already eagerly
+    # cached by build_prepared's ivf_topk construction above, and
+    # cached_build's per-key locks cover any residual overlap.
+    from ..operators._cache import concurrent_builds
+
+    def build_sd_chain():
+        return semdedup_leg("semdedup", 1), semdedup_leg("semdedup_mp", 2)
+
+    def build_inertia():
+        return (similarity.ivf_inertia_trajectory(
+                    emb, "vec_id", "embedding", n_cells=8,
+                    train_iters=2)
+                .select(F.lit("inertia").alias("leg"),
+                        F.col("it").alias("query_id"),
+                        F.col("inertia").alias("neighbor_id"),
+                        F.col("mean_d2").alias("cos_sim"),
+                        F.col("it").cast("int").alias("rn")))
+
+    legs = concurrent_builds({
+        "sd": build_sd_chain,
+        "dc": lambda: decontam_leg("decontam", 1),
+        "dc2": lambda: decontam_leg("decontam_mp", 2),
+        "inertia": build_inertia,
+    })
+    sd, sd2 = legs["sd"]
+    dc, dc2, inertia = legs["dc"], legs["dc2"], legs["inertia"]
     # fifth leg (r10, X-ANN-RECALL): IVF recall@3 against the exact
     # brute-force ranking over the same query subset — q54 attests
     # the PQ-ADC family's recall, this attests the cell-probe

@@ -185,3 +185,25 @@ def test_lm_count_merge_and_subtract_laws(spark):
     # over-subtraction (removing a non-subset) fails loud
     with pt.raises(Exception, match="over-subtraction"):
         lm.subtract_gram_counts(ua, merged_u).collect()
+
+
+def test_lm_subtract_guard_closes_review_holes(spark):
+    """r12 review: (a) a removed batch containing a gram the index
+    never held must fail loud (the left-join formulation silently
+    dropped it); (b) duplicate keys in the removed side must not
+    split an over-subtraction across rows or fan out the output."""
+    import pytest as pt
+
+    idx = spark.createDataFrame([("a", 5), ("b", 2)], "tok string, c long")
+    # (a) removed-only gram
+    alien = spark.createDataFrame([("zz", 1)], "tok string, c long")
+    with pt.raises(Exception, match="over-subtraction"):
+        lm.subtract_gram_counts(idx, alien).collect()
+    # (b) duplicate keys summing past the index count
+    dup = spark.createDataFrame([("a", 3), ("a", 3)], "tok string, c long")
+    with pt.raises(Exception, match="over-subtraction"):
+        lm.subtract_gram_counts(idx, dup).collect()
+    # duplicate keys that sum WITHIN the index count subtract once
+    ok = spark.createDataFrame([("a", 2), ("a", 2)], "tok string, c long")
+    got = sorted(map(tuple, lm.subtract_gram_counts(idx, ok).collect()))
+    assert got == [("a", 1), ("b", 2)]
