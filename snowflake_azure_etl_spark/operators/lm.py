@@ -1,4 +1,4 @@
-"""Interpolated bigram language-model perplexity filter — the
+"""Interpolated bigram/trigram language-model perplexity filter — the
 CCNet/KenLM quality tier above the unigram corpus LM (VERDICT r11 #5).
 
 CCNet (Wenzek et al. 2019) scores every document with a KenLM n-gram
@@ -45,6 +45,16 @@ Scale (100 TB):
 - the keep decision is row-local against the one-row threshold — no
   global sort, no rank window over the corpus.
 
+The trigram tier (`trigram_lm_model` / `trigram_lm_bits`) is the same
+construction one order up — 3-way log-linear interpolation of
+tri/bi/uni experts — and carries CCNet's ACTUAL selection rule:
+exact-integer tercile cuts of the perplexity distribution
+(`lm_terciles`) with head/middle kept and tail dropped (`lm_bucket`);
+the average-threshold `lm_keep` is the two-way approximation. All
+gram families and scoring bags can explode from ONE shared
+`tokenized` relation, so the corpus text is decoded and split once
+per session across every tier.
+
 Reference parity note: the reference repo (rahil911/snowflake-azure-etl)
 has no LM tier — this extends the LLM-pipeline surface
 (SURVEY §2 north-star extensions), following operators/sampling.py's
@@ -70,6 +80,14 @@ LM_LAMBDA_DEN = 4
 #: KenLM pruning does.
 LM_MIN_COUNT = 2
 
+#: Trigram-tier interpolation weights (tri/bi/uni experts, summing to
+#: LM3_DEN) — the heavy-high-order mix one tier above the bigram
+#: model's 3/4-1/4. Exact integers, same portability contract.
+LM3_L3 = 4
+LM3_L2 = 3
+LM3_L1 = 1
+LM3_DEN = LM3_L3 + LM3_L2 + LM3_L1
+
 
 def _toks(text_col: Column | str) -> Column:
     # the ONE single-space tokenizer (oracle contract: string_split
@@ -78,11 +96,11 @@ def _toks(text_col: Column | str) -> Column:
     return tokens(text_col)
 
 
-def _bigram_pairs(text_col: Column | str) -> Column:
-    """array<struct<w1,w2>> of adjacent token pairs (empty for docs
-    under 2 tokens) — two shifted views zipped, the word_shingles
-    construction specialized to n=2 with the pair kept structured."""
-    toks = _toks(text_col)
+def _pairs_of(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent pairs from a token-array
+    column (empty under 2 tokens) — two shifted views zipped, the
+    word_shingles construction specialized to n=2 with the pair kept
+    structured."""
     return F.when(
         F.size(toks) >= 2,
         F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
@@ -91,7 +109,46 @@ def _bigram_pairs(text_col: Column | str) -> Column:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
-def bigram_lm_counts(docs: DataFrame, text_col: str = "text"
+def _triples_of(toks: Column) -> Column:
+    """array<struct<w1,w2,w3>> of adjacent triples from a token-array
+    column (empty under 3 tokens) — index-transform, `_pairs_of` one
+    order up."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                               F.element_at(toks, i + 1).alias("w2"),
+                               F.element_at(toks, i + 2).alias("w3"))),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, tk): the tokenize-once relation — THE shared scan under
+    the whole LM family (the q53 `_window_occurrences` pattern).
+    Every gram family and scoring bag is an explode over this one
+    relation, so a session/pipeline that caches it pays the corpus
+    text decode + split exactly once across unigram, bigram, and
+    trigram tiers. Corpus-token-sized × one array column;
+    MEMORY_AND_DISK spills at 100 TB."""
+    return docs.select(F.col(id_col), _toks(text_col).alias("tk"))
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text",
+                   toks: DataFrame | None = None) -> DataFrame:
+    """(tok, c): UN-floored unigram counts. Not derivable from the
+    pair bag (each document's LAST token leads no pair), so the
+    unigram family keeps its own explode over the shared tokens."""
+    base = (toks if toks is not None
+            else docs.select(_toks(text_col).alias("tk")))
+    return (base.select(F.explode("tk").alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("c")))
+
+
+def bigram_lm_counts(docs: DataFrame, text_col: str = "text",
+                     toks: DataFrame | None = None
                      ) -> tuple[DataFrame, DataFrame]:
     """(uni_all, bi_all): the UN-floored gram counts — the growable
     artifact. Counts are additive, so a pipeline lands THESE per
@@ -99,10 +156,13 @@ def bigram_lm_counts(docs: DataFrame, text_col: str = "text"
     forgets with `subtract_gram_counts`); the floored serving model
     derives by `lm_model_from_counts`. The floor itself is NOT
     additive (a gram under the floor in two batches can clear it in
-    their union), which is why the floored relations never merge."""
-    toks = docs.select(F.explode(_toks(text_col)).alias("tok"))
-    uni_all = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    bi_all = (docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
+    their union), which is why the floored relations never merge.
+    Pass `toks` (a `tokenized` relation, typically session-cached) to
+    count from the shared tokenize-once scan."""
+    base = (toks if toks is not None
+            else docs.select(_toks(text_col).alias("tk")))
+    uni_all = unigram_counts(docs, text_col, toks=base)
+    bi_all = (base.select(F.explode(_pairs_of(F.col("tk"))).alias("p"))
               .groupBy(F.col("p.w1").alias("w1"),
                        F.col("p.w2").alias("w2"))
               .agg(F.count("*").alias("c")))
@@ -124,12 +184,48 @@ def lm_model_from_counts(uni_all: DataFrame, bi_all: DataFrame,
 
 
 def bigram_lm_model(docs: DataFrame, text_col: str = "text",
-                    min_count: int = LM_MIN_COUNT
+                    min_count: int = LM_MIN_COUNT,
+                    toks: DataFrame | None = None
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the model in one shot: (uni, bi, totals) =
     `lm_model_from_counts(*bigram_lm_counts(docs))`."""
-    uni_all, bi_all = bigram_lm_counts(docs, text_col)
+    uni_all, bi_all = bigram_lm_counts(docs, text_col, toks=toks)
     return lm_model_from_counts(uni_all, bi_all, min_count)
+
+
+def trigram_lm_counts(docs: DataFrame, text_col: str = "text",
+                      toks: DataFrame | None = None) -> DataFrame:
+    """(w1, w2, w3, c): UN-floored adjacent-trigram counts — the
+    third growable gram artifact beside `bigram_lm_counts`' two.
+    Grows with `merge_gram_counts(..., key_cols=("w1","w2","w3"))`
+    and forgets with `subtract_gram_counts` — the laws are key-generic
+    by construction."""
+    base = (toks if toks is not None
+            else docs.select(_toks(text_col).alias("tk")))
+    return (base.select(F.explode(_triples_of(F.col("tk"))).alias("t"))
+            .groupBy(F.col("t.w1").alias("w1"),
+                     F.col("t.w2").alias("w2"),
+                     F.col("t.w3").alias("w3"))
+            .agg(F.count("*").alias("c")))
+
+
+def trigram_lm_model(docs: DataFrame, text_col: str = "text",
+                     min_count: int = LM_MIN_COUNT,
+                     toks: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                DataFrame]:
+    """Train the trigram tier in one shot: (uni, bi, tri, totals) —
+    the bigram model's relations plus the floored trigram counts.
+    Floor monotonicity keeps every interpolation term ≤ 0: a trigram
+    that clears the floor forces its prefix bigram (c2_all ≥ c3_all)
+    and its suffix bigram's lead unigram (c1_all ≥ c2_all) over the
+    same floor, so no surviving numerator ever exceeds its
+    denominator's count."""
+    uni_all, bi_all = bigram_lm_counts(docs, text_col, toks=toks)
+    uni, bi, totals = lm_model_from_counts(uni_all, bi_all, min_count)
+    tri = (trigram_lm_counts(docs, text_col, toks=toks)
+           .filter(F.col("c") >= min_count))
+    return uni, bi, tri, totals
 
 
 def merge_gram_counts(a: DataFrame, b: DataFrame,
@@ -179,26 +275,41 @@ def bigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
                    uni: DataFrame, bi: DataFrame, totals: DataFrame,
                    lam_num: int = LM_LAMBDA_NUM,
                    lam_den: int = LM_LAMBDA_DEN,
-                   scale: int = PLOG2_SCALE) -> DataFrame:
+                   scale: int = PLOG2_SCALE,
+                   toks: DataFrame | None = None,
+                   grams: DataFrame | None = None) -> DataFrame:
     """(id, lm_bits, lm_n_pos, lm_ppl_bits): per-document interpolated
     log2-likelihood (exact long, ≤ 0) over adjacent-token positions,
     the position count, and the per-position perplexity proxy
     (NULL for documents under 2 tokens — nothing to score).
 
-    One uniform-key (id, w1, w2) bag aggregate, equi-joins against
-    the model (unhinted — AQE picks broadcast vs shuffle by real
-    size), one-row totals broadcast, one per-doc re-aggregate.
+    Score-per-GRAM shape (r12 second pass): the per-position term
+    depends only on (w1, w2), so the model joins and the plog2
+    expression trees evaluate once per DISTINCT gram (Zipf-bounded —
+    ≪ positions at corpus scale) and the corpus-sized position
+    relation pays exactly ONE gram-keyed equi-join, then a per-doc
+    aggregate whose map-side combine collapses each partition's
+    positions before the doc-keyed shuffle. Pass `grams` — any
+    relation whose (w1, w2) rows COVER the corpus's observed pairs,
+    canonically the un-floored `bigram_lm_counts` relation already
+    built for the model — to skip the fallback distinct; the model
+    joins stay unhinted (AQE picks broadcast vs shuffle by real
+    size), the one-row totals broadcast is attested. `toks`: optional
+    pre-tokenized (id, tk) relation (the shared tokenize-once scan).
     """
-    pairs = (docs.select(F.col(id_col),
-                         F.explode(_bigram_pairs(text_col)).alias("p"))
-             .select(id_col, F.col("p.w1").alias("w1"),
-                     F.col("p.w2").alias("w2"))
-             .groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k")))
+    src = (toks if toks is not None
+           else docs.select(F.col(id_col), _toks(text_col).alias("tk")))
+    pos = (src.select(F.col(id_col),
+                      F.explode(_pairs_of(F.col("tk"))).alias("p"))
+           .select(id_col, F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    gkeys = (grams.select("w1", "w2") if grams is not None
+             else pos.select("w1", "w2").distinct())
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_c2"))
     b = bi.select("w1", "w2", F.col("c").alias("_cb"))
     zero = F.lit(0).cast("long")
-    j = (pairs.join(u1, "w1", "left").join(u2, "w2", "left")
+    g = (gkeys.join(u1, "w1", "left").join(u2, "w2", "left")
          .join(b, ["w1", "w2"], "left")
          .crossJoin(bounded_broadcast(
              totals, bound="one-row LM totals (N tokens, V vocab)",
@@ -210,14 +321,149 @@ def bigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
             + F.lit(lam_den - lam_num)
             * (plog2(F.coalesce(F.col("_c2"), zero) + 1, scale)
                - plog2(F.col("n") + F.col("v"), scale)))
-    per_doc = (j.groupBy(id_col)
-               .agg(F.sum(F.col("k") * term).alias("lm_bits"),
-                    F.sum("k").alias("lm_n_pos")))
+    gterm = g.select("w1", "w2", term.alias("_t"))
+    # LEFT join + per-row raise: an under-covering `grams` relation
+    # must fail loud, not silently drop scored positions (the
+    # subtract_gram_counts guard discipline)
+    checked = F.when(F.col("_t").isNull(), F.raise_error(F.lit(
+        "bigram_lm_bits: grams does not cover an observed corpus "
+        "pair — pass the un-floored counts relation or None"))
+        .cast("long")).otherwise(F.col("_t"))
+    per_doc = (pos.join(gterm, ["w1", "w2"], "left")
+               .groupBy(id_col)
+               .agg(F.sum(checked).alias("lm_bits"),
+                    F.count("*").alias("lm_n_pos")))
     ppl = F.call_function("div", -F.col("lm_bits"), F.col("lm_n_pos"))
     return (docs.select(id_col).join(per_doc, id_col, "left")
             .select(id_col, "lm_bits",
                     F.col("lm_n_pos").cast("long").alias("lm_n_pos"),
                     ppl.alias("lm_ppl_bits")))
+
+
+def trigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
+                    uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                    totals: DataFrame,
+                    l3: int = LM3_L3, l2: int = LM3_L2,
+                    l1: int = LM3_L1,
+                    scale: int = PLOG2_SCALE,
+                    toks: DataFrame | None = None,
+                    grams: DataFrame | None = None) -> DataFrame:
+    """(id, lm3_bits, lm3_n_pos, lm3_ppl_bits): the trigram tier's
+    per-document interpolated log2-likelihood over adjacent-triple
+    positions (NULL for documents under 3 tokens). Same score-per-
+    gram shape as `bigram_lm_bits` one order up: the five model
+    joins and the plog2 trees evaluate once per distinct triple
+    (`grams` — canonically the un-floored trigram counts already
+    built for the model; Zipf-bounded), unhinted so AQE picks
+    broadcast vs shuffle by real size — a vocab³ artifact at 100 TB
+    must be allowed to shuffle-join; the corpus-sized position
+    relation pays ONE gram-keyed join, then the map-side-combining
+    per-doc aggregate.
+
+        score = l3·[plog2(c3+1) − plog2(c2(w1,w2)+V)]
+              + l2·[plog2(c2(w2,w3)+1) − plog2(c1(w2)+V)]
+              + l1·[plog2(c1(w3)+1) − plog2(N+V)]
+    """
+    src = (toks if toks is not None
+           else docs.select(F.col(id_col), _toks(text_col).alias("tk")))
+    pos = (src.select(F.col(id_col),
+                      F.explode(_triples_of(F.col("tk"))).alias("t"))
+           .select(id_col, F.col("t.w1").alias("w1"),
+                   F.col("t.w2").alias("w2"),
+                   F.col("t.w3").alias("w3")))
+    gkeys = (grams.select("w1", "w2", "w3") if grams is not None
+             else pos.select("w1", "w2", "w3").distinct())
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_cu2"))
+    u3 = uni.select(F.col("tok").alias("w3"), F.col("c").alias("_cu3"))
+    b12 = bi.select("w1", F.col("w2").alias("w2"),
+                    F.col("c").alias("_c12"))
+    b23 = bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                    F.col("c").alias("_c23"))
+    t3 = tri.select("w1", "w2", "w3", F.col("c").alias("_c123"))
+    zero = F.lit(0).cast("long")
+    g = (gkeys.join(u2, "w2", "left").join(u3, "w3", "left")
+         .join(b12, ["w1", "w2"], "left")
+         .join(b23, ["w2", "w3"], "left")
+         .join(t3, ["w1", "w2", "w3"], "left")
+         .crossJoin(bounded_broadcast(
+             totals, bound="one-row LM totals (N tokens, V vocab)",
+             max_rows=1)))
+    term = (F.lit(l3)
+            * (plog2(F.coalesce(F.col("_c123"), zero) + 1, scale)
+               - plog2(F.coalesce(F.col("_c12"), zero) + F.col("v"),
+                       scale))
+            + F.lit(l2)
+            * (plog2(F.coalesce(F.col("_c23"), zero) + 1, scale)
+               - plog2(F.coalesce(F.col("_cu2"), zero) + F.col("v"),
+                       scale))
+            + F.lit(l1)
+            * (plog2(F.coalesce(F.col("_cu3"), zero) + 1, scale)
+               - plog2(F.col("n") + F.col("v"), scale)))
+    gterm = g.select("w1", "w2", "w3", term.alias("_t"))
+    checked = F.when(F.col("_t").isNull(), F.raise_error(F.lit(
+        "trigram_lm_bits: grams does not cover an observed corpus "
+        "triple — pass the un-floored counts relation or None"))
+        .cast("long")).otherwise(F.col("_t"))
+    per_doc = (pos.join(gterm, ["w1", "w2", "w3"], "left")
+               .groupBy(id_col)
+               .agg(F.sum(checked).alias("lm3_bits"),
+                    F.count("*").alias("lm3_n_pos")))
+    ppl = F.call_function("div", -F.col("lm3_bits"), F.col("lm3_n_pos"))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col, "lm3_bits",
+                    F.col("lm3_n_pos").cast("long").alias("lm3_n_pos"),
+                    ppl.alias("lm3_ppl_bits")))
+
+
+def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits"
+                ) -> DataFrame:
+    """ONE row (t1, t2): the exact tercile cuts of the scored
+    perplexity distribution — CCNet's actual head/middle/tail split
+    (Wenzek et al. 2019 §4.3), where the average-threshold `lm_keep`
+    is its two-way approximation. Integer-exact and oracle-replayable:
+    group the (integer) scores, cumulative-sum in score order, and
+    take the smallest score whose cumulative count covers ⅓ (t1) and
+    ⅔ (t2) of scored documents — `cum·3 ≥ N` avoids division
+    entirely. The grouped relation is bounded by DISTINCT score
+    values (≪ corpus; the rank-over-aggregate window family), and the
+    cuts relation is a one-row artifact a pipeline trains once and
+    broadcasts always."""
+    from pyspark.sql import Window
+    p = F.col(ppl_col)
+    dist = (scored.filter(p.isNotNull())
+            .groupBy(p.alias("_p")).agg(F.count("*").alias("_c")))
+    w = (Window.orderBy("_p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.select("_p", F.sum("_c").over(w).alias("_cum"),
+                      F.sum("_c").over(
+                          Window.rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+                      ).alias("_n"))
+    return cum.agg(
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
+                     F.col("_p"))).alias("t1"),
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2,
+                     F.col("_p"))).alias("t2"))
+
+
+def lm_bucket(scored: DataFrame, cuts: DataFrame,
+              ppl_col: str = "lm3_ppl_bits",
+              bucket_col: str = "lm3_bucket",
+              keep_col: str = "lm3_keep") -> DataFrame:
+    """scored + (bucket, keep): row-local head/middle/tail label
+    against the one-row tercile cuts; CCNet keeps head+middle.
+    Unscorable documents (NULL ppl) label 'unscorable' and are kept —
+    the length gates own that regime (the `lm_keep` contract)."""
+    p = F.col(ppl_col)
+    bucket = (F.when(p.isNull(), F.lit("unscorable"))
+              .when(p <= F.col("t1"), F.lit("head"))
+              .when(p <= F.col("t2"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.crossJoin(bounded_broadcast(
+                cuts, bound="one-row LM tercile cuts", max_rows=1))
+            .withColumn(bucket_col, bucket)
+            .withColumn(keep_col, F.col(bucket_col) != "tail")
+            .drop("t1", "t2"))
 
 
 def lm_corpus_threshold(scored: DataFrame) -> DataFrame:
@@ -302,3 +548,71 @@ def lm_oracle_ctes(min_count: int = LM_MIN_COUNT,
         SELECT COALESCE(SUM(-lm_bits), 0)
                // GREATEST(COALESCE(SUM(lm_n_pos), 0), 1) AS thr
         FROM lm_scored)"""
+
+
+def lm3_oracle_ctes(min_count: int = LM_MIN_COUNT,
+                    l3: int = LM3_L3, l2: int = LM3_L2,
+                    l1: int = LM3_L1) -> str:
+    """Trigram-tier CTE chain ending in lm3_scored(doc_id, lm3_bits,
+    lm3_n_pos, lm3_ppl_bits) and lm3_cuts(t1, t2) — a CONTINUATION of
+    `lm_oracle_ctes` (reuses its lm_tk/lm_uni/lm_bi/lm_tot relations);
+    splice it immediately after."""
+    p = plog2_sql
+    term = (f"({l3} * ({p('COALESCE(t.c, 0) + 1')}"
+            f" - {p('COALESCE(b12.c, 0) + tt.v')})"
+            f" + {l2} * ({p('COALESCE(b23.c, 0) + 1')}"
+            f" - {p('COALESCE(u2.c, 0) + tt.v')})"
+            f" + {l1} * ({p('COALESCE(u3.c, 0) + 1')}"
+            f" - {p('tt.n + tt.v')}))")
+    return f"""
+    lm3_pos AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                                     i -> tk[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                                     i -> tk[i + 1])) AS w2,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                                     i -> tk[i + 2])) AS w3
+        FROM lm_tk WHERE len(tk) >= 3),
+    lm3_k AS (SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS k
+              FROM lm3_pos GROUP BY doc_id, w1, w2, w3),
+    lm3_tri AS (SELECT w1, w2, w3, SUM(k) AS c FROM lm3_k
+                GROUP BY w1, w2, w3 HAVING SUM(k) >= {min_count}),
+    lm3_doc AS (
+        SELECT lm3_k.doc_id,
+               CAST(SUM(k * {term}) AS BIGINT) AS lm3_bits,
+               CAST(SUM(k) AS BIGINT) AS lm3_n_pos
+        FROM lm3_k
+        LEFT JOIN lm_uni u2 ON u2.tok = lm3_k.w2
+        LEFT JOIN lm_uni u3 ON u3.tok = lm3_k.w3
+        LEFT JOIN lm_bi b12 ON b12.w1 = lm3_k.w1 AND b12.w2 = lm3_k.w2
+        LEFT JOIN lm_bi b23 ON b23.w1 = lm3_k.w2 AND b23.w2 = lm3_k.w3
+        LEFT JOIN lm3_tri t ON t.w1 = lm3_k.w1 AND t.w2 = lm3_k.w2
+                           AND t.w3 = lm3_k.w3
+        CROSS JOIN lm_tot tt
+        GROUP BY lm3_k.doc_id),
+    lm3_scored AS (
+        SELECT d.doc_id, s.lm3_bits, s.lm3_n_pos,
+               (-s.lm3_bits) // s.lm3_n_pos AS lm3_ppl_bits
+        FROM documents d LEFT JOIN lm3_doc s USING (doc_id)),
+    lm3_dist AS (SELECT lm3_ppl_bits AS p, COUNT(*) AS c
+                 FROM lm3_scored WHERE lm3_ppl_bits IS NOT NULL
+                 GROUP BY 1),
+    lm3_cum AS (SELECT p, SUM(c) OVER (ORDER BY p) AS cum,
+                       SUM(c) OVER () AS n
+                FROM lm3_dist),
+    lm3_cuts AS (
+        SELECT MIN(CASE WHEN cum * 3 >= n THEN p END) AS t1,
+               MIN(CASE WHEN cum * 3 >= 2 * n THEN p END) AS t2
+        FROM lm3_cum)"""
+
+
+def lm3_bucket_sql(ppl: str = "lms3.lm3_ppl_bits",
+                   cuts: str = "lmc") -> str:
+    """The head/middle/tail CASE for a consuming oracle's SELECT —
+    kept beside the engine's `lm_bucket` so the label logic cannot
+    drift between them."""
+    return (f"CASE WHEN {ppl} IS NULL THEN 'unscorable' "
+            f"WHEN {ppl} <= {cuts}.t1 THEN 'head' "
+            f"WHEN {ppl} <= {cuts}.t2 THEN 'middle' "
+            f"ELSE 'tail' END")

@@ -228,6 +228,44 @@ def lm_ingest_sink(uni_table: str, bi_table: str, totals_table: str,
     return write
 
 
+def lm3_ingest_sink(uni_table: str, bi_table: str, tri_table: str,
+                    totals_table: str, cuts_table: str,
+                    scored_table: str, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    keep_only: bool = False):
+    """Arrival-time trigram-LM scoring with CCNet tercile buckets —
+    the trigram tier's streaming sibling (`lm_ingest_sink` one order
+    up). Each micro-batch scores against the PERSISTED model (floored
+    uni/bi/tri counts + one-row totals) and labels against the
+    PERSISTED train-corpus tercile cuts (`lm.lm_terciles` over the
+    training corpus — fixed at ingest so head/middle/tail never
+    drifts with batch composition); rows land in `scored_table` with
+    lm3_bits/lm3_n_pos/lm3_ppl_bits/lm3_bucket/lm3_keep via the
+    idempotent epoch sink. Stateless across batches, so stream ==
+    batch over the concatenated stream (pinned in
+    tests/test_streaming_ingest.py); ``keep_only=True`` drops tail
+    documents at the door, unscorable short documents are kept."""
+    from ..operators.lm import lm_bucket, trigram_lm_bits
+    from .sinks import idempotent_epoch_sink
+
+    write_scored = idempotent_epoch_sink(scored_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = trigram_lm_bits(batch_df, id_col, text_col,
+                                 spark.table(uni_table),
+                                 spark.table(bi_table),
+                                 spark.table(tri_table),
+                                 spark.table(totals_table))
+        out = batch_df.join(lm_bucket(scored, spark.table(cuts_table)),
+                            id_col)
+        if keep_only:
+            out = out.filter(F.col("lm3_keep"))
+        write_scored(out, epoch_id)
+
+    return write
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:

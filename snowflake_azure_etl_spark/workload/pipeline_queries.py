@@ -1365,7 +1365,8 @@ def _clf_pred_sql() -> str:
     "q57_text_stats",
     covers=("X-TEXT-STATS", "X-TEXT-LANG", "X-TEXT-BPE",
             "X-TEXT-CHUNK", "X-SPLIT-ASSIGN", "X-TEXT-REPETITION",
-            "X-TEXT-PII", "X-PACK", "X-TEXT-TFIDF", "X-QUALITY-CLF"),
+            "X-TEXT-PII", "X-PACK", "X-TEXT-TFIDF", "X-QUALITY-CLF",
+            "X-TEXT-LM-BIGRAM", "X-TEXT-LM-TRIGRAM"),
     oracle=f"""
     WITH base AS (
     SELECT doc_id,
@@ -1492,7 +1493,8 @@ def _clf_pred_sql() -> str:
     ,{_CLF_FX_CTE},
     {_CLF_ROUND_CTES},
     {_CLF_SCORE_CTE},
-    {lm_ops.lm_oracle_ctes()}
+    {lm_ops.lm_oracle_ctes()},
+    {lm_ops.lm3_oracle_ctes()}
     SELECT base.*, token_offset // {PACK_CTX} AS pack_first_seq,
            (token_offset + greatest(n_tokens - 1, 0)) // {PACK_CTX}
                AS pack_last_seq,
@@ -1500,12 +1502,17 @@ def _clf_pred_sql() -> str:
            c.s_en AS clf_score, c.s_en >= 0.5 AS clf_keep,
            {_clf_pred_sql()} AS clf_lang_pred,
            lms.lm_bits, lms.lm_n_pos, lms.lm_ppl_bits,
-           COALESCE(lms.lm_ppl_bits <= lmt.thr, TRUE) AS lm_keep
+           COALESCE(lms.lm_ppl_bits <= lmt.thr, TRUE) AS lm_keep,
+           lms3.lm3_bits, lms3.lm3_n_pos, lms3.lm3_ppl_bits,
+           {lm_ops.lm3_bucket_sql()} AS lm3_bucket,
+           ({lm_ops.lm3_bucket_sql()}) != 'tail' AS lm3_keep
     FROM base LEFT JOIN mtf m USING (doc_id)
     LEFT JOIN ttop tt USING (doc_id)
     LEFT JOIN cclf c USING (doc_id)
     LEFT JOIN lm_scored lms USING (doc_id)
+    LEFT JOIN lm3_scored lms3 USING (doc_id)
     CROSS JOIN lm_thr lmt
+    CROSS JOIN lm3_cuts lmc
     """,
     prepared=True)
 def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,7 +1549,15 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer row count gates the auto-switch to the partition-parallel
     `plans.prefix.ranged_prefix_sum` plan above 5 M docs (the
     window==ranged identity and the parallel plan shape are pinned in
-    `tests/test_packing.py`)."""
+    `tests/test_packing.py`).
+
+    r12 additions (X-TEXT-LM-BIGRAM / X-TEXT-LM-TRIGRAM,
+    operators.lm): the CCNet/KenLM perplexity tiers — bigram scores
+    with the corpus-average keep cut, trigram scores with the exact
+    tercile head/middle/tail buckets — all gram counts and scoring
+    bags exploding from ONE session-cached tokenize-once relation
+    (`lm_tk`), with training, scoring, cuts AND labels replayed as
+    oracle CTEs (lm_oracle_ctes / lm3_oracle_ctes)."""
     from ..operators import packing
     docs = _docs(spark, sf_dir)
     n_docs = stage_row_count(sf_dir, "documents") or docs.count()
@@ -1631,23 +1646,62 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-local against the one-row corpus-average threshold. The
     # oracle replays training, scoring, AND the threshold as CTEs
     # (lm_oracle_ctes), so the driver hash attests the whole tier.
-    lm_uni, lm_bi, lm_tot = lm_ops.bigram_lm_model(docs)
+    # the tokenize-once relation (lm_ops.tokenized) is THE shared scan
+    # under all three gram tiers — both models' counts AND both
+    # scoring bags explode from it, so the corpus text decode + split
+    # runs once per session instead of five times (the q53
+    # `_window_occurrences` pattern applied to the LM family)
+    lm_tk = cached_relation(lm_ops.tokenized(docs), "lm_tk",
+                            eager=False)
+    # the UN-floored gram-count relations are the growable model
+    # artifacts (the growth/forget laws' operand) AND double as the
+    # scorers' per-gram term base — their keys are exactly the
+    # corpus's observed grams, so scoring needs no extra distinct
+    # pass and the plog2 trees evaluate once per gram, not per
+    # position
+    lm_bi_all = cached_relation(
+        lm_ops.bigram_lm_counts(docs, toks=lm_tk)[1],
+        "lm_bi_all", eager=False)
+    lm_uni, lm_bi, lm_tot = lm_ops.lm_model_from_counts(
+        lm_ops.unigram_counts(docs, toks=lm_tk), lm_bi_all)
+    lm_uni = cached_relation(lm_uni, "lm_uni", eager=False)
+    lm_bi = cached_relation(lm_bi, "lm_bi", eager=False)
     lm_scored = cached_relation(
         lm_ops.bigram_lm_bits(docs, "doc_id", "text",
-                              cached_relation(lm_uni, "lm_uni",
-                                              eager=False),
-                              cached_relation(lm_bi, "lm_bi",
-                                              eager=False),
-                              lm_tot),
+                              lm_uni, lm_bi, lm_tot, toks=lm_tk,
+                              grams=lm_bi_all),
         "lm_scored", eager=False)
     lm_final = lm_ops.lm_keep(lm_scored,
                               lm_ops.lm_corpus_threshold(lm_scored))
+    # r12 second pass (X-TEXT-LM-TRIGRAM): the trigram tier one order
+    # up — 3-way log-linear interpolation against the SAME floored
+    # uni/bi artifacts plus a floored trigram relation, and CCNet's
+    # actual head/middle/tail tercile split (lm_terciles — the
+    # average-threshold lm_keep is its two-way approximation) with
+    # keep ≡ head+middle. The tercile cuts derive from the grouped
+    # INTEGER score distribution (distinct-value-bounded, the
+    # rank-over-aggregate window family), so the whole tier — counts,
+    # scores, cuts, labels — replays exactly in the oracle
+    # (lm3_oracle_ctes).
+    lm_tri_all = cached_relation(
+        lm_ops.trigram_lm_counts(docs, toks=lm_tk),
+        "lm_tri_all", eager=False)
+    lm_tri = lm_tri_all.filter(F.col("c") >= lm_ops.LM_MIN_COUNT)
+    lm3_scored = cached_relation(
+        lm_ops.trigram_lm_bits(docs, "doc_id", "text",
+                               lm_uni, lm_bi, lm_tri, lm_tot,
+                               toks=lm_tk, grams=lm_tri_all),
+        "lm3_scored", eager=False)
+    lm3_final = lm_ops.lm_bucket(lm3_scored,
+                                 lm_ops.lm_terciles(lm3_scored))
     # join-back rides the packing/top-term pattern: the narrow per-doc
     # LM relation is the broadcast side under the footer attestation
     # so the WIDE corpus row never shuffles; above the cap it falls
-    # back to one doc-keyed equi-join
-    scored = scored.join(_maybe_broadcast(lm_final, n_docs),
-                         "doc_id", "left")
+    # back to one doc-keyed equi-join. Both tiers pre-join into ONE
+    # per-doc relation (each is doc_id-complete by construction) so
+    # the wide row pays a single join-back, not two.
+    scored = scored.join(_maybe_broadcast(
+        lm_final.join(lm3_final, "doc_id"), n_docs), "doc_id", "left")
     return scored.select(
         "doc_id",
         "token_offset", "pack_first_seq", "pack_last_seq",
@@ -1681,6 +1735,8 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_cs_en") >= 0.5).alias("clf_keep"),
         "clf_lang_pred",
         "lm_bits", "lm_n_pos", "lm_ppl_bits", "lm_keep",
+        "lm3_bits", "lm3_n_pos", "lm3_ppl_bits", "lm3_bucket",
+        "lm3_keep",
     )
 
 

@@ -117,6 +117,134 @@ def test_lm_scores_are_nonpositive(scored):
             assert r["lm_ppl_bits"] >= 0
 
 
+def py_lm3(docs, min_count=lm.LM_MIN_COUNT, l3=lm.LM3_L3,
+           l2=lm.LM3_L2, l1=lm.LM3_L1):
+    """Trigram-tier reference: scores, tercile cuts, bucket labels."""
+    uni_all, bi_all, tri_all = Counter(), Counter(), Counter()
+    for _, text in docs:
+        toks = text.split(" ")
+        uni_all.update(toks)
+        bi_all.update(zip(toks, toks[1:]))
+        tri_all.update(zip(toks, toks[1:], toks[2:]))
+    n = sum(uni_all.values())
+    v = len(uni_all)
+    uni = {t: c for t, c in uni_all.items() if c >= min_count}
+    bi = {g: c for g, c in bi_all.items() if c >= min_count}
+    tri = {g: c for g, c in tri_all.items() if c >= min_count}
+    out = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 3:
+            out[doc_id] = (None, None, None)
+            continue
+        bits = 0
+        for g in zip(toks, toks[1:], toks[2:]):
+            w1, w2, w3 = g
+            bits += l3 * (py_plog2(tri.get(g, 0) + 1)
+                          - py_plog2(bi.get((w1, w2), 0) + v))
+            bits += l2 * (py_plog2(bi.get((w2, w3), 0) + 1)
+                          - py_plog2(uni.get(w2, 0) + v))
+            bits += l1 * (py_plog2(uni.get(w3, 0) + 1)
+                          - py_plog2(n + v))
+        npos = len(toks) - 2
+        out[doc_id] = (bits, npos, (-bits) // npos)
+    ppls = [p for _, _, p in out.values() if p is not None]
+    total = len(ppls)
+    cum, t1, t2 = 0, None, None
+    for p, c in sorted(Counter(ppls).items()):
+        cum += c
+        if t1 is None and cum * 3 >= total:
+            t1 = p
+        if t2 is None and cum * 3 >= 2 * total:
+            t2 = p
+    buckets = {}
+    for d, (_, _, p) in out.items():
+        if p is None:
+            buckets[d] = "unscorable"
+        elif p <= t1:
+            buckets[d] = "head"
+        elif p <= t2:
+            buckets[d] = "middle"
+        else:
+            buckets[d] = "tail"
+    return out, (t1, t2), buckets
+
+
+@pytest.fixture(scope="module")
+def scored3(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(docs)
+    sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
+    labeled = lm.lm_bucket(sc, lm.lm_terciles(sc))
+    return {r["doc_id"]: r for r in labeled.collect()}
+
+
+def test_lm3_bits_match_python_reference(scored3):
+    ref, _, buckets = py_lm3(CORPUS)
+    for doc_id, (bits, npos, ppl) in ref.items():
+        row = scored3[doc_id]
+        assert row["lm3_bits"] == bits, doc_id
+        assert row["lm3_n_pos"] == npos, doc_id
+        assert row["lm3_ppl_bits"] == ppl, doc_id
+        assert row["lm3_bucket"] == buckets[doc_id], doc_id
+        assert row["lm3_keep"] == (buckets[doc_id] != "tail"), doc_id
+
+
+def test_lm3_buckets_order_quality(scored3):
+    # natural text lands in the head, floored-out gibberish in the
+    # tail; duplicate docs share a bucket; short docs are kept
+    assert scored3[1]["lm3_bucket"] == "head"
+    assert scored3[4]["lm3_bucket"] == "tail"
+    assert scored3[4]["lm3_keep"] is False
+    assert scored3[5]["lm3_bucket"] == scored3[1]["lm3_bucket"]
+    for doc_id in (6, 7):
+        assert scored3[doc_id]["lm3_bucket"] == "unscorable"
+        assert scored3[doc_id]["lm3_keep"] is True
+
+
+def test_lm3_gram_laws_hold_on_trigram_keys(spark):
+    # merge then subtract over ("w1","w2","w3") round-trips exactly —
+    # the growth/forget laws are key-generic
+    keys = ("w1", "w2", "w3")
+    half_a = [c for c in CORPUS if c[0] % 2 == 0]
+    half_b = [c for c in CORPUS if c[0] % 2 == 1]
+    da = spark.createDataFrame(half_a, "doc_id long, text string")
+    db = spark.createDataFrame(half_b, "doc_id long, text string")
+    dall = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    ta = lm.trigram_lm_counts(da)
+    tb = lm.trigram_lm_counts(db)
+    tall = lm.trigram_lm_counts(dall)
+    merged = lm.merge_gram_counts(ta, tb, key_cols=keys)
+    want = {tuple(r[k] for k in keys): r["c"] for r in tall.collect()}
+    got = {tuple(r[k] for k in keys): r["c"] for r in merged.collect()}
+    assert got == want
+    back = lm.subtract_gram_counts(merged, tb, key_cols=keys)
+    got_a = {tuple(r[k] for k in keys): r["c"] for r in back.collect()}
+    assert got_a == {tuple(r[k] for k in keys): r["c"]
+                     for r in ta.collect()}
+
+
+def test_lm3_oracle_ctes_match_engine(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    pdf = pd.DataFrame(CORPUS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = (f"WITH {lm.lm_oracle_ctes()}, {lm.lm3_oracle_ctes()} "
+           "SELECT s.doc_id, s.lm3_bits, s.lm3_n_pos, s.lm3_ppl_bits, "
+           f"{lm.lm3_bucket_sql('s.lm3_ppl_bits')} AS b "
+           "FROM lm3_scored s CROSS JOIN lm3_cuts lmc")
+    got = {int(r[0]): tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(docs)
+    sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
+    labeled = lm.lm_bucket(sc, lm.lm_terciles(sc))
+    for r in labeled.collect():
+        o = got[r["doc_id"]]
+        assert (r["lm3_bits"], r["lm3_n_pos"], r["lm3_ppl_bits"],
+                r["lm3_bucket"]) == o, r["doc_id"]
+
+
 def test_lm_oracle_ctes_match_engine(spark, tmp_path):
     """The DuckDB CTE replay produces the identical scored relation —
     the same check the driver runs at the q57 surface, pinned here at

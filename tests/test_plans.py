@@ -76,15 +76,24 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     # the WIDE corpus row; every exchange belongs to a declared
     # bounded-or-narrow side stage — the one-row token-frequency map
     # (token-keyed), the r7 tf-icf relation's (doc, token) tf
-    # aggregate + token df aggregate + doc-keyed top-term window, and
+    # aggregate + token df aggregate + doc-keyed top-term window,
     # (r12) the bigram-LM tier's training counts (token/bigram-keyed),
     # (doc, w1, w2) bag aggregate, model joins, and per-doc score
-    # re-aggregate — all over narrow projections, re-attached via the
-    # footer-attested broadcast (the packing join-back pattern) so the
-    # wide corpus row itself never shuffles; rangepartitioning never
-    # appears (the packing prefix sum takes the single-window small
-    # path at test scale)
-    assert plan.count("hashpartitioning") <= 18
+    # re-aggregate, and (r12 second pass) the trigram tier's
+    # additions: the floored trigram counts (gram-keyed), the
+    # (doc, w1, w2, w3) bag aggregate, its five gram-keyed model
+    # joins, its per-doc re-aggregate, and the tercile distribution's
+    # distinct-score groupBy — all over narrow projections,
+    # re-attached via the footer-attested broadcast (the packing
+    # join-back pattern) so the wide corpus row itself never
+    # shuffles; rangepartitioning never appears (the packing prefix
+    # sum takes the single-window small path at test scale). The
+    # budget carries ±2 headroom: the count is session-cache-state
+    # sensitive (an artifact already materialized by an earlier test
+    # appears as InMemoryRelation and changes which side of a join
+    # plans an exchange — observed 28 solo vs 30 mid-suite on the
+    # identical code)
+    assert plan.count("hashpartitioning") <= 32
     assert "rangepartitioning" not in plan
     assert "Python" not in plan         # no UDF tax in the hot path
     # the top-term and LM join-backs must be broadcast at test scale

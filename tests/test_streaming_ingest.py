@@ -406,3 +406,106 @@ def test_lm_ingest_matches_batch_operator(spark):
     assert spark.table(scored_t).count() == 4
     assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
             == 2)
+
+def test_lm3_ingest_matches_batch_operator(spark):
+    """r12 second pass: per-micro-batch trigram-LM scoring + CCNet
+    tercile bucketing against the persisted model and the persisted
+    TRAIN-corpus cuts — stream == batch bit-for-bit, keep_only drops
+    exactly the tail bucket, epoch replay is idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import lm
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+        (4, "the bird flew over the mat"),
+    ]
+    batches = [
+        [(10, "the cat sat on the mat"),        # fluent: head
+         (11, "zq xv jj kw pq mn zz yy")],      # gibberish: tail
+        [(12, "the dog sat on the hat"),
+         (13, "so word")],                      # 2 tokens: unscorable
+    ]
+
+    def table(name):
+        db = "lm3_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    corpus = spark.createDataFrame(train, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(corpus)
+    sc_train = lm.trigram_lm_bits(corpus, "doc_id", "text",
+                                  uni, bi, tri, tot)
+    cuts = lm.lm_terciles(sc_train)
+    uni_t, bi_t, tri_t = table("lm_uni"), table("lm_bi"), table("lm_tri")
+    tot_t, cuts_t = table("lm_tot"), table("lm_cuts")
+    uni.write.saveAsTable(uni_t); bi.write.saveAsTable(bi_t)
+    tri.write.saveAsTable(tri_t); tot.write.saveAsTable(tot_t)
+    cuts.write.saveAsTable(cuts_t)
+
+    src = tempfile.mkdtemp(prefix="lm3_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    scored_t, kept_t = table("lm3_scored_t"), table("lm3_kept_t")
+    for tgt, keep in ((scored_t, False), (kept_t, True)):
+        sink = ingest.lm3_ingest_sink(uni_t, bi_t, tri_t, tot_t,
+                                      cuts_t, tgt, keep_only=keep)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="lm3_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {(r["doc_id"], r["lm3_bits"], r["lm3_ppl_bits"],
+             r["lm3_bucket"], r["lm3_keep"])
+            for r in lm.lm_bucket(
+                lm.trigram_lm_bits(whole, "doc_id", "text",
+                                   spark.table(uni_t),
+                                   spark.table(bi_t),
+                                   spark.table(tri_t),
+                                   spark.table(tot_t)),
+                spark.table(cuts_t)).collect()}
+    got = {(r["doc_id"], r["lm3_bits"], r["lm3_ppl_bits"],
+            r["lm3_bucket"], r["lm3_keep"])
+           for r in spark.table(scored_t)
+           .select("doc_id", "lm3_bits", "lm3_ppl_bits", "lm3_bucket",
+                   "lm3_keep")
+           .collect()}
+    assert got == want and len(got) == 4
+    buckets = {d: b for d, _, _, b, _ in want}
+    assert buckets[11] == "tail"
+    assert buckets[13] == "unscorable"
+    kept = {r["doc_id"] for r in spark.table(kept_t).collect()}
+    assert kept == {d for d, _, _, _, k in want if k}
+    assert 11 not in kept          # tail cut at the door
+    assert 13 in kept              # unscorable short doc kept
+    # replaying epoch 0 overwrites its partition — nothing duplicates
+    sink0 = ingest.lm3_ingest_sink(uni_t, bi_t, tri_t, tot_t, cuts_t,
+                                   scored_t)
+    sink0(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    assert spark.table(scored_t).count() == 4
+    assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
+            == 2)
+
