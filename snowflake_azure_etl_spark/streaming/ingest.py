@@ -266,6 +266,59 @@ def lm3_ingest_sink(uni_table: str, bi_table: str, tri_table: str,
     return write
 
 
+def lm_counts_ingest_sink(uni_table: str, bi_table: str,
+                          tri_table: str | None = None, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """GROW the LM model artifact at ingest — the maintenance sibling
+    of the scoring sinks above, completing the LM family's streaming
+    set the way `streaming.substr` completes the window index's. Each
+    micro-batch lands its own raw gram-count PARTIALS (unigram +
+    bigram, trigram when `tri_table` is given) as idempotent epoch
+    partitions; the stream-lifetime counts derive by the SUM merge law
+    (`rollup_gram_counts` ≡ n-way `lm.merge_gram_counts`), and the
+    floored serving model derives from the rollup
+    (`lm.lm_model_from_counts` — the floor is NOT additive, so only
+    raw counts ever land). The batch tokenizes ONCE (`lm.tokenized`)
+    across all gram families. Counts are additive, so stream == batch
+    over the concatenated stream (pinned in
+    tests/test_streaming_ingest.py) and a replayed epoch overwrites
+    its own partitions with identical rows."""
+    from ..operators.lm import (bigram_lm_counts, tokenized,
+                                trigram_lm_counts)
+    from .sinks import idempotent_epoch_sink
+
+    write_uni = idempotent_epoch_sink(uni_table)
+    write_bi = idempotent_epoch_sink(bi_table)
+    write_tri = (idempotent_epoch_sink(tri_table)
+                 if tri_table is not None else None)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = tokenized(batch_df, id_col, text_col)
+        uni_p, bi_p = bigram_lm_counts(batch_df, text_col, toks=toks)
+        write_uni(uni_p, epoch_id)
+        write_bi(bi_p, epoch_id)
+        if write_tri is not None:
+            write_tri(trigram_lm_counts(batch_df, text_col,
+                                        toks=toks), epoch_id)
+
+    return write
+
+
+def rollup_gram_counts(spark: SparkSession, table: str,
+                       key_cols: "tuple[str, ...]" = ("tok",)
+                       ) -> DataFrame:
+    """The stream-lifetime raw gram counts: SUM over all epoch
+    partials — identical to counting the concatenated stream (the
+    `merge_gram_counts` law applied n-ways). Use ("w1","w2") /
+    ("w1","w2","w3") for the bigram/trigram tables; feed the rollups
+    to `lm.lm_model_from_counts` for the floored serving model."""
+    from .sinks import EPOCH_COL
+    return (spark.table(table).drop(EPOCH_COL)
+            .groupBy(*key_cols)
+            .agg(F.sum("c").cast("long").alias("c")))
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:

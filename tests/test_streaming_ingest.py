@@ -407,6 +407,89 @@ def test_lm_ingest_matches_batch_operator(spark):
     assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
             == 2)
 
+def test_lm_counts_ingest_grows_model(spark):
+    """r12 second pass: per-micro-batch gram-count partials grow the
+    LM model artifact — the rollup equals batch counting of the
+    concatenated stream for all three gram families, the floored
+    serving model derived from the rollup matches the batch-trained
+    one, and an epoch replay is idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import lm
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    batches = [
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the hat")],
+        [(3, "the dog sat on the mat"),
+         (4, "zq xv jj kw")],
+        [(5, "the cat sat on the mat")],
+    ]
+
+    def table(name):
+        db = "lmc_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    uni_t, bi_t, tri_t = table("uni"), table("bi"), table("tri")
+    src = tempfile.mkdtemp(prefix="lmc_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    sink = ingest.lm_counts_ingest_sink(uni_t, bi_t, tri_t)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="lmc_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    uni_want, bi_want = lm.bigram_lm_counts(whole)
+    tri_want = lm.trigram_lm_counts(whole)
+
+    def asmap(df, keys):
+        return {tuple(r[k] for k in keys): r["c"] for r in df.collect()}
+
+    uni_roll = ingest.rollup_gram_counts(spark, uni_t)
+    bi_roll = ingest.rollup_gram_counts(spark, bi_t, ("w1", "w2"))
+    tri_roll = ingest.rollup_gram_counts(spark, tri_t,
+                                         ("w1", "w2", "w3"))
+    assert asmap(uni_roll, ("tok",)) == asmap(uni_want, ("tok",))
+    assert asmap(bi_roll, ("w1", "w2")) == asmap(bi_want, ("w1", "w2"))
+    assert asmap(tri_roll, ("w1", "w2", "w3")) == \
+        asmap(tri_want, ("w1", "w2", "w3"))
+
+    # floored serving model from the rollup == batch-trained model
+    uni_m, bi_m, tot_m = lm.lm_model_from_counts(uni_roll, bi_roll)
+    uni_b, bi_b, tot_b = lm.bigram_lm_model(whole)
+    assert asmap(uni_m, ("tok",)) == asmap(uni_b, ("tok",))
+    assert asmap(bi_m, ("w1", "w2")) == asmap(bi_b, ("w1", "w2"))
+    assert tot_m.collect() == tot_b.collect()
+
+    # replaying epoch 0 overwrites its partitions — rollup unchanged
+    sink(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    assert asmap(ingest.rollup_gram_counts(spark, uni_t), ("tok",)) == \
+        asmap(uni_want, ("tok",))
+    assert (spark.table(uni_t).filter(F.col(EPOCH_COL) == 0)
+            .groupBy().count().collect()[0][0] > 0)
+
+
 def test_lm3_ingest_matches_batch_operator(spark):
     """r12 second pass: per-micro-batch trigram-LM scoring + CCNet
     tercile bucketing against the persisted model and the persisted
