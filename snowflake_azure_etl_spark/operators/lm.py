@@ -303,7 +303,11 @@ def bigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
                       F.explode(_pairs_of(F.col("tk"))).alias("p"))
            .select(id_col, F.col("p.w1").alias("w1"),
                    F.col("p.w2").alias("w2")))
-    gkeys = (grams.select("w1", "w2") if grams is not None
+    # distinct also on the caller's relation: duplicate gram keys
+    # would fan out the position join and silently multiply scores —
+    # the canonical input (a groupBy output) is already distinct, so
+    # this is a vocab-side no-op in data, a correctness guard in kind
+    gkeys = (grams.select("w1", "w2").distinct() if grams is not None
              else pos.select("w1", "w2").distinct())
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_c2"))
@@ -371,7 +375,8 @@ def trigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
            .select(id_col, F.col("t.w1").alias("w1"),
                    F.col("t.w2").alias("w2"),
                    F.col("t.w3").alias("w3")))
-    gkeys = (grams.select("w1", "w2", "w3") if grams is not None
+    gkeys = (grams.select("w1", "w2", "w3").distinct()
+             if grams is not None
              else pos.select("w1", "w2", "w3").distinct())
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_cu2"))
     u3 = uni.select(F.col("tok").alias("w3"), F.col("c").alias("_cu3"))
@@ -455,7 +460,17 @@ def lm_bucket(scored: DataFrame, cuts: DataFrame,
     Unscorable documents (NULL ppl) label 'unscorable' and are kept —
     the length gates own that regime (the `lm_keep` contract)."""
     p = F.col(ppl_col)
+    # NULL cuts (terciles over a corpus with no scorable documents)
+    # must fail loud on the first scorable row — under p <= NULL both
+    # WHEN branches are NULL-falsy, so every document would silently
+    # label 'tail' (and a keep_only ingest gate would drop the whole
+    # stream)
     bucket = (F.when(p.isNull(), F.lit("unscorable"))
+              .when(F.col("t1").isNull() | F.col("t2").isNull(),
+                    F.raise_error(F.lit(
+                        "lm_bucket: tercile cuts are NULL (trained on "
+                        "a corpus with no scorable documents) — "
+                        "retrain before labeling")).cast("string"))
               .when(p <= F.col("t1"), F.lit("head"))
               .when(p <= F.col("t2"), F.lit("middle"))
               .otherwise(F.lit("tail")))

@@ -294,13 +294,20 @@ def lm_counts_ingest_sink(uni_table: str, bi_table: str,
                  if tri_table is not None else None)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = tokenized(batch_df, id_col, text_col)
-        uni_p, bi_p = bigram_lm_counts(batch_df, text_col, toks=toks)
-        write_uni(uni_p, epoch_id)
-        write_bi(bi_p, epoch_id)
-        if write_tri is not None:
-            write_tri(trigram_lm_counts(batch_df, text_col,
-                                        toks=toks), epoch_id)
+        # persist for the duration of the 2-3 write actions — each is
+        # its own job, and an unpersisted toks would re-read and
+        # re-split the batch source per gram family (review finding)
+        toks = tokenized(batch_df, id_col, text_col).persist()
+        try:
+            uni_p, bi_p = bigram_lm_counts(batch_df, text_col,
+                                           toks=toks)
+            write_uni(uni_p, epoch_id)
+            write_bi(bi_p, epoch_id)
+            if write_tri is not None:
+                write_tri(trigram_lm_counts(batch_df, text_col,
+                                            toks=toks), epoch_id)
+        finally:
+            toks.unpersist()
 
     return write
 

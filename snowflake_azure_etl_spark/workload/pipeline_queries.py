@@ -1662,8 +1662,11 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_bi_all = cached_relation(
         lm_ops.bigram_lm_counts(docs, toks=lm_tk)[1],
         "lm_bi_all", eager=False)
+    lm_uni_all = cached_relation(
+        lm_ops.unigram_counts(docs, toks=lm_tk),
+        "lm_uni_all", eager=False)
     lm_uni, lm_bi, lm_tot = lm_ops.lm_model_from_counts(
-        lm_ops.unigram_counts(docs, toks=lm_tk), lm_bi_all)
+        lm_uni_all, lm_bi_all)
     lm_uni = cached_relation(lm_uni, "lm_uni", eager=False)
     lm_bi = cached_relation(lm_bi, "lm_bi", eager=False)
     lm_scored = cached_relation(

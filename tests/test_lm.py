@@ -224,6 +224,26 @@ def test_lm3_gram_laws_hold_on_trigram_keys(spark):
                      for r in ta.collect()}
 
 
+def test_lm_bucket_null_cuts_fail_loud(spark):
+    """Tercile cuts trained on a corpus with no scorable documents
+    are (NULL, NULL); labeling an UNSCORABLE stream against them is
+    fine, labeling a SCORABLE row raises instead of silently binning
+    everything 'tail' (review finding — a keep_only ingest gate would
+    otherwise drop the whole stream)."""
+    short = [(1, "a"), (2, "b c")]            # nothing >= 3 tokens
+    docs = spark.createDataFrame(short, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(docs)
+    sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
+    cuts = lm.lm_terciles(sc)
+    labeled = lm.lm_bucket(sc, cuts)
+    assert {r["lm3_bucket"] for r in labeled.collect()} == {"unscorable"}
+    docs2 = spark.createDataFrame([(3, "x y z x y z")],
+                                  "doc_id long, text string")
+    sc2 = lm.trigram_lm_bits(docs2, "doc_id", "text", uni, bi, tri, tot)
+    with pytest.raises(Exception, match="tercile cuts are NULL"):
+        lm.lm_bucket(sc2, cuts).collect()
+
+
 def test_lm3_oracle_ctes_match_engine(spark):
     duckdb = pytest.importorskip("duckdb")
     import pandas as pd
