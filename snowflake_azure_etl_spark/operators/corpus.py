@@ -80,7 +80,8 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             min_mean_tok_freq: float | None = None,
                             clf_feature_cols=None,
                             clf_weights: DataFrame | None = None,
-                            clf_min_score: float = 0.5
+                            clf_min_score: float = 0.5,
+                            lm_gate: str | None = None
                             ) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
@@ -104,7 +105,16 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
        when `clf_weights`+`clf_feature_cols` are given — the learned
        upgrade of the hand-tuned `min_quality` floor; train the
        probe with `classifier.train_margin_classifier`, typically on
-       a labeled sample, and pass its one-row weights relation);
+       a labeled sample, and pass its one-row weights relation), and
+       the CCNet perplexity gate (`lm_gate` — `operators.lm`:
+       "mean" trains the bigram tier on the ORIGINAL corpus and
+       keeps documents at-or-below the corpus-average per-position
+       cost; "tercile" trains the trigram tier and drops the tail
+       tercile (CCNet's actual head/middle selection); None
+       disables. Like the rare-token cut, the model and its
+       threshold/cuts train on the original corpus so the gate is
+       stable under the other filters; unscorable short documents
+       pass — the length gates own that regime);
     3b. corpus rebalancing (`operators.sampling`): per-language
        hash-stratified downsampling (`lang_fractions`, row-local,
        rerun-stable) and/or the per-language quota cap
@@ -165,6 +175,28 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                            out_col="_clf_score")
                 .filter(F.col("_clf_score") >= clf_min_score)
                 .drop("_clf_score"))
+    if lm_gate is not None:
+        from . import lm as lm_ops
+        toks = lm_ops.tokenized(docs, id_col, text_col)
+        if lm_gate == "mean":
+            uni, bi, tot = lm_ops.bigram_lm_model(docs, text_col,
+                                                  toks=toks)
+            sc = lm_ops.bigram_lm_bits(docs, id_col, text_col,
+                                       uni, bi, tot, toks=toks)
+            keep = (lm_ops.lm_keep(sc, lm_ops.lm_corpus_threshold(sc))
+                    .select(id_col, F.col("lm_keep").alias("_lmk")))
+        elif lm_gate == "tercile":
+            uni, bi, tri, tot = lm_ops.trigram_lm_model(
+                docs, text_col, toks=toks)
+            sc = lm_ops.trigram_lm_bits(docs, id_col, text_col,
+                                        uni, bi, tri, tot, toks=toks)
+            keep = (lm_ops.lm_bucket(sc, lm_ops.lm_terciles(sc))
+                    .select(id_col, F.col("lm3_keep").alias("_lmk")))
+        else:
+            raise ValueError(
+                f"lm_gate must be None, 'mean' or 'tercile' "
+                f"(got {lm_gate!r})")
+        kept = kept.join(keep, id_col).filter(F.col("_lmk")).drop("_lmk")
     if lang_fractions:
         from .sampling import stratified_keep
         kept = kept.filter(stratified_keep(id_col,

@@ -187,3 +187,28 @@ def test_prepare_training_corpus_trained_gate(spark):
             .select("doc_id").collect()}
     assert kept_ids == want
     assert kept_ids == {i for i in range(40) if i % 2 == 0}
+
+
+def test_prepare_training_corpus_perplexity_gate(spark, salted_docs):
+    """The CCNet perplexity gate (lm_gate): a planted gibberish doc
+    (all grams floored out of the corpus model) is cut by BOTH tiers
+    — 'mean' (bigram, corpus-average cut) and 'tercile' (trigram,
+    tail dropped); normal docs and unscorable short docs survive, and
+    an unknown mode fails loud."""
+    gibberish = spark.createDataFrame(
+        [(3_000_000, "qxzv wbnm pltk jhgf dsaq zzyx qwer vbnc"),
+         (3_000_001, "stub")],                # 1 token: unscorable
+        "doc_id bigint, text string")
+    docs = salted_docs.unionByName(gibberish)
+    for mode in ("mean", "tercile"):
+        out = corpus.prepare_training_corpus(
+            docs, near_dup_threshold=None, chunk_size=16,
+            chunk_stride=12, lm_gate=mode)
+        kept = {r.doc_id for r in out.select("doc_id").collect()}
+        assert 3_000_000 not in kept, mode
+        assert 3_000_001 in kept, mode        # unscorable: kept
+        assert len(kept) > 1, mode            # the corpus survives
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lm_gate"):
+        corpus.prepare_training_corpus(docs, near_dup_threshold=None,
+                                       lm_gate="median")

@@ -98,11 +98,20 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     assert "Python" not in plan         # no UDF tax in the hot path
     # the top-term and LM join-backs must be broadcast at test scale
     assert "BroadcastHashJoin" in plan
-    # any merge join may only move NARROW doc-keyed LM relations —
-    # the wide corpus row (its `text` column) never sorts/shuffles
+    # any merge join may only move NARROW LM relations — doc-keyed
+    # (score join-backs) or gram-keyed (the score-per-gram join of
+    # (id, w1..wn) positions against per-gram terms); the wide corpus
+    # row (its `text` column) never sorts/shuffles. Whether a given
+    # narrow join plans as broadcast or SMJ is session-cache-state
+    # dependent (artifacts already materialized carry InMemoryRelation
+    # stats), so both keys are admitted. The regex can also catch
+    # `[codegen id : N]` annotations — skip those.
     import re
     for frag in re.findall(r"SortMergeJoin \[([^\]]*)\]", plan):
-        assert "doc_id" in frag
+        if frag.startswith("codegen"):
+            continue
+        assert "doc_id" in frag or "w1" in frag, frag
+        assert "text#" not in frag
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):
