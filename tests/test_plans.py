@@ -110,7 +110,11 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     for frag in re.findall(r"SortMergeJoin \[([^\]]*)\]", plan):
         if frag.startswith("codegen"):
             continue
-        assert "doc_id" in frag or "w1" in frag, frag
+        # anchored on the attribute-ref form `name#id` so an
+        # unrelated column merely containing "w1" can't satisfy the
+        # pin; any of the LM gram keys (w1/w2/w3) or the doc key
+        # qualifies — which model join SMJs is cache-state dependent
+        assert re.search(r"\b(doc_id|w[123])#", frag), frag
         assert "text#" not in frag
 
 
