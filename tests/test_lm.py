@@ -224,6 +224,44 @@ def test_lm3_gram_laws_hold_on_trigram_keys(spark):
                      for r in ta.collect()}
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["the", "cat", "sat", "mat", "on", "zz"]
+_doc_strategy = st.lists(st.sampled_from(_WORDS), min_size=0,
+                         max_size=9).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_strategy, min_size=2, max_size=6))
+def test_lm3_property_sweep(spark, texts):
+    """Engine trigram tier == Python reference over random small
+    corpora from a 6-word alphabet (forces gram collisions, floor
+    edges, short/empty docs, and tercile ties) — scores, position
+    counts, perplexity, AND bucket labels."""
+    docs_rows = list(enumerate(texts))
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(docs)
+    sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
+    ref, _, buckets = py_lm3(docs_rows)
+    scorable = any(p is not None for _, _, p in ref.values())
+    if not scorable:
+        # NULL cuts: labeling must still work for all-unscorable
+        got = {r["doc_id"]: r for r in
+               lm.lm_bucket(sc, lm.lm_terciles(sc)).collect()}
+        assert all(g["lm3_bucket"] == "unscorable"
+                   for g in got.values())
+        return
+    got = {r["doc_id"]: r for r in
+           lm.lm_bucket(sc, lm.lm_terciles(sc)).collect()}
+    for doc_id, (bits, npos, ppl) in ref.items():
+        row = got[doc_id]
+        assert (row["lm3_bits"], row["lm3_n_pos"],
+                row["lm3_ppl_bits"]) == (bits, npos, ppl), doc_id
+        assert row["lm3_bucket"] == buckets[doc_id], doc_id
+
+
 def test_lm_bucket_null_cuts_fail_loud(spark):
     """Tercile cuts trained on a corpus with no scorable documents
     are (NULL, NULL); labeling an UNSCORABLE stream against them is
