@@ -119,16 +119,33 @@ def plan_key(df: DataFrame) -> str:
             return seen.setdefault(m.group(0), f"#{len(seen)}")
 
         plan = _EXPR_ID.sub(canon, plan)
+        # lambda-variable NAMES get the same first-occurrence
+        # renumbering as expression ids (r13): "y_2#301" carries the
+        # session-global counter in the name itself, so a rebuilt
+        # zip_with/transform plan printed differently even with every
+        # #id normalized. A '#'-shaped or 'y_2'-shaped LITERAL is
+        # disambiguated by the semanticHash mix-in below, exactly as
+        # for expression ids.
+        lam_seen: dict[str, str] = {}
+
+        def lam_canon(m: "re.Match[str]") -> str:
+            return lam_seen.setdefault(m.group(0), f"x_{len(lam_seen)}")
+
+        plan = _LAMBDA_VAR.sub(lam_canon, plan)
     plan += f"|sh={analyzed.semanticHash()}"
     return hashlib.md5(plan.encode()).hexdigest()
 
 
-#: Higher-order-function lambda variables in Column strings ("x_17")
-#: — numbered by a session-global counter exactly like expression ids,
-#: so the SAME expression built twice prints different names (r9: four
+#: Higher-order-function lambda variables in Column strings ("x_17";
+#: multi-arg lambdas name their later args "y_17"/"z_17") — numbered
+#: by a session-global counter exactly like expression ids, so the
+#: SAME expression built twice prints different names (r9: four
 #: identical classifier probes trained because their feature strings
-#: differed only in lambda numbering).
-_LAMBDA_VAR = re.compile(r"\bx_\d+\b")
+#: differed only in lambda numbering; r13: zip_with/2-arg lambdas
+#: slipped the x-only pattern, so every LM gram relation missed its
+#: cache key on rebuild and a raw-rebuilding session stacked seven
+#: persisted relations per invocation).
+_LAMBDA_VAR = re.compile(r"\b[xyz]_\d+\b")
 
 
 def column_key(col) -> str:

@@ -176,41 +176,48 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("_clf_score") >= clf_min_score)
                 .drop("_clf_score"))
     if lm_gate is not None:
-        from pyspark.storagelevel import StorageLevel
-
         from . import lm as lm_ops
+        from ._cache import cached_relation
         if lm_gate not in ("mean", "tercile"):
             raise ValueError(
                 f"lm_gate must be None, 'mean' or 'tercile' "
                 f"(got {lm_gate!r})")
-        # lazy persists (review finding): toks feeds several gram
-        # explodes and the scored relation is referenced by BOTH the
+        # session-memoized persists (ADVICE r12: raw persists here
+        # stacked a corpus-token-sized cache entry per invocation for
+        # the session's lifetime): toks feeds several gram explodes
+        # and the scored relation is referenced by BOTH the
         # threshold/cuts aggregate and the labeling pass — without
-        # them the tokenize+score subtree executes twice per action.
-        # The un-floored counts double as the scorers' gram set
-        # (counts-as-grams — the canonical pattern from the q57 leg),
-        # so scoring adds no distinct pass over positions.
-        toks = (lm_ops.tokenized(docs, id_col, text_col)
-                .persist(StorageLevel.MEMORY_AND_DISK))
+        # caching the tokenize+score subtree executes twice per
+        # action. cached_relation keys by the logical plan, so repeat
+        # invocations (and the q57 leg over the same corpus) REUSE
+        # the entries instead of stacking them; clear_cache is the
+        # release path. The un-floored counts double as the scorers'
+        # gram set (counts-as-grams — the canonical pattern from the
+        # q57 leg), so scoring adds no distinct pass over positions.
+        toks = cached_relation(lm_ops.tokenized(docs, id_col, text_col),
+                               "lm_tk", eager=False)
         uni_all, bi_all = lm_ops.bigram_lm_counts(docs, text_col,
                                                   toks=toks)
         uni, bi, tot = lm_ops.lm_model_from_counts(uni_all, bi_all)
         if lm_gate == "mean":
-            sc = lm_ops.bigram_lm_bits(
-                docs, id_col, text_col, uni, bi, tot,
-                toks=toks, grams=bi_all).persist(
-                    StorageLevel.MEMORY_AND_DISK)
+            sc = cached_relation(
+                lm_ops.bigram_lm_bits(docs, id_col, text_col,
+                                      uni, bi, tot,
+                                      toks=toks, grams=bi_all),
+                "lm_scored", eager=False)
             keep = (lm_ops.lm_keep(sc, lm_ops.lm_corpus_threshold(sc))
                     .select(id_col, F.col("lm_keep").alias("_lmk")))
         else:
             tri_all = lm_ops.trigram_lm_counts(docs, text_col,
                                                toks=toks)
             tri = tri_all.filter(F.col("c") >= lm_ops.LM_MIN_COUNT)
-            sc = lm_ops.trigram_lm_bits(
-                docs, id_col, text_col, uni, bi, tri, tot,
-                toks=toks, grams=tri_all).persist(
-                    StorageLevel.MEMORY_AND_DISK)
-            keep = (lm_ops.lm_bucket(sc, lm_ops.lm_terciles(sc))
+            sc = cached_relation(
+                lm_ops.trigram_lm_bits(docs, id_col, text_col,
+                                       uni, bi, tri, tot,
+                                       toks=toks, grams=tri_all),
+                "lm3_scored", eager=False)
+            keep = (lm_ops.lm_bucket(sc, lm_ops.lm_terciles(
+                        sc, n_rows=n_docs))
                     .select(id_col, F.col("lm3_keep").alias("_lmk")))
         kept = kept.join(keep, id_col).filter(F.col("_lmk")).drop("_lmk")
     if lang_fractions:

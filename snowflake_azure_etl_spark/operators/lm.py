@@ -420,8 +420,20 @@ def trigram_lm_bits(docs: DataFrame, id_col: str, text_col: str,
                     ppl.alias("lm3_ppl_bits")))
 
 
-def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits"
-                ) -> DataFrame:
+#: Above this attested scored-corpus row count the tercile cuts take
+#: the partition-parallel cumulative-count path (the packing switch's
+#: edge, `plans.surrogate.BIG_DIM_MAX_ROWS`): the distinct-score
+#: relation is bounded by min(n_docs, score-domain size ≈ 3·10⁸
+#: integers), which at 10¹⁰ documents is hundreds of millions of rows
+#: — too many for ONE task's sort (VERDICT r12 #1).
+def _big_corpus_max_rows() -> int:
+    from ..plans.surrogate import BIG_DIM_MAX_ROWS
+    return BIG_DIM_MAX_ROWS
+
+
+def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits",
+                n_rows: int | None = None,
+                big_max_rows: int | None = None) -> DataFrame:
     """ONE row (t1, t2): the exact tercile cuts of the scored
     perplexity distribution — CCNet's actual head/middle/tail split
     (Wenzek et al. 2019 §4.3), where the average-threshold `lm_keep`
@@ -432,23 +444,40 @@ def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits"
     entirely. The grouped relation is bounded by DISTINCT score
     values (≪ corpus; the rank-over-aggregate window family), and the
     cuts relation is a one-row artifact a pipeline trains once and
-    broadcasts always."""
-    from pyspark.sql import Window
+    broadcasts always.
+
+    `n_rows` is the caller's corpus-size attestation (footer/catalog
+    count; an upper bound is fine). Above `big_max_rows` (default
+    `plans.surrogate.BIG_DIM_MAX_ROWS` — the packing/surrogate-key
+    edge) the cumulative count switches from the single global window
+    to `plans.prefix.ranged_prefix_sum` (range-repartition +
+    per-partition window + a parallelism-bounded driver prefix), so
+    the one single-partition sort this build used to carry at 100 TB
+    is gone; both paths produce identical cuts (pinned in
+    tests/test_lm.py). The scored-document total is a separate
+    one-row aggregate crossJoined under attestation — no
+    unbounded-frame window on either path."""
+    big = big_max_rows if big_max_rows is not None else _big_corpus_max_rows()
     p = F.col(ppl_col)
     dist = (scored.filter(p.isNotNull())
             .groupBy(p.alias("_p")).agg(F.count("*").alias("_c")))
-    w = (Window.orderBy("_p")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = dist.select("_p", F.sum("_c").over(w).alias("_cum"),
-                      F.sum("_c").over(
-                          Window.rowsBetween(Window.unboundedPreceding,
-                                             Window.unboundedFollowing)
-                      ).alias("_n"))
-    return cum.agg(
-        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
-                     F.col("_p"))).alias("t1"),
-        F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2,
-                     F.col("_p"))).alias("t2"))
+    if n_rows is not None and n_rows > big:
+        from ..plans.prefix import ranged_prefix_sum
+        cum = (ranged_prefix_sum(dist, F.col("_c"), "_excl",
+                                 order_by=["_p"])
+               .withColumn("_cum", F.col("_excl") + F.col("_c")))
+    else:
+        from pyspark.sql import Window
+        w = (Window.orderBy("_p")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = dist.select("_p", "_c", F.sum("_c").over(w).alias("_cum"))
+    total = dist.agg(F.sum("_c").cast("long").alias("_n"))
+    return (cum.crossJoin(bounded_broadcast(
+                total, bound="one-row scored-document total", max_rows=1))
+            .agg(F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
+                              F.col("_p"))).alias("t1"),
+                 F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2,
+                              F.col("_p"))).alias("t2")))
 
 
 def lm_bucket(scored: DataFrame, cuts: DataFrame,
@@ -479,6 +508,29 @@ def lm_bucket(scored: DataFrame, cuts: DataFrame,
             .withColumn(bucket_col, bucket)
             .withColumn(keep_col, F.col(bucket_col) != "tail")
             .drop("t1", "t2"))
+
+
+def lm_cuts_from_rollup(docs: DataFrame, uni_all: DataFrame,
+                        bi_all: DataFrame, tri_all: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_count: int = LM_MIN_COUNT,
+                        n_rows: int | None = None,
+                        toks: DataFrame | None = None) -> DataFrame:
+    """Refresh the tercile cuts from ROLLED-UP gram counts — the
+    sanctioned selection-model maintenance path for a pipeline that
+    grows its LM via `lm_counts_ingest_sink` + `rollup_gram_counts`
+    (VERDICT r12 #7). Derives the floored serving model from the raw
+    counts (the floor is not additive — it must re-apply to the
+    merged relation), re-scores the LANDED corpus against it, and
+    trains fresh cuts; stream-grown counts + this call equal a batch
+    retrain over the concatenated corpus exactly (pinned in
+    tests/test_streaming_ingest.py). `n_rows` attests the landed
+    corpus size for `lm_terciles`' parallel-path gate."""
+    uni, bi, tot = lm_model_from_counts(uni_all, bi_all, min_count)
+    tri = tri_all.filter(F.col("c") >= min_count)
+    sc = trigram_lm_bits(docs, id_col, text_col, uni, bi, tri, tot,
+                         toks=toks, grams=tri_all)
+    return lm_terciles(sc, n_rows=n_rows)
 
 
 def lm_corpus_threshold(scored: DataFrame) -> DataFrame:
@@ -626,8 +678,15 @@ def lm3_bucket_sql(ppl: str = "lms3.lm3_ppl_bits",
                    cuts: str = "lmc") -> str:
     """The head/middle/tail CASE for a consuming oracle's SELECT —
     kept beside the engine's `lm_bucket` so the label logic cannot
-    drift between them."""
+    drift between them. The NULL-cuts guard mirrors the engine's
+    fail-loud branch (ADVICE r12): without it, `p <= NULL` falls
+    through both WHENs and every scorable row silently labels 'tail'
+    where the engine raises."""
     return (f"CASE WHEN {ppl} IS NULL THEN 'unscorable' "
+            f"WHEN {cuts}.t1 IS NULL OR {cuts}.t2 IS NULL THEN "
+            f"CAST(error('lm3_bucket: tercile cuts are NULL (trained "
+            f"on a corpus with no scorable documents) — retrain "
+            f"before labeling') AS VARCHAR) "
             f"WHEN {ppl} <= {cuts}.t1 THEN 'head' "
             f"WHEN {ppl} <= {cuts}.t2 THEN 'middle' "
             f"ELSE 'tail' END")

@@ -63,6 +63,45 @@ def verify_mode():
         _verify = False
 
 
+#: Field types a KEY_ONLY relation may carry: fixed-width scalars and
+#: strings — the shapes a join key / surrogate-key map is made of.
+#: Arrays, maps, structs, and binary are payload, not keys: a "key
+#: only" claim over them would launder arbitrarily wide rows through
+#: the 5M cap (VERDICT r12 #6).
+_KEY_ONLY_TYPES = ("byte", "short", "int", "long", "float", "double",
+                   "string", "date", "timestamp", "timestamp_ntz",
+                   "boolean")
+
+#: Maximum column count for the KEY_ONLY exception: a business-key
+#: projection plus its surrogate key — every sanctioned site uses
+#: 1-3 columns (layout.semi_prefilter, star_build's key maps,
+#: incremental's business keys).
+_KEY_ONLY_MAX_COLS = 3
+
+
+def _assert_key_only_shape(side: DataFrame) -> None:
+    """The WIDTH half of the key_only attestation (the row count half
+    is the cap + verify_mode). Schema-only — no job — so it runs on
+    every call, not just under verify_mode: a wide relation cannot
+    claim the bigger cap even in production plan building."""
+    fields = side.schema.fields
+    if len(fields) > _KEY_ONLY_MAX_COLS:
+        raise ValueError(
+            f"key_only broadcast claims a narrow key projection but "
+            f"has {len(fields)} columns ({[f.name for f in fields]}) — "
+            f"the KEY_ONLY cap admits <= {_KEY_ONLY_MAX_COLS}")
+    for f in fields:
+        t = f.dataType.typeName()
+        if t.startswith("decimal"):
+            continue
+        if t not in _KEY_ONLY_TYPES:
+            raise ValueError(
+                f"key_only broadcast column {f.name!r} has non-key "
+                f"type {f.dataType.simpleString()} — arrays/maps/"
+                f"structs/binary are payload; use the standard "
+                f"BROADCAST_MAX_ROWS attestation instead")
+
+
 def bounded_broadcast(side: DataFrame, *, bound: str | None = None,
                       n_rows: int | None = None,
                       max_rows: int = BROADCAST_MAX_ROWS,
@@ -82,6 +121,8 @@ def bounded_broadcast(side: DataFrame, *, bound: str | None = None,
     cap is the attestation's teeth.
     """
     cap = KEY_ONLY_MAX_ROWS if key_only else BROADCAST_MAX_ROWS
+    if key_only:
+        _assert_key_only_shape(side)
     if n_rows is None and bound is None:
         raise ValueError(
             "unattested broadcast: pass a measured n_rows or a declared "

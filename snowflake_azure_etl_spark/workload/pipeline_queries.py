@@ -1704,7 +1704,7 @@ def q57_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm3_scored", eager=False)
     lm3_final = lm_ops.lm_bucket(
         lm3_scored,
-        cached_relation(lm_ops.lm_terciles(lm3_scored),
+        cached_relation(lm_ops.lm_terciles(lm3_scored, n_rows=n_docs),
                         "lm3_cuts", eager=False))
     # join-back rides the packing/top-term pattern: the narrow per-doc
     # LM relation is the broadcast side under the footer attestation

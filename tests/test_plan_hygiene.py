@@ -92,6 +92,36 @@ def test_bounded_broadcast_rejects_unattested_and_oversized(spark):
     assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
 
 
+def test_key_only_cap_rejects_wide_relations(spark):
+    """VERDICT r12 #6: the KEY_ONLY 5M cap is for narrow key
+    projections only — the width half of the claim is now a schema
+    assertion on EVERY call (no job needed), so a wide or
+    payload-typed relation cannot launder through the bigger cap."""
+    from pyspark.sql import functions as F
+    wide = spark.range(3).select(
+        "id", F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("c"))                       # 4 columns
+    with pytest.raises(ValueError, match="narrow key projection"):
+        attest.bounded_broadcast(wide, bound="planted wide (4 cols)",
+                                 key_only=True,
+                                 max_rows=attest.KEY_ONLY_MAX_ROWS)
+    payload = spark.range(3).select(
+        "id", F.array(F.lit("x")).alias("toks"))      # array payload
+    with pytest.raises(ValueError, match="non-key type"):
+        attest.bounded_broadcast(payload, bound="planted payload col",
+                                 key_only=True,
+                                 max_rows=attest.KEY_ONLY_MAX_ROWS)
+    # the measured form can't dodge the width check either
+    with pytest.raises(ValueError, match="narrow key projection"):
+        attest.bounded_broadcast(wide, n_rows=3, key_only=True)
+    # a genuinely narrow key map still passes and hints
+    keys = spark.range(3).select("id", F.col("id").alias("sk"))
+    ok = attest.bounded_broadcast(keys, bound="2-col key map",
+                                  key_only=True,
+                                  max_rows=attest.KEY_ONLY_MAX_ROWS)
+    assert "ResolvedHint" in ok._jdf.queryExecution().analyzed().toString()
+
+
 def test_verify_mode_is_red_on_a_false_bound(spark):
     # the planted corpus-side hint: claims one-row, is 3 rows
     df = spark.range(3).toDF("x")

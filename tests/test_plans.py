@@ -70,8 +70,7 @@ def test_theta_join_is_bnl(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_text_stats_no_shuffle_no_python(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q57_text_stats")
+def _assert_q57_plan_shape(plan: str, budget: int) -> None:
     # the per-doc feature computation stays a narrow projection over
     # the WIDE corpus row; every exchange belongs to a declared
     # bounded-or-narrow side stage — the one-row token-frequency map
@@ -87,13 +86,16 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     # re-attached via the footer-attested broadcast (the packing
     # join-back pattern) so the wide corpus row itself never
     # shuffles; rangepartitioning never appears (the packing prefix
-    # sum takes the single-window small path at test scale). The
-    # budget carries ±2 headroom: the count is session-cache-state
-    # sensitive (an artifact already materialized by an earlier test
-    # appears as InMemoryRelation and changes which side of a join
-    # plans an exchange — observed 28 solo vs 30 mid-suite on the
-    # identical code)
-    assert plan.count("hashpartitioning") <= 32
+    # sum AND the r13 tercile-cuts build take their single-window
+    # small paths at test scale — the parallel twins are pinned in
+    # test_packing.py / test_lm.py). Per-STATE budgets replace the
+    # old any-state 32-with-headroom (ADVICE r12): cold plans 19
+    # exchanges (estimates broadcast more sides), prewarmed plans 32
+    # (real InMemoryRelation stats SMJ two narrow gram joins); each
+    # state gets its observed envelope +1, and the harness asserts
+    # build-to-build equality so a new shuffle must be consciously
+    # re-budgeted in the state it appears in.
+    assert plan.count("hashpartitioning") <= budget
     assert "rangepartitioning" not in plan
     assert "Python" not in plan         # no UDF tax in the hot path
     # the top-term and LM join-backs must be broadcast at test scale
@@ -102,9 +104,10 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
     # (score join-backs) or gram-keyed (the score-per-gram join of
     # (id, w1..wn) positions against per-gram terms); the wide corpus
     # row (its `text` column) never sorts/shuffles. Whether a given
-    # narrow join plans as broadcast or SMJ is session-cache-state
-    # dependent (artifacts already materialized carry InMemoryRelation
-    # stats), so both keys are admitted. The regex can also catch
+    # narrow join plans as broadcast or SMJ is cache-state dependent
+    # (artifacts already materialized carry InMemoryRelation stats),
+    # so both keys are admitted — the per-STATE determinism is what
+    # the two-state harness asserts. The regex can also catch
     # `[codegen id : N]` annotations — skip those.
     import re
     for frag in re.findall(r"SortMergeJoin \[([^\]]*)\]", plan):
@@ -116,6 +119,37 @@ def test_text_stats_no_shuffle_no_python(spark, sf_dir):
         # qualifies — which model join SMJs is cache-state dependent
         assert re.search(r"\b(doc_id|w[123])#", frag), frag
         assert "text#" not in frag
+
+
+@pytest.mark.parametrize("state,budget", [("cold", 20), ("prewarmed", 32)])
+def test_text_stats_no_shuffle_no_python(spark, sf_dir, state, budget):
+    """The q57 pin, in a FIXED artifact-cache state (VERDICT r12 #5):
+    the plan was session-cache-state sensitive (28 exchanges solo vs
+    30 mid-suite on identical code — whatever an earlier test happened
+    to materialize changed broadcast-vs-SMJ picks), so the pin
+    admitted a family. Now each state is pinned deterministically:
+    `clear_cache` fixes the COLD state; one forced execution fixes the
+    PREWARMED state (every artifact materialized); in both, two
+    consecutive RAW builds (bypassing the prepared-statement object)
+    must produce the same exchange count and pass the shape
+    assertions."""
+    from snowflake_azure_etl_spark.operators._cache import clear_cache
+    from snowflake_azure_etl_spark.workload._registry import QUERIES as REG
+
+    clear_cache(spark)
+    if state == "prewarmed":
+        (REG["q57_text_stats"].raw(spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
+    plans = [explain_str(REG["q57_text_stats"].raw(spark, sf_dir))
+             for _ in range(2)]
+    for plan in plans:
+        _assert_q57_plan_shape(plan, budget)
+    assert (plans[0].count("hashpartitioning")
+            == plans[1].count("hashpartitioning")), \
+        f"{state}: plan not deterministic across consecutive builds"
+    assert (plans[0].count("SortMergeJoin")
+            == plans[1].count("SortMergeJoin")), \
+        f"{state}: join strategy not deterministic across builds"
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):

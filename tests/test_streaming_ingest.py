@@ -482,6 +482,18 @@ def test_lm_counts_ingest_grows_model(spark):
     assert asmap(bi_m, ("w1", "w2")) == asmap(bi_b, ("w1", "w2"))
     assert tot_m.collect() == tot_b.collect()
 
+    # r13 (VERDICT r12 #7): selection-model maintenance — tercile cuts
+    # refreshed from the ROLLED-UP counts against the landed corpus
+    # equal a batch retrain over the concatenated stream exactly, so a
+    # pipeline growing its model via this sink has a sanctioned cuts-
+    # refresh path instead of a frozen train-time selection
+    cuts_roll = lm.lm_cuts_from_rollup(whole, uni_roll, bi_roll,
+                                       tri_roll)
+    uni3, bi3, tri3, tot3 = lm.trigram_lm_model(whole)
+    sc_b = lm.trigram_lm_bits(whole, "doc_id", "text",
+                              uni3, bi3, tri3, tot3)
+    assert cuts_roll.collect() == lm.lm_terciles(sc_b).collect()
+
     # replaying epoch 0 overwrites its partitions — rollup unchanged
     sink(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
     assert asmap(ingest.rollup_gram_counts(spark, uni_t), ("tok",)) == \
