@@ -4,10 +4,22 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
 
 1. a DETAIL line carrying the per-query maps
-   ({"detail": "per_query", "queries": {...}, "queries_cold_sweep": ...});
+   ({"detail": "per_query", "queries": {...}, "queries_cold_sweep": ...,
+     "queries_serve": ..., "queries_artifact_build": ...,
+     "serve_complete": ...});
 2. a compact totals-only SUMMARY line printed LAST
-   ({"metric", "value", "unit", "value_cold_sweep", "sf", "n_queries",
+   ({"metric", "value", "unit", "value_cold_sweep", "value_serve",
+     "value_artifact_build", "sf", "n_queries",
      "noise_median_ratio_vs_prev", "noise_vs"}).
+
+The serve/artifact split is the two-phase cold instrument (VERDICT
+r12 #2): the cold sweep's first invocation of each query pays both
+the one-off session-artifact builds (indexes, LM models, sketches —
+ONE maintenance job per corpus version in production) and the query's
+own serving work; `queries_serve` is the post-cold per-query minimum
+(artifacts in place, results never memoized — the prepared-statement
+contract), and `queries_artifact_build` = cold − serve attributes the
+difference.
 
 The summary line is last and small by contract (VERDICT r10 #1): the
 driver records only the tail of stdout, and round 10's single fat line
@@ -88,6 +100,7 @@ def main() -> None:
     # contention.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
+    serve: dict[str, float] = {}
     t_all = time.perf_counter()
     # Sweep 1 runs against an empty session cache: its timings are the
     # honest COLD cost of every query (index/sketch/model artifacts
@@ -98,11 +111,25 @@ def main() -> None:
     for name in sorted(QUERIES):
         timings[name] = run_once(name)
     cold = {k: round(v, 3) for k, v in timings.items()}
+    # Two-phase ledger (VERDICT r12 #2): sweeps 2+ run with every
+    # session-memoized artifact already in place but — per the
+    # prepared-statement contract — results NEVER memoized, so their
+    # per-query minimum is the SERVE cost: what a query costs once
+    # the index/model/sketch artifacts exist (one maintenance job per
+    # corpus version at scale, not per-query work). The cold sweep's
+    # excess over it is the ARTIFACT-BUILD cost, attributing the cold
+    # number instead of leaving it a blob.
     for _sweep in range(2):  # up to 2 more full sweeps within budget
         for name in sorted(QUERIES):
             if time.perf_counter() - t_all > budget_s:
                 break
-            timings[name] = min(timings[name], run_once(name))
+            t = run_once(name)
+            serve[name] = min(serve.get(name, t), t)
+            timings[name] = min(timings[name], t)
+    serve_complete = set(serve) == set(timings)
+    artifact = {k: round(max(cold[k] - serve[k], 0.0), 3)
+                for k in sorted(serve)}
+    serve = {k: round(v, 3) for k, v in serve.items()}
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
 
@@ -129,6 +156,9 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
         "queries_cold_sweep": cold,
+        "queries_serve": serve,
+        "queries_artifact_build": artifact,
+        "serve_complete": serve_complete,
     }
     print(json.dumps(detail))
     try:
@@ -143,6 +173,14 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "value_cold_sweep": round(sum(cold.values()), 3),
+        # the two-phase split of the cold sweep (VERDICT r12 #2):
+        # cold ≈ value_artifact_build (one-off session-artifact
+        # builds) + value_serve (the catalog with artifacts in place,
+        # results un-memoized)
+        "value_serve": (round(sum(serve.values()), 3)
+                        if serve_complete else None),
+        "value_artifact_build": (round(sum(artifact.values()), 3)
+                                 if serve_complete else None),
         "noise_median_ratio_vs_prev": noise_ratio,
         "noise_vs": noise_vs,
     }))
