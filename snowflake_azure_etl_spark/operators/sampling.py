@@ -284,6 +284,20 @@ def plog2(n: Column, scale: int = PLOG2_SCALE) -> Column:
     return e.cast("long") * F.lit(int(scale)) + frac
 
 
+def plog2_int(n: int, scale: int = PLOG2_SCALE) -> int:
+    """The pure-Python twin of `plog2` for DRIVER-side model
+    parameters (bounded Pregel-probe artifacts — BPE merges, unigram
+    piece costs): identical integer math, so a cost computed on the
+    driver equals the engine/oracle expression bit-for-bit."""
+    if n <= 0:
+        raise ValueError(f"plog2_int requires n > 0 (got {n})")
+    e = n.bit_length() - 1
+    s = max(e - _PLOG2_MAX_E, 0)
+    m = n >> s
+    p2 = 1 << (e - s)
+    return e * scale + ((m - p2) * scale) // p2
+
+
 def plog2_sql(expr: str, scale: int = PLOG2_SCALE) -> str:
     """The DuckDB mirror of `plog2` for oracle strings. The input is
     pinned to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, whose

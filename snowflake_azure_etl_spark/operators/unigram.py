@@ -1,0 +1,489 @@
+"""Unigram-LM (SentencePiece-style) trained tokenizer — the second
+big-name tokenizer family beside BPE (VERDICT r12 #4).
+
+Kudo 2018's unigram language model tokenizer, re-expressed in the
+engine's exact-integer fixed-point discipline so training AND
+segmentation are oracle-replayable hash-for-hash:
+
+1. **Seeding**: candidate pieces are the corpus's frequent substrings
+   — every substring of length <= ``UNIGRAM_MAX_PIECE_LEN`` of every
+   distinct word, counted weighted by word frequency (one explode
+   over the vocabulary-sized word relation — the Sennrich reduction
+   `operators.bpe` uses: per-round work is vocabulary-sized, the
+   corpus is touched once by `word_freqs`). All single characters are
+   kept (segmentation totality); multi-char candidates keep the
+   top-``seed_multi`` by (count desc, piece asc) — a deterministic
+   total order.
+2. **Piece costs** (the model parameters): ``cost(p) = plog2(T + V)
+   − plog2(c(p) + 1)`` — the add-one-smoothed negative log2
+   probability in `sampling.plog2` fixed point (T = total piece
+   count over the candidate set, V = candidate count). Costs are
+   non-negative exact longs; a segmentation's cost is their sum, so
+   minimizing cost == maximizing the unigram-LM likelihood.
+3. **Hard-EM (Viterbi-EM) rounds**: E-step = Viterbi-segment every
+   distinct word under the current costs (DP over word positions,
+   expressed as one `F.aggregate` fold — all JVM-side, no UDF) and
+   count piece usage weighted by word frequency; M-step = re-derive
+   costs from the usage counts. The full-lattice forward-backward of
+   the paper needs log-sum-exp, which has no exact-integer form (the
+   `operators.lm` log-linear-vs-linear argument); hard EM is the
+   standard integer-exact variant and keeps every round's counts —
+   and therefore the whole training trajectory — oracle-replayable
+   as chained CTEs (the BPE-round/k-means-round pattern).
+4. **Viterbi tie-break**: strictly-lower cost wins; on ties the
+   LONGEST piece wins (candidates scanned length-descending with a
+   strict compare) — pinned identically in the engine fold, the
+   DuckDB mirror's longest-first ``least``-match CASE, and the
+   Python test reference.
+
+Like `bpe.train_bpe_merges`, the learned model (piece, count, cost —
+candidate-set-bounded: |alphabet| + ``seed_multi`` rows) is a
+driver-side artifact collected via the bounded Pregel-probe pattern
+and memoized per (session, corpus plan, hyperparameters); per-round
+state in the cluster is vocabulary-sized, never corpus-sized.
+
+Scale (100 TB): the one corpus-sized pass is `bpe.word_freqs`' word
+count (map-side combined, word-keyed shuffle). Training folds run
+over the distinct-word relation (Heaps' law: ~10^8 rows at 100 TB —
+parallel, checkpointed once). Encoding (`encode_unigram`) segments
+the DISTINCT words once and joins the (word, pieces) relation back by
+word — UNhinted, so AQE broadcasts a small vocab and shuffle-joins a
+web-scale one; the per-doc reassembly is a map-side-combining
+aggregate over (doc, position). The row-local `segment_text`
+expression is the join-free alternative for subsamples and streams.
+
+Reference parity: the reference repo has no tokenizer trainer; this
+extends the LLM-pipeline surface beside `operators/bpe.py`
+(SURVEY §2 north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.attest import bounded_broadcast
+from .bpe import word_freqs
+from .sampling import PLOG2_SCALE, plog2, plog2_int, plog2_sql
+from .text import tokens
+
+#: Maximum candidate-piece length (characters). DP candidates per
+#: position = this constant, so it is compiled into the Viterbi fold
+#: and the oracle's unrolled candidate list.
+UNIGRAM_MAX_PIECE_LEN = 4
+
+#: Multi-character candidate pieces kept at seeding (top by count
+#: desc, piece asc). Single characters are always kept.
+UNIGRAM_SEED_MULTI = 32
+
+#: Hard-EM rounds.
+UNIGRAM_ROUNDS = 2
+
+def seed_piece_counts(words: DataFrame,
+                      k: int = UNIGRAM_MAX_PIECE_LEN) -> DataFrame:
+    """(piece, cnt): every substring of length 1..k of every word,
+    counted weighted by word frequency — the candidate-seeding
+    relation. Vocabulary-sized input, piece-keyed map-side-combined
+    aggregate."""
+    w = F.col("word")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.least(F.length(w), F.lit(k))),
+        lambda l: F.transform(
+            F.sequence(F.lit(1), F.length(w) - l + 1),
+            lambda s: w.substr(s, l))))
+    return (words.select(F.explode(subs).alias("piece"), "freq")
+            .groupBy("piece").agg(F.sum("freq").alias("cnt")))
+
+
+def seed_pieces(words: DataFrame, k: int = UNIGRAM_MAX_PIECE_LEN,
+                seed_multi: int = UNIGRAM_SEED_MULTI) -> DataFrame:
+    """(piece, cnt): the candidate set — ALL single characters (so
+    every word stays segmentable) plus the top-`seed_multi`
+    multi-char substrings by (cnt desc, piece asc). Bounded by
+    |alphabet| + seed_multi by construction."""
+    subs = seed_piece_counts(words, k)
+    singles = subs.filter(F.length("piece") == 1)
+    multis = (subs.filter(F.length("piece") > 1)
+              .orderBy(F.desc("cnt"), F.asc("piece")).limit(seed_multi))
+    return singles.unionByName(multis)
+
+
+def piece_costs(counts: dict[str, int], keys: list[str],
+                scale: int = PLOG2_SCALE) -> dict[str, int]:
+    """Driver-side M-step: cost(p) = plog2(T + V) − plog2(c(p) + 1)
+    over the FIXED candidate key set (zero-usage pieces stay in the
+    model at max cost — the candidate set never changes across
+    rounds, only the counts do). Pure-int math == the engine/oracle
+    expression bit-for-bit (`plog2_int`)."""
+    t = sum(counts.get(p, 0) for p in keys)
+    v = len(keys)
+    base = plog2_int(t + v, scale)
+    return {p: base - plog2_int(counts.get(p, 0) + 1, scale)
+            for p in keys}
+
+
+def _costs_map_lit(costs: dict[str, int]) -> Column:
+    """The piece→cost model as a literal map column (candidate-set-
+    bounded — the BPE merge-list economics: ~10^2-10^5 entries
+    compiled once, shipped with the plan)."""
+    entries: list[Column] = []
+    for p in sorted(costs):
+        entries.append(F.lit(p))
+        entries.append(F.lit(int(costs[p])).cast("long"))
+    return F.create_map(*entries)
+
+
+def viterbi_expr(word: Column, costs_map: Column,
+                 k: int = UNIGRAM_MAX_PIECE_LEN) -> Column:
+    """struct<c:bigint, s:array<string>> — the min-cost segmentation
+    of `word` under the piece-cost map, or NULL when no segmentation
+    exists (a character outside the model's alphabet — fail-visible,
+    never silently skipped). One `F.aggregate` fold over positions:
+    acc[i+1] = best over piece lengths l=k..1 of acc[i+1−l] +
+    cost(substr(i+2−l, l)); strict `<` with lengths scanned
+    descending pins the longest-piece tie-break. All JVM-side."""
+    # "no segmentation" is a SENTINEL struct with NULL fields, never a
+    # NULL struct: arrays carrying null struct elements NPE in Spark
+    # 4.1's generated UnsafeProjection when the fold lands inside an
+    # aggregate's result projection (e.g. after the encode path's
+    # distinct — verified live); null FIELDS round-trip fine
+    def nothing():
+        return F.struct(F.lit(None).cast("bigint").alias("c"),
+                        F.lit(None).cast("array<string>").alias("s"))
+
+    def step(acc, i):
+        cands = []
+        for l in range(k, 0, -1):
+            prev = F.element_at(acc, i - F.lit(l) + 1)
+            piece = word.substr(i - F.lit(l) + 1, F.lit(l))
+            cand = F.when(
+                i >= F.lit(l),
+                F.struct(
+                    (prev["c"] + F.element_at(costs_map, piece))
+                    .alias("c"),
+                    F.concat(prev["s"], F.array(piece)).alias("s"))
+            ).otherwise(nothing())
+            cands.append(cand)
+        carr = F.filter(F.array(*cands),
+                        lambda x: x["c"].isNotNull())
+        best = F.aggregate(
+            carr, nothing(),
+            lambda a, x: F.when(a["c"].isNull() | (x["c"] < a["c"]), x)
+            .otherwise(a))
+        return F.concat(acc, F.array(best))
+
+    init = F.array(F.struct(
+        F.lit(0).cast("long").alias("c"),
+        F.array().cast("array<string>").alias("s")))
+    filled = F.aggregate(F.sequence(F.lit(1), F.length(word)),
+                         init, step)
+    return F.when(F.length(word) >= 1,
+                  F.element_at(filled, F.length(word) + 1)
+                  ).otherwise(nothing())
+
+
+def viterbi_words(words: DataFrame, costs: dict[str, int],
+                  k: int = UNIGRAM_MAX_PIECE_LEN) -> DataFrame:
+    """words + (cost, segs): Viterbi segmentation of the distinct-word
+    relation under a trained/interim cost model."""
+    best = viterbi_expr(F.col("word"), _costs_map_lit(costs), k)
+    return (words.withColumn("_b", best)
+            .select(*words.columns, F.col("_b.c").alias("cost"),
+                    F.col("_b.s").alias("segs")))
+
+
+class UnigramModel:
+    """The trained artifact: `pieces` = [(piece, final-usage count,
+    cost)] sorted by piece; `traj` = per-round corpus Viterbi
+    objective Σ freq·cost (exact longs, the EM trajectory the oracle
+    replays); hyperparameters ride along for encode."""
+
+    def __init__(self, pieces: list[tuple[str, int, int]],
+                 traj: list[int], k: int, seed_multi: int):
+        self.pieces = pieces
+        self.traj = traj
+        self.k = k
+        self.seed_multi = seed_multi
+
+    @property
+    def costs(self) -> dict[str, int]:
+        return {p: c for p, _, c in self.pieces}
+
+
+def train_unigram(docs: DataFrame, text_col: str = "text",
+                  rounds: int = UNIGRAM_ROUNDS,
+                  k: int = UNIGRAM_MAX_PIECE_LEN,
+                  seed_multi: int = UNIGRAM_SEED_MULTI) -> UnigramModel:
+    """Train the unigram tokenizer (module docstring) — memoized per
+    (session, corpus plan, hyperparameters) like `train_bpe_merges`.
+    Driver-side state is candidate-set-bounded (the Pregel-probe
+    pattern: per-round piece counts and the one-row objective are the
+    model parameters being learned, not data)."""
+    if rounds < 1:
+        raise ValueError(f"rounds ({rounds}) must be >= 1")
+    from ._cache import cached_build, plan_key
+    key = ("unigram_model", plan_key(docs.select(text_col)),
+           rounds, k, seed_multi)
+    return cached_build(
+        docs.sparkSession, key,
+        lambda: _train(docs, text_col, rounds, k, seed_multi))
+
+
+def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
+           seed_multi: int) -> UnigramModel:
+    sc = docs.sparkSession.sparkContext
+    n_parts = max(4, sc.defaultParallelism // 8)
+    # the ONE corpus-sized pass; checkpoint cuts the corpus lineage
+    # and bounds the per-round fold's input to the distinct words
+    # (the bpe._train discipline, same partition sizing)
+    words = (word_freqs(docs, text_col)
+             .coalesce(n_parts).localCheckpoint(eager=True))
+    # bounded collect: |alphabet| + seed_multi rows by construction
+    # (the vocab_from_merges alphabet-collect pattern)
+    seeds = {r["piece"]: int(r["cnt"])
+             for r in seed_pieces(words, k, seed_multi).collect()}
+    keys = sorted(seeds)
+    costs = piece_costs(seeds, keys)
+    traj: list[int] = []
+    counts: dict[str, int] = dict(seeds)
+    for _ in range(rounds):
+        # E-step materialized once per round (vocab-sized — the BPE
+        # per-round discipline): the usage-count aggregate and the
+        # one-row objective both read the checkpointed relation
+        # instead of re-running the Viterbi fold
+        seg = viterbi_words(words, costs, k).localCheckpoint(eager=True)
+        agg = (seg.select("freq", F.explode("segs").alias("piece"))
+               .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+               .collect())
+        counts = {r["piece"]: int(r["cnt"]) for r in agg}
+        obj = seg.agg(F.sum(F.col("freq") * F.col("cost"))
+                      .alias("o")).collect()[0]["o"]
+        traj.append(int(obj))
+        costs = piece_costs(counts, keys)
+    pieces = [(p, counts.get(p, 0), costs[p]) for p in keys]
+    return UnigramModel(pieces, traj, k, seed_multi)
+
+
+def segment_text(text_col: Column | str, model: UnigramModel) -> Column:
+    """array<string>: the trained tokenizer's row-local ENCODE
+    expression — each whitespace word Viterbi-segmented under the
+    model (join-free: right for subsamples, streams, and the
+    stream==batch contract). NULL if ANY word is unsegmentable
+    (out-of-alphabet character) — fail-visible, the encode_ids
+    unk-id contract's stricter sibling."""
+    return segment_text_with(text_col, model.costs, model.k)
+
+
+def segment_text_with(text_col: Column | str, costs: dict[str, int],
+                      k: int = UNIGRAM_MAX_PIECE_LEN) -> Column:
+    """`segment_text` from a bare piece→cost dict — the form the
+    streaming sink uses after reading the PERSISTED piece table
+    (`streaming.ingest.unigram_ingest_sink`)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cmap = _costs_map_lit(costs)
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    per_word = F.transform(
+        words, lambda w: viterbi_expr(w, cmap, k)["s"])
+    return F.when(F.exists(per_word, lambda s: s.isNull()),
+                  F.lit(None).cast("array<string>")
+                  ).otherwise(F.flatten(per_word))
+
+
+def pieces_table_df(spark, model: UnigramModel) -> DataFrame:
+    """The trained model as a landable (piece, cnt, cost) relation —
+    the persisted artifact the streaming sink scores against (the
+    `bpe.merges_table` shape)."""
+    return spark.createDataFrame(
+        model.pieces, "piece string, cnt long, cost long")
+
+
+def encode_unigram(docs: DataFrame, model: UnigramModel,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, pieces, n_pieces): the scale ENCODE path — segment the
+    DISTINCT words once (`viterbi_words`), join back by word
+    (UNhinted: AQE broadcasts a small vocab, shuffle-joins a
+    web-scale one — a forced hint here would be the r11 q50 defect),
+    and reassemble per document in (doc, position) order via a
+    map-side-combining aggregate. Documents with no words keep an
+    empty pieces array (the left join + coalesce)."""
+    c = F.col(text_col)
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    pos = (docs.select(F.col(id_col),
+                       F.posexplode(words).alias("_i", "word")))
+    wseg = viterbi_words(
+        pos.select("word").distinct().withColumn("freq", F.lit(1)),
+        model.costs, model.k).select("word", "segs")
+    # a NULL segs array must never reach flatten: flattening a null
+    # inner array inside an aggregate's (collapsed) result projection
+    # NPEs in Spark 4.1's generated code (verified minimal repro), so
+    # nullness is aggregated as its own flag and the collected arrays
+    # are coalesced non-null
+    per_doc = (pos.join(wseg, "word", "left")
+               .groupBy(id_col)
+               .agg(F.collect_list(F.struct(
+                       F.col("_i").alias("i"),
+                       F.coalesce(F.col("segs"),
+                                  F.array().cast("array<string>"))
+                       .alias("s"))).alias("_lst"),
+                    F.max(F.col("segs").isNull()).alias("_bad"),
+                    F.count("*").alias("_nw"))
+               .select(id_col, "_nw",
+                       F.when(F.col("_bad"),
+                              F.lit(None).cast("array<string>"))
+                       .otherwise(F.flatten(F.transform(
+                           F.array_sort("_lst"), lambda x: x["s"])))
+                       .alias("pieces")))
+    # _nw distinguishes no-words docs (empty pieces) from docs with an
+    # UNSEGMENTABLE word under a foreign model (flatten propagates the
+    # NULL segs — pieces stays NULL, fail-visible, never an empty array)
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("_nw").isNull(),
+                           F.array().cast("array<string>"))
+                    .otherwise(F.col("pieces")).alias("pieces"))
+            .withColumn("n_pieces", F.size("pieces")))
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle fragment — seeding, EM rounds (recursive-CTE Viterbi),
+# and the final word-segmentation relation, replayed as CTEs.
+# --------------------------------------------------------------------------
+
+def _viterbi_cte(tag: str, costs_cte: str, k: int,
+                 max_word_len: int) -> str:
+    """One Viterbi pass over the `uwf` word relation as an UNROLLED
+    chain of per-position CTEs (the `_bpe_round_cte` pattern), one
+    per character position up to `max_word_len`; the state carries
+    the full per-position (costs, segs) lists so no backtrace pass
+    is needed.
+
+    Deliberately NOT a recursive CTE and NOT lambda-reduced: DuckDB
+    1.0's recursive CTEs corrupted this DP two independent ways
+    (multi-threaded execution mixed rows across words — one word's
+    final state carried another word's segmentation — and even
+    single-threaded, struct-building lambdas over outer columns
+    dropped candidates / emitted empty pieces). The unrolled chain is
+    plain scalar SQL: per position, the <= k candidate costs are
+    named columns, `least` picks the minimum (NULL-ignoring), and the
+    winning LENGTH is the first (longest) candidate equal to it — the
+    engine fold's exact tie-break. Cost lookups go through a one-row
+    MAP (cross join, nothing for a join planner to misplan). Words
+    longer than the unroll FAIL LOUD in `{tag}_f` instead of
+    truncating silently."""
+    parts = [f"""
+    {tag}_m AS MATERIALIZED (
+      SELECT MAP(list(piece ORDER BY piece),
+                 list(cost ORDER BY piece)) AS m
+      FROM {costs_cte}),
+    {tag}0 AS (
+      SELECT word, freq,
+             [CAST(0 AS BIGINT)] AS costs, [[]::VARCHAR[]] AS segs
+      FROM uwf)"""]
+    for p in range(1, max_word_len + 1):
+        ls = [l for l in range(min(k, p), 0, -1)]     # longest first
+        cand_cols = ", ".join(
+            f"costs[{p + 1 - l}] + list_extract(map_extract(cm.m, "
+            f"substr(word, {p + 1 - l}, {l})), 1) AS c{l}"
+            for l in ls)
+        least_args = ", ".join(f"c{l}" for l in ls)
+        bl = ("CASE " + " ".join(
+            f"WHEN c{l} IS NOT NULL AND c{l} = bc THEN {l}"
+            for l in ls) + " END")
+        parts.append(f"""
+    {tag}{p} AS (
+      SELECT word, freq,
+             CASE WHEN {p} <= length(word)
+                  THEN list_append(costs, bc) ELSE costs END AS costs,
+             CASE WHEN {p} <= length(word)
+                  THEN list_append(segs,
+                       CASE WHEN bc IS NULL THEN NULL
+                            ELSE list_append(segs[{p} + 1 - bl],
+                                 substr(word, {p} + 1 - bl, bl)) END)
+                  ELSE segs END AS segs
+      FROM (SELECT word, freq, costs, segs, bc, {bl} AS bl
+            FROM (SELECT word, freq, costs, segs, {least_args},
+                         least({least_args}) AS bc
+                  FROM (SELECT word, freq, costs, segs, {cand_cols}
+                        FROM {tag}{p - 1} CROSS JOIN {tag}_m cm))))""")
+    parts.append(f"""
+    {tag}_f AS MATERIALIZED (
+      SELECT word, freq,
+             CASE WHEN length(word) > {max_word_len}
+                  THEN error('unigram oracle: word longer than the '
+                             || '{max_word_len}-position unrolled DP '
+                             || '— raise max_word_len')
+                  ELSE costs[length(word) + 1] END AS cost,
+             segs[length(word) + 1] AS segs
+      FROM {tag}{max_word_len})""")
+    return ",".join(parts)
+
+
+def _costs_cte(tag: str, counts_cte: str) -> str:
+    p = plog2_sql
+    return f"""
+    {tag}_t AS MATERIALIZED (
+        SELECT SUM(COALESCE(c.cnt, 0)) AS t, COUNT(*) AS v
+        FROM useed_keys k LEFT JOIN {counts_cte} c USING (piece)),
+    {tag} AS MATERIALIZED (
+      SELECT k.piece,
+             {p('tt.t + tt.v')} - {p('COALESCE(c.cnt, 0) + 1')} AS cost
+      FROM useed_keys k LEFT JOIN {counts_cte} c USING (piece)
+      CROSS JOIN {tag}_t tt)"""
+
+
+def unigram_oracle_ctes(rounds: int = UNIGRAM_ROUNDS,
+                        k: int = UNIGRAM_MAX_PIECE_LEN,
+                        seed_multi: int = UNIGRAM_SEED_MULTI,
+                        max_word_len: int = 12) -> str:
+    """CTE chain ending in: `uni_pieces(piece, cnt, cost)` — the
+    trained model, `uni_rounds(round, obj)` — the EM trajectory, and
+    `uni_wseg(word, segs)` — final-model Viterbi segmentation of
+    every corpus word. Mirrors `train_unigram` round for round over
+    the `documents` view; each Viterbi pass is an unrolled
+    `max_word_len`-position DP chain (fail-loud beyond it — the
+    engine fold has no such bound)."""
+    parts = [f"""
+    uwf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM
+        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY word),
+    usubs AS (
+        SELECT substr(word, s, l) AS piece, SUM(freq) AS cnt
+        FROM uwf
+        CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS l) ls
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(
+            1, length(word) - l + 1)) AS s) ss
+        GROUP BY 1),
+    useed AS MATERIALIZED (
+        SELECT piece, cnt FROM usubs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM
+        (SELECT piece, cnt FROM usubs WHERE length(piece) > 1
+         ORDER BY cnt DESC, piece LIMIT {seed_multi})),
+    useed_keys AS MATERIALIZED (SELECT piece FROM useed)"""]
+    parts.append(_costs_cte("ucost0", "useed"))
+    for r in range(1, rounds + 1):
+        parts.append(_viterbi_cte(f"udp{r}", f"ucost{r - 1}", k,
+                                  max_word_len))
+        parts.append(f"""
+    ucnt{r} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+        (SELECT unnest(segs) AS piece, freq FROM udp{r}_f)
+        GROUP BY 1)""")
+        parts.append(_costs_cte(f"ucost{r}", f"ucnt{r}"))
+    parts.append(_viterbi_cte(f"udp{rounds + 1}", f"ucost{rounds}", k,
+                              max_word_len))
+    parts.append(f"""
+    uni_pieces AS (
+        SELECT k.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+               CAST(s.cost AS BIGINT) AS cost
+        FROM useed_keys k
+        LEFT JOIN ucnt{rounds} c USING (piece)
+        JOIN ucost{rounds} s USING (piece)),
+    uni_rounds AS ({" UNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"(SELECT CAST(SUM(cost * freq) AS BIGINT) FROM udp{r}_f) AS obj"
+        for r in range(1, rounds + 1))}),
+    uni_wseg AS (SELECT word, segs FROM udp{rounds + 1}_f)""")
+    return ",".join(parts)

@@ -312,6 +312,52 @@ def lm_counts_ingest_sink(uni_table: str, bi_table: str,
     return write
 
 
+def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int | None = None,
+                        drop_unsegmentable: bool = False):
+    """Arrival-time unigram-tokenizer segmentation (r13 — the
+    streaming sibling of `operators.unigram`, completing the trained-
+    tokenizer family's maintenance set the way `lm3_ingest_sink`
+    completes the LM's). Each micro-batch is segmented ROW-LOCALLY
+    (`segment_text_with` — no join, no shuffle: the right shape for a
+    stream) against the PERSISTED piece table (`pieces_table_df` of a
+    `train_unigram` model — trained once per corpus version, fixed at
+    ingest so segmentations never drift with batch composition); rows
+    land in `seg_table` with (pieces, n_pieces) via the idempotent
+    epoch sink.
+
+    The bounded model is read from the table per micro-batch (a
+    piece-vocab-sized collect — the bpe merge-list economics), so a
+    maintenance job CAN land a retrained table mid-stream and later
+    batches pick it up; with the table fixed the sink is stateless
+    and stream == batch over the concatenated stream (pinned in
+    tests/test_streaming_ingest.py). Unsegmentable documents carry
+    NULL pieces (fail-visible); ``drop_unsegmentable=True`` drops
+    them at the door instead."""
+    from ..operators.unigram import (UNIGRAM_MAX_PIECE_LEN,
+                                     segment_text_with)
+    from .sinks import idempotent_epoch_sink
+
+    write_seg = idempotent_epoch_sink(seg_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        costs = {r["piece"]: int(r["cost"])
+                 for r in spark.table(pieces_table)
+                 .select("piece", "cost").collect()}
+        segs = segment_text_with(F.col(text_col), costs,
+                                 k or UNIGRAM_MAX_PIECE_LEN)
+        out = (batch_df.withColumn("pieces", segs)
+               .withColumn("n_pieces", F.size("pieces")))
+        if drop_unsegmentable:
+            out = out.filter(F.col("pieces").isNotNull())
+        write_seg(out, epoch_id)
+
+    return write
+
+
 def rollup_gram_counts(spark: SparkSession, table: str,
                        key_cols: "tuple[str, ...]" = ("tok",)
                        ) -> DataFrame:

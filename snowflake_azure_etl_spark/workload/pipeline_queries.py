@@ -16,6 +16,7 @@ from ..plans.attest import bounded_broadcast
 from ..operators import (classifier, dedup, graph, multimodal,
                          similarity, text)
 from ..operators import lm as lm_ops
+from ..operators import unigram as ug_ops
 from ..operators.sampling import DSIR_BUCKETS, plog2_sql
 from ..sources.registry import (load_tables, rebalance_single_split,
                                 stage_row_count)
@@ -1816,7 +1817,7 @@ _BM25_SCORE_SQL = """
 @query(
     "q58_token_vocab",
     covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25",
-            "X-BPE-ROUNDTRIP"),
+            "X-BPE-ROUNDTRIP", "X-UNIGRAM-TRAIN", "X-UNIGRAM-SEG"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -1873,7 +1874,22 @@ _BM25_SCORE_SQL = """
     bm_rk AS (SELECT query, doc_id, s,
                      ROW_NUMBER() OVER (PARTITION BY query
                                         ORDER BY s DESC, doc_id) AS rk
-              FROM bm_sc)
+              FROM bm_sc),
+    {ug_ops.unigram_oracle_ctes()},
+    useg_doc AS (
+        SELECT dd.doc_id,
+               COALESCE(u.pieces, []::VARCHAR[]) AS pieces
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
+        LEFT JOIN (
+            SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
+            FROM (SELECT doc_id, i, toks[i] AS word
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents WHERE doc_id % 5 = 0)
+                  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+                      1, len(toks))) AS i)
+                  WHERE length(toks[i]) > 0) dw
+            JOIN uni_wseg USING (word)
+            GROUP BY doc_id) u USING (doc_id))
     SELECT 'vocab' AS leg, token, doc_freq, total_freq,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 100
@@ -1898,6 +1914,23 @@ _BM25_SCORE_SQL = """
            doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT),
            CAST(1 AS INT)
     FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    -- unigram-LM tokenizer legs (r13): the trained model (piece,
+    -- final usage count, fixed-point cost), the hard-EM trajectory
+    -- (per-round corpus Viterbi objective), and the final-model
+    -- segmentation of the 1-in-5 doc subsample — training rounds AND
+    -- segmentation replayed as recursive-CTE Viterbi passes
+    SELECT 'uni_piece', piece, cnt, cost,
+           CAST(ROW_NUMBER() OVER (ORDER BY cost, piece) AS INT)
+    FROM uni_pieces
+    UNION ALL
+    SELECT 'uni_round', 'round_' || round, CAST(NULL AS BIGINT), obj,
+           CAST(round AS INT)
+    FROM uni_rounds
+    UNION ALL
+    SELECT 'uni_seg', substr(md5(array_to_string(pieces, '|')), 1, 16),
+           doc_id, CAST(len(pieces) AS BIGINT), CAST(1 AS INT)
+    FROM useg_doc
     """,
     prepared=True)
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,8 +2048,39 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("doc_id").alias("doc_freq"),
                       F.length("detok").cast("long").alias("total_freq"),
                       F.lit(1).cast("int").alias("rank")))
+    # sixth/seventh/eighth legs (r13, X-UNIGRAM-TRAIN / X-UNIGRAM-SEG,
+    # operators.unigram — VERDICT r12 #4): the SentencePiece-style
+    # unigram-LM tokenizer beside BPE. The trained model is the
+    # memoized driver artifact (candidate-set-bounded — the
+    # train_bpe_merges contract); its pieces, the hard-EM trajectory,
+    # and the final-model Viterbi segmentation of the same 1-in-5
+    # subsample the roundtrip leg rides are all oracle-replayed
+    # (recursive-CTE Viterbi — training rounds attested like q63's
+    # k-means rounds and the BPE merge CTEs).
+    uni_model = ug_ops.train_unigram(docs)
+    uni_rows = sorted(uni_model.pieces, key=lambda r: (r[2], r[0]))
+    uni_piece_leg = spark.createDataFrame(
+        [("uni_piece", p, cnt, cost, i + 1)
+         for i, (p, cnt, cost) in enumerate(uni_rows)],
+        "leg string, token string, doc_freq long, total_freq long, "
+        "rank int")
+    uni_round_leg = spark.createDataFrame(
+        [("uni_round", f"round_{r + 1}", None, obj, r + 1)
+         for r, obj in enumerate(uni_model.traj)],
+        "leg string, token string, doc_freq long, total_freq long, "
+        "rank int")
+    uni_seg_leg = (ug_ops.encode_unigram(sub, uni_model)
+                   .select(F.lit("uni_seg").alias("leg"),
+                           F.substring(F.md5(F.array_join("pieces", "|")),
+                                       1, 16).alias("token"),
+                           F.col("doc_id").alias("doc_freq"),
+                           F.col("n_pieces").cast("long")
+                           .alias("total_freq"),
+                           F.lit(1).cast("int").alias("rank")))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
-            .unionByName(cooc_leg).unionByName(rt_leg))
+            .unionByName(cooc_leg).unionByName(rt_leg)
+            .unionByName(uni_piece_leg).unionByName(uni_round_leg)
+            .unionByName(uni_seg_leg))
 
 
 @query(

@@ -604,3 +604,86 @@ def test_lm3_ingest_matches_batch_operator(spark):
     assert (spark.table(scored_t).filter(F.col(EPOCH_COL) == 0).count()
             == 2)
 
+
+def test_unigram_ingest_matches_batch_operator(spark):
+    """r13: per-micro-batch unigram-tokenizer segmentation against
+    the PERSISTED trained piece table — stream == the batch
+    `segment_text` of the concatenated stream bit-for-bit,
+    unsegmentable docs fail-visible (NULL) or dropped at the door,
+    epoch replay is idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import unigram as ug
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "a dog sat on a log"),
+    ]
+    batches = [
+        [(10, "the cat on the mat"),
+         (11, "sat hat log")],
+        [(12, "dog the cat"),
+         (13, "the zèbre")],          # out-of-alphabet: unsegmentable
+    ]
+
+    def table(name):
+        db = "uni_stream_db"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        t = f"{db}.{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+        return t
+
+    corpus = spark.createDataFrame(train, "doc_id long, text string")
+    model = ug.train_unigram(corpus)
+    pieces_t, seg_t, kept_t = (table("uni_pieces"), table("uni_seg"),
+                               table("uni_kept"))
+    ug.pieces_table_df(spark, model).write.saveAsTable(pieces_t)
+
+    src = tempfile.mkdtemp(prefix="uni_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    for tgt, drop in ((seg_t, False), (kept_t, True)):
+        sink = ingest.unigram_ingest_sink(pieces_t, tgt,
+                                          drop_unsegmentable=drop)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="uni_ck_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {r["doc_id"]: r["segs"] for r in whole.select(
+        "doc_id", ug.segment_text("text", model).alias("segs"))
+        .collect()}
+    got = {r["doc_id"]: r["pieces"]
+           for r in spark.table(seg_t).collect()}
+    assert got == want and len(got) == 4
+    assert got[13] is None                       # fail-visible NULL
+    kept = {r["doc_id"] for r in spark.table(kept_t).collect()}
+    assert kept == {10, 11, 12}                  # dropped at the door
+    # replaying epoch 0 overwrites its partition — nothing duplicates
+    sink0 = ingest.unigram_ingest_sink(pieces_t, seg_t)
+    sink0(spark.createDataFrame(batches[0], "doc_id long, text string"),
+          0)
+    assert spark.table(seg_t).count() == 4
+    assert (spark.table(seg_t).filter(F.col(EPOCH_COL) == 0).count()
+            == 2)
+

@@ -1,0 +1,229 @@
+"""Unigram-LM (SentencePiece-style) tokenizer (operators.unigram,
+VERDICT r12 #4): engine hard-EM training + Viterbi segmentation vs an
+independent pure-Python reference, edge cases (ties, unsegmentable
+words, empty docs), the DuckDB oracle-CTE replay, and a hypothesis
+property sweep."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import unigram as ug
+
+SCALE = 1 << 20
+MAX_E = 42
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the hat"),
+    (3, "a dog sat on a log"),
+    (4, "the the the cat cat"),
+    (5, "zq xv"),
+    (6, ""),                      # no words: empty segmentation
+    (7, "mat mat mat"),
+]
+
+
+def py_plog2(n: int) -> int:
+    assert n > 0
+    e = n.bit_length() - 1
+    s = max(e - MAX_E, 0)
+    m = n >> s
+    p2 = 1 << (e - s)
+    return e * SCALE + ((m - p2) * SCALE) // p2
+
+
+def py_word_freqs(docs):
+    wf = {}
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def py_seed(wf, k, m):
+    c = {}
+    for w, f in wf.items():
+        for l in range(1, k + 1):
+            for s in range(len(w) - l + 1):
+                p = w[s:s + l]
+                c[p] = c.get(p, 0) + f
+    out = {p: n for p, n in c.items() if len(p) == 1}
+    out.update(dict(sorted(((p, n) for p, n in c.items() if len(p) > 1),
+                           key=lambda x: (-x[1], x[0]))[:m]))
+    return out
+
+
+def py_costs(counts, keys):
+    t = sum(counts.get(p, 0) for p in keys)
+    v = len(keys)
+    return {p: py_plog2(t + v) - py_plog2(counts.get(p, 0) + 1)
+            for p in keys}
+
+
+def py_viterbi(word, costs, k):
+    """Strictly-lower cost wins; on ties the LONGEST piece wins."""
+    best = [(0, [])] + [None] * len(word)
+    for p in range(1, len(word) + 1):
+        cur = None
+        for l in range(min(k, p), 0, -1):          # longest first
+            piece = word[p - l:p]
+            if piece not in costs or best[p - l] is None:
+                continue
+            c = best[p - l][0] + costs[piece]
+            if cur is None or c < cur[0]:
+                cur = (c, best[p - l][1] + [piece])
+        best[p] = cur
+    return best[len(word)]
+
+
+def py_train(docs, rounds=ug.UNIGRAM_ROUNDS, k=ug.UNIGRAM_MAX_PIECE_LEN,
+             m=ug.UNIGRAM_SEED_MULTI):
+    wf = py_word_freqs(docs)
+    seeds = py_seed(wf, k, m)
+    keys = sorted(seeds)
+    costs = py_costs(seeds, keys)
+    counts, traj = dict(seeds), []
+    for _ in range(rounds):
+        counts, obj = {}, 0
+        for w, f in wf.items():
+            c, segs = py_viterbi(w, costs, k)
+            obj += c * f
+            for p in segs:
+                counts[p] = counts.get(p, 0) + f
+        traj.append(obj)
+        costs = py_costs(counts, keys)
+    pieces = [(p, counts.get(p, 0), costs[p]) for p in keys]
+    return pieces, traj, costs, wf
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return docs, ug.train_unigram(docs)
+
+
+def test_model_matches_python_reference(trained):
+    _, model = trained
+    pieces, traj, _, _ = py_train(CORPUS)
+    assert model.traj == traj
+    assert model.pieces == pieces
+
+
+def test_segment_text_matches_python(trained):
+    docs, model = trained
+    _, _, costs, _ = py_train(CORPUS)
+    got = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", ug.segment_text("text", model).alias("segs")).collect()}
+    for doc_id, text in CORPUS:
+        want = [p for w in text.split(" ") if w
+                for p in py_viterbi(w, costs, model.k)[1]]
+        assert got[doc_id] == want, doc_id
+
+
+def test_encode_unigram_matches_segment_text(trained):
+    docs, model = trained
+    join_path = {r["doc_id"]: (r["pieces"], r["n_pieces"])
+                 for r in ug.encode_unigram(docs, model).collect()}
+    row_local = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", ug.segment_text("text", model).alias("segs")).collect()}
+    assert set(join_path) == {d for d, _ in CORPUS}
+    for d in join_path:
+        pieces, n = join_path[d]
+        assert pieces == row_local[d], d
+        assert n == len(pieces), d
+    assert join_path[6] == ([], 0)        # no-words doc: empty, not NULL
+
+
+def test_unsegmentable_word_is_null_not_dropped(spark, trained):
+    """A character outside the trained alphabet must surface as NULL
+    (fail-visible) on BOTH encode paths, never as a silently shorter
+    segmentation."""
+    _, model = trained
+    held_out = spark.createDataFrame([(10, "the ééé")],
+                                     "doc_id long, text string")
+    row = held_out.select(
+        ug.segment_text("text", model).alias("s")).collect()[0]
+    assert row["s"] is None
+    enc = ug.encode_unigram(held_out, model).collect()[0]
+    assert enc["pieces"] is None
+
+
+def test_viterbi_tiebreak_prefers_longest_piece(spark):
+    """Equal-cost segmentations resolve to the longest piece — the
+    pinned tie-break shared by the engine fold, the oracle's
+    longest-first least-match CASE, and the Python reference."""
+    costs = {"a": 10, "b": 10, "ab": 20, "abc": 30, "c": 10}
+    words = spark.createDataFrame([("abc", 1)], "word string, freq long")
+    row = ug.viterbi_words(words, costs, k=4).collect()[0]
+    # 'abc' (30) == 'ab'+'c' (30) == 'a'+'b'+'c' (30): longest wins
+    assert row["segs"] == ["abc"]
+    assert row["cost"] == 30
+    assert py_viterbi("abc", costs, 4) == (30, ["abc"])
+
+
+def test_oracle_ctes_match_engine(trained):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    docs, model = trained
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CORPUS,
+                                           columns=["doc_id", "text"]))
+    sql = (f"WITH {ug.unigram_oracle_ctes()} "
+           "SELECT 'p' AS leg, piece AS a, cnt AS x, cost AS y "
+           "FROM uni_pieces "
+           "UNION ALL SELECT 'r', CAST(round AS VARCHAR), obj, NULL "
+           "FROM uni_rounds "
+           "UNION ALL SELECT 'w', word, NULL, NULL FROM uni_wseg "
+           "ORDER BY leg, a")
+    rows = con.execute(sql).fetchall()
+    got_pieces = [(a, int(x), int(y)) for leg, a, x, y in rows
+                  if leg == "p"]
+    got_traj = [int(x) for leg, _, x, _ in rows if leg == "r"]
+    assert got_pieces == model.pieces
+    assert got_traj == model.traj
+    # and the oracle's final word segmentation equals the engine's
+    wseg_sql = (f"WITH {ug.unigram_oracle_ctes()} "
+                "SELECT word, segs FROM uni_wseg")
+    got_wseg = {w: s for w, s in con.execute(wseg_sql).fetchall()}
+    from snowflake_azure_etl_spark.operators.bpe import word_freqs
+    eng = {r["word"]: r["segs"] for r in ug.viterbi_words(
+        word_freqs(docs), model.costs, model.k).collect()}
+    assert got_wseg == eng
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["ab", "abab", "ba", "aab", "b", "abba"]
+_doc_strategy = st.lists(st.sampled_from(_WORDS), min_size=0,
+                         max_size=6).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_strategy, min_size=1, max_size=4))
+def test_unigram_property_sweep(spark, texts):
+    """Engine == Python reference over random small corpora from a
+    2-char alphabet (maximal substring collisions → cost ties,
+    boundary-of-top-M ties, short/empty docs)."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    if not any(t.strip() for t in texts):
+        # no words at all: training has no candidates — skip (the
+        # operator is corpus prep; an empty corpus trains nothing)
+        return
+    model = ug._train(docs, "text", ug.UNIGRAM_ROUNDS,
+                      ug.UNIGRAM_MAX_PIECE_LEN, 8)
+    pieces, traj, costs, _ = py_train(rows, m=8)
+    assert model.traj == traj
+    assert model.pieces == pieces
+    got = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", ug.segment_text("text", model).alias("segs")).collect()}
+    for d, t in rows:
+        want = [p for w in t.split(" ") if w
+                for p in py_viterbi(w, costs, model.k)[1]]
+        assert got[d] == want, d
