@@ -297,23 +297,44 @@ def pieces_table_df(spark, model: UnigramModel) -> DataFrame:
         model.pieces, "piece string, cnt long, cost long")
 
 
+def word_segmentations(docs: DataFrame, model: UnigramModel,
+                       text_col: str = "text") -> DataFrame:
+    """(word, segs): the final-model Viterbi segmentation of the
+    corpus's DISTINCT words — the derived encode ARTIFACT a pipeline
+    lands beside the model (a lookup table, like the tf-icf top-term
+    relation); session-cache it (`cached_relation`) so repeat encodes
+    reuse it instead of re-running the fold per invocation."""
+    c = F.col(text_col)
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    distinct = (docs.select(F.explode(words).alias("word")).distinct()
+                .withColumn("freq", F.lit(1)))
+    return viterbi_words(distinct, model.costs,
+                         model.k).select("word", "segs")
+
+
 def encode_unigram(docs: DataFrame, model: UnigramModel,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   wseg: DataFrame | None = None) -> DataFrame:
     """(id, pieces, n_pieces): the scale ENCODE path — segment the
     DISTINCT words once (`viterbi_words`), join back by word
     (UNhinted: AQE broadcasts a small vocab, shuffle-joins a
     web-scale one — a forced hint here would be the r11 q50 defect),
     and reassemble per document in (doc, position) order via a
     map-side-combining aggregate. Documents with no words keep an
-    empty pieces array (the left join + coalesce)."""
+    empty pieces array (the left join + coalesce). Pass `wseg` (a
+    `word_segmentations` relation, typically session-cached) to skip
+    rebuilding the per-word artifact; it must COVER the docs' words —
+    an uncovered word surfaces exactly like an unsegmentable one
+    (NULL pieces, fail-visible)."""
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     pos = (docs.select(F.col(id_col),
                        F.posexplode(words).alias("_i", "word")))
-    wseg = viterbi_words(
-        pos.select("word").distinct().withColumn("freq", F.lit(1)),
-        model.costs, model.k).select("word", "segs")
+    if wseg is None:
+        wseg = viterbi_words(
+            pos.select("word").distinct().withColumn("freq", F.lit(1)),
+            model.costs, model.k).select("word", "segs")
     # a NULL segs array must never reach flatten: flattening a null
     # inner array inside an aggregate's (collapsed) result projection
     # NPEs in Spark 4.1's generated code (verified minimal repro), so

@@ -1958,7 +1958,7 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from ..operators import bpe
-    from ..operators._cache import cached_build, plan_key
+    from ..operators._cache import cached_build, cached_relation, plan_key
     docs = _docs(spark, sf_dir)
     dk = plan_key(docs)
 
@@ -2069,7 +2069,16 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r, obj in enumerate(uni_model.traj)],
         "leg string, token string, doc_freq long, total_freq long, "
         "rank int")
-    uni_seg_leg = (ug_ops.encode_unigram(sub, uni_model)
+    # the per-word segmentation relation is the derived encode
+    # ARTIFACT (a lookup table beside the model — the tf-icf/top-term
+    # memoization rule): session-cached over the FULL corpus words so
+    # repeat invocations (and any other consumer) skip the Viterbi
+    # fold; the subsample encode pays only the word join-back
+    # (~2 s/invocation measured at sf0.1 without the cache)
+    uni_wseg = cached_relation(
+        ug_ops.word_segmentations(docs, uni_model), "uni_wseg",
+        eager=False)
+    uni_seg_leg = (ug_ops.encode_unigram(sub, uni_model, wseg=uni_wseg)
                    .select(F.lit("uni_seg").alias("leg"),
                            F.substring(F.md5(F.array_join("pieces", "|")),
                                        1, 16).alias("token"),
