@@ -533,6 +533,22 @@ def lm_cuts_from_rollup(docs: DataFrame, uni_all: DataFrame,
     return lm_terciles(sc, n_rows=n_rows)
 
 
+def lm_thr_from_rollup(docs: DataFrame, uni_all: DataFrame,
+                       bi_all: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       min_count: int = LM_MIN_COUNT,
+                       toks: DataFrame | None = None) -> DataFrame:
+    """The bigram (mean-threshold) tier's maintenance twin of
+    `lm_cuts_from_rollup`: refresh the corpus-average keep threshold
+    from ROLLED-UP gram counts against the landed corpus — stream-
+    grown counts + this call equal a batch retrain exactly (pinned in
+    tests/test_lm.py)."""
+    uni, bi, tot = lm_model_from_counts(uni_all, bi_all, min_count)
+    sc = bigram_lm_bits(docs, id_col, text_col, uni, bi, tot,
+                        toks=toks, grams=bi_all)
+    return lm_corpus_threshold(sc)
+
+
 def lm_corpus_threshold(scored: DataFrame) -> DataFrame:
     """ONE row (thr): the corpus-average per-position cost —
     (Σ −lm_bits) div (Σ positions) over the scored relation. The

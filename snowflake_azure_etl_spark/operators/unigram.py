@@ -289,6 +289,49 @@ def segment_text_with(text_col: Column | str, costs: dict[str, int],
                   ).otherwise(F.flatten(per_word))
 
 
+def unigram_vocab(spark, model: UnigramModel) -> DataFrame:
+    """(token, token_id): the deterministic id space the trained
+    unigram tokenizer ships — pieces ordered by (cost asc, piece asc),
+    ids 0.. (most-probable-first, the SentencePiece convention).
+    Rebuilding from the same model yields byte-identical ids (the
+    `bpe.vocab_from_merges` reproducibility contract)."""
+    ordered = sorted(model.pieces, key=lambda r: (r[2], r[0]))
+    return spark.createDataFrame(
+        [(p, i) for i, (p, _, _) in enumerate(ordered)],
+        "token string, token_id int")
+
+
+def encode_ids(docs: DataFrame, model: UnigramModel,
+               vocab: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", unk_id: int = -1) -> DataFrame:
+    """(id, token_ids, n_ids): text → Viterbi pieces → vocabulary ids
+    — the unigram twin of `bpe.encode_ids`, same one-row broadcast
+    vocab-map plan shape (row-local element_at inside transform; no
+    explode, no shuffle). Every model piece is in `unigram_vocab`, so
+    `unk_id` only surfaces under a caller-supplied restricted vocab;
+    an UNSEGMENTABLE document keeps NULL ids (segment_text's
+    fail-visible contract — distinct from unk). Decode with
+    `bpe.decode_ids` — it is tokenizer-agnostic, and because unigram
+    pieces partition each word's characters, decode(encode(text)) ==
+    text with spaces removed, the same round-trip attestation BPE
+    carries."""
+    vmap = (vocab.groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "token_id")))
+                .alias("_vmap")))
+    segs = segment_text(text_col, model)
+    ids = F.transform(
+        segs,
+        lambda s: F.coalesce(F.element_at(F.col("_vmap"), s),
+                             F.lit(unk_id)))
+    return (docs.crossJoin(bounded_broadcast(
+            vmap, bound="one-row unigram vocab map (piece-bounded)",
+            max_rows=1))
+            .select(F.col(id_col), ids.alias("token_ids"))
+            .withColumn("n_ids", F.size("token_ids")))
+
+
 def pieces_table_df(spark, model: UnigramModel) -> DataFrame:
     """The trained model as a landable (piece, cnt, cost) relation —
     the persisted artifact the streaming sink scores against (the

@@ -303,6 +303,11 @@ def test_cuts_from_rollup_matches_batch_retrain(spark):
     uni, bi, tri, tot = lm.trigram_lm_model(dall)
     sc = lm.trigram_lm_bits(dall, "doc_id", "text", uni, bi, tri, tot)
     assert got.collect() == lm.lm_terciles(sc).collect()
+    # the mean-threshold tier's twin law
+    got_thr = lm.lm_thr_from_rollup(dall, uni_m, bi_m)
+    uni2, bi2, tot2 = lm.bigram_lm_model(dall)
+    sc2 = lm.bigram_lm_bits(dall, "doc_id", "text", uni2, bi2, tot2)
+    assert got_thr.collect() == lm.lm_corpus_threshold(sc2).collect()
 
 
 def test_lm_bucket_null_cuts_fail_loud(spark):

@@ -195,6 +195,36 @@ def test_oracle_ctes_match_engine(trained):
     assert got_wseg == eng
 
 
+def test_encode_ids_roundtrip_and_unk(trained):
+    """text → pieces → ids → back: decode (the tokenizer-agnostic
+    bpe.decode_ids) reconstructs the space-stripped text exactly
+    (pieces partition each word's characters); a restricted vocab
+    surfaces unk ids; an unsegmentable doc keeps NULL ids."""
+    from snowflake_azure_etl_spark.operators.bpe import decode_ids
+    docs, model = trained
+    vocab = ug.unigram_vocab(docs.sparkSession, model)
+    assert vocab.count() == len(model.pieces)
+    enc = ug.encode_ids(docs, model, vocab)
+    dec = {r["doc_id"]: r["detok"]
+           for r in decode_ids(enc, vocab).collect()}
+    for d, t in CORPUS:
+        assert dec[d] == t.replace(" ", ""), d
+    # ids are the (cost asc, piece asc) order — most probable = 0
+    ordered = sorted(model.pieces, key=lambda r: (r[2], r[0]))
+    vm = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert vm == {p: i for i, (p, _, _) in enumerate(ordered)}
+    # restricted vocab (single chars only): the doc's multi-char
+    # segments surface as unk
+    small = vocab.filter(F.length("token") == 1)
+    unk = ug.encode_ids(docs.filter(F.col("doc_id") == 1), model,
+                        small).collect()[0]
+    assert -1 in unk["token_ids"]
+    held = docs.sparkSession.createDataFrame(
+        [(99, "ééé")], "doc_id long, text string")
+    assert ug.encode_ids(held, model,
+                         vocab).collect()[0]["token_ids"] is None
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
