@@ -123,41 +123,60 @@ def plan_key(df: DataFrame) -> str:
         # renumbering as expression ids (r13): "y_2#301" carries the
         # session-global counter in the name itself, so a rebuilt
         # zip_with/transform plan printed differently even with every
-        # #id normalized. A '#'-shaped or 'y_2'-shaped LITERAL is
-        # disambiguated by the semanticHash mix-in below, exactly as
-        # for expression ids.
+        # #id normalized. Anchored on the "lambda " prefix analyzed
+        # plans give every lambda-variable occurrence — a REAL column
+        # that happens to be named y_2 is never rewritten, so two
+        # plans differing only in such a column name cannot collapse
+        # onto one key (r13 review: semanticHash canonicalizes
+        # attribute names away, so it would not disambiguate them).
         lam_seen: dict[str, str] = {}
 
         def lam_canon(m: "re.Match[str]") -> str:
             return lam_seen.setdefault(m.group(0), f"x_{len(lam_seen)}")
 
-        plan = _LAMBDA_VAR.sub(lam_canon, plan)
+        plan = _PLAN_LAMBDA_VAR.sub(lam_canon, plan)
     plan += f"|sh={analyzed.semanticHash()}"
     return hashlib.md5(plan.encode()).hexdigest()
 
 
-#: Higher-order-function lambda variables in Column strings ("x_17";
-#: multi-arg lambdas name their later args "y_17"/"z_17") — numbered
-#: by a session-global counter exactly like expression ids, so the
-#: SAME expression built twice prints different names (r9: four
-#: identical classifier probes trained because their feature strings
-#: differed only in lambda numbering; r13: zip_with/2-arg lambdas
-#: slipped the x-only pattern, so every LM gram relation missed its
-#: cache key on rebuild and a raw-rebuilding session stacked seven
-#: persisted relations per invocation).
-_LAMBDA_VAR = re.compile(r"\b[xyz]_\d+\b")
+#: Higher-order-function lambda variables — numbered by a
+#: session-global counter exactly like expression ids, so the SAME
+#: expression built twice prints different names (r9: four identical
+#: classifier probes trained because their feature strings differed
+#: only in lambda numbering; r13: zip_with's 2-arg lambdas slipped
+#: the x-only pattern, so every LM gram relation missed its cache key
+#: on rebuild and a raw-rebuilding session stacked seven persisted
+#: relations per invocation). Detection is ANCHORED to where the
+#: printed form marks a lambda variable — a real column that happens
+#: to be named "y_2" must never be renumbered (r13 review: blanket
+#: [xyz]_\\d+ rewriting collapsed distinct expressions over such
+#: columns onto one memo key — the wrong-cached-relation class):
+#: analyzed plans prefix every occurrence with "lambda " and append
+#: an expression id; unresolved Column strings declare the variables
+#: before "->" (``x_1 ->`` / ``(x_2, y_3) ->``).
+_PLAN_LAMBDA_VAR = re.compile(r"(?<=\blambda )[a-z]+_\d+\b")
+_COL_LAMBDA_DECL = re.compile(
+    r"(?:\(([a-z]+_\d+(?:, [a-z]+_\d+)*)\)|\b([a-z]+_\d+)) ->")
 
 
 def column_key(col) -> str:
     """Stable identity string for a Column EXPRESSION (no plan):
-    str(Column) with lambda variables renumbered in first-occurrence
-    order. For keying memoized builds on their feature expressions."""
+    str(Column) with DECLARED lambda variables renumbered in
+    declaration order (occurrences replaced everywhere, so the body
+    follows its declaration). For keying memoized builds on their
+    feature expressions."""
+    s = str(col)
     seen: dict[str, str] = {}
-
-    def canon(m: "re.Match[str]") -> str:
-        return seen.setdefault(m.group(0), f"x_{len(seen)}")
-
-    return _LAMBDA_VAR.sub(canon, str(col))
+    for m in _COL_LAMBDA_DECL.finditer(s):
+        names = m.group(1).split(", ") if m.group(1) else [m.group(2)]
+        for n in names:
+            seen.setdefault(n, f"x_{len(seen)}")
+    if not seen:
+        return s
+    pat = re.compile(r"\b(" + "|".join(
+        re.escape(n) for n in sorted(seen, key=len, reverse=True))
+        + r")\b")
+    return pat.sub(lambda m: seen[m.group(0)], s)
 
 
 def _unpersist(obj: object) -> None:

@@ -453,31 +453,44 @@ def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits",
     to `plans.prefix.ranged_prefix_sum` (range-repartition +
     per-partition window + a parallelism-bounded driver prefix), so
     the one single-partition sort this build used to carry at 100 TB
-    is gone; both paths produce identical cuts (pinned in
-    tests/test_lm.py). The scored-document total is a separate
-    one-row aggregate crossJoined under attestation — no
-    unbounded-frame window on either path."""
+    is gone, and the scored-document total rides the prefix pass's
+    driver-collected partition sums as a literal (no extra
+    aggregation, no window). Both paths produce identical cuts
+    (pinned in tests/test_lm.py); the small path keeps the original
+    single-pass shared-sort windows — bins-sized by the gate."""
     big = big_max_rows if big_max_rows is not None else _big_corpus_max_rows()
     p = F.col(ppl_col)
     dist = (scored.filter(p.isNotNull())
             .groupBy(p.alias("_p")).agg(F.count("*").alias("_c")))
     if n_rows is not None and n_rows > big:
-        from ..plans.prefix import ranged_prefix_sum
-        cum = (ranged_prefix_sum(dist, F.col("_c"), "_excl",
-                                 order_by=["_p"])
-               .withColumn("_cum", F.col("_excl") + F.col("_c")))
+        # the grand total rides the driver-side per-partition sums
+        # the prefix pass already collected — no second aggregation
+        # over the distinct-score relation (r13 review), and the
+        # pinned relation is session-cached so repeat maintenance
+        # refreshes reuse one persisted copy
+        from ..plans.prefix import ranged_prefix_sum_and_total
+        excl, total = ranged_prefix_sum_and_total(
+            dist, F.col("_c"), "_excl", order_by=["_p"])
+        cum = (excl.withColumn("_cum", F.col("_excl") + F.col("_c"))
+               .withColumn("_n", F.lit(int(total)).cast("long")))
     else:
+        # small path: ONE pass — the cumulative and total windows
+        # share the sorted distinct-score relation (bins-sized at
+        # this gate, the by-design single-task window family)
         from pyspark.sql import Window
         w = (Window.orderBy("_p")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        cum = dist.select("_p", "_c", F.sum("_c").over(w).alias("_cum"))
-    total = dist.agg(F.sum("_c").cast("long").alias("_n"))
-    return (cum.crossJoin(bounded_broadcast(
-                total, bound="one-row scored-document total", max_rows=1))
-            .agg(F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
-                              F.col("_p"))).alias("t1"),
-                 F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2,
-                              F.col("_p"))).alias("t2")))
+        cum = dist.select(
+            "_p", F.sum("_c").over(w).alias("_cum"),
+            F.sum("_c").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))
+            .alias("_n"))
+    return cum.agg(
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"),
+                     F.col("_p"))).alias("t1"),
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2,
+                     F.col("_p"))).alias("t2"))
 
 
 def lm_bucket(scored: DataFrame, cuts: DataFrame,

@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 
 from ..plans.attest import bounded_broadcast
 from .bpe import word_freqs
-from .sampling import PLOG2_SCALE, plog2, plog2_int, plog2_sql
+from .sampling import PLOG2_SCALE, plog2_int, plog2_sql
 from .text import tokens
 
 #: Maximum candidate-piece length (characters). DP candidates per
@@ -242,6 +242,10 @@ def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
     # (the vocab_from_merges alphabet-collect pattern)
     seeds = {r["piece"]: int(r["cnt"])
              for r in seed_pieces(words, k, seed_multi).collect()}
+    if not seeds:
+        raise ValueError(
+            "train_unigram: the corpus has no words — nothing to "
+            "seed a piece vocabulary from")
     keys = sorted(seeds)
     costs = piece_costs(seeds, keys)
     traj: list[int] = []
@@ -400,11 +404,19 @@ def encode_unigram(docs: DataFrame, model: UnigramModel,
                        .alias("pieces")))
     # _nw distinguishes no-words docs (empty pieces) from docs with an
     # UNSEGMENTABLE word under a foreign model (flatten propagates the
-    # NULL segs — pieces stays NULL, fail-visible, never an empty array)
-    return (docs.select(id_col).join(per_doc, id_col, "left")
+    # NULL segs — pieces stays NULL, fail-visible, never an empty
+    # array); a NULL text is NULL pieces too, matching segment_text's
+    # null propagation (r13 review: posexplode silently dropped such
+    # docs into the no-words bucket, so the two encode paths the
+    # module pins as equivalent disagreed on NULL-text rows)
+    base = docs.select(F.col(id_col),
+                       F.col(text_col).isNull().alias("_tnull"))
+    return (base.join(per_doc, id_col, "left")
             .select(id_col,
-                    F.when(F.col("_nw").isNull(),
-                           F.array().cast("array<string>"))
+                    F.when(F.col("_tnull"),
+                           F.lit(None).cast("array<string>"))
+                    .when(F.col("_nw").isNull(),
+                          F.array().cast("array<string>"))
                     .otherwise(F.col("pieces")).alias("pieces"))
             .withColumn("n_pieces", F.size("pieces")))
 

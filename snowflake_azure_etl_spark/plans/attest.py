@@ -68,9 +68,12 @@ def verify_mode():
 #: Arrays, maps, structs, and binary are payload, not keys: a "key
 #: only" claim over them would launder arbitrarily wide rows through
 #: the 5M cap (VERDICT r12 #6).
-_KEY_ONLY_TYPES = ("byte", "short", "int", "long", "float", "double",
-                   "string", "date", "timestamp", "timestamp_ntz",
-                   "boolean")
+#: NOTE: Spark typeName()s, not simpleStrings — IntegerType prints
+#: "integer" here ("int" is only its simpleString; r13 review: the
+#: wrong spelling made every int32 key column falsely rejected).
+_KEY_ONLY_TYPES = ("byte", "short", "integer", "long", "float",
+                   "double", "string", "date", "timestamp",
+                   "timestamp_ntz", "boolean")
 
 #: Maximum column count for the KEY_ONLY exception: a business-key
 #: projection plus its surrogate key — every sanctioned site uses

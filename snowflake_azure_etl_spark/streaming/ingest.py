@@ -333,11 +333,15 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
     maintenance job CAN land a retrained table mid-stream and later
     batches pick it up; with the table fixed the sink is stateless
     and stream == batch over the concatenated stream (pinned in
-    tests/test_streaming_ingest.py). Unsegmentable documents carry
-    NULL pieces (fail-visible); ``drop_unsegmentable=True`` drops
-    them at the door instead."""
-    from ..operators.unigram import (UNIGRAM_MAX_PIECE_LEN,
-                                     segment_text_with)
+    tests/test_streaming_ingest.py). `k` defaults to the LONGEST
+    persisted piece — deriving it from the table itself, not the
+    module constant, so a model trained with a non-default
+    max-piece-length segments identically at ingest (r13 review: a
+    k=4 default silently dropped a k=6 model's long candidates —
+    exactly the drift this sink pins against). Unsegmentable
+    documents carry NULL pieces (fail-visible);
+    ``drop_unsegmentable=True`` drops them at the door instead."""
+    from ..operators.unigram import segment_text_with
     from .sinks import idempotent_epoch_sink
 
     write_seg = idempotent_epoch_sink(seg_table)
@@ -347,8 +351,12 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
         costs = {r["piece"]: int(r["cost"])
                  for r in spark.table(pieces_table)
                  .select("piece", "cost").collect()}
-        segs = segment_text_with(F.col(text_col), costs,
-                                 k or UNIGRAM_MAX_PIECE_LEN)
+        if not costs:
+            raise ValueError(
+                f"unigram_ingest_sink: piece table {pieces_table} is "
+                "empty — land a trained model before streaming")
+        eff_k = k if k is not None else max(len(p) for p in costs)
+        segs = segment_text_with(F.col(text_col), costs, eff_k)
         out = (batch_df.withColumn("pieces", segs)
                .withColumn("n_pieces", F.size("pieces")))
         if drop_unsegmentable:

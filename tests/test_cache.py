@@ -119,6 +119,23 @@ def test_column_key_normalizes_lambda_variables(spark):
     other = F.size(F.filter(F.split(F.col("text"), " "),
                             lambda t: F.length(t) > 4))
     assert _cache.column_key(other) != k1
+    # r13: multi-arg lambdas (zip_with names its args x_N AND y_N)
+    # rebuilt twice still match…
+    def zf():
+        return F.zip_with(F.col("a"), F.col("b"), lambda x, y: x + y)
+    assert _cache.column_key(zf()) == _cache.column_key(zf())
+    # …while REAL columns that merely look like lambda variables are
+    # never renumbered: expressions over y_2 vs z_2 stay distinct
+    # (r13 review: blanket renumbering collapsed them onto one memo
+    # key — the wrong-cached-artifact class)
+    assert (_cache.column_key(F.col("y_2") + 1)
+            != _cache.column_key(F.col("z_2") + 1))
+    assert "y_2" in _cache.column_key(F.col("y_2") + 1)
+    # a real column used INSIDE a lambda body keeps its name too
+    inner = F.transform(F.col("a"), lambda x: x + F.col("y_2"))
+    assert "y_2" in _cache.column_key(inner)
+    assert _cache.column_key(inner) == _cache.column_key(
+        F.transform(F.col("a"), lambda x: x + F.col("y_2")))
 
 
 def test_bm25_stats_register_in_session_cache(spark, sf_dir):

@@ -114,8 +114,11 @@ def test_key_only_cap_rejects_wide_relations(spark):
     # the measured form can't dodge the width check either
     with pytest.raises(ValueError, match="narrow key projection"):
         attest.bounded_broadcast(wide, n_rows=3, key_only=True)
-    # a genuinely narrow key map still passes and hints
-    keys = spark.range(3).select("id", F.col("id").alias("sk"))
+    # a genuinely narrow key map still passes and hints — including
+    # an int32 key (typeName 'integer'; r13 review: the whitelist
+    # spelled it 'int' and falsely rejected every IntegerType column)
+    keys = spark.range(3).select(F.col("id").cast("int").alias("k"),
+                                 F.col("id").alias("sk"))
     ok = attest.bounded_broadcast(keys, bound="2-col key map",
                                   key_only=True,
                                   max_rows=attest.KEY_ONLY_MAX_ROWS)

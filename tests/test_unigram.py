@@ -195,6 +195,51 @@ def test_oracle_ctes_match_engine(trained):
     assert got_wseg == eng
 
 
+def test_null_text_parity_between_encode_paths(spark, trained):
+    """A NULL text is NULL pieces on BOTH encode paths (r13 review:
+    posexplode silently dropped NULL-text docs into the no-words
+    bucket, so the join path returned [] where the row-local path
+    returned NULL); the empty text stays [] on both."""
+    _, model = trained
+    d = spark.createDataFrame([(20, None), (21, "")],
+                              "doc_id long, text string")
+    st = {r["doc_id"]: r["s"] for r in d.select(
+        "doc_id", ug.segment_text("text", model).alias("s")).collect()}
+    enc = {r["doc_id"]: (r["pieces"], r["n_pieces"])
+           for r in ug.encode_unigram(d, model).collect()}
+    assert st[20] is None and enc[20][0] is None
+    assert st[21] == [] and enc[21] == ([], 0)
+
+
+def test_sink_derives_k_from_persisted_pieces(spark, tmp_path):
+    """The streaming sink's Viterbi window defaults to the LONGEST
+    persisted piece, not the module constant (r13 review: a k=6
+    model's 5-6 char candidates were silently never considered,
+    breaking stream==batch for non-default models)."""
+    from snowflake_azure_etl_spark.streaming import ingest
+    from snowflake_azure_etl_spark.warehouse import ddl
+    docs = spark.createDataFrame(
+        [(1, "planet planet planet"), (2, "planet plan")],
+        "doc_id long, text string")
+    model = ug._train(docs, "text", 2, 6, 16)  # pieces up to 6 chars
+    assert any(len(p) > 4 for p, _, _ in model.pieces)
+    db = "uni_k_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    ug.pieces_table_df(spark, model).write.saveAsTable(f"{db}.pieces")
+    sink = ingest.unigram_ingest_sink(f"{db}.pieces", f"{db}.seg")
+    sink(docs, 0)
+    got = {r["doc_id"]: r["pieces"]
+           for r in spark.table(f"{db}.seg").collect()}
+    want = {r["doc_id"]: r["segs"] for r in docs.select(
+        "doc_id", ug.segment_text("text", model).alias("segs"))
+        .collect()}
+    assert got == want
+    assert "planet" in got[1]          # the 6-char piece was in play
+
+
 def test_encode_ids_roundtrip_and_unk(trained):
     """text → pieces → ids → back: decode (the tokenizer-agnostic
     bpe.decode_ids) reconstructs the space-stripped text exactly
