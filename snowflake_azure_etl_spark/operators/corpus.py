@@ -81,7 +81,8 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                             clf_feature_cols=None,
                             clf_weights: DataFrame | None = None,
                             clf_min_score: float = 0.5,
-                            lm_gate: str | None = None
+                            lm_gate: str | None = None,
+                            lang_temperature: float | None = None
                             ) -> DataFrame:
     """docs → (doc_id, chunk_idx, chunk_text, chunk_tokens, split).
 
@@ -117,10 +118,13 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
        pass — the length gates own that regime);
     3b. corpus rebalancing (`operators.sampling`): per-language
        hash-stratified downsampling (`lang_fractions`, row-local,
-       rerun-stable) and/or the per-language quota cap
-       (`lang_quota` min-id keepers per declared lang) — both None
-       disables; applied after quality so the sample is drawn from
-       the surviving distribution;
+       rerun-stable), its TEMPERATURE-derived form
+       (`lang_temperature` — mT5/CC-100 ``p^(1/tau)`` fractions
+       computed from the surviving per-language counts; mutually
+       exclusive with `lang_fractions`), and/or the per-language
+       quota cap (`lang_quota` min-id keepers per declared lang) —
+       all None disables; applied after quality so the sample is
+       drawn from the surviving distribution;
     4. PII scrub (`text.redact_pii` — after filtering so quality
        signals see the original text, before chunking so no chunk
        straddles a redaction);
@@ -220,6 +224,26 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                         sc, n_rows=n_docs))
                     .select(id_col, F.col("lm3_keep").alias("_lmk")))
         kept = kept.join(keep, id_col).filter(F.col("_lmk")).drop("_lmk")
+    if lang_temperature is not None:
+        # temperature-scaled rebalancing (mT5/CC-100): derive the
+        # per-language keep fractions from the SURVIVING distribution
+        # (one language-bounded groupBy count — an action, like the
+        # LSH size probes) and apply them with the same row-local
+        # hash-stratified sampler. Mutually exclusive with explicit
+        # lang_fractions — both set the same knob.
+        if lang_fractions:
+            raise ValueError(
+                "pass either lang_fractions or lang_temperature, not "
+                "both — they set the same per-language sampling knob")
+        from .sampling import stratified_keep, temperature_fractions
+        lang_col = (F.col("lang") if "lang" in kept.columns
+                    else text.lang_guess(text_col))
+        counts = {r["_l"]: int(r["n"]) for r in
+                  kept.groupBy(lang_col.alias("_l"))
+                  .agg(F.count("*").alias("n")).collect()}
+        kept = kept.filter(stratified_keep(
+            id_col, lang_col,
+            temperature_fractions(counts, lang_temperature)))
     if lang_fractions:
         from .sampling import stratified_keep
         kept = kept.filter(stratified_keep(id_col,

@@ -88,6 +88,53 @@ def quota_rank(class_cols: list[str], order_cols: list[str]) -> Column:
     return F.row_number().over(w)
 
 
+def temperature_fractions(counts: dict[str, int], tau: float,
+                          target_total: int | None = None
+                          ) -> dict[str, float]:
+    """Per-class keep fractions for TEMPERATURE-scaled rebalancing —
+    the mT5/CC-100 sampling rule (Xue et al. 2021 §3.1): sample class
+    c proportionally to ``p_c^(1/tau)`` where ``p_c`` is its corpus
+    share. ``tau=1`` preserves the natural distribution; ``tau>1``
+    flattens it (upweights tail languages/domains); ``tau→∞`` is
+    uniform. Returns the fraction of EACH CLASS'S OWN ROWS to keep —
+    feed straight into `stratified_keep` (hash-stratified, row-local,
+    rerun-stable).
+
+    Keep fractions are normalized so the largest is 1.0 (downsample-
+    only — the engine cannot mint rows; a class whose target exceeds
+    its supply keeps everything, the standard single-epoch reading);
+    `target_total` scales all fractions toward an approximate output
+    row budget instead, clamped per-class at 1.0. Driver-side pure
+    math over a class-cardinality-bounded dict (the caller's one
+    groupBy count — classes are languages/domains, never corpus-
+    scaled)."""
+    if tau <= 0:
+        raise ValueError(f"tau ({tau}) must be > 0")
+    if not counts:
+        return {}
+    for cls, n in counts.items():
+        if n < 0:
+            raise ValueError(f"count for {cls!r} is negative")
+    total = sum(counts.values())
+    if total == 0:
+        return {cls: 1.0 for cls in counts}
+    weights = {cls: (n / total) ** (1.0 / tau) if n else 0.0
+               for cls, n in counts.items()}
+    wsum = sum(weights.values())
+    # per-class keep fraction ∝ target share / supply share:
+    # (w_c / wsum) / (n_c / total)
+    raw = {cls: (weights[cls] / wsum) * total / n if n else 0.0
+           for cls, n in counts.items()}
+    if target_total is None:
+        scale = 1.0 / max(raw.values())
+    else:
+        if target_total <= 0:
+            raise ValueError(f"target_total ({target_total}) must be "
+                             "positive")
+        scale = target_total / total
+    return {cls: min(raw[cls] * scale, 1.0) for cls in counts}
+
+
 def quota_cap(df: DataFrame, class_cols: list[str], order_cols: list[str],
               n: int, pre_cap: bool = False) -> DataFrame:
     """Keep the `n` smallest rows (by `order_cols`) per class.

@@ -127,6 +127,35 @@ def test_prepare_corpus_rebalance_stages(spark, salted_docs):
                 .groupBy("_lang").count().collect())
     assert per_lang and all(r["count"] <= 5 for r in per_lang)
 
+    # r13: temperature rebalancing — the fractions derive from the
+    # SURVIVING per-language counts by the mT5 p^(1/tau) rule, then
+    # apply through the same hash sampler (exact replay below);
+    # tau=1 is the natural distribution (no-op)
+    from snowflake_azure_etl_spark.operators.sampling import (
+        temperature_fractions)
+    assert {r["doc_id"] for r in corpus.prepare_training_corpus(
+        salted_docs, lang_temperature=1.0, **base_kwargs)
+        .select("doc_id").distinct().collect()} == full_ids
+    temp = corpus.prepare_training_corpus(
+        salted_docs, lang_temperature=100.0, **base_kwargs)
+    temp_ids = {r["doc_id"] for r in
+                temp.select("doc_id").distinct().collect()}
+    lang_of = {r["doc_id"]: r["_l"] for r in salted_docs.select(
+        "doc_id", text.lang_guess("text").alias("_l")).collect()}
+    surv_counts = {}
+    for d in full_ids:
+        surv_counts[lang_of[d]] = surv_counts.get(lang_of[d], 0) + 1
+    fr = temperature_fractions(surv_counts, 100.0)
+    keep2 = salted_docs.select(
+        "doc_id", stratified_keep("doc_id", text.lang_guess("text"),
+                                  fr).alias("k"))
+    want2 = {r["doc_id"] for r in keep2.collect() if r["k"]} & full_ids
+    assert temp_ids == want2 and temp_ids < full_ids
+    with pytest.raises(ValueError, match="not both"):
+        corpus.prepare_training_corpus(
+            salted_docs, lang_temperature=2.0,
+            lang_fractions={"en": 0.5}, **base_kwargs)
+
 
 def test_prepare_training_corpus_decontaminates(spark, salted_docs):
     """Docs sharing an n-gram with the eval set never reach chunking;

@@ -71,6 +71,37 @@ def _quota_fixture(spark):
         .repartition(6)
 
 
+def test_temperature_fractions_math():
+    """The mT5 p^(1/tau) rule in closed form: tau=1 keeps the natural
+    distribution (no-op fractions), tau→∞ equalizes class counts
+    (keep n_min/n_c of class c), target_total scales toward a row
+    budget, and the fractions are downsample-only (<= 1)."""
+    counts = {"en": 800, "de": 150, "fr": 50}
+    assert sampling.temperature_fractions(counts, 1.0) == {
+        "en": 1.0, "de": 1.0, "fr": 1.0}
+    flat = sampling.temperature_fractions(counts, 1e9)
+    assert flat["fr"] == pytest.approx(1.0)
+    assert flat["de"] == pytest.approx(50 / 150)
+    assert flat["en"] == pytest.approx(50 / 800)
+    # intermediate tau sits between natural and uniform, monotone in
+    # class size (bigger classes downsample harder)
+    mid = sampling.temperature_fractions(counts, 3.0)
+    assert mid["fr"] == pytest.approx(1.0)          # max normalized
+    assert mid["en"] < mid["de"] < mid["fr"]
+    # a target_total budget: expected output rows ~= target
+    tgt = sampling.temperature_fractions(counts, 3.0, target_total=500)
+    expected = sum(tgt[c] * counts[c] for c in counts)
+    assert expected == pytest.approx(500, rel=0.15)  # clamp slack
+    assert all(0.0 <= f <= 1.0 for f in tgt.values())
+    # validation
+    with pytest.raises(ValueError, match="tau"):
+        sampling.temperature_fractions(counts, 0.0)
+    with pytest.raises(ValueError, match="target_total"):
+        sampling.temperature_fractions(counts, 2.0, target_total=0)
+    assert sampling.temperature_fractions({}, 2.0) == {}
+    assert sampling.temperature_fractions({"en": 0}, 2.0) == {"en": 1.0}
+
+
 def test_quota_cap_keeps_n_smallest(spark):
     df = _quota_fixture(spark)
     out = sampling.quota_cap(df, ["cls"], ["id"], 10)
