@@ -270,6 +270,27 @@ def test_encode_ids_roundtrip_and_unk(trained):
                          vocab).collect()[0]["token_ids"] is None
 
 
+def test_unigram_packing_composition(trained):
+    """The full pretokenized-corpus story end-to-end: text → trained
+    unigram pieces → vocabulary ids (`encode_ids`) → packed training
+    sequences (`packing.pack_offsets` weighted by n_ids). Offsets are
+    the exclusive prefix sum of the TOKENIZER's counts in id order —
+    the same contract the BPE path documents — so the sequence
+    boundaries are reproducible from (corpus, model) alone."""
+    from snowflake_azure_etl_spark.operators import packing
+    docs, model = trained
+    vocab = ug.unigram_vocab(docs.sparkSession, model)
+    enc = ug.encode_ids(docs, model, vocab)
+    packed = packing.pack_offsets(enc, weight=F.col("n_ids"), ctx=8)
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    n = {r["doc_id"]: r["n_ids"] for r in enc.collect()}
+    run = 0
+    for d in sorted(n):
+        assert rows[d]["token_offset"] == run, d
+        assert rows[d]["pack_first_seq"] == run // 8, d
+        run += n[d]
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
