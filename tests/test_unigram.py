@@ -323,3 +323,8 @@ def test_unigram_property_sweep(spark, texts):
         want = [p for w in t.split(" ") if w
                 for p in py_viterbi(w, costs, model.k)[1]]
         assert got[d] == want, d
+    # and the join-path encoder agrees with the row-local one on the
+    # same random corpus (empty docs land as [] on both)
+    joined = {r["doc_id"]: r["pieces"]
+              for r in ug.encode_unigram(docs, model).collect()}
+    assert joined == got
