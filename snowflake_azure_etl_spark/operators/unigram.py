@@ -210,27 +210,68 @@ class UnigramModel:
         return {p: c for p, _, c in self.pieces}
 
 
+#: Vocabulary shrink factor per pruning round (SentencePiece's
+#: --shrinking_factor default): with `vocab_target` set, each EM
+#: round keeps at most max(target, ceil(|multis| · 3/4)) multi-char
+#: pieces. Exact rational so the schedule replays deterministically.
+PRUNE_SHRINK_NUM = 3
+PRUNE_SHRINK_DEN = 4
+
+
 def train_unigram(docs: DataFrame, text_col: str = "text",
                   rounds: int = UNIGRAM_ROUNDS,
                   k: int = UNIGRAM_MAX_PIECE_LEN,
-                  seed_multi: int = UNIGRAM_SEED_MULTI) -> UnigramModel:
+                  seed_multi: int = UNIGRAM_SEED_MULTI,
+                  vocab_target: int | None = None) -> UnigramModel:
     """Train the unigram tokenizer (module docstring) — memoized per
     (session, corpus plan, hyperparameters) like `train_bpe_merges`.
     Driver-side state is candidate-set-bounded (the Pregel-probe
     pattern: per-round piece counts and the one-row objective are the
-    model parameters being learned, not data)."""
+    model parameters being learned, not data).
+
+    `vocab_target` enables SentencePiece's iterative PRUNING schedule
+    (Kudo 2018 §3; the fixed-candidate run above is the
+    seed-is-already-small degenerate case): seed LARGE (`seed_multi`
+    well above the target), and after each E-step keep only the top
+    multi-char pieces by (usage desc, piece asc) — at most
+    max(vocab_target, ceil(3/4 of the survivors)) per round, the
+    shrinking-factor schedule — then re-derive costs over the reduced
+    candidate set. Single characters are never pruned (segmentation
+    totality). The final model carries <= |alphabet| + max(target,
+    surviving multis) pieces."""
     if rounds < 1:
         raise ValueError(f"rounds ({rounds}) must be >= 1")
+    if vocab_target is not None and vocab_target < 1:
+        raise ValueError(f"vocab_target ({vocab_target}) must be >= 1")
     from ._cache import cached_build, plan_key
     key = ("unigram_model", plan_key(docs.select(text_col)),
-           rounds, k, seed_multi)
+           rounds, k, seed_multi, vocab_target)
     return cached_build(
         docs.sparkSession, key,
-        lambda: _train(docs, text_col, rounds, k, seed_multi))
+        lambda: _train(docs, text_col, rounds, k, seed_multi,
+                       vocab_target))
+
+
+def _prune_keys(keys: list[str], counts: dict[str, int],
+                vocab_target: int) -> list[str]:
+    """One pruning step: singles always survive; multis keep the top
+    max(vocab_target, ceil(3/4·|multis|)) by (usage desc, piece asc)
+    — the same deterministic total order the seeding uses."""
+    import math
+    singles = [p for p in keys if len(p) == 1]
+    multis = [p for p in keys if len(p) > 1]
+    keep = max(vocab_target,
+               math.ceil(len(multis) * PRUNE_SHRINK_NUM
+                         / PRUNE_SHRINK_DEN))
+    if len(multis) <= keep:
+        return keys
+    ranked = sorted(multis, key=lambda p: (-counts.get(p, 0), p))
+    return sorted(singles + ranked[:keep])
 
 
 def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
-           seed_multi: int) -> UnigramModel:
+           seed_multi: int,
+           vocab_target: int | None = None) -> UnigramModel:
     sc = docs.sparkSession.sparkContext
     n_parts = max(4, sc.defaultParallelism // 8)
     # the ONE corpus-sized pass; checkpoint cuts the corpus lineage
@@ -263,6 +304,8 @@ def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
         obj = seg.agg(F.sum(F.col("freq") * F.col("cost"))
                       .alias("o")).collect()[0]["o"]
         traj.append(int(obj))
+        if vocab_target is not None:
+            keys = _prune_keys(keys, counts, vocab_target)
         costs = piece_costs(counts, keys)
     pieces = [(p, counts.get(p, 0), costs[p]) for p in keys]
     return UnigramModel(pieces, traj, k, seed_multi)

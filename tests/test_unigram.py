@@ -270,6 +270,52 @@ def test_encode_ids_roundtrip_and_unk(trained):
                          vocab).collect()[0]["token_ids"] is None
 
 
+def test_vocab_target_pruning_schedule(spark):
+    """SentencePiece's iterative pruning (vocab_target): seed large,
+    and after each E-step keep the top multis by (usage desc, piece)
+    under the 3/4 shrinking-factor schedule — engine == a Python twin
+    round for round; singles never prune (totality: the final model
+    still segments every corpus word)."""
+    import math
+    rows = CORPUS
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = ug._train(docs, "text", 3, 4, 24, vocab_target=4)
+
+    def py_prune(keys, counts, target):
+        singles = [p for p in keys if len(p) == 1]
+        multis = [p for p in keys if len(p) > 1]
+        keep = max(target, math.ceil(len(multis) * 3 / 4))
+        if len(multis) <= keep:
+            return keys
+        ranked = sorted(multis, key=lambda p: (-counts.get(p, 0), p))
+        return sorted(singles + ranked[:keep])
+
+    wf = py_word_freqs(rows)
+    seeds = py_seed(wf, 4, 24)
+    keys = sorted(seeds)
+    costs = py_costs(seeds, keys)
+    counts, traj = dict(seeds), []
+    for _ in range(3):
+        counts, obj = {}, 0
+        for w, f in wf.items():
+            c, segs = py_viterbi(w, costs, 4)
+            obj += c * f
+            for p in segs:
+                counts[p] = counts.get(p, 0) + f
+        traj.append(obj)
+        keys = py_prune(keys, counts, 4)
+        costs = py_costs(counts, keys)
+    want = [(p, counts.get(p, 0), costs[p]) for p in keys]
+    assert model.traj == traj
+    assert model.pieces == want
+    # the schedule actually pruned below the seed
+    n_multis = sum(1 for p, _, _ in model.pieces if len(p) > 1)
+    assert n_multis < 24
+    # totality: every corpus word still segments under the pruned model
+    segs = docs.select(ug.segment_text("text", model).alias("s"))
+    assert all(r["s"] is not None for r in segs.collect())
+
+
 def test_unigram_packing_composition(trained):
     """The full pretokenized-corpus story end-to-end: text → trained
     unigram pieces → vocabulary ids (`encode_ids`) → packed training
