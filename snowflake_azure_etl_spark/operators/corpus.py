@@ -236,7 +236,15 @@ def prepare_training_corpus(docs: DataFrame, id_col: str = "doc_id",
                 "pass either lang_fractions or lang_temperature, not "
                 "both — they set the same per-language sampling knob")
         from .sampling import stratified_keep, temperature_fractions
-        lang_col = (F.col("lang") if "lang" in kept.columns
+        # a NULL lang must coalesce to the 'und' sentinel BEFORE the
+        # class count (ADVICE r13): a None dict key would crash
+        # stratified_keep's sorted() — and even short of the crash,
+        # `cc == NULL` is never true, so NULL-lang rows would silently
+        # keep fraction 1.0 while diluting every other class's
+        # computed fraction. lang_guess already defaults to 'und', so
+        # both sources now share one unknown-language class.
+        lang_col = (F.coalesce(F.col("lang"), F.lit("und"))
+                    if "lang" in kept.columns
                     else text.lang_guess(text_col))
         counts = {r["_l"]: int(r["n"]) for r in
                   kept.groupBy(lang_col.alias("_l"))

@@ -456,13 +456,20 @@ def lm_terciles(scored: DataFrame, ppl_col: str = "lm3_ppl_bits",
     is gone, and the scored-document total rides the prefix pass's
     driver-collected partition sums as a literal (no extra
     aggregation, no window). Both paths produce identical cuts
-    (pinned in tests/test_lm.py); the small path keeps the original
-    single-pass shared-sort windows — bins-sized by the gate."""
+    (pinned in tests/test_lm.py); the attested-small path keeps the
+    original single-pass shared-sort windows — bins-sized by the gate.
+
+    **An ABSENT attestation takes the parallel path** (VERDICT r13
+    #2): unlike `bounded_broadcast` — where a false claim fails loud —
+    an unattested call here used to pick the single-task window shape
+    silently, the one way the r12 scale-killer could return. Unknown
+    size now means "assume big": the parallel path is correct at every
+    size, so the single-partition sort is opt-in BY attestation only."""
     big = big_max_rows if big_max_rows is not None else _big_corpus_max_rows()
     p = F.col(ppl_col)
     dist = (scored.filter(p.isNotNull())
             .groupBy(p.alias("_p")).agg(F.count("*").alias("_c")))
-    if n_rows is not None and n_rows > big:
+    if n_rows is None or n_rows > big:
         # the grand total rides the driver-side per-partition sums
         # the prefix pass already collected — no second aggregation
         # over the distinct-score relation (r13 review), and the

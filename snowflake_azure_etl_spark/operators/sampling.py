@@ -101,13 +101,18 @@ def temperature_fractions(counts: dict[str, int], tau: float,
     rerun-stable).
 
     Keep fractions are normalized so the largest is 1.0 (downsample-
-    only — the engine cannot mint rows; a class whose target exceeds
-    its supply keeps everything, the standard single-epoch reading);
-    `target_total` scales all fractions toward an approximate output
-    row budget instead, clamped per-class at 1.0. Driver-side pure
-    math over a class-cardinality-bounded dict (the caller's one
-    groupBy count — classes are languages/domains, never corpus-
-    scaled)."""
+    only — the engine cannot mint rows; no class clamps under this
+    normalization, so the realized class ratios are EXACTLY
+    p^(1/tau) up to hash granularity); with `target_total` the
+    fractions are WATERFILLED instead (ADVICE r13): classes whose
+    temperature allocation exceeds their supply clamp at 1.0 and
+    their shortfall redistributes over the unclamped classes in
+    p^(1/tau) proportion, iterated until stable (≤ one clamp per
+    class), so the expected output Σ fᵢ·nᵢ equals `target_total`
+    exactly whenever target_total ≤ corpus total (above it,
+    everything keeps — rows cannot be minted). Driver-side pure math
+    over a class-cardinality-bounded dict (the caller's one groupBy
+    count — classes are languages/domains, never corpus-scaled)."""
     if tau <= 0:
         raise ValueError(f"tau ({tau}) must be > 0")
     if not counts:
@@ -127,12 +132,32 @@ def temperature_fractions(counts: dict[str, int], tau: float,
            for cls, n in counts.items()}
     if target_total is None:
         scale = 1.0 / max(raw.values())
-    else:
-        if target_total <= 0:
-            raise ValueError(f"target_total ({target_total}) must be "
-                             "positive")
-        scale = target_total / total
-    return {cls: min(raw[cls] * scale, 1.0) for cls in counts}
+        return {cls: min(raw[cls] * scale, 1.0) for cls in counts}
+    if target_total <= 0:
+        raise ValueError(f"target_total ({target_total}) must be "
+                         "positive")
+    # waterfilling (ADVICE r13): find scale s.t. Σ min(raw·scale, 1)·n
+    # == target_total. A class clamps only when its allocation covers
+    # its whole supply, and allocations sum to the target, so the
+    # clamped supply never exceeds the target (scale stays >= 0); the
+    # clamped set grows monotonically — at most |classes| rounds.
+    clamped: set = set()
+    scale = 0.0
+    while True:
+        un_mass = sum(raw[c] * counts[c]
+                      for c in counts if c not in clamped)
+        clamped_rows = sum(counts[c] for c in clamped)
+        if un_mass <= 0:   # everything clamps: target >= corpus total
+            break
+        scale = (target_total - clamped_rows) / un_mass
+        newly = {c for c in counts
+                 if c not in clamped and raw[c] * scale >= 1.0}
+        if not newly:
+            break
+        clamped |= newly
+    return {cls: 1.0 if cls in clamped
+            else min(max(raw[cls] * scale, 0.0), 1.0)
+            for cls in counts}
 
 
 def quota_cap(df: DataFrame, class_cols: list[str], order_cols: list[str],

@@ -79,6 +79,38 @@ UNIGRAM_SEED_MULTI = 32
 #: Hard-EM rounds.
 UNIGRAM_ROUNDS = 2
 
+#: Above this piece count the cost model ships as a ONE-ROW broadcast
+#: map RELATION instead of a plan-literal `create_map` (VERDICT r13
+#: #3): at the catalog defaults (|alphabet| + 32 pieces) the literal
+#: is the right call — the BPE merge-list economics, no join, fastest
+#: plan — but a `vocab_target`-scale vocabulary (real SentencePiece:
+#: 32k–1M pieces) would compile 10⁵–10⁶ literals into EVERY
+#: expression that touches the model: plan-size bloat, codegen
+#: fallback, and a plan string no tool can print. Above the gate the
+#: model rides the `text.token_freq_map` pattern — one bounded
+#: broadcast, pieces live in DATA, the expression is unchanged.
+UNIGRAM_MAP_LIT_MAX = 1000
+
+#: Fallback cost for an out-of-alphabet SINGLE CHARACTER when
+#: char-fallback encoding is on (SentencePiece's --byte_fallback
+#: contract, adapted to this char-level model; its kUnkPenalty = 10
+#: in float log-prob space, here in plog2 fixed point): the model's
+#: max piece cost plus this penalty, so a fallback piece is always
+#: strictly worse than ANY trained segmentation but still total.
+#: Derived deterministically from the model (`unk_cost_of`), so the
+#: Python reference and any oracle replay pin it exactly.
+UNIGRAM_UNK_PENALTY = 10 * PLOG2_SCALE
+
+
+def unk_cost_of(costs: dict[str, int]) -> int:
+    """The char-fallback cost for a trained model: max trained piece
+    cost + the fixed penalty (module constant). Deterministic pure-int
+    math — the fallback cost IS part of the shipped model."""
+    if not costs:
+        raise ValueError("unk_cost_of: empty cost model")
+    return max(costs.values()) + UNIGRAM_UNK_PENALTY
+
+
 def seed_piece_counts(words: DataFrame,
                       k: int = UNIGRAM_MAX_PIECE_LEN) -> DataFrame:
     """(piece, cnt): every substring of length 1..k of every word,
@@ -123,9 +155,10 @@ def piece_costs(counts: dict[str, int], keys: list[str],
 
 
 def _costs_map_lit(costs: dict[str, int]) -> Column:
-    """The piece→cost model as a literal map column (candidate-set-
-    bounded — the BPE merge-list economics: ~10^2-10^5 entries
-    compiled once, shipped with the plan)."""
+    """The piece→cost model as a literal map column — the SMALL-vocab
+    shipping shape (<= UNIGRAM_MAP_LIT_MAX entries, gated by every
+    caller: the BPE merge-list economics, compiled once with the
+    plan). Large vocabularies ship as `_costs_map_rel` instead."""
     entries: list[Column] = []
     for p in sorted(costs):
         entries.append(F.lit(p))
@@ -133,15 +166,50 @@ def _costs_map_lit(costs: dict[str, int]) -> Column:
     return F.create_map(*entries)
 
 
+def _costs_map_rel(spark, costs: dict[str, int]) -> DataFrame:
+    """ONE-ROW (_ucm: map<string,bigint>) relation carrying the
+    piece→cost model — the LARGE-vocab shipping shape (VERDICT r13
+    #3, the `text.token_freq_map` pattern): pieces live in data, the
+    plan stays constant-size, and the single row broadcasts under the
+    standard attestation. The model is already a bounded driver
+    artifact (train collects it), so materializing it as a relation
+    adds no new driver state."""
+    rel = spark.createDataFrame(
+        [(p, int(c)) for p, c in sorted(costs.items())],
+        "piece string, cost long")
+    return rel.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "cost")))
+        .alias("_ucm"))
+
+
+def _broadcast_costs_rel(spark, costs: dict[str, int]) -> DataFrame:
+    return bounded_broadcast(
+        _costs_map_rel(spark, costs),
+        bound="one-row unigram cost map (piece-vocab-bounded)",
+        max_rows=1)
+
+
+def _lit_max(map_lit_max: int | None) -> int:
+    return UNIGRAM_MAP_LIT_MAX if map_lit_max is None else map_lit_max
+
+
 def viterbi_expr(word: Column, costs_map: Column,
-                 k: int = UNIGRAM_MAX_PIECE_LEN) -> Column:
+                 k: int = UNIGRAM_MAX_PIECE_LEN,
+                 unk_cost: int | None = None) -> Column:
     """struct<c:bigint, s:array<string>> — the min-cost segmentation
     of `word` under the piece-cost map, or NULL when no segmentation
     exists (a character outside the model's alphabet — fail-visible,
     never silently skipped). One `F.aggregate` fold over positions:
     acc[i+1] = best over piece lengths l=k..1 of acc[i+1−l] +
     cost(substr(i+2−l, l)); strict `<` with lengths scanned
-    descending pins the longest-piece tie-break. All JVM-side."""
+    descending pins the longest-piece tie-break. All JVM-side.
+
+    `unk_cost` enables CHAR-FALLBACK (SentencePiece --byte_fallback
+    adapted to this char-level model): a SINGLE character missing
+    from the map costs `unk_cost` and becomes its own piece, so
+    coverage is total — decode still reconstructs the text exactly
+    (the fallback piece IS the character) — while multi-char lookups
+    stay strict. None = strict mode (the default, pinned unchanged)."""
     # "no segmentation" is a SENTINEL struct with NULL fields, never a
     # NULL struct: arrays carrying null struct elements NPE in Spark
     # 4.1's generated UnsafeProjection when the fold lands inside an
@@ -156,11 +224,16 @@ def viterbi_expr(word: Column, costs_map: Column,
         for l in range(k, 0, -1):
             prev = F.element_at(acc, i - F.lit(l) + 1)
             piece = word.substr(i - F.lit(l) + 1, F.lit(l))
+            cost = F.element_at(costs_map, piece)
+            if unk_cost is not None and l == 1:
+                # char-fallback: only ATOMIC units fall back (the
+                # byte_fallback contract — unknown material is spelled
+                # out unit by unit, never as an unknown multi-gram)
+                cost = F.coalesce(cost, F.lit(int(unk_cost)).cast("long"))
             cand = F.when(
                 i >= F.lit(l),
                 F.struct(
-                    (prev["c"] + F.element_at(costs_map, piece))
-                    .alias("c"),
+                    (prev["c"] + cost).alias("c"),
                     F.concat(prev["s"], F.array(piece)).alias("s"))
             ).otherwise(nothing())
             cands.append(cand)
@@ -183,11 +256,23 @@ def viterbi_expr(word: Column, costs_map: Column,
 
 
 def viterbi_words(words: DataFrame, costs: dict[str, int],
-                  k: int = UNIGRAM_MAX_PIECE_LEN) -> DataFrame:
+                  k: int = UNIGRAM_MAX_PIECE_LEN,
+                  unk_cost: int | None = None,
+                  map_lit_max: int | None = None) -> DataFrame:
     """words + (cost, segs): Viterbi segmentation of the distinct-word
-    relation under a trained/interim cost model."""
-    best = viterbi_expr(F.col("word"), _costs_map_lit(costs), k)
-    return (words.withColumn("_b", best)
+    relation under a trained/interim cost model. The model ships as a
+    plan literal up to `map_lit_max` (default UNIGRAM_MAP_LIT_MAX)
+    pieces and as a one-row attested-broadcast map relation above it
+    (VERDICT r13 #3) — identical results, pinned in tests."""
+    if len(costs) <= _lit_max(map_lit_max):
+        best = viterbi_expr(F.col("word"), _costs_map_lit(costs), k,
+                            unk_cost)
+        src = words
+    else:
+        src = words.crossJoin(
+            _broadcast_costs_rel(words.sparkSession, costs))
+        best = viterbi_expr(F.col("word"), F.col("_ucm"), k, unk_cost)
+    return (src.withColumn("_b", best)
             .select(*words.columns, F.col("_b.c").alias("cost"),
                     F.col("_b.s").alias("segs")))
 
@@ -311,29 +396,80 @@ def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
     return UnigramModel(pieces, traj, k, seed_multi)
 
 
-def segment_text(text_col: Column | str, model: UnigramModel) -> Column:
+def _segment_expr(c: Column, cmap: Column, k: int,
+                  unk_cost: int | None = None) -> Column:
+    """The core per-document segmentation expression over ANY map
+    column (plan literal or a `_costs_map_rel` column — the shipping
+    shape is the caller's gate). NULL if any word is unsegmentable
+    (strict mode) — with `unk_cost` set, coverage is total and NULL
+    only survives for NULL text."""
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    per_word = F.transform(
+        words, lambda w: viterbi_expr(w, cmap, k, unk_cost)["s"])
+    return F.when(F.exists(per_word, lambda s: s.isNull()),
+                  F.lit(None).cast("array<string>")
+                  ).otherwise(F.flatten(per_word))
+
+
+def segment_text(text_col: Column | str, model: UnigramModel,
+                 fallback: bool = False) -> Column:
     """array<string>: the trained tokenizer's row-local ENCODE
     expression — each whitespace word Viterbi-segmented under the
     model (join-free: right for subsamples, streams, and the
     stream==batch contract). NULL if ANY word is unsegmentable
     (out-of-alphabet character) — fail-visible, the encode_ids
-    unk-id contract's stricter sibling."""
-    return segment_text_with(text_col, model.costs, model.k)
+    unk-id contract's stricter sibling. ``fallback=True`` turns on
+    CHAR-FALLBACK (`unk_cost_of` — the --byte_fallback analog): an
+    out-of-alphabet character becomes its own piece at the penalty
+    cost, so every document encodes and decode still round-trips."""
+    return segment_text_with(text_col, model.costs, model.k,
+                             fallback=fallback)
 
 
 def segment_text_with(text_col: Column | str, costs: dict[str, int],
-                      k: int = UNIGRAM_MAX_PIECE_LEN) -> Column:
+                      k: int = UNIGRAM_MAX_PIECE_LEN,
+                      fallback: bool = False,
+                      map_lit_max: int | None = None) -> Column:
     """`segment_text` from a bare piece→cost dict — the form the
     streaming sink uses after reading the PERSISTED piece table
-    (`streaming.ingest.unigram_ingest_sink`)."""
+    (`streaming.ingest.unigram_ingest_sink`). A bare COLUMN can only
+    ship the model as a plan literal, so vocabularies above the
+    `UNIGRAM_MAP_LIT_MAX` gate fail loud here (a 10⁵-literal
+    expression is the plan-bloat defect the gate exists to prevent) —
+    use the DataFrame-level `segment_docs`, which ships the model as
+    a one-row broadcast relation instead."""
+    if len(costs) > _lit_max(map_lit_max):
+        raise ValueError(
+            f"segment_text_with: {len(costs)} pieces exceed the "
+            f"plan-literal gate ({_lit_max(map_lit_max)}) — a Column "
+            "cannot ship a large model; use segment_docs (one-row "
+            "broadcast map relation) instead")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    cmap = _costs_map_lit(costs)
-    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
-    per_word = F.transform(
-        words, lambda w: viterbi_expr(w, cmap, k)["s"])
-    return F.when(F.exists(per_word, lambda s: s.isNull()),
-                  F.lit(None).cast("array<string>")
-                  ).otherwise(F.flatten(per_word))
+    unk = unk_cost_of(costs) if fallback else None
+    return _segment_expr(c, _costs_map_lit(costs), k, unk)
+
+
+def segment_docs(docs: DataFrame, costs: dict[str, int],
+                 text_col: str = "text",
+                 k: int = UNIGRAM_MAX_PIECE_LEN,
+                 out_col: str = "pieces",
+                 fallback: bool = False,
+                 map_lit_max: int | None = None) -> DataFrame:
+    """docs + `out_col`: the DataFrame-level row-local encode — the
+    same expression as `segment_text_with`, with the model's shipping
+    shape GATED on vocabulary size (VERDICT r13 #3): a plan-literal
+    map up to `UNIGRAM_MAP_LIT_MAX` pieces (fastest — no join), a
+    one-row attested-broadcast map relation above it (constant plan
+    size at 32k–1M-piece vocabularies). Both shapes are row-local
+    after the broadcast; results are pinned identical in tests."""
+    c = F.col(text_col)
+    unk = unk_cost_of(costs) if fallback else None
+    if len(costs) <= _lit_max(map_lit_max):
+        return docs.withColumn(
+            out_col, _segment_expr(c, _costs_map_lit(costs), k, unk))
+    return (docs.crossJoin(_broadcast_costs_rel(docs.sparkSession, costs))
+            .withColumn(out_col, _segment_expr(c, F.col("_ucm"), k, unk))
+            .drop("_ucm"))
 
 
 def unigram_vocab(spark, model: UnigramModel) -> DataFrame:
@@ -350,7 +486,9 @@ def unigram_vocab(spark, model: UnigramModel) -> DataFrame:
 
 def encode_ids(docs: DataFrame, model: UnigramModel,
                vocab: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", unk_id: int = -1) -> DataFrame:
+               text_col: str = "text", unk_id: int = -1,
+               fallback: bool = False,
+               map_lit_max: int | None = None) -> DataFrame:
     """(id, token_ids, n_ids): text → Viterbi pieces → vocabulary ids
     — the unigram twin of `bpe.encode_ids`, same one-row broadcast
     vocab-map plan shape (row-local element_at inside transform; no
@@ -361,20 +499,33 @@ def encode_ids(docs: DataFrame, model: UnigramModel,
     `bpe.decode_ids` — it is tokenizer-agnostic, and because unigram
     pieces partition each word's characters, decode(encode(text)) ==
     text with spaces removed, the same round-trip attestation BPE
-    carries."""
+    carries. ``fallback=True`` (char-fallback, `unk_cost_of`) makes
+    segmentation total; fallback pieces are not in the vocab, so they
+    surface as `unk_id` — SentencePiece's unk contract exactly. The
+    cost model ships gated on vocabulary size (the segment_docs
+    rule); the vocab map is one row either way."""
     vmap = (vocab.groupBy("token")
             .agg(F.min("token_id").alias("token_id"))
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("token", "token_id")))
                 .alias("_vmap")))
-    segs = segment_text(text_col, model)
+    base = docs.crossJoin(bounded_broadcast(
+        vmap, bound="one-row unigram vocab map (piece-bounded)",
+        max_rows=1))
+    unk = unk_cost_of(model.costs) if fallback else None
+    if len(model.costs) <= _lit_max(map_lit_max):
+        segs = _segment_expr(F.col(text_col),
+                             _costs_map_lit(model.costs), model.k, unk)
+    else:
+        base = base.crossJoin(
+            _broadcast_costs_rel(docs.sparkSession, model.costs))
+        segs = _segment_expr(F.col(text_col), F.col("_ucm"),
+                             model.k, unk)
     ids = F.transform(
         segs,
         lambda s: F.coalesce(F.element_at(F.col("_vmap"), s),
                              F.lit(unk_id)))
-    return (docs.crossJoin(bounded_broadcast(
-            vmap, bound="one-row unigram vocab map (piece-bounded)",
-            max_rows=1))
+    return (base
             .select(F.col(id_col), ids.alias("token_ids"))
             .withColumn("n_ids", F.size("token_ids")))
 
@@ -388,24 +539,30 @@ def pieces_table_df(spark, model: UnigramModel) -> DataFrame:
 
 
 def word_segmentations(docs: DataFrame, model: UnigramModel,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       fallback: bool = False) -> DataFrame:
     """(word, segs): the final-model Viterbi segmentation of the
     corpus's DISTINCT words — the derived encode ARTIFACT a pipeline
     lands beside the model (a lookup table, like the tf-icf top-term
     relation); session-cache it (`cached_relation`) so repeat encodes
-    reuse it instead of re-running the fold per invocation."""
+    reuse it instead of re-running the fold per invocation.
+    ``fallback`` must match the consuming encode's setting — a strict
+    artifact carries NULL segs for out-of-alphabet words, a fallback
+    artifact is total."""
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     distinct = (docs.select(F.explode(words).alias("word")).distinct()
                 .withColumn("freq", F.lit(1)))
-    return viterbi_words(distinct, model.costs,
-                         model.k).select("word", "segs")
+    unk = unk_cost_of(model.costs) if fallback else None
+    return viterbi_words(distinct, model.costs, model.k,
+                         unk_cost=unk).select("word", "segs")
 
 
 def encode_unigram(docs: DataFrame, model: UnigramModel,
                    id_col: str = "doc_id",
                    text_col: str = "text",
-                   wseg: DataFrame | None = None) -> DataFrame:
+                   wseg: DataFrame | None = None,
+                   fallback: bool = False) -> DataFrame:
     """(id, pieces, n_pieces): the scale ENCODE path — segment the
     DISTINCT words once (`viterbi_words`), join back by word
     (UNhinted: AQE broadcasts a small vocab, shuffle-joins a
@@ -416,15 +573,18 @@ def encode_unigram(docs: DataFrame, model: UnigramModel,
     `word_segmentations` relation, typically session-cached) to skip
     rebuilding the per-word artifact; it must COVER the docs' words —
     an uncovered word surfaces exactly like an unsegmentable one
-    (NULL pieces, fail-visible)."""
+    (NULL pieces, fail-visible) — and must have been built with the
+    SAME `fallback` setting (a strict artifact under a fallback
+    encode would NULL exactly the docs fallback exists to save)."""
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     pos = (docs.select(F.col(id_col),
                        F.posexplode(words).alias("_i", "word")))
     if wseg is None:
+        unk = unk_cost_of(model.costs) if fallback else None
         wseg = viterbi_words(
             pos.select("word").distinct().withColumn("freq", F.lit(1)),
-            model.costs, model.k).select("word", "segs")
+            model.costs, model.k, unk_cost=unk).select("word", "segs")
     # a NULL segs array must never reach flatten: flattening a null
     # inner array inside an aggregate's (collapsed) result projection
     # NPEs in Spark 4.1's generated code (verified minimal repro), so
@@ -561,7 +721,12 @@ def unigram_oracle_ctes(rounds: int = UNIGRAM_ROUNDS,
     every corpus word. Mirrors `train_unigram` round for round over
     the `documents` view; each Viterbi pass is an unrolled
     `max_word_len`-position DP chain (fail-loud beyond it — the
-    engine fold has no such bound)."""
+    engine fold has no such bound). The default carries 50% headroom
+    over the corpus: the synthetic documents' generator draws words
+    from a fixed vocabulary whose longest word is 8 chars at every
+    driver sf (probed r14 over sf0.001/0.01/0.1) — if a future corpus
+    version grows past 12, the oracle error()s with this knob's name
+    (ADVICE r13 #4: remembered, deliberately fail-loud)."""
     parts = [f"""
     uwf AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq FROM

@@ -316,7 +316,8 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         k: int | None = None,
-                        drop_unsegmentable: bool = False):
+                        drop_unsegmentable: bool = False,
+                        fallback: bool = False):
     """Arrival-time unigram-tokenizer segmentation (r13 — the
     streaming sibling of `operators.unigram`, completing the trained-
     tokenizer family's maintenance set the way `lm3_ingest_sink`
@@ -340,8 +341,14 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
     k=4 default silently dropped a k=6 model's long candidates —
     exactly the drift this sink pins against). Unsegmentable
     documents carry NULL pieces (fail-visible);
-    ``drop_unsegmentable=True`` drops them at the door instead."""
-    from ..operators.unigram import segment_text_with
+    ``drop_unsegmentable=True`` drops them at the door instead, and
+    ``fallback=True`` (char-fallback, `unigram.unk_cost_of`) makes
+    them segmentable instead — the web-ingest shape, where one emoji
+    must not NULL a whole document. The per-epoch encode routes
+    through `segment_docs`, so the model's shipping shape (plan
+    literal vs one-row broadcast map) gates on vocabulary size — a
+    32k-piece production model streams without plan bloat."""
+    from ..operators.unigram import segment_docs
     from .sinks import idempotent_epoch_sink
 
     write_seg = idempotent_epoch_sink(seg_table)
@@ -356,8 +363,8 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
                 f"unigram_ingest_sink: piece table {pieces_table} is "
                 "empty — land a trained model before streaming")
         eff_k = k if k is not None else max(len(p) for p in costs)
-        segs = segment_text_with(F.col(text_col), costs, eff_k)
-        out = (batch_df.withColumn("pieces", segs)
+        out = (segment_docs(batch_df, costs, text_col, eff_k,
+                            fallback=fallback)
                .withColumn("n_pieces", F.size("pieces")))
         if drop_unsegmentable:
             out = out.filter(F.col("pieces").isNotNull())

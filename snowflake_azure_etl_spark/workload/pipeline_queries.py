@@ -1877,9 +1877,16 @@ _BM25_SCORE_SQL = """
               FROM bm_sc),
     {ug_ops.unigram_oracle_ctes()},
     useg_doc AS (
+        -- NULL text pins to NULL pieces, mirroring the engine's
+        -- encode contract (ADVICE r13: the engine's _tnull branch is
+        -- explicit; without this CASE the oracle would map a NULL-text
+        -- doc to [] and q58 would latently mismatch on any corpus
+        -- carrying NULL text)
         SELECT dd.doc_id,
-               COALESCE(u.pieces, []::VARCHAR[]) AS pieces
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
+               CASE WHEN dd.text IS NULL THEN NULL
+                    ELSE COALESCE(u.pieces, []::VARCHAR[]) END AS pieces
+        FROM (SELECT doc_id, text FROM documents
+              WHERE doc_id % 5 = 0) dd
         LEFT JOIN (
             SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
             FROM (SELECT doc_id, i, toks[i] AS word

@@ -157,6 +157,41 @@ def test_prepare_corpus_rebalance_stages(spark, salted_docs):
             lang_fractions={"en": 0.5}, **base_kwargs)
 
 
+def test_lang_temperature_null_lang_coalesces_to_und(spark):
+    """ADVICE r13: an explicit `lang` column carrying NULLs must not
+    crash the temperature path (a None class key made stratified_keep's
+    sorted() raise) nor silently keep NULL-lang rows at fraction 1.0 —
+    NULL coalesces to the 'und' sentinel BEFORE the class count, so
+    unknown-language rows are one ordinary class on both sides."""
+    from snowflake_azure_etl_spark.operators.sampling import (
+        stratified_keep, temperature_fractions)
+    rows = [(i, f"doc {i} text body", "en" if i % 3 == 0 else None)
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = corpus.prepare_training_corpus(
+        docs, near_dup_threshold=None, n_docs=None,
+        lang_temperature=4.0)
+    got = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    # exact replay: counts over the coalesced class, same sampler
+    counts = {}
+    for i, _, lang in rows:
+        c = lang or "und"
+        counts[c] = counts.get(c, 0) + 1
+    fr = temperature_fractions(counts, 4.0)
+    keep = docs.select(
+        "doc_id",
+        stratified_keep("doc_id",
+                        F.coalesce(F.col("lang"), F.lit("und")),
+                        fr).alias("k"))
+    want = {r["doc_id"] for r in keep.collect() if r["k"]}
+    assert got == want
+    # the NULL-lang class really was temperature-sampled, not kept 1.0
+    null_ids = {i for i, _, lang in rows if lang is None}
+    assert fr["und"] < 1.0
+    assert got & null_ids < null_ids
+
+
 def test_prepare_training_corpus_decontaminates(spark, salted_docs):
     """Docs sharing an n-gram with the eval set never reach chunking;
     untouched docs' chunks are identical with and without the stage."""

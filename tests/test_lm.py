@@ -271,7 +271,7 @@ def test_terciles_ranged_path_equals_window_path(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     uni, bi, tri, tot = lm.trigram_lm_model(docs)
     sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
-    small = lm.lm_terciles(sc)
+    small = lm.lm_terciles(sc, n_rows=10)      # attested small: window
     big = lm.lm_terciles(sc, n_rows=10, big_max_rows=5)
     assert small.collect() == big.collect()
     plan = big._jdf.queryExecution().executedPlan().toString()
@@ -281,6 +281,28 @@ def test_terciles_ranged_path_equals_window_path(spark):
     import re
     for frag in re.findall(r"Window \[[^\n]*", plan):
         assert "_pid" in frag, frag
+    # the attested-small path really is the shared-sort window shape
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan_small.lower()
+
+
+def test_terciles_unattested_default_takes_parallel_path(spark):
+    """VERDICT r13 #2 hardening: with NO size attestation the cuts
+    build must assume big — the partition-parallel prefix path at any
+    scale — so the single-task window shape is reachable ONLY through
+    an explicit small attestation, never silently (the
+    bounded_broadcast fail-safe philosophy, inverted for a default)."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    uni, bi, tri, tot = lm.trigram_lm_model(docs)
+    sc = lm.trigram_lm_bits(docs, "doc_id", "text", uni, bi, tri, tot)
+    cuts = lm.lm_terciles(sc)                  # n_rows=None: unknown
+    plan = cuts._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    import re
+    for frag in re.findall(r"Window \[[^\n]*", plan):
+        assert "_pid" in frag, frag
+    # and the cuts equal the attested-small path's
+    assert cuts.collect() == lm.lm_terciles(sc, n_rows=10).collect()
 
 
 def test_cuts_from_rollup_matches_batch_retrain(spark):

@@ -88,11 +88,34 @@ def test_temperature_fractions_math():
     mid = sampling.temperature_fractions(counts, 3.0)
     assert mid["fr"] == pytest.approx(1.0)          # max normalized
     assert mid["en"] < mid["de"] < mid["fr"]
-    # a target_total budget: expected output rows ~= target
+    # a target_total budget: waterfilled (ADVICE r13) — the expected
+    # output hits the budget EXACTLY even when classes clamp, the
+    # clamped class keeps everything, and the shortfall redistributes
+    # over the unclamped classes in p^(1/tau) proportion
     tgt = sampling.temperature_fractions(counts, 3.0, target_total=500)
     expected = sum(tgt[c] * counts[c] for c in counts)
-    assert expected == pytest.approx(500, rel=0.15)  # clamp slack
+    assert expected == pytest.approx(500, abs=1e-9)
     assert all(0.0 <= f <= 1.0 for f in tgt.values())
+    # force heavy clamping: high tau + a budget above the flattened
+    # allocation of the small classes — fr and de clamp at 1.0 and
+    # en absorbs the remainder exactly
+    hot = sampling.temperature_fractions(counts, 1e9, target_total=600)
+    assert hot["fr"] == 1.0 and hot["de"] == 1.0
+    assert hot["en"] == pytest.approx(400 / 800)
+    assert sum(hot[c] * counts[c] for c in counts) == pytest.approx(600)
+    # unclamped pair keeps the p^(1/tau) ratio after redistribution
+    r = sampling.temperature_fractions(counts, 2.0, target_total=400)
+    unclamped = [c for c in counts if r[c] < 1.0]
+    if len(unclamped) >= 2:
+        a, b = unclamped[:2]
+        w = {c: (counts[c] / 1000) ** 0.5 for c in counts}
+        assert (r[a] * counts[a]) / (r[b] * counts[b]) == pytest.approx(
+            w[a] / w[b])
+    # budget at/above the corpus total: keep everything (rows cannot
+    # be minted), never a fraction above 1.0
+    assert sampling.temperature_fractions(
+        counts, 3.0, target_total=10_000) == {
+        "en": 1.0, "de": 1.0, "fr": 1.0}
     # validation
     with pytest.raises(ValueError, match="tau"):
         sampling.temperature_fractions(counts, 0.0)

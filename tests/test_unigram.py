@@ -337,6 +337,173 @@ def test_unigram_packing_composition(trained):
         run += n[d]
 
 
+def _big_costs():
+    """A planted >UNIGRAM_MAP_LIT_MAX piece model over the lowercase
+    alphabet (26 singles + all 676 bigrams + enough trigrams), with a
+    sentinel piece whose presence in a plan string marks literal
+    shipping."""
+    import itertools
+    import string
+    costs = {c: 10 for c in string.ascii_lowercase}
+    for a, b in itertools.product(string.ascii_lowercase, repeat=2):
+        costs[a + b] = 15
+    for t in itertools.islice(
+            itertools.product("abcdefghij", repeat=3), 400):
+        costs["".join(t)] = 18
+    costs["zqj"] = 18          # sentinel: appears in NO test word
+    assert len(costs) > ug.UNIGRAM_MAP_LIT_MAX
+    return costs
+
+
+def test_large_vocab_ships_as_broadcast_map_not_literal(spark):
+    """VERDICT r13 #3: above UNIGRAM_MAP_LIT_MAX pieces the cost
+    model ships as a one-row broadcast map RELATION — the analyzed
+    plan carries no piece literals (a 32k-piece model would otherwise
+    compile 10⁵ literals into every expression) — while results stay
+    identical to the literal path, and the small-vocab default keeps
+    the literal."""
+    costs = _big_costs()
+    words = spark.createDataFrame(
+        [("the", 1), ("cat", 2), ("abba", 1)], "word string, freq long")
+    big = ug.viterbi_words(words, costs)
+    lit = ug.viterbi_words(words, costs, map_lit_max=10**9)
+    rows_big = {r["word"]: (r["cost"], r["segs"])
+                for r in big.collect()}
+    rows_lit = {r["word"]: (r["cost"], r["segs"])
+                for r in lit.collect()}
+    assert rows_big == rows_lit
+    for w, (c, s) in rows_lit.items():
+        assert (c, s) == tuple(py_viterbi(w, costs, 4)), w
+    plan_big = big._jdf.queryExecution().analyzed().toString()
+    plan_lit = lit._jdf.queryExecution().analyzed().toString()
+    # NO piece literal in the big path ('aaa' sorts near the front of
+    # the map literal, so it survives Spark's maxToStringFields
+    # truncation on the literal path — 'zqj' additionally pins the
+    # tail); pieces live in data behind the one-row map column
+    assert "aaa" not in plan_big and "zqj" not in plan_big
+    assert "_ucm" in plan_big
+    assert "aaa" in plan_lit              # literal path really is one
+    # segment_docs: same gate, same identity, at the document grain
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "abba abba cat")], "doc_id long, text string")
+    seg_big = ug.segment_docs(docs, costs)
+    seg_lit = ug.segment_docs(docs, costs, map_lit_max=10**9)
+    assert "zqj" not in seg_big._jdf.queryExecution().analyzed().toString()
+    got_b = {r["doc_id"]: r["pieces"] for r in seg_big.collect()}
+    got_l = {r["doc_id"]: r["pieces"] for r in seg_lit.collect()}
+    assert got_b == got_l
+    assert set(seg_big.columns) == set(docs.columns) | {"pieces"}
+
+
+def test_large_vocab_column_form_fails_loud(spark, trained):
+    """segment_text_with is a bare Column — it cannot ship a large
+    model without the literal, so above the gate it raises with a
+    pointer at segment_docs instead of silently compiling plan bloat;
+    encode paths gate internally and keep working."""
+    costs = _big_costs()
+    with pytest.raises(ValueError, match="segment_docs"):
+        ug.segment_text_with("text", costs)
+    # encode_ids / encode_unigram over a large-vocab model stay green
+    # (gated internally) and agree with each other
+    docs, _ = trained
+    model = ug.UnigramModel([(p, 1, c) for p, c in sorted(costs.items())],
+                            [0], 4, 32)
+    vocab = ug.unigram_vocab(docs.sparkSession, model)
+    enc = ug.encode_ids(docs.filter(F.col("doc_id") == 1), model, vocab)
+    plan = enc._jdf.queryExecution().analyzed().toString()
+    assert "zqj" not in plan
+    row = enc.collect()[0]
+    assert row["n_ids"] == len(row["token_ids"])
+    eu = {r["doc_id"]: r["pieces"] for r in ug.encode_unigram(
+        docs, model).collect()}
+    sd = {r["doc_id"]: r["pieces"] for r in ug.segment_docs(
+        docs, model.costs).collect()}
+    assert eu == sd
+
+
+def test_char_fallback_total_coverage_and_roundtrip(spark, trained):
+    """Char-fallback (the --byte_fallback analog, VERDICT r13 next #2):
+    out-of-alphabet characters become their own pieces at the
+    deterministic penalty cost (`unk_cost_of` = max trained cost +
+    UNIGRAM_UNK_PENALTY), so every document encodes — and because the
+    fallback piece IS the character, concat(pieces) still round-trips
+    the text exactly. Strict mode stays pinned: the same docs NULL."""
+    docs, model = trained
+    _, _, costs, _ = py_train(CORPUS)
+    multi = spark.createDataFrame(
+        [(30, "the ééé cat"), (31, "日本語 mat"), (32, "a🙂b")],
+        "doc_id long, text string")
+
+    def py_fb(word):
+        unk = ug.unk_cost_of(costs)
+        fb = dict(costs)
+        for ch in word:
+            fb.setdefault(ch, unk)
+        return py_viterbi(word, fb, model.k)
+
+    # strict: every multilingual doc is NULL (pinned unchanged)
+    strict = {r["doc_id"]: r["s"] for r in multi.select(
+        "doc_id", ug.segment_text("text", model).alias("s")).collect()}
+    assert all(v is None for v in strict.values())
+    # fallback: total coverage, exact round-trip, reference parity
+    fb = {r["doc_id"]: r["s"] for r in multi.select(
+        "doc_id",
+        ug.segment_text("text", model, fallback=True).alias("s"))
+        .collect()}
+    texts = {r["doc_id"]: r["text"] for r in multi.collect()}
+    for d, segs in fb.items():
+        assert segs is not None, d
+        assert "".join(segs) == texts[d].replace(" ", ""), d
+        want = [p for w in texts[d].split(" ") if w for p in py_fb(w)[1]]
+        assert segs == want, d
+    assert "é" in fb[30] and "🙂" in fb[32]
+    # join-path encode agrees under fallback (incl. its wseg build)
+    enc = {r["doc_id"]: r["pieces"] for r in ug.encode_unigram(
+        multi, model, fallback=True).collect()}
+    assert enc == fb
+    # ids: fallback pieces are outside the vocab -> unk_id, the
+    # SentencePiece unk contract; known pieces keep their ids
+    vocab = ug.unigram_vocab(spark, model)
+    ids = ug.encode_ids(multi, model, vocab, fallback=True).collect()
+    by_id = {r["doc_id"]: r["token_ids"] for r in ids}
+    assert all(v is not None for v in by_id.values())
+    assert -1 in by_id[30] and -1 in by_id[31]
+    # trained pieces on the in-alphabet side still resolve
+    assert any(i >= 0 for i in by_id[30])
+    # unk cost really prices fallback worse than any trained piece
+    assert ug.unk_cost_of(costs) > max(costs.values())
+
+
+def test_fallback_streaming_sink_matches_batch(spark):
+    """The ingest sink's fallback mode == the batch fallback encode
+    (stream==batch, the family law), and the sink's segment_docs
+    routing keeps large persisted models literal-free."""
+    from snowflake_azure_etl_spark.streaming import ingest
+    from snowflake_azure_etl_spark.warehouse import ddl
+    docs = spark.createDataFrame(
+        [(1, "mat mat ñ"), (2, "zq 東")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "mat mat zq")], "doc_id long, text string")
+    model = ug._train(train, "text", 2, 4, 8)
+    db = "uni_fb_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    ug.pieces_table_df(spark, model).write.saveAsTable(f"{db}.pieces")
+    sink = ingest.unigram_ingest_sink(f"{db}.pieces", f"{db}.seg",
+                                      fallback=True)
+    sink(docs, 0)
+    got = {r["doc_id"]: r["pieces"]
+           for r in spark.table(f"{db}.seg").collect()}
+    want = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id",
+        ug.segment_text("text", model, fallback=True).alias("s"))
+        .collect()}
+    assert got == want
+    assert all(v is not None for v in got.values())
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
