@@ -354,6 +354,30 @@ def _prune_keys(keys: list[str], counts: dict[str, int],
     return sorted(singles + ranked[:keep])
 
 
+def train_unigram_from_words(words: DataFrame,
+                             rounds: int = UNIGRAM_ROUNDS,
+                             k: int = UNIGRAM_MAX_PIECE_LEN,
+                             seed_multi: int = UNIGRAM_SEED_MULTI,
+                             vocab_target: int | None = None
+                             ) -> UnigramModel:
+    """Train from a (word, freq) RELATION instead of a document
+    corpus — the sanctioned MAINTENANCE path for a pipeline that
+    grows its word counts via `streaming.ingest.unigram_counts_
+    ingest_sink` + `rollup_word_freqs` (the `lm_cuts_from_rollup`
+    pattern, VERDICT r13 next #5). Training depends on the corpus
+    ONLY through its word frequencies and word counts are additive,
+    so stream-grown counts + this call equal `train_unigram` over the
+    concatenated corpus EXACTLY (pinned in
+    tests/test_streaming_ingest.py). Not memoized — a maintenance
+    job retrains once per rollup, and the rollup is not a stable
+    session-plan key the way a corpus plan is."""
+    sc = words.sparkSession.sparkContext
+    n_parts = max(4, sc.defaultParallelism // 8)
+    pinned = words.coalesce(n_parts).localCheckpoint(eager=True)
+    return _train_from_words(pinned, rounds, k, seed_multi,
+                             vocab_target)
+
+
 def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
            seed_multi: int,
            vocab_target: int | None = None) -> UnigramModel:
@@ -364,6 +388,16 @@ def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
     # (the bpe._train discipline, same partition sizing)
     words = (word_freqs(docs, text_col)
              .coalesce(n_parts).localCheckpoint(eager=True))
+    return _train_from_words(words, rounds, k, seed_multi,
+                             vocab_target)
+
+
+def _train_from_words(words: DataFrame, rounds: int, k: int,
+                      seed_multi: int,
+                      vocab_target: int | None = None) -> UnigramModel:
+    """The shared EM loop over a materialized (word, freq) relation.
+    Every round's state is candidate-set-bounded; the word relation is
+    read once per round by the checkpointed-fold discipline."""
     # bounded collect: |alphabet| + seed_multi rows by construction
     # (the vocab_from_merges alphabet-collect pattern)
     seeds = {r["piece"]: int(r["cnt"])

@@ -373,6 +373,44 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
     return write
 
 
+def unigram_counts_ingest_sink(words_table: str, *,
+                               text_col: str = "text"):
+    """GROW the unigram tokenizer's training statistics at ingest —
+    the `lm_counts_ingest_sink` twin the trained-tokenizer family was
+    missing (VERDICT r13 next #5), completing its maintenance set:
+    score at the door (`unigram_ingest_sink`), grow here, retrain via
+    `rollup_word_freqs` + `unigram.train_unigram_from_words`. Each
+    micro-batch lands its own raw WORD-FREQUENCY partial (the one
+    corpus-sized statistic unigram training reads — `bpe.word_freqs`)
+    as an idempotent epoch partition; the stream-lifetime counts
+    derive by the SUM merge law, and because training depends on the
+    corpus only through these counts, rollup → retrain yields the
+    model a batch train over the concatenated corpus yields EXACTLY
+    (pinned in tests/test_streaming_ingest.py). A replayed epoch
+    overwrites its own partition with identical rows."""
+    from ..operators.bpe import word_freqs
+    from .sinks import idempotent_epoch_sink
+
+    write_words = idempotent_epoch_sink(words_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_words(word_freqs(batch_df, text_col), epoch_id)
+
+    return write
+
+
+def rollup_word_freqs(spark: SparkSession, table: str) -> DataFrame:
+    """The stream-lifetime (word, freq) relation: SUM over all epoch
+    partials — identical to `bpe.word_freqs` of the concatenated
+    stream (counts are additive). Feed to
+    `unigram.train_unigram_from_words` (or `bpe` trainers — the same
+    relation drives both tokenizer families' maintenance)."""
+    from .sinks import EPOCH_COL
+    return (spark.table(table).drop(EPOCH_COL)
+            .groupBy("word")
+            .agg(F.sum("freq").cast("long").alias("freq")))
+
+
 def rollup_gram_counts(spark: SparkSession, table: str,
                        key_cols: "tuple[str, ...]" = ("tok",)
                        ) -> DataFrame:

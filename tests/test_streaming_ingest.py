@@ -502,6 +502,87 @@ def test_lm_counts_ingest_grows_model(spark):
             .groupBy().count().collect()[0][0] > 0)
 
 
+def test_unigram_counts_ingest_grows_model(spark):
+    """VERDICT r13 next #5: the unigram tokenizer's count-growth path —
+    per-micro-batch word-frequency partials land as epoch partitions,
+    the rollup equals batch word counting of the concatenated stream,
+    and retraining from the rollup (`train_unigram_from_words`)
+    derives the EXACT model a batch `train_unigram` over the
+    concatenated corpus yields (pieces, costs, AND the EM trajectory
+    — training reads the corpus only through its word counts, which
+    are additive); an epoch replay is idempotent."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import unigram as ug
+    from snowflake_azure_etl_spark.operators.bpe import word_freqs
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    batches = [
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the hat")],
+        [(3, "a dog sat on a log"),
+         (4, "zq xv")],
+        [(5, "mat mat mat"), (6, "")],
+    ]
+    db = "unic_stream_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    words_t = f"{db}.words"
+    spark.sql(f"DROP TABLE IF EXISTS {words_t}")
+    ddl.drop_orphan_location(spark, words_t)
+
+    src = tempfile.mkdtemp(prefix="unic_stream_")
+    base = time.time() - 100
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), p)
+        os.utime(p, (base + i, base + i))
+
+    sink = ingest.unigram_counts_ingest_sink(words_t)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="unic_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    roll = ingest.rollup_word_freqs(spark, words_t)
+    want_wf = {r["word"]: r["freq"] for r in word_freqs(whole).collect()}
+    assert {r["word"]: r["freq"] for r in roll.collect()} == want_wf
+
+    # rollup → retrain == batch train over the concatenated corpus,
+    # trajectory and all (both the fixed-candidate and the pruning-
+    # schedule configurations)
+    got = ug.train_unigram_from_words(roll)
+    want = ug._train(whole, "text", ug.UNIGRAM_ROUNDS,
+                     ug.UNIGRAM_MAX_PIECE_LEN, ug.UNIGRAM_SEED_MULTI)
+    assert got.pieces == want.pieces
+    assert got.traj == want.traj
+    got_p = ug.train_unigram_from_words(roll, rounds=3, seed_multi=24,
+                                        vocab_target=4)
+    want_p = ug._train(whole, "text", 3, ug.UNIGRAM_MAX_PIECE_LEN, 24,
+                       vocab_target=4)
+    assert got_p.pieces == want_p.pieces
+    assert got_p.traj == want_p.traj
+
+    # replaying epoch 1 overwrites its partition — rollup unchanged
+    sink(spark.createDataFrame(batches[1], "doc_id long, text string"), 1)
+    roll2 = ingest.rollup_word_freqs(spark, words_t)
+    assert {r["word"]: r["freq"] for r in roll2.collect()} == want_wf
+    assert (spark.table(words_t).filter(F.col(EPOCH_COL) == 1)
+            .groupBy().count().collect()[0][0] > 0)
+
+
 def test_lm3_ingest_matches_batch_operator(spark):
     """r12 second pass: per-micro-batch trigram-LM scoring + CCNet
     tercile bucketing against the persisted model and the persisted
