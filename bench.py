@@ -6,11 +6,21 @@ local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines:
 1. a DETAIL line carrying the per-query maps
    ({"detail": "per_query", "queries": {...}, "queries_cold_sweep": ...,
      "queries_serve": ..., "queries_artifact_build": ...,
-     "serve_complete": ...});
+     "serve_complete": ..., "chosen_attempt": ..., "attempts": [...]});
 2. a compact totals-only SUMMARY line printed LAST
    ({"metric", "value", "unit", "value_cold_sweep", "value_serve",
      "value_artifact_build", "sf", "n_queries",
-     "noise_median_ratio_vs_prev", "noise_vs"}).
+     "noise_median_ratio_vs_prev", "noise_vs", "bench_attempts"}).
+
+Quiet-window policy (VERDICT r13 next #3): the whole two-phase
+measurement re-runs — session caches cleared so each attempt's cold
+sweep is honest — until the embedded noise index is <=
+$SPARK_GRAFT_BENCH_NOISE_MAX (default 1.05), up to
+$SPARK_GRAFT_BENCH_ATTEMPTS (default 3) attempts within
+$SPARK_GRAFT_BENCH_RETRY_BUDGET seconds (default 900). All attempts
+land in the detail file; the reported numbers are the lowest-noise
+attempt's, so a co-tenant block can no longer become the official
+record (it became one in r12 AND r13).
 
 The serve/artifact split is the two-phase cold instrument (VERDICT
 r12 #2): the cold sweep's first invocation of each query pays both
@@ -99,48 +109,91 @@ def main() -> None:
     # is spent so the bench stays bounded even under sustained
     # contention.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    timings: dict[str, float] = {}
-    serve: dict[str, float] = {}
-    t_all = time.perf_counter()
-    # Sweep 1 runs against an empty session cache: its timings are the
-    # honest COLD cost of every query (index/sketch/model artifacts
-    # built from scratch) and are reported separately so the headline
-    # best-of-N number — where later sweeps legitimately read
-    # session-memoized artifacts, like a warmed-up production engine —
-    # stays attributable (VERDICT r9 #1).
-    for name in sorted(QUERIES):
-        timings[name] = run_once(name)
-    cold = {k: round(v, 3) for k, v in timings.items()}
-    # Two-phase ledger (VERDICT r12 #2): sweeps 2+ run with every
-    # session-memoized artifact already in place but — per the
-    # prepared-statement contract — results NEVER memoized, so their
-    # per-query minimum is the SERVE cost: what a query costs once
-    # the index/model/sketch artifacts exist (one maintenance job per
-    # corpus version at scale, not per-query work). The cold sweep's
-    # excess over it is the ARTIFACT-BUILD cost, attributing the cold
-    # number instead of leaving it a blob.
-    for _sweep in range(2):  # up to 2 more full sweeps within budget
-        for name in sorted(QUERIES):
-            if time.perf_counter() - t_all > budget_s:
-                break
-            t = run_once(name)
-            serve[name] = min(serve.get(name, t), t)
-            timings[name] = min(timings[name], t)
-    serve_complete = set(serve) == set(timings)
-    artifact = {k: round(max(cold[k] - serve[k], 0.0), 3)
-                for k in sorted(serve)}
-    serve = {k: round(v, 3) for k, v in serve.items()}
-    timings = {k: round(v, 3) for k, v in timings.items()}
-    total = round(sum(timings.values()), 3)
 
-    # Self-describing noise index (VERDICT r10 #7): the median
-    # per-query ratio vs the most recent round whose driver artifact
-    # carries a parsed per-query map. The MEDIAN over all shared
-    # queries is robust to the handful a round actually touches, so
-    # ~1.0 means "the box is comparable", >1.1 means "co-tenant load —
-    # read per-query regressions against this index first"
-    # (memory: bench-noise-protocol).
-    noise_ratio, noise_vs = _noise_vs_prev(timings, sf)
+    def run_measurement() -> dict:
+        """One full two-phase measurement: a COLD sweep against an
+        empty session cache (honest per-query artifact-build + serve
+        cost, VERDICT r9 #1), then up to 2 SERVE sweeps with
+        session-memoized artifacts in place but — per the
+        prepared-statement contract — results never memoized
+        (VERDICT r12 #2: cold − serve attributes the one-off
+        artifact-build work)."""
+        timings: dict[str, float] = {}
+        serve: dict[str, float] = {}
+        t_all = time.perf_counter()
+        for name in sorted(QUERIES):
+            timings[name] = run_once(name)
+        cold = {k: round(v, 3) for k, v in timings.items()}
+        for _sweep in range(2):  # up to 2 more full sweeps in budget
+            for name in sorted(QUERIES):
+                if time.perf_counter() - t_all > budget_s:
+                    break
+                t = run_once(name)
+                serve[name] = min(serve.get(name, t), t)
+                timings[name] = min(timings[name], t)
+        serve_complete = set(serve) == set(timings)
+        timings = {k: round(v, 3) for k, v in timings.items()}
+        noise_ratio, noise_vs = _noise_vs_prev(timings, sf)
+        return {
+            "queries": timings,
+            "queries_cold_sweep": cold,
+            "queries_serve": {k: round(v, 3) for k, v in serve.items()},
+            "queries_artifact_build": {
+                k: round(max(cold[k] - serve[k], 0.0), 3)
+                for k in sorted(serve)},
+            "serve_complete": serve_complete,
+            "noise_median_ratio_vs_prev": noise_ratio,
+            "noise_vs": noise_vs,
+        }
+
+    # Quiet-window policy (VERDICT r13 next #3): the official artifact
+    # landed in a co-tenant window two rounds running, diverging from
+    # the steady state the committed chain documents. The bench now
+    # re-runs the WHOLE two-phase measurement (session caches cleared,
+    # so every attempt's cold sweep is honest) until the embedded
+    # noise index — the median per-query warm ratio vs the previous
+    # run at the same sf (VERDICT r10 #7; ~1.0 = comparable box,
+    # >1.1 = co-tenant load, memory: bench-noise-protocol) — is at or
+    # under the quiet threshold, up to N attempts within a retry
+    # budget. Every attempt is recorded in the detail file; the
+    # REPORTED numbers are the lowest-noise attempt's, so one noisy
+    # block can no longer become the round's official record.
+    noise_max = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_MAX",
+                                     "1.05"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET",
+                                        "900"))
+    from snowflake_azure_etl_spark.operators._cache import clear_cache
+    t_bench = time.perf_counter()
+    attempts: list[dict] = []
+    for _att in range(max(1, max_attempts)):
+        if attempts:
+            # an honest re-attempt: drop every session-memoized
+            # artifact (indexes, LM/tokenizer models, sketches) so the
+            # next cold sweep rebuilds from scratch like the first
+            clear_cache(spark)
+            gc.collect()
+        attempts.append(run_measurement())
+        nr = attempts[-1]["noise_median_ratio_vs_prev"]
+        if nr is None or nr <= noise_max:
+            break  # quiet window (or no comparable chain): done
+        if time.perf_counter() - t_bench > retry_budget:
+            break  # all-attempts-noisy ledger: report the quietest
+
+    def _noise_key(a: dict) -> float:
+        nr = a["noise_median_ratio_vs_prev"]
+        return nr if nr is not None else -1.0  # no chain = acceptable
+    chosen_i = min(range(len(attempts)),
+                   key=lambda i: _noise_key(attempts[i]))
+    chosen = attempts[chosen_i]
+    timings = chosen["queries"]
+    cold = chosen["queries_cold_sweep"]
+    serve = chosen["queries_serve"]
+    artifact = chosen["queries_artifact_build"]
+    serve_complete = chosen["serve_complete"]
+    total = round(sum(timings.values()), 3)
+    noise_ratio = chosen["noise_median_ratio_vs_prev"]
+    noise_vs = chosen["noise_vs"]
 
     # detail line FIRST (humans / BENCH_NOTES), compact summary LAST
     # (the driver's tail capture parses the final line — keep it
@@ -159,6 +212,11 @@ def main() -> None:
         "queries_serve": serve,
         "queries_artifact_build": artifact,
         "serve_complete": serve_complete,
+        # the quiet-window ledger: every attempt's full measurement,
+        # the chosen (lowest-noise) one mirrored at top level for the
+        # noise chain's reader
+        "chosen_attempt": chosen_i,
+        "attempts": attempts,
     }
     print(json.dumps(detail))
     try:
@@ -183,6 +241,11 @@ def main() -> None:
                                  if serve_complete else None),
         "noise_median_ratio_vs_prev": noise_ratio,
         "noise_vs": noise_vs,
+        # quiet-window policy (r14): attempts run until the noise
+        # index <= SPARK_GRAFT_BENCH_NOISE_MAX (default 1.05); > 1
+        # attempts with noise above it = an all-attempts-noisy ledger
+        # (read the detail file's `attempts`)
+        "bench_attempts": len(attempts),
     }))
     sys.stdout.flush()
     spark.stop()

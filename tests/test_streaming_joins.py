@@ -15,6 +15,11 @@ from snowflake_azure_etl_spark.streaming import events as sev
 from snowflake_azure_etl_spark.streaming.joins import (
     purchases_with_recent_views)
 
+#: streaming micro-batch waits dominate the suite wall-clock (VERDICT r13
+#: next #6): the whole module is `slow` — included by default, deselect
+#: with -m 'not slow' for the fast loop (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def staged_events_dir(spark, sf_dir):

@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 from snowflake_azure_etl_spark.streaming.neardup import near_dup_ingest_sink
 from snowflake_azure_etl_spark.warehouse import ddl
 
+#: streaming micro-batch waits dominate the suite wall-clock (VERDICT r13
+#: next #6): the whole module is `slow` — included by default, deselect
+#: with -m 'not slow' for the fast loop (pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 BATCHES = [
     [(1, "the quick brown fox jumps over the lazy dog tonight"),
      (2, "totally unrelated first epoch content about parquet files")],

@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 from snowflake_azure_etl_spark.sources.registry import load_tables
 from snowflake_azure_etl_spark.streaming import events as sev
 
+#: streaming micro-batch waits dominate the suite wall-clock (VERDICT r13
+#: next #6): the whole module is `slow` — included by default, deselect
+#: with -m 'not slow' for the fast loop (pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 
 def test_restart_from_checkpoint_resumes_not_restarts(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="events_recov_")

@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 from snowflake_azure_etl_spark.streaming.scd import scd2_stream_sink
 from snowflake_azure_etl_spark.warehouse import ddl, scd
 
+#: streaming micro-batch waits dominate the suite wall-clock (VERDICT r13
+#: next #6): the whole module is `slow` — included by default, deselect
+#: with -m 'not slow' for the fast loop (pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 BATCHES = [
     # (bk, segment) update rows per CDC batch
     [(1, "b"), (5, "z")],                 # move bk=1, new member bk=5

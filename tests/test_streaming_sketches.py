@@ -6,6 +6,7 @@ without changing any rollup answer."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import tempfile
 import time
@@ -19,6 +20,12 @@ from snowflake_azure_etl_spark.streaming.sketches import (
     bloom_ingest_sink, bloom_rollup, cms_ingest_sink, cms_rollup,
     compact_epochs)
 from snowflake_azure_etl_spark.warehouse import ddl
+
+#: streaming micro-batch waits dominate the suite wall-clock (VERDICT r13
+#: next #6): the whole module is `slow` — included by default, deselect
+#: with -m 'not slow' for the fast loop (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 BATCHES = [[f"k{i % 5}" for i in range(40)],
            [f"k{i % 9}" for i in range(50)],
