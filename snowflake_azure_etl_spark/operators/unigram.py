@@ -42,6 +42,16 @@ driver-side artifact collected via the bounded Pregel-probe pattern
 and memoized per (session, corpus plan, hyperparameters); per-round
 state in the cluster is vocabulary-sized, never corpus-sized.
 
+r14 additions: the model's SHIPPING SHAPE gates on vocabulary size
+(``UNIGRAM_MAP_LIT_MAX``: plan-literal map below, one-row
+attested-broadcast map relation above — VERDICT r13 #3); CHAR-FALLBACK
+encoding (``fallback=True`` / ``unk_cost_of`` — the --byte_fallback
+analog: out-of-alphabet characters become their own penalty-priced
+pieces, total coverage + exact round-trip, strict mode the pinned
+default); and the streaming maintenance path
+(`streaming.ingest.unigram_counts_ingest_sink` → `rollup_word_freqs`
+→ `train_unigram_from_words` == batch retrain exactly).
+
 Scale (100 TB): the one corpus-sized pass is `bpe.word_freqs`' word
 count (map-side combined, word-keyed shuffle). Training folds run
 over the distinct-word relation (Heaps' law: ~10^8 rows at 100 TB —
@@ -664,7 +674,8 @@ def encode_unigram(docs: DataFrame, model: UnigramModel,
 # --------------------------------------------------------------------------
 
 def _viterbi_cte(tag: str, costs_cte: str, k: int,
-                 max_word_len: int) -> str:
+                 max_word_len: int,
+                 unk_cost: int | None = None) -> str:
     """One Viterbi pass over the `uwf` word relation as an UNROLLED
     chain of per-position CTEs (the `_bpe_round_cte` pattern), one
     per character position up to `max_word_len`; the state carries
@@ -683,7 +694,12 @@ def _viterbi_cte(tag: str, costs_cte: str, k: int,
     engine fold's exact tie-break. Cost lookups go through a one-row
     MAP (cross join, nothing for a join planner to misplan). Words
     longer than the unroll FAIL LOUD in `{tag}_f` instead of
-    truncating silently."""
+    truncating silently.
+
+    `unk_cost` mirrors the engine's char-fallback (`viterbi_expr`):
+    a SINGLE-character lookup missing from the map COALESCEs to the
+    penalty cost — multi-char lookups stay strict — so a fallback
+    segmentation replays in the oracle exactly like a strict one."""
     parts = [f"""
     {tag}_m AS MATERIALIZED (
       SELECT MAP(list(piece ORDER BY piece),
@@ -695,10 +711,16 @@ def _viterbi_cte(tag: str, costs_cte: str, k: int,
       FROM uwf)"""]
     for p in range(1, max_word_len + 1):
         ls = [l for l in range(min(k, p), 0, -1)]     # longest first
+
+        def lookup(l: int) -> str:
+            base = (f"list_extract(map_extract(cm.m, "
+                    f"substr(word, {p + 1 - l}, {l})), 1)")
+            if unk_cost is not None and l == 1:
+                return f"COALESCE({base}, {int(unk_cost)})"
+            return base
+
         cand_cols = ", ".join(
-            f"costs[{p + 1 - l}] + list_extract(map_extract(cm.m, "
-            f"substr(word, {p + 1 - l}, {l})), 1) AS c{l}"
-            for l in ls)
+            f"costs[{p + 1 - l}] + {lookup(l)} AS c{l}" for l in ls)
         least_args = ", ".join(f"c{l}" for l in ls)
         bl = ("CASE " + " ".join(
             f"WHEN c{l} IS NOT NULL AND c{l} = bc THEN {l}"

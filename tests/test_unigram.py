@@ -535,6 +535,35 @@ def test_char_fallback_total_coverage_and_roundtrip(spark, trained):
     assert ug.unk_cost_of(costs) > max(costs.values())
 
 
+def test_oracle_fallback_viterbi_matches_engine(spark):
+    """The unrolled-DP oracle mirrors char-fallback too (COALESCE on
+    single-char lookups ONLY — multi-char lookups stay strict), so a
+    fallback segmentation is oracle-replayable exactly like a strict
+    one: engine fold == DuckDB CTE chain over planted multilingual
+    words, costs and pieces both."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    costs = {"m": 5, "a": 7, "t": 6, "ma": 9, "mat": 11}
+    unk = ug.unk_cost_of(costs)
+    words = [("mat", 1), ("maté", 1), ("東mat", 1), ("ñ", 1),
+             ("matmat", 2), ("🙂a", 1)]
+    wdf = spark.createDataFrame(words, "word string, freq long")
+    eng = {r["word"]: (r["cost"], r["segs"]) for r in
+           ug.viterbi_words(wdf, costs, k=3, unk_cost=unk).collect()}
+    con = duckdb.connect()
+    con.register("uwf", pd.DataFrame(words, columns=["word", "freq"]))
+    con.register("pc", pd.DataFrame(sorted(costs.items()),
+                                    columns=["piece", "cost"]))
+    sql = ("WITH " + ug._viterbi_cte("fb", "pc", 3, 8, unk_cost=unk)
+           + " SELECT word, cost, segs FROM fb_f")
+    got = {w: (c, s) for w, c, s in con.execute(sql).fetchall()}
+    assert got == eng
+    # the longest trained piece still wins where it applies, and the
+    # out-of-alphabet char rides as its own (penalty-priced) piece
+    assert got["maté"][1] == ["mat", "é"]
+    assert got["maté"][0] == 11 + unk
+
+
 def test_fallback_streaming_sink_matches_batch(spark):
     """The ingest sink's fallback mode == the batch fallback encode
     (stream==batch, the family law), and the sink's segment_docs
