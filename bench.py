@@ -22,6 +22,14 @@ land in the detail file; the reported numbers are the lowest-noise
 attempt's, so a co-tenant block can no longer become the official
 record (it became one in r12 AND r13).
 
+The noise reference is the committed per-query STEADY FLOOR
+(BENCH_STEADY.json, a min-ratchet every attempt folds into): the
+previous-run chain alone masked elevation twice — an elevated
+official run became the next run's reference, and equal elevation
+read as ~1.0. A floor a noisy run cannot raise always reads an
+elevated window as elevated. Chain fallback (BENCH_DETAIL_LAST →
+BENCH_r*.json) covers fresh checkouts and new sf values.
+
 The serve/artifact split is the two-phase cold instrument (VERDICT
 r12 #2): the cold sweep's first invocation of each query pays both
 the one-off session-artifact builds (indexes, LM models, sketches —
@@ -180,6 +188,10 @@ def main() -> None:
         if time.perf_counter() - t_bench > retry_budget:
             break  # all-attempts-noisy ledger: report the quietest
 
+    # every attempt is an honest best-of-N measurement: fold them all
+    # into the committed steady floor (min-ratchet — see _steady_floor)
+    _steady_update(sf, [a["queries"] for a in attempts])
+
     def _noise_key(a: dict) -> float:
         nr = a["noise_median_ratio_vs_prev"]
         return nr if nr is not None else -1.0  # no chain = acceptable
@@ -256,6 +268,58 @@ def _detail_path() -> str:
                         "BENCH_DETAIL_LAST.json")
 
 
+def _steady_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_STEADY.json")
+
+
+def _steady_floor(sf: float | None) -> dict | None:
+    """The committed per-query STEADY FLOOR for this sf — the noise
+    index's preferred reference (r14). The chain's previous-run
+    reference failed twice in a row for the same reason: the driver's
+    official run landed in a co-tenant window, BENCH_DETAIL_LAST
+    carried the elevated numbers, and the NEXT equally-elevated run
+    read as noise ~1.0 against them. The floor is a min-ratchet
+    (every attempt's warm map folds in via per-query min), so a noisy
+    run can never raise it — an elevated window always reads elevated.
+    A query whose price legitimately rises (a new attested leg) moves
+    the MEDIAN negligibly among 50 queries; a deliberate engine-wide
+    re-pricing is the one case that needs a curated refresh (delete
+    the sf's entries and let the next quiet run re-seed)."""
+    try:
+        with open(_steady_path()) as fh:
+            d = json.load(fh)
+        m = d.get(str(sf))
+        return m if isinstance(m, dict) and m else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _steady_update(sf: float | None, attempt_maps: "list[dict]") -> None:
+    """Fold every attempt's warm per-query map into the floor
+    (per-query min — monotone, so co-tenant inflation never
+    pollutes it; new queries enter at their first measured value)."""
+    try:
+        with open(_steady_path()) as fh:
+            d = json.load(fh)
+        if not isinstance(d, dict):
+            d = {}
+    except (OSError, json.JSONDecodeError):
+        d = {}
+    m = d.get(str(sf))
+    if not isinstance(m, dict):
+        m = {}
+    for q in attempt_maps:
+        for k, v in q.items():
+            m[k] = round(min(m.get(k, v), v), 3)
+    d[str(sf)] = m
+    try:
+        with open(_steady_path(), "w") as fh:
+            json.dump(d, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the chain fallback still works
+
+
 def _noise_vs_prev(timings: dict[str, float], sf: float | None):
     """(median current/previous per-query ratio, source name): the
     previous run's per-query map at the SAME sf — a cross-sf ratio
@@ -265,9 +329,21 @@ def _noise_vs_prev(timings: dict[str, float], sf: float | None):
     whose detail line overflows the driver's tail capture), then the
     BENCH_r*.json artifacts' parsed payloads or tail-embedded detail
     lines. Returns (None, None) when nothing comparable is
-    recoverable."""
+    recoverable. The committed STEADY FLOOR (`_steady_floor`) takes
+    precedence over all of them when it covers enough of the catalog —
+    see its docstring for why the chain alone is not enough."""
     import glob
     import statistics
+
+    floor = _steady_floor(sf)
+    if floor:
+        ratios = [timings[q] / floor[q] for q in timings
+                  if q in floor and floor[q] > 0]
+        # enough shared queries that the median means something (new
+        # catalogs re-seed through the chain fallback below)
+        if len(ratios) >= min(10, len(timings)):
+            return (round(statistics.median(ratios), 3),
+                    os.path.basename(_steady_path()))
 
     try:
         with open(_detail_path()) as fh:
