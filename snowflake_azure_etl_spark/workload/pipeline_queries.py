@@ -17,6 +17,7 @@ from ..operators import (classifier, dedup, graph, multimodal,
                          similarity, text)
 from ..operators import lm as lm_ops
 from ..operators import unigram as ug_ops
+from ..operators import wordpiece as wp_ops
 from ..operators.sampling import DSIR_BUCKETS, plog2_sql
 from ..sources.registry import (load_tables, rebalance_single_split,
                                 stage_row_count)
@@ -1817,7 +1818,8 @@ _BM25_SCORE_SQL = """
 @query(
     "q58_token_vocab",
     covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25",
-            "X-BPE-ROUNDTRIP", "X-UNIGRAM-TRAIN", "X-UNIGRAM-SEG"),
+            "X-BPE-ROUNDTRIP", "X-UNIGRAM-TRAIN", "X-UNIGRAM-SEG",
+            "X-WORDPIECE-SEG"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -1876,6 +1878,14 @@ _BM25_SCORE_SQL = """
                                         ORDER BY s DESC, doc_id) AS rk
               FROM bm_sc),
     {ug_ops.unigram_oracle_ctes()},
+    usubd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    udw AS (
+        SELECT doc_id, i, toks[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM usubd)
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(
+            1, len(toks))) AS i)
+        WHERE length(toks[i]) > 0),
     useg_doc AS (
         -- NULL text pins to NULL pieces, mirroring the engine's
         -- encode contract (ADVICE r13: the engine's _tnull branch is
@@ -1885,17 +1895,26 @@ _BM25_SCORE_SQL = """
         SELECT dd.doc_id,
                CASE WHEN dd.text IS NULL THEN NULL
                     ELSE COALESCE(u.pieces, []::VARCHAR[]) END AS pieces
-        FROM (SELECT doc_id, text FROM documents
-              WHERE doc_id % 5 = 0) dd
+        FROM usubd dd
         LEFT JOIN (
             SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
-            FROM (SELECT doc_id, i, toks[i] AS word
-                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                        FROM documents WHERE doc_id % 5 = 0)
-                  CROSS JOIN LATERAL (SELECT unnest(generate_series(
-                      1, len(toks))) AS i)
-                  WHERE length(toks[i]) > 0) dw
-            JOIN uni_wseg USING (word)
+            FROM udw JOIN uni_wseg USING (word)
+            GROUP BY doc_id) u USING (doc_id)),
+    wp_words AS (SELECT DISTINCT word FROM udw),
+    {wp_ops.greedy_cte("uwp", "uni_pieces", "wp_words",
+                       ug_ops.UNIGRAM_MAX_PIECE_LEN, 12)},
+    wp_doc AS (
+        -- WordPiece greedy encode of the same subsample against the
+        -- TRAINED unigram piece vocabulary (r14 — the deployed
+        -- composition: train once, greedy-encode at serve); same
+        -- NULL-text and no-words contracts as useg_doc
+        SELECT dd.doc_id,
+               CASE WHEN dd.text IS NULL THEN NULL
+                    ELSE COALESCE(u.pieces, []::VARCHAR[]) END AS pieces
+        FROM usubd dd
+        LEFT JOIN (
+            SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
+            FROM udw JOIN uwp_f USING (word)
             GROUP BY doc_id) u USING (doc_id))
     SELECT 'vocab' AS leg, token, doc_freq, total_freq,
            CAST(rank AS INT) AS rank
@@ -1938,6 +1957,10 @@ _BM25_SCORE_SQL = """
     SELECT 'uni_seg', substr(md5(array_to_string(pieces, '|')), 1, 16),
            doc_id, CAST(len(pieces) AS BIGINT), CAST(1 AS INT)
     FROM useg_doc
+    UNION ALL
+    SELECT 'wp_seg', substr(md5(array_to_string(pieces, '|')), 1, 16),
+           doc_id, CAST(len(pieces) AS BIGINT), CAST(1 AS INT)
+    FROM wp_doc
     """,
     prepared=True)
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,10 +2116,30 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("n_pieces").cast("long")
                            .alias("total_freq"),
                            F.lit(1).cast("int").alias("rank")))
+    # ninth leg (r14, X-WORDPIECE-SEG, operators.wordpiece): greedy
+    # maximal-munch (BERT's WordPiece inference rule — longest piece
+    # first, ## continuations, whole-word [UNK]) over the SAME
+    # subsample against the TRAINED unigram piece vocabulary — the
+    # deployed composition (train once, greedy-encode at serve), and
+    # the third unk discipline beside unigram's NULL and its
+    # char-fallback. Row-local literal-map expression (the shipping
+    # gate's small side at this vocab); the oracle replays the greedy
+    # walk as an unrolled per-position CTE chain (greedy_cte).
+    wp_leg = (sub.select(
+        F.col("doc_id"),
+        wp_ops.segment_text_wp(
+            "text", [p for p, _, _ in uni_model.pieces],
+            uni_model.k).alias("_wp"))
+        .select(F.lit("wp_seg").alias("leg"),
+                F.substring(F.md5(F.array_join("_wp", "|")), 1,
+                            16).alias("token"),
+                F.col("doc_id").alias("doc_freq"),
+                F.size("_wp").cast("long").alias("total_freq"),
+                F.lit(1).cast("int").alias("rank")))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
             .unionByName(cooc_leg).unionByName(rt_leg)
             .unionByName(uni_piece_leg).unionByName(uni_round_leg)
-            .unionByName(uni_seg_leg))
+            .unionByName(uni_seg_leg).unionByName(wp_leg))
 
 
 @query(

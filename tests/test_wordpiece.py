@@ -1,0 +1,178 @@
+"""WordPiece-style greedy maximal-munch encoder (operators.wordpiece):
+engine fold vs an independent Python reference, the DuckDB unrolled
+greedy-CTE replay, [UNK] whole-word semantics, ## continuation marks,
+the vocab-size shipping gate, and a hypothesis property sweep."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from snowflake_azure_etl_spark.operators import unigram as ug
+from snowflake_azure_etl_spark.operators import wordpiece as wp
+
+
+def py_greedy(word: str, pieces: set, k: int):
+    """Greedy longest-match-first; whole word -> [UNK] on the first
+    unmatchable position; continuations marked ##."""
+    out, pos = [], 0
+    while pos < len(word):
+        for l in range(min(k, len(word) - pos), 0, -1):
+            piece = word[pos:pos + l]
+            if piece in pieces:
+                out.append(piece if pos == 0 else "##" + piece)
+                pos += l
+                break
+        else:
+            return [wp.WP_UNK]
+    return out
+
+
+PIECES = {"m", "a", "t", "h", "e", "ma", "at", "mat", "th", "the"}
+
+
+def test_greedy_matches_python_reference(spark):
+    words = [("mat",), ("the",), ("theat",), ("mathat",), ("haha",),
+             ("zq",), ("mzq",), ("a",), ("tttt",), ("mata",)]
+    df = spark.createDataFrame(words, "word string")
+    got = {r["word"]: r["segs"] for r in df.select(
+        "word", wp.greedy_expr(F.col("word"),
+                               wp._pieces_map_lit(PIECES), 3)
+        .alias("segs")).collect()}
+    for (w,) in words:
+        assert got[w] == py_greedy(w, PIECES, 3), w
+    # the signatures of the algorithm, pinned explicitly:
+    assert got["mat"] == ["mat"]                      # longest first
+    assert got["mathat"] == ["mat", "##h", "##at"]    # ## marks
+    assert got["zq"] == ["[UNK]"]                     # whole-word unk
+    assert got["mzq"] == ["[UNK]"]                    # fail mid-word
+    # greedy is NOT optimal — that is the family's defining trade
+    # ("theat": greedy takes 'the' then dies on 'a t'? no — 'a','t'
+    # are pieces; but 'tttt' shows pure singles)
+    assert got["tttt"] == ["t", "##t", "##t", "##t"]
+
+
+def test_oracle_greedy_cte_matches_engine(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    words = [("mat",), ("theat",), ("mathat",), ("zq",), ("mzq",),
+             ("tttt",), ("mata",), ("hhhhhhhh",)]
+    df = spark.createDataFrame(words, "word string")
+    eng = {r["word"]: r["segs"] for r in df.select(
+        "word", wp.greedy_expr(F.col("word"),
+                               wp._pieces_map_lit(PIECES), 3)
+        .alias("segs")).collect()}
+    con = duckdb.connect()
+    con.register("wpw", pd.DataFrame([w for (w,) in words],
+                                     columns=["word"]))
+    con.register("pcs", pd.DataFrame(sorted(PIECES),
+                                     columns=["piece"]))
+    sql = ("WITH " + wp.greedy_cte("gw", "pcs", "wpw", 3, 8)
+           + " SELECT word, segs FROM gw_f")
+    got = {w: s for w, s in con.execute(sql).fetchall()}
+    assert got == eng
+    # fail-loud contract past the unroll
+    con.register("wlong", pd.DataFrame(["m" * 9], columns=["word"]))
+    with pytest.raises(Exception, match="max_word_len"):
+        con.execute("WITH " + wp.greedy_cte("gl", "pcs", "wlong", 3, 8)
+                    + " SELECT * FROM gl_f").fetchall()
+
+
+def test_segment_text_wp_document_grain(spark):
+    docs = spark.createDataFrame(
+        [(1, "the mat"), (2, "zq mat"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", PIECES, 3).alias("p")).collect()}
+    assert got[1] == ["the", "mat"]
+    assert got[2] == ["[UNK]", "mat"]     # unk is per-WORD, not per-doc
+    assert got[3] == []                   # no words: empty
+    assert got[4] is None                 # NULL text stays NULL
+
+
+def test_wp_shipping_gate(spark):
+    """The piece set ships gated on vocabulary size like the unigram
+    cost model: literal under the gate, one-row broadcast map relation
+    above — identical results, no piece literal in the big plan, and
+    the bare-Column form fails loud above the gate."""
+    import itertools
+    import string
+    big = {c for c in string.ascii_lowercase}
+    big |= {"".join(t) for t in
+            itertools.product(string.ascii_lowercase, repeat=2)}
+    big |= {"".join(t) for t in
+            itertools.islice(itertools.product("abcdefghij", repeat=3),
+                             400)}
+    big.add("zqj")
+    assert len(big) > ug.UNIGRAM_MAP_LIT_MAX
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "abba zq")], "doc_id long, text string")
+    b = wp.segment_docs_wp(docs, big, k=3)
+    l = wp.segment_docs_wp(docs, big, k=3, map_lit_max=10**9)
+    assert ({r["doc_id"]: r["pieces"] for r in b.collect()}
+            == {r["doc_id"]: r["pieces"] for r in l.collect()})
+    plan_b = b._jdf.queryExecution().analyzed().toString()
+    assert "aaa" not in plan_b and "zqj" not in plan_b
+    assert "_wpm" in plan_b
+    with pytest.raises(ValueError, match="segment_docs_wp"):
+        wp.segment_text_wp("text", big, 3)
+
+
+def test_wp_over_trained_unigram_vocab(spark):
+    """The deployed composition: greedy WordPiece encode against the
+    engine's own TRAINED piece vocabulary (unigram model) — total
+    coverage over the training corpus (every corpus word segments
+    without [UNK]: single chars are always in the trained set), and
+    held-out out-of-alphabet words surface as [UNK]."""
+    corpus = [(1, "the cat sat on the mat"),
+              (2, "a dog sat on a log"), (3, "mat mat mat")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    model = ug.train_unigram(docs)
+    pieces = [p for p, _, _ in model.pieces]
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", pieces, model.k).alias("p"))
+        .collect()}
+    for d, t in corpus:
+        assert wp.WP_UNK not in got[d], d
+        # round-trip: strip ## marks, concat == text sans spaces
+        flat = "".join(s.removeprefix(wp.WP_CONT) for s in got[d])
+        assert flat == t.replace(" ", ""), d
+    held = spark.createDataFrame([(9, "the émat")],
+                                 "doc_id long, text string")
+    hp = held.select(
+        wp.segment_text_wp("text", pieces, model.k).alias("p")
+    ).collect()[0]["p"]
+    assert wp.WP_UNK in hp                # the OOA word went unk whole
+    assert hp[0] == "the"                 # per-word isolation holds
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["ab", "abab", "ba", "aab", "b", "abba", "cab", "bc"]
+_doc_strategy = st.lists(st.sampled_from(_WORDS), min_size=0,
+                         max_size=5).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_strategy, min_size=1, max_size=3),
+       vocab=st.sets(st.sampled_from(
+           ["a", "b", "c", "ab", "ba", "bb", "aba", "bab"]),
+           min_size=1, max_size=7))
+def test_wp_property_sweep(spark, texts, vocab):
+    """Engine == Python reference over random corpora and random
+    piece sets (incl. sets missing single chars, so [UNK] paths are
+    exercised)."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", vocab, 3).alias("p")).collect()}
+    for d, t in rows:
+        want = [p for w in t.split(" ") if w
+                for p in py_greedy(w, vocab, 3)]
+        assert got[d] == want, (d, t, sorted(vocab))
