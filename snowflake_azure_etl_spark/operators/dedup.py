@@ -403,6 +403,48 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
                         / (F.col("size_a") + F.col("size_b") - F.col("shared"))))
 
 
+def edit_distance_verify(docs: DataFrame, candidates: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n_docs: int | None = None,
+                         broadcast_max_rows: int = BROADCAST_MAX_ROWS
+                         ) -> DataFrame:
+    """candidates + (edit_dist, edit_sim): exact Levenshtein
+    verification of candidate pairs — the CHARACTER-level near-dup
+    verify beside the token-set Jaccard (`exact_jaccard`) and the
+    fingerprint Hamming (`simhash_near_dups`) verifies, completing
+    the family a pipeline picks from by unit (set overlap vs edit
+    churn vs bit distance). `edit_sim` = 1 − dist/max(|a|,|b|) — the
+    normalized similarity in [0, 1] (1.0 = identical), computed with
+    one division then one subtraction so an oracle mirroring that
+    order is bit-identical.
+
+    Scale: ONLY candidate pairs pay the O(|a|·|b|) distance (the
+    banded LSH stage owns candidate generation — never all-pairs);
+    `F.levenshtein` is JVM-side and code-point-based, matching
+    DuckDB's `levenshtein` for the oracle. The per-doc text side
+    broadcasts only under the same ``n_docs`` attestation as
+    `lsh_candidate_pairs`; above the cap both lookups are shuffle
+    equi-joins co-locating each doc's text with its pairs."""
+    a = docs.select(F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("_txa"))
+    b = docs.select(F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("_txb"))
+    a = _maybe_broadcast(a, n_docs, broadcast_max_rows)
+    b = _maybe_broadcast(b, n_docs, broadcast_max_rows)
+    dist = F.levenshtein(F.col("_txa"), F.col("_txb"))
+    mx = F.greatest(F.length("_txa"), F.length("_txb"))
+    # two empty texts are identical (sim 1.0), not a 0/0 — pinned so
+    # the oracle mirror can use the same CASE instead of inheriting
+    # each engine's different divide-by-zero convention
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / mx.cast("double"))
+    return (candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn("edit_dist", dist.cast("int"))
+            .withColumn("edit_sim", sim)
+            .drop("_txa", "_txb"))
+
+
 def _bitset_masks(toks: DataFrame, n_vocab: int, vocab: DataFrame) -> DataFrame:
     """(_id, _s: array<long> packed bitset, _n: set size) per doc.
 

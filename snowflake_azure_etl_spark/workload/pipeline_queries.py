@@ -372,7 +372,7 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q52_dedup_jaccard_verify",
     covers=("X-DEDUP-JACCARD", "X-DEDUP-NGRAM-JACCARD", "X-GRAPH-CC",
-            "X-DEDUP-MINHASH-QUALITY"),
+            "X-DEDUP-MINHASH-QUALITY", "X-DEDUP-EDIT"),
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE}, {_KEYS_CTE}, {_KEYSF_CTE},
     {_PAIRS_CTE},
@@ -416,9 +416,21 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(comp.keeper AS BIGINT) AS keeper,
            CAST(e.est_matches AS INT) AS est_matches,
            CAST(e.est_matches AS DOUBLE) / CAST({MINHASH_K} AS DOUBLE)
-               AS est_jaccard
+               AS est_jaccard,
+           -- character-level verify (r14, X-DEDUP-EDIT): same CASE as
+           -- the engine so neither side inherits its own 0/0 rule
+           CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist,
+           CASE WHEN greatest(length(ta.text), length(tb.text)) = 0
+                THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE)
+                     - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                       / CAST(greatest(length(ta.text),
+                                       length(tb.text)) AS DOUBLE)
+           END AS edit_sim
     FROM vp JOIN comp ON comp.id = vp.id_a
     JOIN esig e ON e.id_a = vp.id_a AND e.id_b = vp.id_b
+    JOIN documents ta ON ta.doc_id = vp.id_a
+    JOIN documents tb ON tb.doc_id = vp.id_b
     """,
     prepared=True)
 def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +499,14 @@ def q52_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("est_matches").cast("double")
                          / F.lit(float(MINHASH_K)))
              .drop(*[f"_a{i}" for i in range(MINHASH_K)],
-                   *[f"_b{i}" for i in range(MINHASH_K)])
+                   *[f"_b{i}" for i in range(MINHASH_K)]))
+        # character-level verify beside the set-level one (r14,
+        # X-DEDUP-EDIT): exact Levenshtein distance + normalized
+        # similarity per surviving pair — only verified pairs pay the
+        # O(|a|·|b|) distance, text sides under the same footer-count
+        # broadcast attestation
+        p = (dedup.edit_distance_verify(docs, p, "doc_id", "text",
+                                        n_docs=n_docs)
              .persist(StorageLevel.MEMORY_AND_DISK))
         p.count()   # eager: many downstream references
         return p

@@ -1,0 +1,85 @@
+"""Edit-distance candidate verification (operators.dedup.
+edit_distance_verify): exact Levenshtein per candidate pair vs an
+independent Python DP reference, the normalized-similarity contract
+(incl. the empty-text pin), and DuckDB oracle parity of the exact
+expression shape q52 ships."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_azure_etl_spark.operators import dedup
+
+
+def py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+DOCS = [(1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "a dog sat on a log"),
+        (4, ""),
+        (5, ""),
+        (6, "the cat sat on the mat")]
+PAIRS = [(1, 2), (1, 3), (1, 6), (4, 5), (2, 4)]
+
+
+def test_edit_distance_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = spark.createDataFrame(PAIRS, "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+           for r in dedup.edit_distance_verify(
+               docs, pairs, n_docs=len(DOCS)).collect()}
+    txt = dict(DOCS)
+    for a, b in PAIRS:
+        d = py_lev(txt[a], txt[b])
+        m = max(len(txt[a]), len(txt[b]))
+        want_sim = 1.0 if m == 0 else 1.0 - d / m
+        assert out[(a, b)] == (d, want_sim), (a, b)
+    # the pinned shapes: identical docs at distance 0 / sim 1.0, the
+    # one-char neighbour at distance 1, and the empty-empty pair at
+    # sim 1.0 (identical), never a 0/0 artifact
+    assert out[(1, 6)] == (0, 1.0)
+    assert out[(1, 2)][0] == 1
+    assert out[(4, 5)] == (0, 1.0)
+    # candidate columns ride through untouched, text sides dropped
+    cols = set(dedup.edit_distance_verify(docs, pairs,
+                                          n_docs=len(DOCS)).columns)
+    assert cols == {"id_a", "id_b", "edit_dist", "edit_sim"}
+
+
+def test_edit_distance_duckdb_parity(spark):
+    """Spark's levenshtein == DuckDB's levenshtein over the same
+    pairs, and the shared guard-then-divide expression shape yields
+    bit-identical doubles — the q52 oracle contract."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = spark.createDataFrame(PAIRS, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+           for r in dedup.edit_distance_verify(
+               docs, pairs, n_docs=len(DOCS)).collect()}
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    con.register("p", pd.DataFrame(PAIRS, columns=["id_a", "id_b"]))
+    rows = con.execute("""
+        SELECT id_a, id_b,
+               CAST(levenshtein(a.text, b.text) AS INT),
+               CASE WHEN greatest(length(a.text), length(b.text)) = 0
+                    THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE)
+                         - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                           / CAST(greatest(length(a.text),
+                                           length(b.text)) AS DOUBLE)
+               END
+        FROM p JOIN d a ON a.doc_id = p.id_a
+        JOIN d b ON b.doc_id = p.id_b""").fetchall()
+    want = {(a, b): (dd, ss) for a, b, dd, ss in rows}
+    assert got == want

@@ -602,6 +602,42 @@ _doc_strategy = st.lists(st.sampled_from(_WORDS), min_size=0,
                          max_size=6).map(" ".join)
 
 
+_OOA = ["é", "東", "🙂", "ñ"]
+_fb_word = st.lists(st.sampled_from(list("ab") + _OOA),
+                    min_size=1, max_size=5).map("".join)
+_fb_doc = st.lists(_fb_word, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_fb_doc, min_size=1, max_size=3))
+def test_fallback_property_sweep(spark, trained, texts):
+    """Char-fallback == the Python reference over random words mixing
+    the trained alphabet with multi-byte out-of-alphabet characters
+    (emoji surrogate pairs included — code-point semantics must agree
+    between Spark, the reference, and the fold's substr)."""
+    _, model = trained
+    _, _, costs, _ = py_train(CORPUS)
+    unk = ug.unk_cost_of(costs)
+
+    def py_fb(word):
+        fb = dict(costs)
+        for ch in word:
+            fb.setdefault(ch, unk)
+        return py_viterbi(word, fb, model.k)
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id",
+        ug.segment_text("text", model, fallback=True).alias("s"))
+        .collect()}
+    for d, t in rows:
+        want = [p for w in t.split(" ") if w for p in py_fb(w)[1]]
+        assert got[d] == want, (d, t)
+        assert "".join(got[d]) == t.replace(" ", ""), (d, t)
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_doc_strategy, min_size=1, max_size=4))
