@@ -373,6 +373,46 @@ def unigram_ingest_sink(pieces_table: str, seg_table: str, *,
     return write
 
 
+def wordpiece_ingest_sink(pieces_table: str, seg_table: str, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          k: int | None = None):
+    """Arrival-time WordPiece greedy segmentation — the
+    `unigram_ingest_sink` twin for the third tokenizer family (r14).
+    Each micro-batch is greedy-encoded ROW-LOCALLY against the
+    PERSISTED piece table (any (piece, …) relation — the unigram
+    `pieces_table_df`, a BPE vocab, or a hand-landed list: greedy
+    matching needs membership only); rows land in `seg_table` with
+    (pieces, n_pieces) via the idempotent epoch sink. WordPiece's
+    whole-word ``[UNK]`` makes coverage total by construction, so
+    there is no drop knob — unknown material is visible IN the data.
+    `k` defaults to the longest persisted piece (the unigram sink's
+    derivation rule, same drift pin); the encode routes through
+    `segment_docs_wp`, so a production-scale vocabulary ships as a
+    one-row broadcast map, never plan literals. Stateless across
+    batches with the table fixed — stream == batch over the
+    concatenated stream (pinned in tests/test_streaming_ingest.py)."""
+    from ..operators.wordpiece import segment_docs_wp
+    from .sinks import idempotent_epoch_sink
+
+    write_seg = idempotent_epoch_sink(seg_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pieces = [r["piece"] for r in
+                  spark.table(pieces_table).select("piece").collect()]
+        if not pieces:
+            raise ValueError(
+                f"wordpiece_ingest_sink: piece table {pieces_table} "
+                "is empty — land a vocabulary before streaming")
+        eff_k = k if k is not None else max(len(p) for p in pieces)
+        out = (segment_docs_wp(batch_df, pieces, text_col, eff_k)
+               .withColumn("n_pieces", F.size("pieces")))
+        write_seg(out, epoch_id)
+
+    return write
+
+
 def unigram_counts_ingest_sink(words_table: str, *,
                                text_col: str = "text"):
     """GROW the unigram tokenizer's training statistics at ingest —

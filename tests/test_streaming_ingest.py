@@ -508,6 +508,41 @@ def test_lm_counts_ingest_grows_model(spark):
             .groupBy().count().collect()[0][0] > 0)
 
 
+def test_wordpiece_ingest_matches_batch(spark):
+    """The WordPiece sink == the batch greedy encode over the same
+    model table (stream==batch, the family law), [UNK] words landing
+    visibly in the data, and k derived from the longest persisted
+    piece (the unigram sink's drift pin)."""
+    from snowflake_azure_etl_spark.operators import unigram as ug
+    from snowflake_azure_etl_spark.operators import wordpiece as wp
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    train = spark.createDataFrame(
+        [(1, "planet planet plan")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "planet plan"), (2, "planet zq")],
+        "doc_id long, text string")
+    model = ug._train(train, "text", 2, 6, 16)   # pieces up to 6 chars
+    assert any(len(p) > 4 for p, _, _ in model.pieces)
+    db = "wp_stream_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    ug.pieces_table_df(spark, model).write.saveAsTable(f"{db}.pieces")
+    sink = ingest.wordpiece_ingest_sink(f"{db}.pieces", f"{db}.seg")
+    sink(docs, 0)
+    got = {r["doc_id"]: r["pieces"]
+           for r in spark.table(f"{db}.seg").collect()}
+    pieces = [p for p, _, _ in model.pieces]
+    want = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", pieces, 6).alias("p")).collect()}
+    assert got == want
+    assert "planet" in got[1]             # the 6-char piece in play
+    assert wp.WP_UNK in got[2]            # unknown word visible, kept
+
+
 def test_unigram_counts_ingest_grows_model(spark):
     """VERDICT r13 next #5: the unigram tokenizer's count-growth path —
     per-micro-batch word-frequency partials land as epoch partitions,
