@@ -1,0 +1,114 @@
+"""CCNet-style corpus-wide line/paragraph dedup (operators.dedup.
+line_dedup): Python-reference parity over planted multi-line docs,
+DuckDB oracle parity of the whole keep-then-reassemble plan, the
+first-occurrence (doc, position) keep rule, short-line passthrough,
+and the NULL/empty/all-boilerplate contracts. The catalog carries no
+leg — the synthetic corpus is single-line — so this module IS the
+operator's coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_azure_etl_spark.operators import dedup
+
+DOCS = [
+    (1, "cookie banner\nunique alpha\nnav menu"),
+    (2, "cookie banner\nunique beta"),
+    (3, "nav menu\ncookie banner\nunique gamma\n\nunique delta"),
+    (4, "cookie banner"),                 # all boilerplate -> empty
+    (5, ""),                              # empty doc stays empty
+    (6, None),                            # NULL text stays NULL
+    (7, "unique alpha\nfresh epsilon"),   # dup of doc 1's line
+]
+
+
+def py_line_dedup(docs, sep="\n", min_chars=1):
+    seen = {}
+    for d, t in sorted(docs):
+        if t is None:
+            continue
+        for i, ln in enumerate(t.split(sep)):
+            if len(ln) >= min_chars and ln not in seen:
+                seen[ln] = (d, i)
+    out = {}
+    for d, t in docs:
+        if t is None:
+            out[d] = (None, None, None)
+            continue
+        lines = t.split(sep)
+        kept = [ln for i, ln in enumerate(lines)
+                if len(ln) < min_chars or seen.get(ln) == (d, i)]
+        out[d] = (sep.join(kept), len(lines), len(kept))
+    return out
+
+
+def test_line_dedup_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs).collect()}
+    assert got == py_line_dedup(DOCS)
+    # the signatures, pinned explicitly
+    assert got[1][0] == "cookie banner\nunique alpha\nnav menu"
+    assert got[2][0] == "unique beta"         # banner kept in doc 1 only
+    assert got[3][0] == "unique gamma\n\nunique delta"
+    assert got[3][1] == 5 and got[3][2] == 3  # blank line passed through
+    assert got[4] == ("", 1, 0)               # all boilerplate: visible
+    assert got[5] == ("", 1, 1)               # empty line never dedups
+    assert got[6] == (None, None, None)       # NULL propagates
+    assert got[7][0] == "fresh epsilon"       # cross-doc duplicate died
+
+
+def test_line_dedup_duckdb_parity(spark):
+    """The whole keep-then-reassemble plan replays in DuckDB: winner
+    per line = (doc, position)-min, short lines pass through, docs
+    reassemble in line order — hash-identical output."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs).collect()}
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    rows = con.execute("""
+        WITH lines AS (
+            SELECT doc_id, i - 1 AS i, ln
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM d WHERE text IS NOT NULL)
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(
+                1, len(ls))) AS i)
+            CROSS JOIN LATERAL (SELECT ls[i] AS ln)),
+        winners AS (
+            SELECT ln, MIN(ROW(doc_id, i)) AS w
+            FROM lines WHERE length(ln) >= 1 GROUP BY ln),
+        keep AS (
+            SELECT l.doc_id, l.i, l.ln FROM lines l
+            LEFT JOIN winners w USING (ln)
+            WHERE length(l.ln) < 1 OR w.w = ROW(l.doc_id, l.i)),
+        re AS (
+            SELECT doc_id,
+                   array_to_string(list(ln ORDER BY i), chr(10)) AS t,
+                   COUNT(*) AS kept
+            FROM keep GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(re.t, '') END,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE len(string_split(d.text, chr(10))) END,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(re.kept, 0) END
+        FROM d LEFT JOIN re USING (doc_id)""").fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    assert got == want
+
+
+def test_line_dedup_min_chars_gate(spark):
+    """min_chars exempts short lines from dedup entirely — a corpus of
+    repeated one-char separators keeps them all at min_chars=2."""
+    docs = spark.createDataFrame(
+        [(1, "x\nlong enough line"), (2, "x\nlong enough line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.line_dedup(docs, min_chars=2).collect()}
+    assert got[1] == "x\nlong enough line"
+    assert got[2] == "x"                  # the long line deduped away
