@@ -388,6 +388,25 @@ def train_unigram_from_words(words: DataFrame,
                              vocab_target)
 
 
+def subtract_word_freqs(index: DataFrame,
+                        removed: DataFrame) -> DataFrame:
+    """Decremental maintenance of the tokenizer's (word, freq) count
+    artifact: counts(corpus) ⊖ counts(removed ⊆ corpus) ==
+    counts(corpus ∖ removed) exactly — the right-to-be-forgotten path
+    for a pipeline growing counts via `unigram_counts_ingest_sink`,
+    completing the artifact's law set (grow by SUM, forget by
+    subtraction, retrain == batch). Delegates to
+    `lm.subtract_gram_counts`, the shared fail-loud law
+    (over-subtraction raises; zeroed words leave the relation), so
+    the tokenizer and LM count families cannot drift."""
+    from .lm import subtract_gram_counts
+    out = subtract_gram_counts(
+        index.select("word", F.col("freq").alias("c")),
+        removed.select("word", F.col("freq").alias("c")),
+        key_cols=("word",))
+    return out.select("word", F.col("c").alias("freq"))
+
+
 def _train(docs: DataFrame, text_col: str, rounds: int, k: int,
            seed_multi: int,
            vocab_target: int | None = None) -> UnigramModel:

@@ -316,6 +316,32 @@ def test_vocab_target_pruning_schedule(spark):
     assert all(r["s"] is not None for r in segs.collect())
 
 
+def test_subtract_word_freqs_forget_law(spark):
+    """The tokenizer count artifact's deletion-side law: counts(A∪B) ⊖
+    counts(B) == counts(A) exactly, retraining from the subtracted
+    relation == training on the surviving corpus (trajectory and
+    all), and over-subtraction fails loud (the shared
+    subtract_gram_counts guard)."""
+    from snowflake_azure_etl_spark.operators.bpe import word_freqs
+    a_rows = [(1, "the cat sat on the mat"), (2, "a dog sat on a log")]
+    b_rows = [(3, "the cat sat on the hat"), (4, "mat mat mat")]
+    da = spark.createDataFrame(a_rows, "doc_id long, text string")
+    dall = spark.createDataFrame(a_rows + b_rows,
+                                 "doc_id long, text string")
+    db = spark.createDataFrame(b_rows, "doc_id long, text string")
+    left = ug.subtract_word_freqs(word_freqs(dall), word_freqs(db))
+    want = {r["word"]: r["freq"] for r in word_freqs(da).collect()}
+    assert {r["word"]: r["freq"] for r in left.collect()} == want
+    got = ug.train_unigram_from_words(left)
+    ref = ug._train(da, "text", ug.UNIGRAM_ROUNDS,
+                    ug.UNIGRAM_MAX_PIECE_LEN, ug.UNIGRAM_SEED_MULTI)
+    assert got.pieces == ref.pieces and got.traj == ref.traj
+    # not-a-subset fails loud, never a silently wrong model
+    with pytest.raises(Exception, match="over-subtraction"):
+        ug.subtract_word_freqs(
+            word_freqs(da), word_freqs(dall)).collect()
+
+
 def test_sentencepiece_real_hyperparameters_512(spark):
     """VERDICT r13 next #7: one attested training run at
     SentencePiece-real hyperparameters — seed LARGE (2048 multi-char
