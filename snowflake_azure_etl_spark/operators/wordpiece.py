@@ -168,6 +168,77 @@ def segment_docs_wp(docs: DataFrame, pieces: "list[str] | set[str]",
             .drop("_wpm"))
 
 
+def word_segmentations_wp(docs: DataFrame,
+                          pieces: "list[str] | set[str]",
+                          k: int = UNIGRAM_MAX_PIECE_LEN,
+                          text_col: str = "text",
+                          map_lit_max: int | None = None) -> DataFrame:
+    """(word, segs): greedy segmentation of the corpus's DISTINCT
+    words — the derived encode ARTIFACT (a lookup table beside the
+    vocabulary, the `unigram.word_segmentations` twin); session-cache
+    it so repeat encodes pay a word join instead of re-running the
+    fold per invocation. Total by construction ([UNK] words included),
+    so consumers never see NULL segs."""
+    ps = set(pieces)
+    c = F.col(text_col)
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    distinct = docs.select(F.explode(words).alias("word")).distinct()
+    if len(ps) <= _lit_max(map_lit_max):
+        seg = greedy_expr(F.col("word"), _pieces_map_lit(ps), k)
+        src = distinct
+    else:
+        src = distinct.crossJoin(
+            bounded_broadcast(
+                _pieces_map_rel(docs.sparkSession, ps),
+                bound="one-row wordpiece membership map "
+                      "(piece-vocab-bounded)",
+                max_rows=1))
+        seg = greedy_expr(F.col("word"), F.col("_wpm"), k)
+    return src.select("word", seg.alias("segs"))
+
+
+def encode_wordpiece(docs: DataFrame,
+                     pieces: "list[str] | set[str]",
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     k: int = UNIGRAM_MAX_PIECE_LEN,
+                     wseg: DataFrame | None = None) -> DataFrame:
+    """(id, pieces, n_pieces): the scale ENCODE path — greedy-segment
+    the DISTINCT words once, join back by word (UNhinted: AQE
+    broadcasts a small word set, shuffle-joins a web-scale one) and
+    reassemble per document in (doc, position) order — the
+    `unigram.encode_unigram` shape without its NULL-segs machinery
+    (greedy is total: [UNK] words still segment). Pass `wseg` (a
+    session-cached `word_segmentations_wp` relation) to reuse the
+    artifact; it must COVER the docs' words — an uncovered word drops
+    its pieces silently, so always derive it from a superset corpus.
+    NULL text keeps NULL pieces; no-words documents keep []."""
+    c = F.col(text_col)
+    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    pos = docs.select(F.col(id_col),
+                      F.posexplode(words).alias("_i", "word"))
+    if wseg is None:
+        wseg = word_segmentations_wp(docs, pieces, k, text_col)
+    per_doc = (pos.join(wseg, "word")
+               .groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            F.col("_i").alias("i"),
+                            F.col("segs").alias("s")))),
+                        lambda x: x["s"])).alias("pieces")))
+    base = docs.select(F.col(id_col),
+                       c.isNull().alias("_tnull"))
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("_tnull"),
+                           F.lit(None).cast("array<string>"))
+                    .otherwise(F.coalesce(
+                        F.col("pieces"),
+                        F.array().cast("array<string>")))
+                    .alias("pieces"))
+            .withColumn("n_pieces", F.size("pieces")))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle fragment — the greedy walk as an unrolled per-position
 # CTE chain (the `unigram._viterbi_cte` discipline).

@@ -2141,20 +2141,24 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subsample against the TRAINED unigram piece vocabulary — the
     # deployed composition (train once, greedy-encode at serve), and
     # the third unk discipline beside unigram's NULL and its
-    # char-fallback. Row-local literal-map expression (the shipping
-    # gate's small side at this vocab); the oracle replays the greedy
-    # walk as an unrolled per-position CTE chain (greedy_cte).
-    wp_leg = (sub.select(
-        F.col("doc_id"),
-        wp_ops.segment_text_wp(
-            "text", [p for p, _, _ in uni_model.pieces],
-            uni_model.k).alias("_wp"))
-        .select(F.lit("wp_seg").alias("leg"),
-                F.substring(F.md5(F.array_join("_wp", "|")), 1,
-                            16).alias("token"),
-                F.col("doc_id").alias("doc_freq"),
-                F.size("_wp").cast("long").alias("total_freq"),
-                F.lit(1).cast("int").alias("rank")))
+    # char-fallback. The per-word greedy segmentation is the derived
+    # encode ARTIFACT (the uni_wseg memoization rule): session-cached
+    # over the FULL corpus words, so repeat invocations pay the word
+    # join-back, not the fold; the oracle replays the same word-grain
+    # shape (greedy_cte over distinct subsample words + join-back).
+    wp_pieces = [p for p, _, _ in uni_model.pieces]
+    wp_wseg = cached_relation(
+        wp_ops.word_segmentations_wp(docs, wp_pieces, uni_model.k),
+        "wp_wseg", eager=False)
+    wp_leg = (wp_ops.encode_wordpiece(sub, wp_pieces,
+                                      k=uni_model.k, wseg=wp_wseg)
+              .select(F.lit("wp_seg").alias("leg"),
+                      F.substring(F.md5(F.array_join("pieces", "|")),
+                                  1, 16).alias("token"),
+                      F.col("doc_id").alias("doc_freq"),
+                      F.col("n_pieces").cast("long")
+                      .alias("total_freq"),
+                      F.lit(1).cast("int").alias("rank")))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
             .unionByName(cooc_leg).unionByName(rt_leg)
             .unionByName(uni_piece_leg).unionByName(uni_round_leg)

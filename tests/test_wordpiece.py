@@ -149,6 +149,33 @@ def test_wp_over_trained_unigram_vocab(spark):
     assert hp[0] == "the"                 # per-word isolation holds
 
 
+def test_encode_wordpiece_matches_row_local(spark):
+    """The word-grain join-back encoder (the scale path + the q58 leg
+    shape) == the row-local expression, doc for doc — including [UNK]
+    words, no-words docs ([]), and NULL text (NULL); and a
+    caller-supplied wseg artifact built over a SUPERSET corpus
+    reproduces the same result (the session-cache reuse contract)."""
+    docs = spark.createDataFrame(
+        [(1, "the mat"), (2, "zq mat"), (3, ""), (4, None),
+         (5, "mathat haha")],
+        "doc_id long, text string")
+    row_local = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", PIECES, 3).alias("p")).collect()}
+    joined = {r["doc_id"]: r["pieces"] for r in
+              wp.encode_wordpiece(docs, PIECES, k=3).collect()}
+    assert joined == row_local
+    wseg = wp.word_segmentations_wp(docs, PIECES, 3)
+    reused = {r["doc_id"]: r["pieces"] for r in
+              wp.encode_wordpiece(docs, PIECES, k=3,
+                                  wseg=wseg).collect()}
+    assert reused == row_local
+    enc = {r["doc_id"]: (r["pieces"], r["n_pieces"]) for r in
+           wp.encode_wordpiece(docs, PIECES, k=3).collect()}
+    assert enc[3] == ([], 0)              # no-words doc: empty
+    assert enc[4][0] is None              # NULL text: NULL pieces
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
