@@ -239,6 +239,77 @@ def encode_wordpiece(docs: DataFrame,
             .withColumn("n_pieces", F.size("pieces")))
 
 
+def wordpiece_vocab(spark, pieces: "list[str] | set[str]") -> DataFrame:
+    """(token, token_id): the BERT vocab surface for a piece set —
+    ``[UNK]`` at id 0 (the convention), then every word-initial form,
+    then every ``##``-continuation form, each block in deterministic
+    token order, so rebuilding from the same piece set yields
+    byte-identical ids (the `bpe.vocab_from_merges` /
+    `unigram.unigram_vocab` reproducibility contract). Every surface
+    `greedy_expr` can emit is in this vocabulary, so wp encode-to-ids
+    is TOTAL — unk lives in the id space, not as a missing key."""
+    toks = sorted(set(pieces))
+    rows = [(WP_UNK, 0)]
+    rows += [(p, i + 1) for i, p in enumerate(toks)]
+    rows += [(WP_CONT + p, len(toks) + 1 + i)
+             for i, p in enumerate(toks)]
+    return spark.createDataFrame(rows, "token string, token_id int")
+
+
+def encode_ids_wp(docs: DataFrame, pieces: "list[str] | set[str]",
+                  vocab: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  k: int = UNIGRAM_MAX_PIECE_LEN,
+                  map_lit_max: int | None = None) -> DataFrame:
+    """(id, token_ids, n_ids): greedy WordPiece encode straight to
+    vocabulary ids — the `bpe.encode_ids` / `unigram.encode_ids`
+    family shape (one-row broadcast vocab map, row-local element_at
+    inside transform, no explode, no shuffle). Total by construction:
+    every emitted surface (including ``[UNK]`` and ``##`` forms) is
+    in `wordpiece_vocab`, so there is no unk_id knob — unknownness is
+    already a token. Decode with `decode_ids_wp`; stripping the
+    ``##`` marks makes decode(encode(text)) == text with spaces
+    removed EXCEPT for [UNK] words (WordPiece's lossy-unk contract —
+    the round-trip attestation therefore holds exactly on fully
+    covered text, pinned in tests)."""
+    vmap = (vocab.groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "token_id")))
+                .alias("_vmap")))
+    segged = segment_docs_wp(docs, pieces, text_col, k,
+                             out_col="_wps", map_lit_max=map_lit_max)
+    ids = F.transform(
+        F.col("_wps"),
+        lambda s: F.element_at(F.col("_vmap"), s))
+    return (segged.crossJoin(bounded_broadcast(
+            vmap, bound="one-row wordpiece vocab map (piece-bounded)",
+            max_rows=1))
+            .select(F.col(id_col), ids.alias("token_ids"))
+            .withColumn("n_ids", F.size("token_ids")))
+
+
+def decode_ids_wp(encoded: DataFrame, vocab: DataFrame,
+                  id_col: str = "doc_id",
+                  ids_col: str = "token_ids") -> DataFrame:
+    """(id, detok): ids → token surfaces → ``##`` marks stripped →
+    concatenated — the WordPiece decode (same one-row broadcast map
+    economics as the encode; NULL ids stay NULL)."""
+    imap = (vocab.groupBy("token_id")
+            .agg(F.min("token") .alias("token"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token_id", "token")))
+                .alias("_imap")))
+    toks = F.transform(
+        F.col(ids_col),
+        lambda i: F.regexp_replace(
+            F.element_at(F.col("_imap"), i), f"^{WP_CONT}", ""))
+    return (encoded.crossJoin(bounded_broadcast(
+            imap, bound="one-row wordpiece id map (piece-bounded)",
+            max_rows=1))
+            .select(F.col(id_col), F.array_join(toks, "").alias("detok")))
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle fragment — the greedy walk as an unrolled per-position
 # CTE chain (the `unigram._viterbi_cte` discipline).

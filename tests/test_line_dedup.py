@@ -102,6 +102,28 @@ def test_line_dedup_duckdb_parity(spark):
     assert got == want
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_LINES = ["boiler", "alpha", "beta", "", "x"]
+_doc = st.lists(st.sampled_from(_LINES), min_size=0,
+                max_size=4).map("\n".join)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=1, max_size=4))
+def test_line_dedup_property_sweep(spark, texts):
+    """Engine == Python reference over random multi-line corpora from
+    a tiny line pool (maximal cross-doc and within-doc collisions,
+    blank lines, empty docs)."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs).collect()}
+    assert got == py_line_dedup(rows)
+
+
 def test_line_dedup_min_chars_gate(spark):
     """min_chars exempts short lines from dedup entirely — a corpus of
     repeated one-char separators keeps them all at min_chars=2."""

@@ -176,6 +176,37 @@ def test_encode_wordpiece_matches_row_local(spark):
     assert enc[4][0] is None              # NULL text: NULL pieces
 
 
+def test_wp_ids_roundtrip(spark):
+    """The id-space family contract, WordPiece edition: deterministic
+    vocab ([UNK]=0, word-initial block, ##-continuation block, each
+    token-ordered), TOTAL encode-to-ids (unknownness is a token, not
+    a missing key), and decode(encode(text)) == space-stripped text
+    on fully covered corpora — with the [UNK]-lossy exception pinned
+    explicitly."""
+    docs = spark.createDataFrame(
+        [(1, "the mat"), (2, "mathat"), (3, "zq mat"), (4, None)],
+        "doc_id long, text string")
+    vocab = wp.wordpiece_vocab(spark, PIECES)
+    vm = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert vm[wp.WP_UNK] == 0
+    assert len(vm) == 2 * len(PIECES) + 1
+    toks = sorted(PIECES)
+    assert all(vm[p] == i + 1 for i, p in enumerate(toks))
+    assert all(vm["##" + p] == len(toks) + 1 + i
+               for i, p in enumerate(toks))
+    enc = wp.encode_ids_wp(docs, PIECES, vocab, k=3)
+    ids = {r["doc_id"]: r["token_ids"] for r in enc.collect()}
+    assert ids[4] is None                     # NULL text -> NULL ids
+    assert all(i is not None for i in ids[1])  # total: no missing keys
+    assert vm[wp.WP_UNK] in ids[3]             # unk IS an id
+    dec = {r["doc_id"]: r["detok"]
+           for r in wp.decode_ids_wp(enc, vocab).collect()}
+    assert dec[1] == "themat"                 # covered: exact
+    assert dec[2] == "mathat"                 # ## marks stripped
+    assert dec[3] == "[UNK]mat"               # the lossy-unk contract
+    assert dec[4] is None
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
