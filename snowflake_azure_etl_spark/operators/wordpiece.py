@@ -207,35 +207,51 @@ def encode_wordpiece(docs: DataFrame,
     the DISTINCT words once, join back by word (UNhinted: AQE
     broadcasts a small word set, shuffle-joins a web-scale one) and
     reassemble per document in (doc, position) order — the
-    `unigram.encode_unigram` shape without its NULL-segs machinery
-    (greedy is total: [UNK] words still segment). Pass `wseg` (a
-    session-cached `word_segmentations_wp` relation) to reuse the
-    artifact; it must COVER the docs' words — an uncovered word drops
-    its pieces silently, so always derive it from a superset corpus.
-    NULL text keeps NULL pieces; no-words documents keep []."""
+    `unigram.encode_unigram` shape (greedy is total, so the trained
+    artifact never carries NULL segs — but a caller-supplied `wseg`
+    that does not COVER the docs' words surfaces each uncovered word
+    exactly like unigram's unsegmentable one: the whole document's
+    pieces go NULL, fail-visible, never a silently shorter
+    segmentation). NULL text keeps NULL pieces; no-words documents
+    keep []."""
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     pos = docs.select(F.col(id_col),
                       F.posexplode(words).alias("_i", "word"))
     if wseg is None:
         wseg = word_segmentations_wp(docs, pieces, k, text_col)
-    per_doc = (pos.join(wseg, "word")
+    # LEFT join + the nullness-as-flag aggregation (the encode_unigram
+    # pattern): a NULL segs array must never reach flatten — flattening
+    # a null inner array inside an aggregate's result projection NPEs
+    # in Spark 4.1's generated code — so coverage failure is carried
+    # as its own boolean and the collected arrays stay non-null
+    per_doc = (pos.join(wseg, "word", "left")
                .groupBy(id_col)
-               .agg(F.flatten(F.transform(
-                        F.array_sort(F.collect_list(F.struct(
-                            F.col("_i").alias("i"),
-                            F.col("segs").alias("s")))),
-                        lambda x: x["s"])).alias("pieces")))
+               .agg(F.collect_list(F.struct(
+                        F.col("_i").alias("i"),
+                        F.coalesce(F.col("segs"),
+                                   F.array().cast("array<string>"))
+                        .alias("s"))).alias("_lst"),
+                    F.max(F.col("segs").isNull()).alias("_bad"),
+                    F.count("*").alias("_nw"))
+               .select(id_col, "_nw",
+                       F.when(F.col("_bad"),
+                              F.lit(None).cast("array<string>"))
+                       .otherwise(F.flatten(F.transform(
+                           F.array_sort("_lst"), lambda x: x["s"])))
+                       .alias("pieces")))
+    # _nw distinguishes no-words docs (empty pieces) from docs with an
+    # UNCOVERED word under a caller-supplied wseg (NULL pieces,
+    # fail-visible — a plain coalesce would erase the NULL back to [])
     base = docs.select(F.col(id_col),
                        c.isNull().alias("_tnull"))
     return (base.join(per_doc, id_col, "left")
             .select(id_col,
                     F.when(F.col("_tnull"),
                            F.lit(None).cast("array<string>"))
-                    .otherwise(F.coalesce(
-                        F.col("pieces"),
-                        F.array().cast("array<string>")))
-                    .alias("pieces"))
+                    .when(F.col("_nw").isNull(),
+                          F.array().cast("array<string>"))
+                    .otherwise(F.col("pieces")).alias("pieces"))
             .withColumn("n_pieces", F.size("pieces")))
 
 

@@ -174,6 +174,16 @@ def test_encode_wordpiece_matches_row_local(spark):
            wp.encode_wordpiece(docs, PIECES, k=3).collect()}
     assert enc[3] == ([], 0)              # no-words doc: empty
     assert enc[4][0] is None              # NULL text: NULL pieces
+    # a caller-supplied wseg that does NOT cover the docs' words
+    # surfaces fail-visibly (NULL pieces), never a silently shorter
+    # segmentation — the encode_unigram coverage contract
+    partial = wseg.filter(F.col("word") != "mat")
+    bad = {r["doc_id"]: r["pieces"] for r in
+           wp.encode_wordpiece(docs, PIECES, k=3,
+                               wseg=partial).collect()}
+    assert bad[1] is None and bad[2] is None    # 'mat' uncovered
+    assert bad[5] == row_local[5]               # covered doc intact
+    assert bad[3] == [] and bad[4] is None      # contracts unchanged
 
 
 def test_wp_ids_roundtrip(spark):
