@@ -244,3 +244,8 @@ def test_wp_property_sweep(spark, texts, vocab):
         want = [p for w in t.split(" ") if w
                 for p in py_greedy(w, vocab, 3)]
         assert got[d] == want, (d, t, sorted(vocab))
+    # and the word-grain join-back encoder agrees with the row-local
+    # expression on the same random corpus (empty docs land as [])
+    joined = {r["doc_id"]: r["pieces"] for r in
+              wp.encode_wordpiece(docs, vocab, k=3).collect()}
+    assert joined == got
