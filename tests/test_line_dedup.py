@@ -124,6 +124,48 @@ def test_line_dedup_property_sweep(spark, texts):
     assert got == py_line_dedup(rows)
 
 
+def test_line_dedup_planted_hash_collision_cannot_drop_a_line(spark):
+    """VERDICT r14 #1: two DISTINCT lines colliding on the winner key
+    must never lose one of them corpus-wide. The `_line_key` seam
+    plants the worst case — EVERY line in one bucket — and the
+    text-equality guard at the join-back keeps every distinct line
+    alive: only true duplicates of the bucket's (doc, pos)-minimal
+    line dedup; all other lines survive untouched (bounded under-dedup,
+    the safe failure mode). With the r14 xxhash64-only join this test
+    is red: every line except the single global winner vanished."""
+    from pyspark.sql import functions as F
+    rows = [(1, "boiler\nalpha"), (2, "boiler\nbeta"), (3, "alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"])
+           for r in dedup.line_dedup(
+               docs, _line_key=lambda c: F.lit(0)).collect()}
+    # 'boiler' is the global (doc, pos)-min winner: its doc-2 copy
+    # dedups; 'alpha'/'beta' collide with it but SURVIVE everywhere
+    # (including doc 3's duplicate 'alpha' — under-dedup, by contract)
+    assert got[1] == ("boiler\nalpha", 2)
+    assert got[2] == ("beta", 1)
+    assert got[3] == ("alpha", 1)
+    # no distinct line vanished from the corpus
+    survivors = {ln for t, _ in got.values() for ln in t.split("\n")}
+    assert survivors == {"boiler", "alpha", "beta"}
+    # and the default (md5) key still dedups exactly
+    exact = {r["doc_id"]: r["text"]
+             for r in dedup.line_dedup(docs).collect()}
+    assert exact == {1: "boiler\nalpha", 2: "beta", 3: ""}
+
+
+def test_line_dedup_literal_separator(spark):
+    """`sep` is literal, not a regex: '. ' (dot = regex any-char) must
+    split on the two-char string and reassemble with it verbatim."""
+    rows = [(1, "common chunk. unique a. xy"), (2, "common chunk. unique b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs, sep=". ").collect()}
+    assert got == py_line_dedup(rows, sep=". ")
+    assert got[1] == ("common chunk. unique a. xy", 3, 3)
+    assert got[2] == ("unique b", 2, 1)
+
+
 def test_line_dedup_min_chars_gate(spark):
     """min_chars exempts short lines from dedup entirely — a corpus of
     repeated one-char separators keeps them all at min_chars=2."""
