@@ -158,11 +158,18 @@ _DSIR_CTES = f"""
         SELECT f.doc_id, SUM(f.c * l.lam) AS s
         FROM dsir_feat f JOIN dsir_lam l USING (bucket) GROUP BY 1)"""
 
+#: q50 line-dedup leg grain: the synthetic corpus is single-line, so the
+#: CCNet paragraph grain is exercised at a frequent-TOKEN grain instead —
+#: splitting on this literal produces real cross-document duplicate
+#: chunks (~9% of chunks at sf0.01) while keeping the operator's winner
+#: rule, short-chunk exemption, and reassembly all load-bearing.
+_LINE_SEP = "the"
+
 
 @query(
     "q50_dedup_exact",
     covers=("X-DEDUP-EXACT", "A1", "X-SAMPLE-STRATIFIED", "X-QUOTA",
-            "X-DECONTAM", "X-FORGET"),
+            "X-DECONTAM", "X-FORGET", "X-DEDUP-LINE"),
     oracle=f"""
     WITH groups AS (
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
@@ -170,6 +177,41 @@ _DSIR_CTES = f"""
         FROM documents GROUP BY md5(text)),
     {_DECONTAM_CTES},
     {_DSIR_CTES},
+    -- line-dedup leg (r15, X-DEDUP-LINE): operators.dedup.line_dedup
+    -- replayed at the '{_LINE_SEP}'-token grain (the corpus has no
+    -- newline structure; the frequent-token grain produces real
+    -- cross-document duplicate chunks). Winner per distinct chunk =
+    -- (doc, position)-min; short chunks (< 1 char, i.e. empties) pass
+    -- through; docs reassemble in chunk order and the md5 of the
+    -- scrubbed text attests the exact reassembly.
+    ld_lines AS (
+        SELECT doc_id, i - 1 AS i, ln
+        FROM (SELECT doc_id, string_split(text, '{_LINE_SEP}') AS ls
+              FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL (SELECT unnest(generate_series(
+            1, len(ls))) AS i)
+        CROSS JOIN LATERAL (SELECT ls[i] AS ln)),
+    ld_win AS (
+        SELECT ln, MIN(ROW(doc_id, i)) AS w
+        FROM ld_lines WHERE length(ln) >= 1 GROUP BY ln),
+    ld_keep AS (
+        SELECT l.doc_id, l.i, l.ln FROM ld_lines l
+        LEFT JOIN ld_win w USING (ln)
+        WHERE length(l.ln) < 1 OR w.w = ROW(l.doc_id, l.i)),
+    ld AS (
+        SELECT k.doc_id,
+               md5(array_to_string(list(k.ln ORDER BY k.i),
+                                   '{_LINE_SEP}')) AS line_scrub_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+        FROM ld_keep k GROUP BY k.doc_id),
+    ld_full AS (
+        SELECT d.doc_id,
+               COALESCE(ld.line_scrub_hash, md5('')) AS line_scrub_hash,
+               CAST(len(string_split(d.text, '{_LINE_SEP}')) AS BIGINT)
+                   AS n_lines,
+               COALESCE(ld.n_lines_kept, CAST(0 AS BIGINT))
+                   AS n_lines_kept
+        FROM documents d LEFT JOIN ld ON ld.doc_id = d.doc_id),
     keepers AS (
         SELECT g.content_hash, g.keeper_id, g.n_copies, d.lang,
                (CAST('0x' || substr(md5('sample:' || g.keeper_id), 1, 8)
@@ -181,14 +223,17 @@ _DSIR_CTES = f"""
                    AS lang_rank,
                CAST(COALESCE(ch.contam_hits, 0) AS BIGINT) AS contam_hits,
                ch.doc_id IS NULL AS decontam_keep,
-               CAST(COALESCE(ds.s, 0) AS BIGINT) AS dsir_score
+               CAST(COALESCE(ds.s, 0) AS BIGINT) AS dsir_score,
+               lf.line_scrub_hash, lf.n_lines, lf.n_lines_kept
         FROM groups g JOIN documents d ON g.keeper_id = d.doc_id
         LEFT JOIN ch ON ch.doc_id = g.keeper_id
-        LEFT JOIN dsir_sc ds ON ds.doc_id = g.keeper_id)
+        LEFT JOIN dsir_sc ds ON ds.doc_id = g.keeper_id
+        JOIN ld_full lf ON lf.doc_id = g.keeper_id)
     SELECT content_hash, keeper_id, n_copies, lang, sample_keep,
            lang_rank, lang_rank <= 100 AS quota_keep,
            contam_hits, decontam_keep,
-           dsir_score, dsir_score > 0 AS dsir_keep
+           dsir_score, dsir_score > 0 AS dsir_keep,
+           line_scrub_hash, n_lines, n_lines_kept
     FROM keepers
     WHERE NOT EXISTS (SELECT 1 FROM documents f
                       WHERE f.doc_id % {FORGET_MOD} = 0
@@ -227,7 +272,16 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dsir_keep` the row-local more-target-like-than-raw decision
     (score > 0). Model training is two bucket aggregates reduced to a
     ≤4096-row broadcast artifact; scoring adds no corpus shuffle
-    beyond the per-doc feature aggregate."""
+    beyond the per-doc feature aggregate.
+
+    Round-15 addition (X-DEDUP-LINE, operators.dedup.line_dedup —
+    VERDICT r14 next #6): the corpus-wide line/paragraph dedup leg.
+    Each keeper carries its chunk count before (`n_lines`) and after
+    (`n_lines_kept`) the corpus-wide (doc, position)-minimal-winner
+    scrub at the `_LINE_SEP` token grain, plus `line_scrub_hash`
+    (md5 of the reassembled text — attesting exact in-order
+    reassembly, not just counts). The oracle replays the full winner
+    rule + short-chunk exemption + reassembly in SQL."""
     from ..operators import corpus as corpus_ops
     from ..operators import decontam, sampling
     docs = _docs(spark, sf_dir)
@@ -257,9 +311,24 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir = (sampling.dsir_log_weights_from(docs.select("doc_id"),
                                            feats, dsir_stats, "doc_id")
             .withColumnRenamed("doc_id", "keeper_id"))
+    # line-dedup leg (r15, X-DEDUP-LINE): corpus-wide chunk dedup at
+    # the frequent-token grain (operators.dedup.line_dedup — the CCNet
+    # paragraph rule; the synthetic corpus has no newlines, see
+    # _LINE_SEP). Joined at keeper grain: per keeper the chunk counts
+    # before/after the corpus-wide scrub plus the md5 of the
+    # reassembled text, attesting winner rule + in-order reassembly.
+    # Doc-grain join onto an already doc-grain relation — no new
+    # shuffle class; the winner aggregate is distinct-chunk-bounded.
+    ld = (dedup.line_dedup(docs, "doc_id", "text", sep=_LINE_SEP)
+          .select(F.col("doc_id").alias("keeper_id"),
+                  F.md5(F.coalesce("text", F.lit("")))
+                  .alias("line_scrub_hash"),
+                  F.col("n_lines").cast("long").alias("n_lines"),
+                  F.col("n_lines_kept")))
     out = (groups
             .join(hits, "keeper_id", "left")
             .join(dsir, "keeper_id")
+            .join(ld, "keeper_id")
             .withColumn("sample_keep",
                         sampling.stratified_keep("keeper_id", "lang",
                                                  {"en": 0.5}))
@@ -273,7 +342,8 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("content_hash", "keeper_id", "n_copies", "lang",
                     "sample_keep", "lang_rank", "quota_keep",
                     "contam_hits", "decontam_keep", "dsir_score",
-                    "dsir_keep"))
+                    "dsir_keep", "line_scrub_hash", "n_lines",
+                    "n_lines_kept"))
     # final stage (r7/r8, X-FORGET): the right-to-be-forgotten scrub
     # applied to the finished relation — a deterministic deletion
     # request set (doc_id ≡ 0 mod FORGET_MOD) removed via
