@@ -499,8 +499,8 @@ def edit_distance_verify(docs: DataFrame, candidates: DataFrame,
                          id_col: str = "doc_id",
                          text_col: str = "text",
                          n_docs: int | None = None,
-                         broadcast_max_rows: int = BROADCAST_MAX_ROWS
-                         ) -> DataFrame:
+                         broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+                         max_dist: int | None = None) -> DataFrame:
     """candidates + (edit_dist, edit_sim): exact Levenshtein
     verification of candidate pairs — the CHARACTER-level near-dup
     verify beside the token-set Jaccard (`exact_jaccard`) and the
@@ -512,11 +512,24 @@ def edit_distance_verify(docs: DataFrame, candidates: DataFrame,
     order is bit-identical.
 
     Scale: ONLY candidate pairs pay the O(|a|·|b|) distance (the
-    banded LSH stage owns candidate generation — never all-pairs);
-    `F.levenshtein` is JVM-side and code-point-based, matching
-    DuckDB's `levenshtein` for the oracle. The per-doc text side
-    broadcasts only under the same ``n_docs`` attestation as
-    `lsh_candidate_pairs`; above the cap both lookups are shuffle
+    banded LSH stage owns candidate generation — never all-pairs).
+    With `max_dist` set (VERDICT r14 #2), the JVM runs the
+    THRESHOLD-BOUNDED banded DP (`levenshtein(l, r, threshold)`,
+    Spark 3.5+) — O(max_dist · min(|a|,|b|)) instead of O(|a|·|b|),
+    the knob to set before pointing this at whole web documents —
+    and a pair beyond the bound gets NULL `edit_dist`/`edit_sim`
+    (fail-visible "not verified within bound", filtered by any
+    `edit_sim >= s` predicate); below the bound the values are
+    IDENTICAL to the exact form, pinned by test. `max_dist=None`
+    keeps the exact unbounded distance (the q52 oracle contract).
+
+    `F.levenshtein` is CODE-POINT-based; DuckDB's `levenshtein` is
+    BYTE-based (('é','a') → 1 vs 2), so oracle mirrors are only
+    comparable over ASCII — the q52 leg fails loud in the oracle on
+    non-ASCII text, and tests/test_edit_distance.py pins both the
+    divergence and the engine's code-point semantics. The per-doc
+    text side broadcasts only under the same ``n_docs`` attestation
+    as `lsh_candidate_pairs`; above the cap both lookups are shuffle
     equi-joins co-locating each doc's text with its pairs."""
     a = docs.select(F.col(id_col).alias("id_a"),
                     F.col(text_col).alias("_txa"))
@@ -524,17 +537,34 @@ def edit_distance_verify(docs: DataFrame, candidates: DataFrame,
                     F.col(text_col).alias("_txb"))
     a = _maybe_broadcast(a, n_docs, broadcast_max_rows)
     b = _maybe_broadcast(b, n_docs, broadcast_max_rows)
-    dist = F.levenshtein(F.col("_txa"), F.col("_txb"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    raw = (F.levenshtein(F.col("_txa"), F.col("_txb"))
+           if max_dist is None
+           else F.levenshtein(F.col("_txa"), F.col("_txb"),
+                              int(max_dist)))
+    # evaluate the DP exactly ONCE per pair: both output columns
+    # consume the distance, and CollapseProject would inline the
+    # expensive expression into every consumer (2 evaluations exact,
+    # 4 bounded — measured 4× wall clock on long documents). The
+    # always-true nondeterministic guard (seeded rand) pins the
+    # distance in its own projection, which Catalyst may not collapse
+    # into deterministic consumers — downstream references are plain
+    # column reads
+    joined = joined.withColumn(
+        "_edr", F.when(F.rand(7) >= F.lit(-1.0), raw))
+    # banded DP early-exit: -1 = beyond the bound → NULL columns
+    dist = (F.col("_edr") if max_dist is None
+            else F.when(F.col("_edr") >= 0, F.col("_edr")))
     mx = F.greatest(F.length("_txa"), F.length("_txb"))
     # two empty texts are identical (sim 1.0), not a 0/0 — pinned so
     # the oracle mirror can use the same CASE instead of inheriting
     # each engine's different divide-by-zero convention
     sim = F.when(mx == 0, F.lit(1.0)).otherwise(
         F.lit(1.0) - dist.cast("double") / mx.cast("double"))
-    return (candidates.join(a, "id_a").join(b, "id_b")
+    return (joined
             .withColumn("edit_dist", dist.cast("int"))
             .withColumn("edit_sim", sim)
-            .drop("_txa", "_txb"))
+            .drop("_txa", "_txb", "_edr"))
 
 
 def _bitset_masks(toks: DataFrame, n_vocab: int, vocab: DataFrame) -> DataFrame:

@@ -488,8 +488,18 @@ def q51_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(e.est_matches AS DOUBLE) / CAST({MINHASH_K} AS DOUBLE)
                AS est_jaccard,
            -- character-level verify (r14, X-DEDUP-EDIT): same CASE as
-           -- the engine so neither side inherits its own 0/0 rule
-           CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist,
+           -- the engine so neither side inherits its own 0/0 rule.
+           -- ASCII guard (r15, ADVICE r14 #2): DuckDB levenshtein is
+           -- BYTE-based, Spark's CODE-POINT-based — comparable only
+           -- over ASCII, so non-ASCII text fails the oracle LOUD here
+           -- instead of silently hash-mismatching
+           CASE WHEN octet_length(encode(ta.text)) != length(ta.text)
+                  OR octet_length(encode(tb.text)) != length(tb.text)
+                THEN error('q52 edit leg: non-ASCII text — byte-based '
+                           || 'DuckDB levenshtein is not comparable '
+                           || 'to Spark code-point levenshtein')
+                ELSE CAST(levenshtein(ta.text, tb.text) AS INT)
+           END AS edit_dist,
            CASE WHEN greatest(length(ta.text), length(tb.text)) = 0
                 THEN CAST(1.0 AS DOUBLE)
                 ELSE CAST(1.0 AS DOUBLE)

@@ -83,3 +83,73 @@ def test_edit_distance_duckdb_parity(spark):
         JOIN d b ON b.doc_id = p.id_b""").fetchall()
     want = {(a, b): (dd, ss) for a, b, dd, ss in rows}
     assert got == want
+
+
+def test_edit_distance_bounded_matches_exact_below_threshold(spark):
+    """VERDICT r14 #2: `max_dist` rides the threshold-bounded banded
+    DP — below the bound the values are identical to the exact form;
+    beyond it edit_dist/edit_sim are NULL (fail-visible "not verified
+    within bound"), never a silently clamped number."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = spark.createDataFrame(PAIRS, "id_a long, id_b long")
+    exact = {(r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+             for r in dedup.edit_distance_verify(
+                 docs, pairs, n_docs=len(DOCS)).collect()}
+    bounded = {(r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+               for r in dedup.edit_distance_verify(
+                   docs, pairs, n_docs=len(DOCS), max_dist=5).collect()}
+    for k, (d, s) in exact.items():
+        if d <= 5:
+            assert bounded[k] == (d, s), k
+        else:
+            assert bounded[k] == (None, None), k
+    # the planted far pair really exercised the NULL branch
+    assert exact[(1, 3)][0] > 5 and bounded[(1, 3)] == (None, None)
+
+
+def test_edit_distance_bounded_is_cheap_on_long_documents(spark):
+    """The whole point of the knob: two ~60k-char near-identical
+    documents are ~3.6e9 DP cells unbounded; the banded DP at
+    max_dist=8 is O(8·n) and must return promptly with the exact
+    small distance."""
+    import time
+    base = ("the quick brown fox jumps over the lazy dog " * 1400)
+    docs = spark.createDataFrame(
+        [(1, base + "tail one"), (2, base + "tail 2!")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    t0 = time.perf_counter()
+    row = dedup.edit_distance_verify(
+        docs, pairs, n_docs=2, max_dist=8).collect()[0]
+    dt = time.perf_counter() - t0
+    assert row["edit_dist"] == py_lev("tail one", "tail 2!")
+    assert dt < 30, f"bounded path took {dt:.1f}s — band not engaged?"
+
+
+def test_edit_distance_is_code_point_based_and_duckdb_is_not(spark):
+    """ADVICE r14 #2 pinned: Spark levenshtein counts CODE POINTS
+    (matching the Python DP reference on non-ASCII), DuckDB's counts
+    BYTES — the documented divergence the q52 oracle guards against
+    by failing loud on non-ASCII text."""
+    duckdb = pytest.importorskip("duckdb")
+    cases = [("é", "a"), ("héllo", "hallo"), ("日本語", "日本"),
+             ("naïve", "naive")]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (x, y) in enumerate(cases) for t in ()]
+        + [(2 * i + off, t) for i, (x, y) in enumerate(cases)
+           for off, t in ((0, x), (1, y))],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(len(cases))],
+        "id_a long, id_b long")
+    got = {r["id_a"] // 2: r["edit_dist"]
+           for r in dedup.edit_distance_verify(
+               docs, pairs, n_docs=2 * len(cases)).collect()}
+    con = duckdb.connect()
+    diverged = 0
+    for i, (x, y) in enumerate(cases):
+        assert got[i] == py_lev(x, y), (x, y)   # code-point exact
+        duck = con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+        diverged += duck != got[i]
+    assert diverged > 0                          # the guard is earning
+    assert con.execute("SELECT levenshtein('é','a')").fetchone()[0] == 2
