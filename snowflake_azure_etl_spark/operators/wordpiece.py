@@ -10,10 +10,21 @@ continuation pieces (position > 1) are surfaced with the `##` prefix
 — and a word with ANY unmatchable position becomes the single
 ``[UNK]`` piece, WordPiece's whole-word unk contract (a deliberate
 contrast with unigram's fail-visible NULL document and its
-char-fallback mode: three unk disciplines, each pinned). Matching is
-position-independent over one piece SET (the trained BPE/unigram
-vocabularies this engine produces are position-independent); the
-``##`` mark is surface form, not a separate vocabulary.
+char-fallback mode: three unk disciplines, each pinned).
+
+Membership is POSITIONAL (r15, VERDICT r14 next #2): released BERT
+vocabularies carry DIFFERENT word-initial and ``##``-continuation
+sets, so every entry point accepts an optional `cont_pieces` set —
+when given, `pieces` matches only at position 1 and `cont_pieces`
+only past it (the vocab.txt shape; load one with `load_bert_vocab`).
+When omitted, one position-independent set serves both (the trained
+BPE/unigram vocabularies this engine produces are
+position-independent — the default family form). Internally both
+forms ship as one piece → flags map (1 = initial, 2 = continuation,
+3 = both). The ``##`` mark is surface form; a RAW piece that itself
+starts with ``##`` is rejected loud in every entry point (ADVICE
+r14: it would collide with the continuation surface of its suffix
+piece, breaking id-space injectivity and the decode round-trip).
 
 Training stays with the trained families (`bpe.train_bpe_merges`,
 `unigram.train_unigram`): WordPiece's likelihood-ratio merge argmax
@@ -54,24 +65,64 @@ WP_UNK = "[UNK]"
 WP_CONT = "##"
 
 
-def _pieces_map_lit(pieces: "list[str] | set[str]") -> Column:
-    """Membership map (piece → 1) as a plan literal — the small-vocab
-    shipping shape (same economics as unigram's cost-map literal)."""
+#: Positional-membership flag bits (map value): a piece may match at
+#: a word's first position, past it, or both.
+WP_INITIAL = 1
+WP_CONTINUATION = 2
+
+
+def _flag_items(pieces: "list[str] | set[str]",
+                cont_pieces: "list[str] | set[str] | None" = None
+                ) -> "list[tuple[str, int]]":
+    """Sorted (piece, flags) items for the membership map. One set →
+    every piece carries both flags (position-independent, the trained
+    family default); two sets → `pieces` is word-initial-only unless
+    the piece is also in `cont_pieces`. Raw pieces starting with the
+    ``##`` mark are rejected LOUD (ADVICE r14: such a piece's surface
+    collides with the continuation surface of its suffix piece —
+    duplicate vocab tokens, broken decode round-trip)."""
+    init = set(pieces)
+    cont = init if cont_pieces is None else set(cont_pieces)
+    bad = sorted(p for p in (init | cont) if p.startswith(WP_CONT))
+    if bad:
+        raise ValueError(
+            f"wordpiece: raw piece(s) starting with the '{WP_CONT}' "
+            f"continuation mark: {bad[:3]} — the mark is SURFACE form "
+            "(pass continuation pieces bare via cont_pieces / "
+            "load_bert_vocab); a literal '##'-prefixed piece collides "
+            "with the continuation surface of its suffix piece")
+    flags: dict[str, int] = {}
+    for p in init:
+        flags[p] = WP_INITIAL
+    for p in cont:
+        flags[p] = flags.get(p, 0) | WP_CONTINUATION
+    return sorted(flags.items())
+
+
+def _pieces_map_lit(pieces: "list[str] | set[str]",
+                    cont_pieces: "list[str] | set[str] | None" = None
+                    ) -> Column:
+    """Membership map (piece → positional flags) as a plan literal —
+    the small-vocab shipping shape (same economics as unigram's
+    cost-map literal)."""
     entries: list[Column] = []
-    for p in sorted(set(pieces)):
+    for p, fl in _flag_items(pieces, cont_pieces):
         entries.append(F.lit(p))
-        entries.append(F.lit(1).cast("int"))
+        entries.append(F.lit(fl).cast("int"))
     return F.create_map(*entries)
 
 
-def _pieces_map_rel(spark, pieces: "list[str] | set[str]") -> DataFrame:
-    """ONE-ROW (_wpm: map<string,int>) membership relation — the
-    large-vocab shipping shape (the unigram `_costs_map_rel` twin)."""
-    rel = spark.createDataFrame([(p,) for p in sorted(set(pieces))],
-                                "piece string")
+def _pieces_map_rel(spark, pieces: "list[str] | set[str]",
+                    cont_pieces: "list[str] | set[str] | None" = None
+                    ) -> DataFrame:
+    """ONE-ROW (_wpm: map<string,int> piece → positional flags)
+    membership relation — the large-vocab shipping shape (the unigram
+    `_costs_map_rel` twin)."""
+    rel = spark.createDataFrame(_flag_items(pieces, cont_pieces),
+                                "piece string, fl int")
     return rel.agg(
         F.map_from_entries(
-            F.collect_list(F.struct("piece", F.lit(1).alias("one"))))
+            F.collect_list(F.struct("piece", "fl")))
         .alias("_wpm"))
 
 
@@ -79,22 +130,31 @@ def greedy_expr(word: Column, pieces_map: Column,
                 k: int = UNIGRAM_MAX_PIECE_LEN,
                 unk: str = WP_UNK) -> Column:
     """array<string>: the greedy maximal-munch segmentation of `word`
-    under the membership map — longest piece first at every consumed
-    position, continuations marked ``##``, whole word → ``[unk]`` on
-    the first unmatchable position. One `F.aggregate` fold over
-    positions: the state (next-position, segs, failed) only advances
-    at iterations equal to its own position pointer, so each consumed
-    position is visited exactly once. All JVM-side."""
+    under the membership map (piece → positional flags: 1 = valid
+    word-initial, 2 = valid continuation, 3 = both — `_flag_items`) —
+    longest piece first at every consumed position, continuations
+    marked ``##``, whole word → ``[unk]`` on the first unmatchable
+    position. One `F.aggregate` fold over positions: the state
+    (next-position, segs, failed) only advances at iterations equal
+    to its own position pointer, so each consumed position is visited
+    exactly once. All JVM-side."""
 
     def step(st, i):
         p = st["p"]
+        # positional membership: position 1 needs the initial bit,
+        # later positions the continuation bit (two-set vocab support,
+        # r15; a single-set map carries both bits on every piece)
+        need = F.when(p == 1, F.lit(WP_INITIAL)) \
+                .otherwise(F.lit(WP_CONTINUATION))
         # longest match first: the first satisfied guard wins
         ln = F.lit(None).cast("int")
         for l in range(1, k + 1):           # build k..1 by nesting up
+            fl = F.coalesce(
+                F.element_at(pieces_map, word.substr(p, F.lit(l))),
+                F.lit(0))
             ln = F.when(
                 (p + F.lit(l) - 1 <= F.length(word))
-                & F.element_at(pieces_map,
-                               word.substr(p, F.lit(l))).isNotNull(),
+                & (fl.bitwiseAND(need) != 0),
                 F.lit(l)).otherwise(ln)
         piece = word.substr(p, ln)
         marked = F.when(p == 1, piece).otherwise(
@@ -122,21 +182,25 @@ def greedy_expr(word: Column, pieces_map: Column,
 def segment_text_wp(text_col: Column | str,
                     pieces: "list[str] | set[str]",
                     k: int = UNIGRAM_MAX_PIECE_LEN,
-                    map_lit_max: int | None = None) -> Column:
+                    map_lit_max: int | None = None,
+                    cont_pieces: "list[str] | set[str] | None" = None
+                    ) -> Column:
     """array<string>: greedy WordPiece encode of a whole document —
     each whitespace word independently (unmatchable words surface as
     ``[UNK]``, so coverage is total by construction; NULL text stays
     NULL). A bare Column ships the piece set as a plan literal only,
     so vocabularies above the gate fail loud here — use
-    `segment_docs_wp` (one-row broadcast map relation) instead."""
-    ps = set(pieces)
-    if len(ps) > _lit_max(map_lit_max):
+    `segment_docs_wp` (one-row broadcast map relation) instead.
+    `cont_pieces` switches to two-set positional membership (released
+    BERT vocab shape — see the module docstring)."""
+    items = _flag_items(pieces, cont_pieces)
+    if len(items) > _lit_max(map_lit_max):
         raise ValueError(
-            f"segment_text_wp: {len(ps)} pieces exceed the "
+            f"segment_text_wp: {len(items)} pieces exceed the "
             f"plan-literal gate ({_lit_max(map_lit_max)}) — use "
             "segment_docs_wp (one-row broadcast map relation)")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return _segment_expr_wp(c, _pieces_map_lit(ps), k)
+    return _segment_expr_wp(c, _pieces_map_lit(pieces, cont_pieces), k)
 
 
 def _segment_expr_wp(c: Column, pmap: Column, k: int) -> Column:
@@ -149,18 +213,22 @@ def segment_docs_wp(docs: DataFrame, pieces: "list[str] | set[str]",
                     text_col: str = "text",
                     k: int = UNIGRAM_MAX_PIECE_LEN,
                     out_col: str = "pieces",
-                    map_lit_max: int | None = None) -> DataFrame:
+                    map_lit_max: int | None = None,
+                    cont_pieces: "list[str] | set[str] | None" = None
+                    ) -> DataFrame:
     """docs + `out_col`: the DataFrame-level greedy encode with the
     piece set's shipping shape GATED on vocabulary size (the unigram
     `segment_docs` rule: plan literal under the gate, one-row
-    attested-broadcast map relation above — identical results)."""
-    ps = set(pieces)
+    attested-broadcast map relation above — identical results).
+    `cont_pieces` switches to two-set positional membership."""
+    items = _flag_items(pieces, cont_pieces)
     c = F.col(text_col)
-    if len(ps) <= _lit_max(map_lit_max):
+    if len(items) <= _lit_max(map_lit_max):
         return docs.withColumn(
-            out_col, _segment_expr_wp(c, _pieces_map_lit(ps), k))
+            out_col,
+            _segment_expr_wp(c, _pieces_map_lit(pieces, cont_pieces), k))
     rel = bounded_broadcast(
-        _pieces_map_rel(docs.sparkSession, ps),
+        _pieces_map_rel(docs.sparkSession, pieces, cont_pieces),
         bound="one-row wordpiece membership map (piece-vocab-bounded)",
         max_rows=1)
     return (docs.crossJoin(rel)
@@ -172,24 +240,27 @@ def word_segmentations_wp(docs: DataFrame,
                           pieces: "list[str] | set[str]",
                           k: int = UNIGRAM_MAX_PIECE_LEN,
                           text_col: str = "text",
-                          map_lit_max: int | None = None) -> DataFrame:
+                          map_lit_max: int | None = None,
+                          cont_pieces: "list[str] | set[str] | None"
+                          = None) -> DataFrame:
     """(word, segs): greedy segmentation of the corpus's DISTINCT
     words — the derived encode ARTIFACT (a lookup table beside the
     vocabulary, the `unigram.word_segmentations` twin); session-cache
     it so repeat encodes pay a word join instead of re-running the
     fold per invocation. Total by construction ([UNK] words included),
     so consumers never see NULL segs."""
-    ps = set(pieces)
+    items = _flag_items(pieces, cont_pieces)
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     distinct = docs.select(F.explode(words).alias("word")).distinct()
-    if len(ps) <= _lit_max(map_lit_max):
-        seg = greedy_expr(F.col("word"), _pieces_map_lit(ps), k)
+    if len(items) <= _lit_max(map_lit_max):
+        seg = greedy_expr(F.col("word"),
+                          _pieces_map_lit(pieces, cont_pieces), k)
         src = distinct
     else:
         src = distinct.crossJoin(
             bounded_broadcast(
-                _pieces_map_rel(docs.sparkSession, ps),
+                _pieces_map_rel(docs.sparkSession, pieces, cont_pieces),
                 bound="one-row wordpiece membership map "
                       "(piece-vocab-bounded)",
                 max_rows=1))
@@ -202,7 +273,9 @@ def encode_wordpiece(docs: DataFrame,
                      id_col: str = "doc_id",
                      text_col: str = "text",
                      k: int = UNIGRAM_MAX_PIECE_LEN,
-                     wseg: DataFrame | None = None) -> DataFrame:
+                     wseg: DataFrame | None = None,
+                     cont_pieces: "list[str] | set[str] | None" = None
+                     ) -> DataFrame:
     """(id, pieces, n_pieces): the scale ENCODE path — greedy-segment
     the DISTINCT words once, join back by word (UNhinted: AQE
     broadcasts a small word set, shuffle-joins a web-scale one) and
@@ -219,7 +292,8 @@ def encode_wordpiece(docs: DataFrame,
     pos = docs.select(F.col(id_col),
                       F.posexplode(words).alias("_i", "word"))
     if wseg is None:
-        wseg = word_segmentations_wp(docs, pieces, k, text_col)
+        wseg = word_segmentations_wp(docs, pieces, k, text_col,
+                                     cont_pieces=cont_pieces)
     # LEFT join + the nullness-as-flag aggregation (the encode_unigram
     # pattern): a NULL segs array must never reach flatten — flattening
     # a null inner array inside an aggregate's result projection NPEs
@@ -255,28 +329,71 @@ def encode_wordpiece(docs: DataFrame,
             .withColumn("n_pieces", F.size("pieces")))
 
 
-def wordpiece_vocab(spark, pieces: "list[str] | set[str]") -> DataFrame:
+def wordpiece_vocab(spark, pieces: "list[str] | set[str]",
+                    cont_pieces: "list[str] | set[str] | None" = None
+                    ) -> DataFrame:
     """(token, token_id): the BERT vocab surface for a piece set —
     ``[UNK]`` at id 0 (the convention), then every word-initial form,
     then every ``##``-continuation form, each block in deterministic
     token order, so rebuilding from the same piece set yields
     byte-identical ids (the `bpe.vocab_from_merges` /
     `unigram.unigram_vocab` reproducibility contract). Every surface
-    `greedy_expr` can emit is in this vocabulary, so wp encode-to-ids
-    is TOTAL — unk lives in the id space, not as a missing key."""
-    toks = sorted(set(pieces))
+    `greedy_expr` can emit under the SAME (pieces, cont_pieces) is in
+    this vocabulary, so wp encode-to-ids is TOTAL — unk lives in the
+    id space, not as a missing key. With two sets, only word-initial
+    pieces get bare rows and only continuation pieces get ``##`` rows
+    (the released vocab.txt shape); raw ``##``-prefixed pieces are
+    rejected loud (`_flag_items`), which keeps token surfaces
+    injective."""
+    flags = dict(_flag_items(pieces, cont_pieces))
+    init = sorted(p for p, fl in flags.items() if fl & WP_INITIAL)
+    cont = sorted(p for p, fl in flags.items() if fl & WP_CONTINUATION)
     rows = [(WP_UNK, 0)]
-    rows += [(p, i + 1) for i, p in enumerate(toks)]
-    rows += [(WP_CONT + p, len(toks) + 1 + i)
-             for i, p in enumerate(toks)]
+    rows += [(p, i + 1) for i, p in enumerate(init)]
+    rows += [(WP_CONT + p, len(init) + 1 + i)
+             for i, p in enumerate(cont)]
     return spark.createDataFrame(rows, "token string, token_id int")
+
+
+#: The canonical BERT special tokens a released vocab.txt carries —
+#: control surfaces, not matchable text pieces; `load_bert_vocab`
+#: excludes exactly these (``[UNK]`` re-enters the id space via
+#: `wordpiece_vocab`'s own row 0).
+BERT_SPECIALS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
+
+def load_bert_vocab(tokens: "list[str]"
+                    ) -> "tuple[set[str], set[str]]":
+    """(initial_pieces, cont_pieces) from a released BERT-style
+    vocab.txt token list (one token per line, ``##``-prefixed =
+    continuation) — the practitioner entry for running this encoder
+    against a deployed vocabulary (VERDICT r14 #3: initial and
+    continuation sets genuinely DIFFER in released vocabularies, and
+    a single-set encode diverges from HuggingFace's on words whose
+    continuation piece is not also word-initial). The five canonical
+    specials are excluded (`BERT_SPECIALS`); pass the returned pair
+    straight to any entry point's (pieces, cont_pieces)."""
+    init: set[str] = set()
+    cont: set[str] = set()
+    for t in tokens:
+        t = t.rstrip("\n")
+        if not t or t in BERT_SPECIALS:
+            continue
+        if t.startswith(WP_CONT):
+            if len(t) > len(WP_CONT):
+                cont.add(t[len(WP_CONT):])
+        else:
+            init.add(t)
+    return init, cont
 
 
 def encode_ids_wp(docs: DataFrame, pieces: "list[str] | set[str]",
                   vocab: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   k: int = UNIGRAM_MAX_PIECE_LEN,
-                  map_lit_max: int | None = None) -> DataFrame:
+                  map_lit_max: int | None = None,
+                  cont_pieces: "list[str] | set[str] | None" = None
+                  ) -> DataFrame:
     """(id, token_ids, n_ids): greedy WordPiece encode straight to
     vocabulary ids — the `bpe.encode_ids` / `unigram.encode_ids`
     family shape (one-row broadcast vocab map, row-local element_at
@@ -294,7 +411,8 @@ def encode_ids_wp(docs: DataFrame, pieces: "list[str] | set[str]",
                 F.collect_list(F.struct("token", "token_id")))
                 .alias("_vmap")))
     segged = segment_docs_wp(docs, pieces, text_col, k,
-                             out_col="_wps", map_lit_max=map_lit_max)
+                             out_col="_wps", map_lit_max=map_lit_max,
+                             cont_pieces=cont_pieces)
     ids = F.transform(
         F.col("_wps"),
         lambda s: F.element_at(F.col("_vmap"), s))
@@ -332,27 +450,33 @@ def decode_ids_wp(encoded: DataFrame, vocab: DataFrame,
 # --------------------------------------------------------------------------
 
 def greedy_cte(tag: str, pieces_cte: str, words_cte: str, k: int,
-               max_word_len: int, unk: str = WP_UNK) -> str:
+               max_word_len: int, unk: str = WP_UNK,
+               flags_sql: str = "3") -> str:
     """One greedy maximal-munch pass over `{words_cte}(word)` as an
     UNROLLED chain of per-position CTEs; `{pieces_cte}(piece)` is the
-    vocabulary. State per word: (pos, segs, bad); position t only
-    acts when t == pos — each consumed position exactly once, the
-    engine fold's exact rule. Words longer than the unroll FAIL LOUD
-    in `{tag}_f` (the fail-loud `_viterbi_cte` contract)."""
+    vocabulary and `flags_sql` an expression over its columns giving
+    each piece's positional flags (1 = word-initial, 2 =
+    continuation; the default literal 3 is the single-set
+    position-independent form — the engine's `_flag_items` encoding).
+    State per word: (pos, segs, bad); position t only acts when
+    t == pos — each consumed position exactly once, the engine fold's
+    exact rule. Words longer than the unroll FAIL LOUD in `{tag}_f`
+    (the fail-loud `_viterbi_cte` contract)."""
     parts = [f"""
     {tag}_m AS MATERIALIZED (
       SELECT MAP(list(piece ORDER BY piece),
-                 list(1 ORDER BY piece)) AS m
+                 list(({flags_sql})::INT ORDER BY piece)) AS m
       FROM {pieces_cte}),
     {tag}0 AS (
       SELECT word, 1 AS pos, []::VARCHAR[] AS segs, FALSE AS bad
       FROM {words_cte})"""]
     for t in range(1, max_word_len + 1):
         ls = list(range(min(k, max_word_len - t + 1), 0, -1))
+        need = "(CASE WHEN pos = 1 THEN 1 ELSE 2 END)"
         ln = ("CASE " + " ".join(
             f"WHEN pos + {l} - 1 <= length(word) AND "
-            f"list_extract(map_extract(gm.m, "
-            f"substr(word, pos, {l})), 1) IS NOT NULL THEN {l}"
+            f"(COALESCE(list_extract(map_extract(gm.m, "
+            f"substr(word, pos, {l})), 1), 0) & {need}) != 0 THEN {l}"
             for l in ls) + " END")
         parts.append(f"""
     {tag}{t} AS (

@@ -249,3 +249,150 @@ def test_wp_property_sweep(spark, texts, vocab):
     joined = {r["doc_id"]: r["pieces"] for r in
               wp.encode_wordpiece(docs, vocab, k=3).collect()}
     assert joined == got
+
+
+# ---------------------------------------------------------------------------
+# Two-set (initial vs ##-continuation) vocabularies — VERDICT r14 #3:
+# released BERT vocab.txt files carry DIFFERENT sets per position.
+# ---------------------------------------------------------------------------
+
+def py_greedy2(word: str, init: set, cont: set, k: int):
+    """The released-BERT rule: position 0 matches against the
+    word-initial set, later positions against the continuation set."""
+    out, pos = [], 0
+    while pos < len(word):
+        ps = init if pos == 0 else cont
+        for l in range(min(k, len(word) - pos), 0, -1):
+            piece = word[pos:pos + l]
+            if piece in ps:
+                out.append(piece if pos == 0 else "##" + piece)
+                pos += l
+                break
+        else:
+            return [wp.WP_UNK]
+    return out
+
+
+INIT2 = {"un", "affable", "aff", "a"}
+CONT2 = {"able", "ff", "a"}
+
+
+def test_two_set_membership_changes_the_encode(spark):
+    """Planted vocab where initial != continuation membership changes
+    the result — pinned against the hand-computed BERT rule. The
+    single-set union encodes 'unaffable' differently ('##aff' is
+    union-legal but NOT in the released continuation set), which is
+    exactly the HuggingFace divergence the two-set form closes."""
+    docs = spark.createDataFrame(
+        [(1, "unaffable"), (2, "able"), (3, "affable a")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id", wp.segment_text_wp("text", INIT2, 7,
+                                     cont_pieces=CONT2).alias("p"))
+        .collect()}
+    # hand-computed under the BERT rule:
+    assert got[1] == ["un", "##a", "##ff", "##able"]
+    # 'able' is continuation-only: word-initially it dies mid-word
+    assert got[2] == ["[UNK]"]
+    assert got[3] == ["affable", "a"]
+    for d, t in [(1, "unaffable"), (2, "able"), (3, "affable a")]:
+        want = [p for w in t.split() for p in py_greedy2(w, INIT2,
+                                                         CONT2, 7)]
+        assert got[d] == want
+    # and the union single-set form genuinely differs on both words
+    uni = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id", wp.segment_text_wp("text", INIT2 | CONT2, 7)
+        .alias("p")).collect()}
+    assert uni[1] == ["un", "##affable"] != got[1]
+    assert uni[2] == ["able"] != got[2]
+    # the word-grain join-back encoder carries the same semantics
+    joined = {r["doc_id"]: r["pieces"] for r in
+              wp.encode_wordpiece(docs, INIT2, k=7,
+                                  cont_pieces=CONT2).collect()}
+    assert joined == got
+    # and the large-vocab one-row-map relation shape is identical
+    rel = {r["doc_id"]: r["p"] for r in
+           wp.segment_docs_wp(docs, INIT2, k=7, out_col="p",
+                              map_lit_max=2,
+                              cont_pieces=CONT2).collect()}
+    assert rel == got
+
+
+def test_two_set_duckdb_parity(spark):
+    """The oracle CTE replays positional membership through the flags
+    column (1 = initial, 2 = continuation, 3 = both)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    words = [("unaffable",), ("able",), ("affable",), ("aa",),
+             ("ffa",), ("zq",)]
+    df = spark.createDataFrame(words, "word string")
+    eng = {r["word"]: r["segs"] for r in df.select(
+        "word", wp.greedy_expr(F.col("word"),
+                               wp._pieces_map_lit(INIT2, CONT2), 7)
+        .alias("segs")).collect()}
+    con = duckdb.connect()
+    con.register("wpw", pd.DataFrame([w for (w,) in words],
+                                     columns=["word"]))
+    con.register("pcs", pd.DataFrame(wp._flag_items(INIT2, CONT2),
+                                     columns=["piece", "fl"]))
+    sql = ("WITH " + wp.greedy_cte("g2", "pcs", "wpw", 7, 9,
+                                   flags_sql="fl")
+           + " SELECT word, segs FROM g2_f")
+    got = {w: s for w, s in con.execute(sql).fetchall()}
+    assert got == eng
+    for (w,) in words:
+        assert eng[w] == py_greedy2(w, INIT2, CONT2, 7), w
+
+
+def test_load_bert_vocab_and_two_set_id_space(spark):
+    """vocab.txt round-trip: the released shape (bare = initial,
+    ##-prefixed = continuation, specials excluded) loads into the two
+    sets, encodes under the BERT rule, and the two-set id space keeps
+    bare rows ONLY for initial pieces and ## rows ONLY for
+    continuation pieces — with decode(encode) exact on covered text."""
+    vocab_txt = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "un", "affable", "aff", "a", "##able", "##ff", "##a"]
+    init, cont = wp.load_bert_vocab(vocab_txt)
+    assert init == INIT2 and cont == CONT2
+    vocab = wp.wordpiece_vocab(spark, init, cont)
+    rows = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert rows[wp.WP_UNK] == 0
+    # bare block = initial set only; ## block = continuation set only
+    bare = {t for t in rows if not t.startswith(wp.WP_CONT)
+            and t != wp.WP_UNK}
+    marked = {t[len(wp.WP_CONT):] for t in rows
+              if t.startswith(wp.WP_CONT)}
+    assert bare == INIT2 and marked == CONT2
+    assert len(rows) == len(INIT2) + len(CONT2) + 1   # injective
+    docs = spark.createDataFrame(
+        [(1, "unaffable affable"), (2, "able")],
+        "doc_id long, text string")
+    ids = {r["doc_id"]: r["token_ids"] for r in
+           wp.encode_ids_wp(docs, init, vocab,
+                            cont_pieces=cont).collect()}
+    assert None not in {i for v in ids.values() for i in v}  # total
+    deco = {r["doc_id"]: r["detok"] for r in wp.decode_ids_wp(
+        spark.createDataFrame([(k, v) for k, v in ids.items()],
+                              "doc_id long, token_ids array<int>"),
+        vocab).collect()}
+    assert deco[1] == "unaffableaffable"       # covered: exact
+    assert deco[2] == wp.WP_UNK                # lossy-unk contract
+
+
+def test_raw_hash_prefixed_piece_rejected_everywhere(spark):
+    """ADVICE r14 #3: a trained piece literally starting with '##'
+    would collide with the continuation surface of its suffix piece
+    (duplicate vocab tokens, broken round-trip) — every entry point
+    fails loud instead."""
+    bad = {"ma", "##t", "a"}
+    with pytest.raises(ValueError, match="##"):
+        wp.segment_text_wp("text", bad, 3)
+    docs = spark.createDataFrame([(1, "mat")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="##"):
+        wp.segment_docs_wp(docs, bad)
+    with pytest.raises(ValueError, match="##"):
+        wp.word_segmentations_wp(docs, bad)
+    with pytest.raises(ValueError, match="##"):
+        wp.wordpiece_vocab(spark, {"ok"}, bad)
+    with pytest.raises(ValueError, match="##"):
+        wp.encode_wordpiece(docs, bad)
