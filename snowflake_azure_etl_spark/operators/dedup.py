@@ -440,30 +440,75 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     reassembly against DuckDB at a frequent-token grain (the synthetic
     corpus has no newline structure); planted multi-line parity lives
     in tests/test_line_dedup.py."""
+    winners = line_winners(docs, id_col, text_col, sep, min_chars,
+                           _line_key=_line_key)
+    return _scrub_with_winners(docs, winners, id_col, text_col, sep,
+                               min_chars, _line_key=_line_key)
+
+
+def line_winners(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", sep: str = "\n",
+                 min_chars: int = 1, _line_key=None) -> DataFrame:
+    """(_h, _w{d, i, t}): the (doc, position)-minimal occurrence per
+    distinct dedupable line — `line_dedup`'s winner INDEX stage,
+    exposed because it is also the streaming sink's persisted
+    artifact. MIN over the (d, i, t) struct is associative and
+    commutative, so per-epoch partial winners min-merge
+    (`rollup_line_winners`) into EXACTLY the batch winners regardless
+    of arrival order — the maintenance law the streaming twin rides."""
     key = _line_key if _line_key is not None else F.md5
+    lines = _exploded_lines(docs, id_col, text_col, sep)
+    # one winner per distinct line: the struct min orders by doc then
+    # position (then text, relevant only under a planted collision) —
+    # deterministic, rerun-stable
+    return (lines.filter(F.length("_ln") >= min_chars)
+            .groupBy(key(F.col("_ln")).alias("_h"))
+            .agg(F.min(F.struct(F.col("_id").alias("d"),
+                                F.col("_i").alias("i"),
+                                F.col("_ln").alias("t")))
+                 .alias("_w")))
+
+
+def rollup_line_winners(partials: DataFrame) -> DataFrame:
+    """Min-merge winner partials (any union of `line_winners` outputs,
+    e.g. the streaming sink's per-epoch partitions) back into one
+    winner per line hash — equal to `line_winners` over the
+    concatenated corpus EXACTLY (struct-min associativity)."""
+    return partials.groupBy("_h").agg(F.min("_w").alias("_w"))
+
+
+def _exploded_lines(docs: DataFrame, id_col: str, text_col: str,
+                    sep: str) -> DataFrame:
     # literal-separator split: java.util.regex \Q...\E quoting, so a
     # sep like ". " (regex metachars) splits on the literal string the
     # reassembly array_join will re-insert
     sep_re = "\\Q" + sep + "\\E"
-    lines = docs.select(
+    return docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("_i", "_ln"))
+
+
+def _scrub_with_winners(docs: DataFrame, winners: DataFrame,
+                        id_col: str, text_col: str, sep: str,
+                        min_chars: int, _line_key=None) -> DataFrame:
+    """Apply a winner index to `docs`: drop every dedupable line
+    occurrence that is not its winner, reassemble in line order —
+    `line_dedup`'s scrub stage, shared with the streaming sink (where
+    `winners` is the rolled-up persisted index)."""
+    key = _line_key if _line_key is not None else F.md5
+    sep_re = "\\Q" + sep + "\\E"
+    lines = _exploded_lines(docs, id_col, text_col, sep)
     dedupable = F.length("_ln") >= min_chars
-    # one winner per distinct line: the struct min orders by doc then
-    # position (then text, relevant only under a planted collision) —
-    # deterministic, rerun-stable
-    winners = (lines.filter(dedupable)
-               .groupBy(key(F.col("_ln")).alias("_h"))
-               .agg(F.min(F.struct(F.col("_id").alias("d"),
-                                   F.col("_i").alias("i"),
-                                   F.col("_ln").alias("t")))
-                    .alias("_w")))
     keep = (lines
             .join(winners, key(F.col("_ln")) == F.col("_h"), "left")
             .filter(~dedupable
                     # a key collision pairs this line with ANOTHER
                     # line's winner: text inequality proves it was
-                    # never deduplicated against — it survives
+                    # never deduplicated against — it survives. A
+                    # missing index entry (streaming: line first seen
+                    # this epoch is always present; NULL only under a
+                    # caller-supplied partial index) keeps the line.
+                    | F.col("_w").isNull()
                     | (F.col("_w.t") != F.col("_ln"))
                     | ((F.col("_w.d") == F.col("_id"))
                        & (F.col("_w.i") == F.col("_i")))))

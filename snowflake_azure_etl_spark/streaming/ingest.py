@@ -465,6 +465,61 @@ def rollup_gram_counts(spark: SparkSession, table: str,
             .agg(F.sum("c").cast("long").alias("c")))
 
 
+def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = "\n", min_chars: int = 1):
+    """Corpus-wide LINE/PARAGRAPH dedup at the door (VERDICT r14 next
+    #4 — the batch `operators.dedup.line_dedup`'s ingest twin,
+    completing the dedup family's streaming set beside exact/near-dup/
+    substr/decontam). Two artifacts per micro-batch, both idempotent
+    epoch partitions:
+
+    - `winner_table`: the batch's line-winner PARTIAL
+      (`dedup.line_winners` — one (hash, (doc, pos, text)-min) row per
+      distinct dedupable line). Struct-min is associative and
+      commutative, so `dedup.rollup_line_winners` over all partials
+      equals the batch winner index of the concatenated stream
+      EXACTLY, in any arrival order — the family's maintenance law;
+      re-scrubbing any corpus against the rolled index reproduces the
+      batch operator (pinned in tests).
+    - `scrubbed_table`: the batch's documents scrubbed against the
+      index AS OF this epoch (prior partials ∪ this batch) — the
+      arrival-time discipline: a later epoch carrying a smaller
+      (doc, position) occurrence does not retro-scrub already-landed
+      documents (the exact-dedup stream's first-arrival contract).
+      When documents arrive in ascending (doc, position) order the
+      online output equals the batch operator row-for-row (pinned).
+
+    Scale: each epoch pays one winner aggregate over its own lines
+    plus one scrub join against the rolled index — distinct-line-
+    bounded (Heaps-bounded for boilerplate, like the LM count
+    rollups); no corpus-sized broadcast, no window. The epoch filter
+    on the index read keeps a REPLAYED epoch deterministic even
+    beside later-epoch partitions (partition pruning makes it
+    epoch-bounded)."""
+    from ..operators.dedup import (_scrub_with_winners, line_winners,
+                                   rollup_line_winners)
+    from .sinks import EPOCH_COL, idempotent_epoch_sink
+
+    write_win = idempotent_epoch_sink(winner_table)
+    write_scrub = idempotent_epoch_sink(scrubbed_table)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        write_win(line_winners(batch_df, id_col, text_col, sep,
+                               min_chars), epoch_id)
+        idx = rollup_line_winners(
+            spark.table(winner_table)
+            .filter(F.col(EPOCH_COL) <= int(epoch_id))
+            .drop(EPOCH_COL))
+        write_scrub(_scrub_with_winners(batch_df, idx, id_col,
+                                        text_col, sep, min_chars),
+                    epoch_id)
+
+    return write
+
+
 def scored_ingest(stream: DataFrame, weights: list[float],
                   feature_cols, threshold: float | None = 0.5,
                   out_col: str = "clf_score") -> DataFrame:
