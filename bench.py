@@ -172,6 +172,17 @@ def main() -> None:
     retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET",
                                         "900"))
     from snowflake_azure_etl_spark.operators._cache import clear_cache
+
+    # floor-refresh rule (VERDICT r14 next #5): a query whose CATALOG
+    # DEFINITION changed (new leg, re-priced plan) must not keep its
+    # pre-change floor entry — it would read as permanent pseudo-noise
+    # (q58's wp_seg leg did exactly that in r14). Fingerprint every
+    # query's definition (oracle SQL + engine source) and drop the
+    # floor entries of any query whose fingerprint moved; the next
+    # quiet run re-seeds them. First-ever fingerprints seed without
+    # dropping anything.
+    _refresh_floor_fps(_catalog_fingerprints(QUERIES))
+
     t_bench = time.perf_counter()
     attempts: list[dict] = []
     for _att in range(max(1, max_attempts)):
@@ -293,6 +304,65 @@ def _steady_floor(sf: float | None) -> dict | None:
         return m if isinstance(m, dict) and m else None
     except (OSError, json.JSONDecodeError):
         return None
+
+
+#: BENCH_STEADY.json key carrying per-query definition fingerprints
+#: (sibling of the per-sf floor maps; never a valid str(sf)).
+FP_KEY = "_fp"
+
+
+def _catalog_fingerprints(queries) -> "dict[str, str]":
+    """{query name: md5 of its DEFINITION} — oracle SQL plus the
+    engine function's source, so both a new oracle leg and an
+    engine-side re-pricing move the fingerprint. Source extraction is
+    best-effort (oracle-only when unavailable): a conservative
+    fingerprint that drops one floor entry too many merely re-seeds
+    it on the next quiet run."""
+    import hashlib
+    import inspect
+
+    fps = {}
+    for name in sorted(queries):
+        q = queries[name]
+        basis = getattr(q, "oracle", "") or ""
+        try:
+            basis += inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            pass
+        fps[name] = hashlib.md5(basis.encode()).hexdigest()[:16]
+    return fps
+
+
+def _refresh_floor_fps(fps: "dict[str, str]") -> None:
+    """Compare the catalog fingerprints with the stored ones and DROP
+    every changed query's floor entry from every sf map (min-ratchet
+    floors cannot re-price upward on their own — see _steady_floor);
+    store the new fingerprints. Queries seen for the first time seed
+    their fingerprint without dropping (their floor, if any, predates
+    fingerprinting and is refreshed only when the definition next
+    moves — one curated deletion covers the transition)."""
+    try:
+        with open(_steady_path()) as fh:
+            d = json.load(fh)
+        if not isinstance(d, dict):
+            d = {}
+    except (OSError, json.JSONDecodeError):
+        d = {}
+    stored = d.get(FP_KEY)
+    if not isinstance(stored, dict):
+        stored = {}
+    changed = [q for q in fps if q in stored and stored[q] != fps[q]]
+    for sf_key, m in d.items():
+        if sf_key == FP_KEY or not isinstance(m, dict):
+            continue
+        for q in changed:
+            m.pop(q, None)
+    d[FP_KEY] = {**stored, **fps}
+    try:
+        with open(_steady_path(), "w") as fh:
+            json.dump(d, fh, indent=0, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: floors stay as committed
 
 
 def _steady_update(sf: float | None, attempt_maps: "list[dict]") -> None:
