@@ -389,24 +389,41 @@ def wordpiece_ingest_sink(pieces_table: str, seg_table: str, *,
     `k` defaults to the longest persisted piece (the unigram sink's
     derivation rule, same drift pin); the encode routes through
     `segment_docs_wp`, so a production-scale vocabulary ships as a
-    one-row broadcast map, never plan literals. Stateless across
+    one-row broadcast map, never plan literals. A piece table carrying
+    a `fl` flags column (the `wordpiece._flag_items` encoding: 1 =
+    word-initial, 2 = continuation, 3 = both — e.g. a released BERT
+    vocab landed via `load_bert_vocab`) streams with TWO-SET
+    positional membership (r15); without the column, membership is
+    position-independent (the trained-family form). Stateless across
     batches with the table fixed — stream == batch over the
     concatenated stream (pinned in tests/test_streaming_ingest.py)."""
-    from ..operators.wordpiece import segment_docs_wp
+    from ..operators.wordpiece import (WP_CONTINUATION, WP_INITIAL,
+                                       segment_docs_wp)
     from .sinks import idempotent_epoch_sink
 
     write_seg = idempotent_epoch_sink(seg_table)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        pieces = [r["piece"] for r in
-                  spark.table(pieces_table).select("piece").collect()]
-        if not pieces:
+        tbl = spark.table(pieces_table)
+        if "fl" in tbl.columns:
+            rows = tbl.select("piece", "fl").collect()
+            pieces = {r["piece"] for r in rows
+                      if r["fl"] & WP_INITIAL}
+            cont = {r["piece"] for r in rows
+                    if r["fl"] & WP_CONTINUATION}
+            all_pieces = {r["piece"] for r in rows}
+        else:
+            rows = tbl.select("piece").collect()
+            pieces = all_pieces = {r["piece"] for r in rows}
+            cont = None
+        if not all_pieces:
             raise ValueError(
                 f"wordpiece_ingest_sink: piece table {pieces_table} "
                 "is empty — land a vocabulary before streaming")
-        eff_k = k if k is not None else max(len(p) for p in pieces)
-        out = (segment_docs_wp(batch_df, pieces, text_col, eff_k)
+        eff_k = k if k is not None else max(len(p) for p in all_pieces)
+        out = (segment_docs_wp(batch_df, pieces, text_col, eff_k,
+                               cont_pieces=cont)
                .withColumn("n_pieces", F.size("pieces")))
         write_seg(out, epoch_id)
 

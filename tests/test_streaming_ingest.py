@@ -899,3 +899,45 @@ def test_line_dedup_ingest_matches_batch(spark):
             } == online
     assert (spark.table(win_t).select(EPOCH_COL).distinct().count()
             == n_epochs)
+
+
+def test_wordpiece_ingest_two_set_flags_table(spark):
+    """r15: a persisted piece table carrying the `fl` flags column
+    (the released-BERT two-set shape, e.g. load_bert_vocab landed as
+    rows) streams with POSITIONAL membership — the sink's output
+    equals the batch two-set encode, and genuinely differs from the
+    position-independent read of the same piece strings."""
+    from snowflake_azure_etl_spark.operators import wordpiece as wp
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    init, cont = wp.load_bert_vocab(
+        ["[PAD]", "[UNK]", "un", "affable", "aff", "a",
+         "##able", "##ff", "##a"])
+    docs = spark.createDataFrame(
+        [(1, "unaffable able"), (2, "affable zq")],
+        "doc_id long, text string")
+    db = "wp2_stream_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    spark.createDataFrame(wp._flag_items(init, cont),
+                          "piece string, fl int") \
+         .write.saveAsTable(f"{db}.pieces")
+    sink = ingest.wordpiece_ingest_sink(f"{db}.pieces", f"{db}.seg")
+    sink(docs, 0)
+    got = {r["doc_id"]: r["pieces"]
+           for r in spark.table(f"{db}.seg").collect()}
+    want = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id", wp.segment_text_wp("text", init, 7,
+                                     cont_pieces=cont).alias("p"))
+        .collect()}
+    assert got == want
+    assert got[1] == ["un", "##a", "##ff", "##able", wp.WP_UNK]
+    assert got[2] == ["affable", wp.WP_UNK]
+    # the single-set union over the same strings would read 'able'
+    flat = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id",
+        wp.segment_text_wp("text", init | cont, 7).alias("p"))
+        .collect()}
+    assert flat[1] != got[1]
