@@ -405,7 +405,8 @@ def exact_jaccard(df: DataFrame, candidates: DataFrame, id_col: str,
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", sep: str = "\n",
-               min_chars: int = 1, _line_key=None) -> DataFrame:
+               min_chars: int = 1, _line_key=None,
+               winners: DataFrame | None = None) -> DataFrame:
     """(id, text, n_lines, n_lines_kept): corpus-wide LINE/PARAGRAPH
     deduplication — CCNet's paragraph-grain dedup (Wenzek et al. 2019
     §3: boilerplate headers, cookie banners, navigation chrome repeat
@@ -440,8 +441,13 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     reassembly against DuckDB at a frequent-token grain (the synthetic
     corpus has no newline structure); planted multi-line parity lives
     in tests/test_line_dedup.py."""
-    winners = line_winners(docs, id_col, text_col, sep, min_chars,
-                           _line_key=_line_key)
+    if winners is None:
+        winners = line_winners(docs, id_col, text_col, sep, min_chars,
+                               _line_key=_line_key)
+    # else: a caller-supplied winner INDEX (the `encode_wordpiece
+    # wseg=` artifact pattern — session-cache `line_winners` once per
+    # corpus version and repeat scrubs pay only the join-back; also
+    # the streaming rollup's re-scrub path)
     return _scrub_with_winners(docs, winners, id_col, text_col, sep,
                                min_chars, _line_key=_line_key)
 
