@@ -396,3 +396,32 @@ def test_raw_hash_prefixed_piece_rejected_everywhere(spark):
         wp.wordpiece_vocab(spark, {"ok"}, bad)
     with pytest.raises(ValueError, match="##"):
         wp.encode_wordpiece(docs, bad)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_strategy, min_size=1, max_size=3),
+       init=st.sets(st.sampled_from(
+           ["a", "b", "c", "ab", "ba", "bb", "aba", "bab"]),
+           min_size=1, max_size=6),
+       cont=st.sets(st.sampled_from(
+           ["a", "b", "c", "ab", "ba", "bb", "aba", "bab"]),
+           min_size=1, max_size=6))
+def test_wp_two_set_property_sweep(spark, texts, init, cont):
+    """Engine == the two-set Python reference over random corpora and
+    random INDEPENDENT initial/continuation sets (membership
+    asymmetries in both directions, [UNK] paths included)."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id", wp.segment_text_wp("text", init, 3,
+                                     cont_pieces=cont).alias("p"))
+        .collect()}
+    for d, t in rows:
+        want = [p for w in t.split(" ") if w
+                for p in py_greedy2(w, init, cont, 3)]
+        assert got[d] == want, (d, t, sorted(init), sorted(cont))
+    joined = {r["doc_id"]: r["pieces"] for r in
+              wp.encode_wordpiece(docs, init, k=3,
+                                  cont_pieces=cont).collect()}
+    assert joined == got
