@@ -448,7 +448,7 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     # wseg=` artifact pattern — session-cache `line_winners` once per
     # corpus version and repeat scrubs pay only the join-back; also
     # the streaming rollup's re-scrub path)
-    return _scrub_with_winners(docs, winners, id_col, text_col, sep,
+    return scrub_with_line_winners(docs, winners, id_col, text_col, sep,
                                min_chars, _line_key=_line_key)
 
 
@@ -494,7 +494,7 @@ def _exploded_lines(docs: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("_i", "_ln"))
 
 
-def _scrub_with_winners(docs: DataFrame, winners: DataFrame,
+def scrub_with_line_winners(docs: DataFrame, winners: DataFrame,
                         id_col: str, text_col: str, sep: str,
                         min_chars: int, _line_key=None) -> DataFrame:
     """Apply a winner index to `docs`: drop every dedupable line

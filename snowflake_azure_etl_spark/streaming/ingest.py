@@ -515,8 +515,8 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
     on the index read keeps a REPLAYED epoch deterministic even
     beside later-epoch partitions (partition pruning makes it
     epoch-bounded)."""
-    from ..operators.dedup import (_scrub_with_winners, line_winners,
-                                   rollup_line_winners)
+    from ..operators.dedup import (line_winners, rollup_line_winners,
+                                   scrub_with_line_winners)
     from .sinks import EPOCH_COL, idempotent_epoch_sink
 
     write_win = idempotent_epoch_sink(winner_table)
@@ -530,7 +530,7 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
             spark.table(winner_table)
             .filter(F.col(EPOCH_COL) <= int(epoch_id))
             .drop(EPOCH_COL))
-        write_scrub(_scrub_with_winners(batch_df, idx, id_col,
+        write_scrub(scrub_with_line_winners(batch_df, idx, id_col,
                                         text_col, sep, min_chars),
                     epoch_id)
 

@@ -877,7 +877,7 @@ def test_line_dedup_ingest_matches_batch(spark):
                 for r in dedup.line_winners(whole).collect()}
     assert got_idx == want_idx
     rescrub = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
-               for r in dedup._scrub_with_winners(
+               for r in dedup.scrub_with_line_winners(
                    whole, idx, "doc_id", "text", "\n", 1).collect()}
     assert rescrub == want
 
