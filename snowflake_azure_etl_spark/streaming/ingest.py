@@ -509,12 +509,16 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
       online output equals the batch operator row-for-row (pinned).
 
     Scale: each epoch pays one winner aggregate over its own lines
-    plus one scrub join against the rolled index — distinct-line-
-    bounded (Heaps-bounded for boilerplate, like the LM count
-    rollups); no corpus-sized broadcast, no window. The epoch filter
-    on the index read keeps a REPLAYED epoch deterministic even
-    beside later-epoch partitions (partition pruning makes it
-    epoch-bounded)."""
+    plus one scrub join against the index NARROWED to the batch's own
+    line hashes (a semi-join on the just-written partial — the
+    rollup's min-merge shuffle is therefore BATCH-bounded, not
+    index-sized, so per-epoch cost does not grow with stream
+    lifetime; the index-table scan itself is the remaining
+    per-epoch read — bucket the winner table by `_h` at production
+    scale to prune it). No corpus-sized broadcast, no window. The
+    epoch filter on the index read keeps a REPLAYED epoch
+    deterministic even beside later-epoch partitions (partition
+    pruning makes it epoch-bounded)."""
     from ..operators.dedup import (line_winners, rollup_line_winners,
                                    scrub_with_line_winners)
     from .sinks import EPOCH_COL, idempotent_epoch_sink
@@ -524,14 +528,20 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        write_win(line_winners(batch_df, id_col, text_col, sep,
-                               min_chars), epoch_id)
+        part = line_winners(batch_df, id_col, text_col, sep,
+                            min_chars)
+        write_win(part, epoch_id)
+        # index as of this epoch, narrowed to hashes the batch can
+        # touch (every dedupable batch line is in `part` — just
+        # written); unhinted semi-join: AQE broadcasts a small batch
+        # side, shuffle-joins a huge one
         idx = rollup_line_winners(
             spark.table(winner_table)
             .filter(F.col(EPOCH_COL) <= int(epoch_id))
-            .drop(EPOCH_COL))
+            .drop(EPOCH_COL)
+            .join(part.select("_h"), "_h", "semi"))
         write_scrub(scrub_with_line_winners(batch_df, idx, id_col,
-                                        text_col, sep, min_chars),
+                                            text_col, sep, min_chars),
                     epoch_id)
 
     return write
