@@ -2,9 +2,10 @@
 line_dedup): Python-reference parity over planted multi-line docs,
 DuckDB oracle parity of the whole keep-then-reassemble plan, the
 first-occurrence (doc, position) keep rule, short-line passthrough,
-and the NULL/empty/all-boilerplate contracts. The catalog carries no
-leg — the synthetic corpus is single-line — so this module IS the
-operator's coverage."""
+and the NULL/empty/all-boilerplate contracts. q50 carries the
+catalog leg (frequent-token grain — the synthetic corpus is
+single-line); this module owns the multi-line, collision, and
+literal-separator coverage."""
 
 from __future__ import annotations
 
@@ -176,3 +177,18 @@ def test_line_dedup_min_chars_gate(spark):
            for r in dedup.line_dedup(docs, min_chars=2).collect()}
     assert got[1] == "x\nlong enough line"
     assert got[2] == "x"                  # the long line deduped away
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=1, max_size=4),
+       sep=st.sampled_from(["\n", ". ", "|", "x", "a.b", "[]"]))
+def test_line_dedup_literal_separator_sweep(spark, texts, sep):
+    """`sep` is LITERAL for both the split and the reassembly — the
+    sweep drives regex metachars (., |, []) through random corpora
+    and pins engine == the plain-Python (str.split) reference."""
+    rows = list(enumerate(t.replace("\n", sep) for t in texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs, sep=sep).collect()}
+    assert got == py_line_dedup(rows, sep=sep)
