@@ -1922,11 +1922,25 @@ _BM25_SCORE_SQL = """
 """
 
 
+#: Planted two-set WordPiece vocabulary for q58's `wp2_seg` leg (r15):
+#: word-initial = a..z + "th"; continuation = a..z MINUS 'y' plus "he"
+#: (the released-BERT asymmetry in miniature). A mid-word 'y' makes the
+#: whole word [UNK] under the positional rule but encodes under the
+#: single-set union — the divergence the leg attests at driver grain.
+import string as _string
+
+_WP2_INIT = frozenset(_string.ascii_lowercase) | {"th"}
+_WP2_CONT = (frozenset(_string.ascii_lowercase) - {"y"}) | {"he"}
+_WP2_VALUES = ", ".join(
+    f"('{p}', {fl})"
+    for p, fl in wp_ops._flag_items(_WP2_INIT, _WP2_CONT))
+
+
 @query(
     "q58_token_vocab",
     covers=("X-TEXT-VOCAB", "X-BPE-TRAIN", "X-TEXT-COOC", "X-BM25",
             "X-BPE-ROUNDTRIP", "X-UNIGRAM-TRAIN", "X-UNIGRAM-SEG",
-            "X-WORDPIECE-SEG"),
+            "X-WORDPIECE-SEG", "X-WORDPIECE-TWOSET"),
     oracle=f"""
     WITH per AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -2022,6 +2036,23 @@ _BM25_SCORE_SQL = """
         LEFT JOIN (
             SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
             FROM udw JOIN uwp_f USING (word)
+            GROUP BY doc_id) u USING (doc_id)),
+    -- two-set WordPiece leg (r15): the SAME subsample greedy-encoded
+    -- against a planted initial/##-continuation pair (released-BERT
+    -- membership asymmetry), the flags column replayed positionally
+    -- by the greedy CTE — driver-grain attestation of the two-set
+    -- rule, beside the trained single-set wp leg
+    wp2_pieces AS (SELECT * FROM (VALUES {_WP2_VALUES}) v(piece, fl)),
+    {wp_ops.greedy_cte("uwp2", "wp2_pieces", "wp_words", 2, 12,
+                       flags_sql="fl")},
+    wp2_doc AS (
+        SELECT dd.doc_id,
+               CASE WHEN dd.text IS NULL THEN NULL
+                    ELSE COALESCE(u.pieces, []::VARCHAR[]) END AS pieces
+        FROM usubd dd
+        LEFT JOIN (
+            SELECT doc_id, flatten(list(segs ORDER BY i)) AS pieces
+            FROM udw JOIN uwp2_f USING (word)
             GROUP BY doc_id) u USING (doc_id))
     SELECT 'vocab' AS leg, token, doc_freq, total_freq,
            CAST(rank AS INT) AS rank
@@ -2068,6 +2099,10 @@ _BM25_SCORE_SQL = """
     SELECT 'wp_seg', substr(md5(array_to_string(pieces, '|')), 1, 16),
            doc_id, CAST(len(pieces) AS BIGINT), CAST(1 AS INT)
     FROM wp_doc
+    UNION ALL
+    SELECT 'wp2_seg', substr(md5(array_to_string(pieces, '|')), 1, 16),
+           doc_id, CAST(len(pieces) AS BIGINT), CAST(1 AS INT)
+    FROM wp2_doc
     """,
     prepared=True)
 def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2247,10 +2282,36 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_pieces").cast("long")
                       .alias("total_freq"),
                       F.lit(1).cast("int").alias("rank")))
+    # tenth leg (r15, X-WORDPIECE-TWOSET): the same subsample encoded
+    # against the PLANTED two-set vocabulary (_WP2_INIT/_WP2_CONT —
+    # the released-BERT membership asymmetry: a mid-word 'y' goes
+    # whole-word [UNK] positionally but encodes under the single-set
+    # union), oracle-replayed through the greedy CTE's flags column.
+    # Word-grain artifact shape like the wp leg: the greedy fold is a
+    # higher-order lambda (no WSCG, no subexpression elimination —
+    # a row-local form measured 2.5 s because BOTH output columns
+    # re-ran the fold), so it runs once per DISTINCT corpus word into
+    # a session-cached lookup and the serve path pays the word
+    # join-back only
+    wp2_wseg = cached_relation(
+        wp_ops.word_segmentations_wp(docs, _WP2_INIT, 2,
+                                     cont_pieces=_WP2_CONT),
+        "wp2_wseg", eager=False)
+    wp2_leg = (wp_ops.encode_wordpiece(sub, _WP2_INIT, k=2,
+                                       wseg=wp2_wseg,
+                                       cont_pieces=_WP2_CONT)
+               .select(F.lit("wp2_seg").alias("leg"),
+                       F.substring(F.md5(F.array_join("pieces", "|")),
+                                   1, 16).alias("token"),
+                       F.col("doc_id").alias("doc_freq"),
+                       F.col("n_pieces").cast("long")
+                       .alias("total_freq"),
+                       F.lit(1).cast("int").alias("rank")))
     return (vocab_leg.unionByName(bm_leg).unionByName(bpe_leg)
             .unionByName(cooc_leg).unionByName(rt_leg)
             .unionByName(uni_piece_leg).unionByName(uni_round_leg)
-            .unionByName(uni_seg_leg).unionByName(wp_leg))
+            .unionByName(uni_seg_leg).unionByName(wp_leg)
+            .unionByName(wp2_leg))
 
 
 @query(
