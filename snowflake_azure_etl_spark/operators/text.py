@@ -342,16 +342,29 @@ def duplicate_line_fraction(text: Column | str) -> Column:
 def top_bigram_mass(text: Column | str) -> Column:
     """Occurrences of the single most frequent word bigram / total
     bigrams — Gopher's top-2-gram fraction (high ⇒ one phrase loops
-    through the document). Row-local: per distinct bigram, count its
-    occurrences with a filter pass (O(d·n) per row, bounded by the
-    doc's own length — no shuffle, no UDF); 0.0 when no bigram
-    exists."""
+    through the document). Row-local: sort the bigram array and fold
+    for the longest equal-adjacent run (O(n log n) per row, bounded by
+    the doc's own length — no shuffle, no UDF); 0.0 when no bigram
+    exists. The longest run of a sorted array IS the max occurrence
+    count, so this equals the per-distinct-bigram counting pass it
+    replaced (r16: that pass was O(d·n) nested interpreted lambdas —
+    higher-order functions don't codegen — and measured 6x slower at
+    ~110 tokens/doc; value-equality pinned by test and by the q57
+    oracle hash)."""
     bg = bigrams(text)
-    counts = F.transform(
-        F.array_distinct(bg),
-        lambda g: F.size(F.filter(bg, lambda x: x == g)))
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(F.array_sort(bg), acc0, _step, lambda a: a["best"])
     return F.when(F.size(bg) < 1, F.lit(0.0)).otherwise(
-        F.array_max(counts).cast("double") / F.size(bg))
+        best.cast("double") / F.size(bg))
 
 
 def rolling_hash(text: Column | str, base: int = ROLLING_BASE,

@@ -372,62 +372,82 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates; the planted every-77th rows catch it). Deletes carry the
     last known values, inserts/updates the new — every op row checked
     against a DuckDB full-outer IS-DISTINCT-FROM mirror."""
+    from ..operators._cache import concurrent_builds
     from ..plans.surrogate import with_surrogate_key
     from ..warehouse.incremental import append_new_members
     from ..warehouse import ddl, scd
 
-    c = load_tables(spark, sf_dir, ("customer",))["customer"]
-    members = c.select(F.col("c_custkey").alias("custkey"))
-    base = with_surrogate_key(members.filter(F.col("custkey") % 10 != 0),
-                              "dim_customer_id", order_by=["custkey"],
-                              offset=1)
     db = "wh_incr"
     ddl.create_database(spark, db)
-    table = f"{db}.dim_customer_incr"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    ddl.drop_orphan_location(spark, table)
-    base.write.mode("overwrite").format("parquet").saveAsTable(table)
-    rep = append_new_members(spark, table, members, "dim_customer_id",
-                             ["custkey"], order_by=["custkey"])
-    if rep.inserted <= 0 or rep.skipped <= 0:
-        raise RuntimeError(
-            "incremental append attestation failed: expected both "
-            f"inserted and skipped rows, got inserted={rep.inserted} "
-            f"skipped={rep.skipped}")
-    append_leg = spark.table(table).select(
-        F.lit("append").alias("leg"),
-        F.col("dim_customer_id").alias("surrogate_id"),
-        F.col("custkey").alias("business_key"),
-        F.lit(None).cast("string").alias("attr"),
-        F.when(F.col("custkey") % 10 == 0, "appended")
-        .otherwise("initial").alias("phase"),
-        F.lit(0).cast("int").alias("valid_from"),
-        F.lit(None).cast("int").alias("valid_to"),
-        F.lit(True).alias("is_current"))
 
+    # The append and SCD2 legs are independent write pipelines into
+    # DIFFERENT tables — each is a chain of driver-blocking actions
+    # (drop, seed write, max-key probe, accounting counts, append
+    # write). Run them as concurrent jobs (guide §2.6 / the q47
+    # concurrent_builds pattern) so one leg's scheduling gaps backfill
+    # with the other's tasks: the query's serve cost is the slower
+    # leg, not the sum (r16; measured ~2.1 s sequential at sf0.1 with
+    # ~0.2 s of executor work — pure action latency).
+    def build_append_leg():
+        c = load_tables(spark, sf_dir, ("customer",))["customer"]
+        members = c.select(F.col("c_custkey").alias("custkey"))
+        base = with_surrogate_key(
+            members.filter(F.col("custkey") % 10 != 0),
+            "dim_customer_id", order_by=["custkey"], offset=1)
+        table = f"{db}.dim_customer_incr"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        ddl.drop_orphan_location(spark, table)
+        base.write.mode("overwrite").format("parquet").saveAsTable(table)
+        rep = append_new_members(spark, table, members, "dim_customer_id",
+                                 ["custkey"], order_by=["custkey"])
+        if rep.inserted <= 0 or rep.skipped <= 0:
+            raise RuntimeError(
+                "incremental append attestation failed: expected both "
+                f"inserted and skipped rows, got inserted={rep.inserted} "
+                f"skipped={rep.skipped}")
+        return spark.table(table).select(
+            F.lit("append").alias("leg"),
+            F.col("dim_customer_id").alias("surrogate_id"),
+            F.col("custkey").alias("business_key"),
+            F.lit(None).cast("string").alias("attr"),
+            F.when(F.col("custkey") % 10 == 0, "appended")
+            .otherwise("initial").alias("phase"),
+            F.lit(0).cast("int").alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(True).alias("is_current"))
+
+    def build_scd2_leg():
+        s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
+        sup = s.select(F.col("s_suppkey").alias("bk"),
+                       (F.col("s_nationkey") % 5).cast("string")
+                       .alias("segment"))
+        state = scd.scd2_seed(sup, key_col="k", business_keys=["bk"])
+        batch = (sup.filter(F.col("bk") % 7 == 0)
+                 .select("bk", F.lit("moved").alias("segment"))
+                 .unionByName(sup.filter(F.col("bk") % 13 == 0)
+                              .select((F.col("bk") + 1000000).alias("bk"),
+                                      F.lit("new").alias("segment"))))
+        merged = scd.scd2_apply(state, batch, key_col="k",
+                                business_keys=["bk"],
+                                tracked_cols=["segment"], batch_id=1)
+        scd_table = f"{db}.dim_supplier_scd2"
+        spark.sql(f"DROP TABLE IF EXISTS {scd_table}")
+        ddl.drop_orphan_location(spark, scd_table)
+        merged.write.mode("overwrite").format("parquet") \
+            .saveAsTable(scd_table)
+        return spark.table(scd_table).select(
+            F.lit("scd2").alias("leg"),
+            F.col("k").alias("surrogate_id"),
+            F.col("bk").alias("business_key"),
+            F.col("segment").alias("attr"),
+            F.when(F.col("is_current"), "current").otherwise("closed")
+            .alias("phase"),
+            "valid_from", "valid_to", "is_current")
+
+    legs = concurrent_builds({"append": build_append_leg,
+                              "scd2": build_scd2_leg})
+    append_leg, scd2_leg = legs["append"], legs["scd2"]
     s = load_tables(spark, sf_dir, ("supplier",))["supplier"]
-    sup = s.select(F.col("s_suppkey").alias("bk"),
-                   (F.col("s_nationkey") % 5).cast("string").alias("segment"))
-    state = scd.scd2_seed(sup, key_col="k", business_keys=["bk"])
-    batch = (sup.filter(F.col("bk") % 7 == 0)
-             .select("bk", F.lit("moved").alias("segment"))
-             .unionByName(sup.filter(F.col("bk") % 13 == 0)
-                          .select((F.col("bk") + 1000000).alias("bk"),
-                                  F.lit("new").alias("segment"))))
-    merged = scd.scd2_apply(state, batch, key_col="k", business_keys=["bk"],
-                            tracked_cols=["segment"], batch_id=1)
-    scd_table = f"{db}.dim_supplier_scd2"
-    spark.sql(f"DROP TABLE IF EXISTS {scd_table}")
-    ddl.drop_orphan_location(spark, scd_table)
-    merged.write.mode("overwrite").format("parquet").saveAsTable(scd_table)
-    scd2_leg = spark.table(scd_table).select(
-        F.lit("scd2").alias("leg"),
-        F.col("k").alias("surrogate_id"),
-        F.col("bk").alias("business_key"),
-        F.col("segment").alias("attr"),
-        F.when(F.col("is_current"), "current").otherwise("closed")
-        .alias("phase"),
-        "valid_from", "valid_to", "is_current")
 
     from ..warehouse import cdc
     old = s.select(

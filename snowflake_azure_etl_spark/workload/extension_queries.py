@@ -1213,7 +1213,13 @@ def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle IS the plain join."""
     from ..plans.layout import salted_join
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
-    big = t["lineitem"].select(
+    # single-row-group stage layout caps the scan (and therefore the
+    # salted map side + partial aggregate) at one task — the same
+    # footer-attested rebalance every other lineitem consumer applies
+    # (r16: the whole 600k-row join+aggregate measured as a 3-task
+    # stage, serializing ~0.9 s of work 32 cores should share)
+    big = rebalance_single_split(
+        spark, t["lineitem"], sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey"),
         (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("_rev"))
     small = t["supplier"].select(
