@@ -610,33 +610,56 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     corpus-sized — the per-query top-k partition would hold nearly
     every document, the exact blow-up the term-prune exists to
     prevent at 100 TB. The filter compares exact integers against one
-    double product, mirrored verbatim in the SQL oracle."""
+    double product, mirrored verbatim in the SQL oracle.
+
+    Plan shape (r16): everything per-document is ROW-LOCAL — the doc
+    length is `size(tokens)` and the query-term occurrences are a
+    row-local array filter — so the corpus is scanned ONCE with no
+    corpus-sized shuffle (the old shape built the full (doc, token, tf)
+    relation, a corpus-wide explode + groupBy, and evaluated it three
+    times inside one plan: qtf, df, dl). The only wide stages are
+    candidate-sized: a groupBy on query-term occurrences and the df
+    count as a window over the candidate relation."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    tf = doc_term_freqs(docs, id_col, text_col)
     terms = sorted({t for q in queries for t in q.split() if t})
-    qtf = tf.filter(F.col("token").isin(*terms))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    toks = tokens(text_col)
+    # row-local per-doc length + query-term matches; docs with NULL
+    # text produce no explode rows in the old shape, so they are
+    # excluded from n/tot here too
+    base = docs.filter(F.col(text_col).isNotNull())
+    lens = (base.select(F.col(id_col), F.size(toks).alias("dl"),
+                        F.filter(toks,
+                                 lambda t: t.isin(*terms)).alias("_qtoks")))
     # lazy persist via the session cache registry (ADVICE r9: a raw
     # .persist() here was invisible to clear_cache, leaking one cached
     # one-row relation per distinct corpus plan in a long sweeping
-    # session): the stats relation feeds BOTH the df cut and the
-    # scoring crossJoin — uncached, each reference re-runs the corpus
-    # aggregate. Keyed on its own plan (which embeds the corpus plan
-    # and the tokenization); k1/b/max_df_ratio don't enter the stats.
+    # session). Keyed on its own plan, which embeds the corpus plan
+    # and the tokenization but NOT the query terms (stats built from
+    # `base`, not `lens` — `_qtoks` would put the term list in the
+    # cache key and every new query set would re-register);
+    # k1/b/max_df_ratio don't enter the stats either.
     from ._cache import cached_relation
     stats = cached_relation(
-        dl.agg(F.count("*").alias("n"), F.sum("dl").alias("tot")),
+        base.select(F.size(toks).alias("dl"))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("tot")),
         "bm25_stats", eager=False)
-    dfreq = (qtf.groupBy("token").agg(F.count("*").alias("df"))
-             .crossJoin(bounded_broadcast(
-                 stats, bound="one-row corpus stats", max_rows=1)
-                 .select("n"))
-             .filter(F.col("df").cast("double")
-                     <= F.lit(float(max_df_ratio))
-                     * F.col("n").cast("double"))
-             .drop("n"))
+    # (doc, token, tf, dl) over query-term occurrences only — the
+    # candidate relation, ≪ corpus by construction; df (docs per
+    # token) is a window count over it, and the stopword-class cut
+    # compares the same exact integers as before
+    cand = (lens.filter(F.size("_qtoks") > 0)
+            .select(id_col, "dl", F.explode("_qtoks").alias("token"))
+            .groupBy(id_col, "dl", "token")
+            .agg(F.count("*").alias("tf"))
+            .crossJoin(bounded_broadcast(
+                stats, bound="one-row corpus stats", max_rows=1))
+            .withColumn("df", F.count("*").over(
+                Window.partitionBy("token")))
+            .filter(F.col("df").cast("double")
+                    <= F.lit(float(max_df_ratio))
+                    * F.col("n").cast("double")))
     qt = (spark.range(1).select(F.explode(F.array(*[
         F.struct(F.lit(q).alias("query"), F.lit(t).alias("token"))
         for q in queries for t in sorted(set(q.split())) if t]))
@@ -655,14 +678,8 @@ def bm25_topk(docs, queries, id_col: str = "doc_id",
     q_t = F.floor((idf * (num / denom)) * F.lit(float(scale))) \
            .cast("long")
 
-    scored = (qtf.join(bounded_broadcast(
+    scored = (cand.join(bounded_broadcast(
                   qt, bound="query-term literals"), "token")
-              .join(bounded_broadcast(
-                  dfreq, bound="df per query token (query-vocab-bounded)"),
-                  "token")
-              .join(dl, id_col)
-              .crossJoin(bounded_broadcast(
-                  stats, bound="one-row corpus stats", max_rows=1))
               .groupBy("query", id_col)
               .agg(F.sum(q_t).alias("score_q")))
     w = Window.partitionBy("query").orderBy(F.desc("score_q"),
