@@ -72,6 +72,28 @@ def get_spark(app_name: str = "snowflake_azure_etl_spark",
         # accumulation to ~2.5 min while cutting pause frequency 3x
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "150s"))
+        # Shuffle writer choice (r16, measured via thread dumps): with
+        # reduce counts <= 200 Spark picks BypassMergeSortShuffleWriter,
+        # which opens one file PER REDUCE PARTITION per map task and then
+        # concatenates them through FileChannel.transferTo — an
+        # mmap+munmap pair per segment, and every munmap is a TLB
+        # shootdown IPI across all cores. Task threads showed as
+        # RUNNABLE-but-blocked in map0/unmap0 (~0.4 s wall per task at
+        # ~0.04 s CPU). At production scale shuffle.partitions >> 200 so
+        # the serialized sort writer runs ANYWAY; threshold 1 makes
+        # local mode use the same writer production uses (one spill
+        # file per map task, no per-partition files, no mmap). Measured
+        # warm serve at sf0.1/local[32]: q01 0.88->0.45 s,
+        # q40 1.25->0.50 s, q50 2.82->1.83 s, q58 3.20->2.41 s.
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "1"))
+        # Companion knob: remaining transferTo copies (spill merges)
+        # also mmap per segment; for the many-small-segment shapes here
+        # a plain stream copy is cheaper. On a cluster with multi-GB
+        # spill merges flip it back via the env knob — large sequential
+        # segments are where transferTo actually wins.
+        .config("spark.file.transferTo",
+                os.environ.get("SPARK_GRAFT_TRANSFERTO", "false"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
