@@ -2149,12 +2149,19 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vocab").alias("leg"), "token", "doc_freq", "total_freq",
         "rank"))
     merges = bpe.train_bpe_merges(docs, "text", n_merges=_BPE_N_MERGES)
-    bpe_leg = bpe.merges_table(spark, merges).select(
+    # the merge TABLE is the model artifact rendered as a relation —
+    # leg-cached (r16, guide §4): a createDataFrame relation executes
+    # as a Python RDD, so an uncached scan pays a driver→Python-worker
+    # →JVM round trip per task per invocation (thread dumps showed the
+    # union's tasks parked in PythonRunner reads); persisting turns
+    # every later scan into an in-memory JVM columnar read
+    bpe_leg = leg_cache("q58_bpe_leg", lambda: bpe.merges_table(
+        spark, merges).select(
         F.lit("bpe_merge").alias("leg"),
         F.concat(F.col("left"), F.lit("+"), F.col("right")).alias("token"),
         F.lit(None).cast("long").alias("doc_freq"),
         F.col("freq").alias("total_freq"),
-        F.col("rank"))
+        F.col("rank")))
     # third leg (r7, X-TEXT-COOC): top-k windowed co-occurrence pairs
     # (text.cooccurrence_pairs — the skip-gram/PMI prep relation;
     # pair construction is row-local zip_with over shifted views, the
@@ -2205,7 +2212,11 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row broadcast map columns (no explode, no shuffle).
     vocab = cached_build(
         spark, ("q58_vocab", dk, _BPE_N_MERGES),
-        lambda: bpe.vocab_from_merges(spark, docs, merges))
+        # persisted (r16): the id table is scanned twice per plan
+        # (encode + decode map builds); unpersisted, each scan re-runs
+        # the createDataFrame Python RDD every invocation
+        lambda: bpe.vocab_from_merges(spark, docs, merges)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     # deterministic 1-in-5 subsample (the q53 simhash-leg pattern):
     # the encode is the interpreted 8-replace expression chain per
     # word — attestation strength is per-doc regardless of how many
@@ -2231,16 +2242,21 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-means rounds and the BPE merge CTEs).
     uni_model = ug_ops.train_unigram(docs)
     uni_rows = sorted(uni_model.pieces, key=lambda r: (r[2], r[0]))
-    uni_piece_leg = spark.createDataFrame(
-        [("uni_piece", p, cnt, cost, i + 1)
-         for i, (p, cnt, cost) in enumerate(uni_rows)],
-        "leg string, token string, doc_freq long, total_freq long, "
-        "rank int")
-    uni_round_leg = spark.createDataFrame(
-        [("uni_round", f"round_{r + 1}", None, obj, r + 1)
-         for r, obj in enumerate(uni_model.traj)],
-        "leg string, token string, doc_freq long, total_freq long, "
-        "rank int")
+    # both model-rendering legs leg-cached (r16): same Python-RDD
+    # reasoning as the merge table — the rows are pure functions of
+    # the memoized model, so the relation is an artifact, not a result
+    uni_piece_leg = leg_cache(
+        "q58_uni_piece_leg", lambda: spark.createDataFrame(
+            [("uni_piece", p, cnt, cost, i + 1)
+             for i, (p, cnt, cost) in enumerate(uni_rows)],
+            "leg string, token string, doc_freq long, total_freq long, "
+            "rank int"))
+    uni_round_leg = leg_cache(
+        "q58_uni_round_leg", lambda: spark.createDataFrame(
+            [("uni_round", f"round_{r + 1}", None, obj, r + 1)
+             for r, obj in enumerate(uni_model.traj)],
+            "leg string, token string, doc_freq long, total_freq long, "
+            "rank int"))
     # the per-word segmentation relation is the derived encode
     # ARTIFACT (a lookup table beside the model — the tf-icf/top-term
     # memoization rule): session-cached over the FULL corpus words so

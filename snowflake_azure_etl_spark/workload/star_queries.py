@@ -263,7 +263,12 @@ def q07_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     dim sides broadcast — one shuffle total plus the final group-by."""
     t = load_tables(spark, sf_dir,
                     ("lineitem", "orders", "customer", "nation", "region"))
-    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    from ..sources.registry import rebalance_single_split
+    # fact side on balanced splits (r16 — the q01/q11/q14 pattern):
+    # the monolithic test layout caps the scan at its row-group count,
+    # serializing the join+aggregate map stage; no-op on real layouts
+    l = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+    o, c = t["orders"], t["customer"]
     n, r = t["nation"], t["region"]
     # scaled-long revenue (see q01): exact scale-4 integer sums
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -313,6 +318,13 @@ def q08_date_spine_left_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts left-joined through both target facts). Months with no
     orders survive with zeroed measures."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    from ..sources.registry import rebalance_single_split
+    # both month-grain aggregates on balanced splits (r16 — the
+    # q01/q11/q14 pattern; no-op on real layouts)
+    t = {"orders": rebalance_single_split(spark, t["orders"],
+                                          sf_dir, "orders"),
+         "lineitem": rebalance_single_split(spark, t["lineitem"],
+                                            sf_dir, "lineitem")}
     dim_date = build_dim_date(spark, DATE_START, DATE_END)
     spine = (dim_date
              .filter((F.col("day_num_in_month") == 1)
@@ -506,6 +518,9 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     year-grain broadcast self-join. Pivot→unpivot (melt) round-trip
     is pinned by tests/test_pivot.py."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from ..sources.registry import rebalance_single_split
+    # both year-grain aggregates on balanced splits (r16, q01 pattern)
+    o = rebalance_single_split(spark, o, sf_dir, "orders")
     tp = dec("o_totalprice")
     pivoted = (o.groupBy(F.year("o_orderdate").alias("order_year"))
                .pivot("o_orderstatus", ["F", "O", "P"])
@@ -579,6 +594,9 @@ def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ... HAVING over aggregates (create_views.py:265)."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from ..sources.registry import rebalance_single_split
+    # custkey-grain aggregate on balanced splits (r16, q01 pattern)
+    o = rebalance_single_split(spark, o, sf_dir, "orders")
     agg = (o.groupBy(F.col("o_custkey").alias("custkey"))
            .agg(F.count("*").alias("n_orders"),
                 F.sum(dec("o_totalprice")).alias("_total")))
@@ -609,7 +627,10 @@ def q16_reagg_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     The view is created via the catalog (S8) and composes lazily —
     Catalyst inlines it like Snowflake view expansion."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    li, p = t["lineitem"], t["part"]
+    from ..sources.registry import rebalance_single_split
+    # fact side on balanced splits (r16 — the q01/q11/q14 pattern)
+    li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+    p = t["part"]
     # view carries the exact scale-2 integer sum (see q01); the re-agg
     # SUM/MAX over longs hits the same integers the oracle's DECIMAL does
     inner = (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"),
@@ -689,7 +710,10 @@ def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded LIMIT output is the reference's top-N preview sink
     (view_sample_data.py:36)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    li, o = t["lineitem"], t["orders"]
+    from ..sources.registry import rebalance_single_split
+    # fact side on balanced splits (r16 — the q01/q11/q14 pattern)
+    li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+    o = t["orders"]
     # scaled-long revenue (see q01/q11): exact integer sums per order
     rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
@@ -727,7 +751,10 @@ def q20_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount/qty, SaleExtendedCost = cost×qty, SaleTotalProfit = amount −
     cost×qty; verified from reference log dim_etl_run:232)."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    li, p = t["lineitem"], t["part"]
+    from ..sources.registry import rebalance_single_split
+    # fact side on balanced splits (r16 — the q01/q11/q14 pattern)
+    li = rebalance_single_split(spark, t["lineitem"], sf_dir, "lineitem")
+    p = t["part"]
     cost = dec(p.p_retailprice) * dec(li.l_quantity)
     return (li.join(bounded_broadcast(p, bound="TPC-H dim (dim-grain relation)"), li.l_partkey == p.p_partkey)
             .filter(li.l_orderkey % 50 == 0)
