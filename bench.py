@@ -313,8 +313,13 @@ FP_KEY = "_fp"
 
 def _catalog_fingerprints(queries) -> "dict[str, str]":
     """{query name: md5 of its DEFINITION} — oracle SQL plus the
-    engine function's source, so both a new oracle leg and an
-    engine-side re-pricing move the fingerprint. Source extraction is
+    engine function's source, so a new oracle leg or a QUERY-FUNCTION-
+    LEVEL re-pricing moves the fingerprint (a re-pricing inside a
+    called operator module does not — such floors re-seed via the
+    min-ratchet on the next quiet run instead of being dropped). The
+    source basis is the RAW query body (``q.raw``), not the registered
+    ``q.fn``: for prepared queries ``fn`` is the shared cache wrapper,
+    whose source is identical across queries. Source extraction is
     best-effort (oracle-only when unavailable): a conservative
     fingerprint that drops one floor entry too many merely re-seeds
     it on the next quiet run."""
@@ -326,7 +331,7 @@ def _catalog_fingerprints(queries) -> "dict[str, str]":
         q = queries[name]
         basis = getattr(q, "oracle", "") or ""
         try:
-            basis += inspect.getsource(q.fn)
+            basis += inspect.getsource(getattr(q, "raw", None) or q.fn)
         except (OSError, TypeError):
             pass
         fps[name] = hashlib.md5(basis.encode()).hexdigest()[:16]

@@ -55,6 +55,23 @@ def _cos_qv_cv() -> Column:
                          lambda: cosine(F.col("qv"), F.col("cv")))
 
 
+def _cos_normed() -> Column:
+    """Cosine over (qv, cv) with the norms PRECOMPUTED per side
+    (canonical columns _nq/_nc) — the semdedup norms-once trick
+    (r16): a pair stage scoring q×c pairs re-ran all three
+    interpreted folds per pair (higher-order exprs never codegen);
+    carrying each side's l2 norm on its own row leaves one
+    dot-aggregate per pair. dot/( _nq · _nc ) is the SAME IEEE
+    expression tree as cosine(qv, cv) — sqrt-then-multiply-then-
+    divide in the same order — so scores stay bit-identical to the
+    oracle's replay."""
+    from ._cache import cached_column
+    return cached_column(
+        ("cos_normed", "qv", "cv"),
+        lambda: dot(F.col("qv"), F.col("cv"))
+        / (F.col("_nq") * F.col("_nc")))
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Deterministic LSH bucket: concatenated sign bits of the first
     `bits` dimensions (axis-aligned random-hyperplane family with a
@@ -74,15 +91,17 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, id_col: str,
     excluded; ties broken by neighbor id for determinism.
     """
     from pyspark.sql import Window
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double_vec(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   as_double_vec(vec_col).alias("cv"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        as_double_vec(vec_col).alias("qv"))
+         .withColumn("_nq", l2_norm(F.col("qv"))))
+    c = (emb.select(F.col(id_col).alias("neighbor_id"),
+                    as_double_vec(vec_col).alias("cv"))
+         .withColumn("_nc", l2_norm(F.col("cv"))))
     scored = (c.crossJoin(bounded_broadcast(
         q, bound="eval query set (caller-bounded; declared brute-force baseline)"))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      _cos_qv_cv().alias("cos_sim")))
+                      _cos_normed().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -98,17 +117,19 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, id_col: str,
     billions of vectors this shuffles each side once on a 2^bits-ary
     key instead of cross-joining."""
     from pyspark.sql import Window
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double_vec(vec_col).alias("qv"),
-                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   as_double_vec(vec_col).alias("cv"),
-                   sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        as_double_vec(vec_col).alias("qv"),
+                        sign_bucket(F.col(vec_col), bits).alias("bucket"))
+         .withColumn("_nq", l2_norm(F.col("qv"))))
+    c = (emb.select(F.col(id_col).alias("neighbor_id"),
+                    as_double_vec(vec_col).alias("cv"),
+                    sign_bucket(F.col(vec_col), bits).alias("bucket"))
+         .withColumn("_nc", l2_norm(F.col("cv"))))
     scored = (c.join(bounded_broadcast(
         q, bound="eval query set (caller-bounded)"), "bucket")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      _cos_qv_cv().alias("cos_sim")))
+                      _cos_normed().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -549,13 +570,15 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                       F.explode(F.transform(
                           "best", lambda s: -s.getField("nid")))
                       .alias("cell_id"))
-              .withColumn("cell_id", F.col("cell_id").cast("int")))
-    scored = (assigned.join(bounded_broadcast(
+              .withColumn("cell_id", F.col("cell_id").cast("int"))
+              .withColumn("_nq", l2_norm(F.col("qv"))))
+    scored = (assigned.withColumn("_nc", l2_norm(F.col("cv")))
+              .join(bounded_broadcast(
         probes, bound="eval query set x nprobe (query-set-bounded)"),
         "cell_id")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      _cos_qv_cv().alias("cos_sim")))
+                      _cos_normed().alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -181,7 +181,7 @@ _FACT_ORACLE = """
 
 
 @query("q28_fact_sales_build", covers=("S7", "J3", "F1", "F2", "F7"),
-       oracle=_FACT_ORACLE)
+       oracle=_FACT_ORACLE, prepared=True)
 def q28_fact_sales_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Fact_SalesActual build (§2.10) end-to-end: salesdetail ⋈
     salesheader analog, broadcast surrogate-key resolution with
@@ -235,7 +235,7 @@ _SRC_TARGET_ORACLE = """
 
 
 @query("q64_fact_src_target_build", covers=("S7", "J1", "J3", "F1", "A2"),
-       oracle=_SRC_TARGET_ORACLE)
+       oracle=_SRC_TARGET_ORACLE, prepared=True)
 def q64_fact_src_target_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Fact_SRCSalesTarget build (§2.10; reference columns
     create_views.py:94-96) end-to-end: targetdatachannel analog
@@ -478,6 +478,7 @@ def q65_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_warehouse_rowcounts",
     covers=("R1", "R3", "S4", "S5", "U1", "J1"),
+    prepared=True,
     oracle="""
     SELECT 'dim_customer' AS table_name,
            (SELECT COUNT(*) + 1 FROM customer) AS n_rows

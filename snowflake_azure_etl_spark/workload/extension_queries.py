@@ -667,7 +667,14 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
               "q47_events_base", eager=False)
     h = e.select("event_type",
                  F.md5(F.col("user_id").cast("string")).alias("hv"))
-    merged = kmv_mins(h, "event_type", "hv", KMV_K, n_rows=n_rows)
+    # r16: the merged per-group k-minima RELATION is the KMV sketch
+    # ARTIFACT (the persisted state the docstring's merge tree
+    # maintains) — session-cached like the CMS/bloom counters below;
+    # the estimate still derives per invocation. group-count-sized,
+    # so it lands as one partition.
+    merged = _crel(
+        kmv_mins(h, "event_type", "hv", KMV_K, n_rows=n_rows)
+        .coalesce(1), "q47_kmv_mins", eager=False)
     kth = F.element_at("mins", KMV_K)
     frac = (F.conv(F.substring(kth, 1, 8), 16, 10).cast("double")
             / F.lit(4294967296.0))
@@ -678,7 +685,13 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_tables(spark, sf_dir, ("customer",))["customer"]
     nations = (e.join(c, e.user_id == c.c_custkey)
                .select("event_type", "day", "c_nationkey"))
-    daily = hll_partials(nations, ["event_type", "day"], "c_nationkey")
+    # r16: the per-(event_type, day) sketch PARTIALS are exactly the
+    # persist-partials half of the documented pattern — session-cached
+    # artifact ((type, day)-count-sized, one partition); the rollup to
+    # event_type still runs per invocation.
+    daily = _crel(
+        hll_partials(nations, ["event_type", "day"], "c_nationkey")
+        .coalesce(1), "q47_hll_daily", eager=False)
     hll_leg = (hll_rollup(daily, ["event_type"])
                .select(F.lit("hll_nations").alias("leg"), "event_type",
                        F.col("hll_estimate").cast("long").alias("exact_n"),
@@ -696,11 +709,15 @@ def q47_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every r9 leg below reduces to a LEG-COUNT-sized output; memoize
     # each on its small SOURCE plan (the q54 giant-plan lesson) with a
     # lazy persist so repeat invocations skip both the rebuild
-    # analysis and the scans
+    # analysis and the scans. coalesce(1) (r16): a leg-count-sized
+    # relation persisted across 32 partitions made every serve-phase
+    # union scan pay 32 near-empty tasks per leg — one partition per
+    # leg is the right layout at ANY scale for a bounded artifact.
     def leg_cache(tag, key_rel, build):
         return cached_build(
             spark, (tag, plan_key(key_rel)),
-            lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
+            lambda: build().coalesce(1)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     # ONE events pass for BOTH CMS legs: the per-(epoch, key) count
     # aggregate is the epoch-partial build input AND (summed over

@@ -2140,9 +2140,16 @@ def q58_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus) — they memoize like the merge list; the BM25 ranking is
     # a search RESULT and rebuilds per invocation.
     def leg_cache(tag, build):
+        # coalesce(1) (r16): every cached leg here is vocab/model-
+        # sized (top-k tokens, merge ranks, piece tables) — one
+        # partition per leg keeps the serve-phase union scan from
+        # paying 32 near-empty tasks per leg. Each leg plan ends in
+        # an aggregate/window or a local relation, so the coalesce
+        # collapses only the tiny post-shuffle (or local) stage.
         return cached_build(
             spark, (tag, dk),
-            lambda: build().persist(StorageLevel.MEMORY_AND_DISK))
+            lambda: build().coalesce(1)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     vocab_leg = leg_cache("q58_vocab_leg", lambda: text.token_vocab(
         docs, "text", top_k=100).select(
@@ -2839,9 +2846,6 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached_build's per-key locks cover any residual overlap.
     from ..operators._cache import concurrent_builds
 
-    def build_sd_chain():
-        return semdedup_leg("semdedup", 1), semdedup_leg("semdedup_mp", 2)
-
     def build_inertia():
         return (similarity.ivf_inertia_trajectory(
                     emb, "vec_id", "embedding", n_cells=8,
@@ -2852,11 +2856,32 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("mean_d2").alias("cos_sim"),
                         F.col("it").cast("int").alias("rn")))
 
+    # r16: the semdedup keeper list, the decontam drop list and the
+    # inertia trajectory are INDEX/MODEL artifacts (SCALE.md "What
+    # memoizes" — the keeper/drop decisions are exactly what SemDeDup
+    # persists beside the corpus, the way q50 session-caches its
+    # line-winner index), so the legs memoize as one-partition cached
+    # relations; the searches (topk, exact baseline, recall) stay
+    # per-invocation results. Every leg plan ends in a join/aggregate,
+    # so coalesce(1) collapses only the leg-sized post-shuffle stage.
+    from pyspark.storagelevel import StorageLevel
+
+    def leg_cache(tag, build):
+        return cached_build(
+            spark, (tag, plan_key(emb), _SEMDEDUP_THRESHOLD, n_vecs),
+            lambda: build().coalesce(1)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
     legs = concurrent_builds({
-        "sd": build_sd_chain,
-        "dc": lambda: decontam_leg("decontam", 1),
-        "dc2": lambda: decontam_leg("decontam_mp", 2),
-        "inertia": build_inertia,
+        "sd": lambda: (
+            leg_cache("q63_sd1", lambda: semdedup_leg("semdedup", 1)),
+            leg_cache("q63_sd2",
+                      lambda: semdedup_leg("semdedup_mp", 2))),
+        "dc": lambda: leg_cache(
+            "q63_dc1", lambda: decontam_leg("decontam", 1)),
+        "dc2": lambda: leg_cache(
+            "q63_dc2", lambda: decontam_leg("decontam_mp", 2)),
+        "inertia": lambda: leg_cache("q63_inertia", build_inertia),
     })
     sd, sd2 = legs["sd"]
     dc, dc2, inertia = legs["dc"], legs["dc2"], legs["inertia"]
@@ -2890,7 +2915,17 @@ def q63_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(3.0) * F.col("nq").cast("double")))
                            .alias("cos_sim"),
                            F.lit(1).cast("int").alias("rn")))
-    return (topk.unionByName(sd).unionByName(sd2)
-            .unionByName(dnew).unionByName(dbase)
-            .unionByName(dc).unionByName(dc2).unionByName(recall)
-            .unionByName(recall_mean).unionByName(inertia))
+    # r16: the seven static legs (cached artifact relations + the
+    # drift projections over the prepared drift plan) union into ONE
+    # session-cached prepared sub-plan — their per-invocation
+    # unionByName chain was pure py4j/analysis chatter. Only the
+    # search results (topk checkpoint, recall legs) build fresh.
+    # Union order moved the static legs ahead of the recall legs;
+    # the driver compare is order-insensitive.
+    static = cached_build(
+        spark, ("q63_static_legs", plan_key(emb)),
+        lambda: (sd.unionByName(sd2).unionByName(dnew)
+                 .unionByName(dbase).unionByName(dc).unionByName(dc2)
+                 .unionByName(inertia)))
+    return (topk.unionByName(static).unionByName(recall)
+            .unionByName(recall_mean))

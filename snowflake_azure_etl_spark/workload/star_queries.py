@@ -72,6 +72,7 @@ def dim_date_oracle_cte() -> str:
     JOIN dim_date d ON CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT) = d.date_pkey
     GROUP BY d.year_num, d.quarter_num, p.p_brand
     """,
+    prepared=True,
 )
 def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship star-join aggregate (VW_SalesPerformanceSummary analog,
@@ -143,6 +144,7 @@ def q01_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
       AND l_quantity > 40
     """,
+    prepared=True,
 )
 def q02_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit projection + multi-column IS NOT NULL + range predicate
@@ -168,6 +170,7 @@ def q02_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR p_size IS NULL OR p_size >= 45)
       AND p_type != 'Men''s Casual'
     """,
+    prepared=True,
 )
 def q03_filter_in_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-list + compound OR-with-IS-NULL predicate + escaped-quote
@@ -195,6 +198,7 @@ def q03_filter_in_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
+    prepared=True,
 )
 def q05_join_chain_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way inner join chain + || concat — the
@@ -226,6 +230,7 @@ def q05_join_chain_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
          = COALESCE(CAST(s.s_nationkey AS VARCHAR), 'Unknown')
     GROUP BY c.c_custkey, COALESCE(CAST(c.c_nationkey AS VARCHAR), 'Unknown')
     """,
+    prepared=True,
 )
 def q06_left_join_coalesce_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join on COALESCE-normalized CAST keys — the Dim_Location
@@ -256,6 +261,7 @@ def q06_left_join_coalesce_composite(spark: SparkSession, sf_dir: str) -> DataFr
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY n.n_name, r.r_name
     """,
+    prepared=True,
 )
 def q07_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ 4 dims star join (the VW analytical-view shape,
@@ -311,6 +317,7 @@ def q07_star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     LEFT JOIN mo_orders o ON s.year_num = o.y AND s.month_num = o.m
     LEFT JOIN mo_ship l ON s.year_num = l.y AND s.month_num = l.m
     """,
+    prepared=True,
 )
 def q08_date_spine_left_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine multi-way LEFT JOIN chain — the
@@ -362,6 +369,7 @@ def q08_date_spine_left_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND n.n_regionkey < 3
     GROUP BY s.s_suppkey
     """,
+    prepared=True,
 )
 def q09_theta_or_isnull_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-IS-NULL theta join (reference create_views.py:253-258) —
@@ -396,6 +404,7 @@ def q09_theta_or_isnull_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'No-Supplier' END AS supplier_class
     FROM sup_per_nation
     """,
+    prepared=True,
 )
 def q10_cte_group_count_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE with COUNT(DISTINCT) + CASE classification — the
@@ -439,6 +448,7 @@ def q10_cte_group_count_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
+    prepared=True,
 )
 def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key hash aggregate with 9 measures (TPC-H Q1 shape; the
@@ -505,6 +515,7 @@ def q11_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_urgent
     FROM orders GROUP BY year(o_orderdate)
     """,
+    prepared=True,
 )
 def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM(CASE WHEN ...) conditional aggregation — the
@@ -555,6 +566,7 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
+    prepared=True,
 )
 def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLIF-guarded ratio-of-aggregates + ROUND (reference
@@ -590,6 +602,7 @@ def q14_ratio_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 5
        AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 500000
     """,
+    prepared=True,
 )
 def q15_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ... HAVING over aggregates (create_views.py:265)."""
@@ -666,6 +679,7 @@ def q16_reagg_over_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT n_nationkey, 'has_customers' FROM nation WHERE n_regionkey = 0
     ) u
     """,
+    prepared=True,
 )
 def q17_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-branch UNION with DISTINCT semantics — the Dim_Location shared-
@@ -699,6 +713,7 @@ def q17_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, orderkey ASC
     LIMIT 20
     """,
+    prepared=True,
 )
 def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY ... LIMIT top-k (view_sample_views.py:202-209) — Spark
@@ -745,6 +760,7 @@ def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_orderkey % 50 = 0
     """,
+    prepared=True,
 )
 def q20_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact_SalesActual derived measures (SURVEY §2.10: SaleUnitPrice =
@@ -782,6 +798,7 @@ def q20_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY 1, 2
     """,
+    prepared=True,
 )
 def q21_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Searched CASE bucketing + COALESCE defaulting (reference

@@ -35,6 +35,7 @@ def q22_dim_date_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q23_surrogate_keys",
     covers=("S6", "S7"),
+    prepared=True,
     oracle="""
     SELECT CAST(1 AS BIGINT) AS dim_customer_id,
            CAST(NULL AS BIGINT) AS custkey,
@@ -71,6 +72,7 @@ def q23_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q24_unknown_member_fallback",
     covers=("S7", "F1", "J3"),
+    prepared=True,
     oracle="""
     WITH dim_part AS (
         SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) + 1 AS dim_part_id

@@ -153,3 +153,25 @@ def test_edit_distance_is_code_point_based_and_duckdb_is_not(spark):
         diverged += duck != got[i]
     assert diverged > 0                          # the guard is earning
     assert con.execute("SELECT levenshtein('é','a')").fetchone()[0] == 2
+
+
+@pytest.mark.parametrize("max_dist", [None, 8])
+def test_edit_distance_evaluates_the_dp_exactly_once(spark, max_dist):
+    """Plan-pin for the single-evaluation barrier (VERDICT r15 next #1,
+    ADVICE #4): the optimized plan must contain exactly ONE
+    levenshtein call. Both edit_dist and edit_sim consume the
+    distance; without the non-collapsible projection CollapseProject
+    inlines the DP into every consumer (2 evaluations exact, 4
+    bounded — 4x measured wall clock on long documents). The
+    F.rand(7) guard defeats that today by leaning on Catalyst's
+    refusal to collapse nondeterministic projections — undocumented
+    behavior a Spark upgrade could silently change; this test turns
+    the measured property into a contract that fails loud instead."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = spark.createDataFrame(PAIRS, "id_a long, id_b long")
+    df = dedup.edit_distance_verify(docs, pairs, n_docs=len(DOCS),
+                                    max_dist=max_dist)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    n = optimized.lower().count("levenshtein")
+    assert n == 1, f"expected exactly 1 levenshtein in the optimized " \
+                   f"plan, found {n}:\n{optimized}"
