@@ -42,20 +42,34 @@ def append_new_members(spark: SparkSession, table: str,
                        order_by: list[str] | None = None) -> AppendReport:
     """Insert members whose business key is not yet in `table`, keyed
     from max(existing key) upward; returns the accounting."""
+    from pyspark.sql import Observation
+
     existing = spark.table(table)
     max_key = existing.agg(F.max(key_col).alias("m")).collect()[0]["m"] or 0
-    n_cand = candidates.count()
-    fresh = candidates.join(
+    # accounting rides the write job as observations (r16): the
+    # candidate count and the inserted count were separate driver
+    # actions, and the inserted-count action re-executed the whole
+    # anti-join + surrogate window before the write ran it a second
+    # time — three jobs where one suffices. Observation metrics
+    # count only successful tasks, so retries can't double-count.
+    # A batch with zero new members now appends an empty file set
+    # instead of skipping the write; the table contents (and the
+    # no-op re-present contract) are unchanged.
+    obs_cand = Observation()
+    obs_new = Observation()
+    fresh = (candidates
+             .observe(obs_cand, F.count(F.lit(1)).alias("n"))
+             .join(
         bounded_broadcast(
             existing.select(*business_keys).distinct(),
             bound="dim-grain distinct business keys (key-only projection)",
             key_only=True, max_rows=KEY_ONLY_MAX_ROWS),
-        business_keys, "left_anti")
+        business_keys, "left_anti"))
     keyed = with_surrogate_key(
         fresh, key_col, order_by=order_by or business_keys,
         offset=max_key)
     keyed = keyed.select(*existing.columns)  # column order of the table
-    n_new = keyed.count()
-    if n_new:
-        keyed.write.mode("append").format("parquet").insertInto(table)
-    return AppendReport(table=table, candidates=n_cand, inserted=n_new)
+    keyed = keyed.observe(obs_new, F.count(F.lit(1)).alias("n"))
+    keyed.write.mode("append").format("parquet").insertInto(table)
+    return AppendReport(table=table, candidates=int(obs_cand.get["n"]),
+                        inserted=int(obs_new.get["n"]))

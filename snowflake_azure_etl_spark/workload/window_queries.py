@@ -26,8 +26,13 @@ def _brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer at scale 4 (1e4 units/dollar), `_qty` at scale 2 — same
     # integers the oracle's DECIMAL sums carry, ~2.5× faster per row.
     # Consumers divide once per output value.
+    from ..sources.registry import rebalance_single_split
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, p = t["lineitem"], t["part"]
+    # r16: the join + partial-aggregate map stage ran as ONE task on
+    # the monolithic test parquet layout (the q07/q48 finding) —
+    # same footer-attested rebalance, no-op on real layouts
+    li = rebalance_single_split(spark, li, sf_dir, "lineitem")
     epc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
@@ -126,8 +131,11 @@ def q33_window_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregate inside a window partitioned by year —
     cross-group comparison (reference create_views.py:475-492 compares
     each group to a CASE-selected cohort within the year partition)."""
+    from ..sources.registry import rebalance_single_split
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     o, c = t["orders"], t["customer"]
+    # r16: single-split map-stage rebalance (see q30 above)
+    o = rebalance_single_split(spark, o, sf_dir, "orders")
     base = (o.join(bounded_broadcast(c, bound="TPC-H dim (dim-grain relation)"), o.o_custkey == c.c_custkey)
             .groupBy(F.year("o_orderdate").alias("yr"),
                      c.c_mktsegment.alias("segment"))
