@@ -483,12 +483,23 @@ def rollup_line_winners(partials: DataFrame) -> DataFrame:
     return partials.groupBy("_h").agg(F.min("_w").alias("_w"))
 
 
+def _sep_regex(sep: str) -> str:
+    """Regex matching `sep` LITERALLY — java.util.regex.Pattern.quote
+    semantics, so the split agrees with the verbatim array_join
+    reassembly for EVERY separator. A bare ``\\Q + sep + \\E`` breaks
+    when sep itself contains ``\\E`` (the quote region ends early and
+    the tail is interpreted as live regex — silent round-trip
+    corruption); like Pattern.quote, each embedded ``\\E`` closes the
+    quote, matches a backslash-escaped ``\\E``, and reopens it."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _exploded_lines(docs: DataFrame, id_col: str, text_col: str,
                     sep: str) -> DataFrame:
-    # literal-separator split: java.util.regex \Q...\E quoting, so a
-    # sep like ". " (regex metachars) splits on the literal string the
-    # reassembly array_join will re-insert
-    sep_re = "\\Q" + sep + "\\E"
+    # literal-separator split: Pattern.quote-style \Q...\E quoting, so
+    # a sep like ". " (regex metachars) — or one containing "\E" —
+    # splits on the literal string the reassembly array_join re-inserts
+    sep_re = _sep_regex(sep)
     return docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("_i", "_ln"))
@@ -502,7 +513,7 @@ def scrub_with_line_winners(docs: DataFrame, winners: DataFrame,
     `line_dedup`'s scrub stage, shared with the streaming sink (where
     `winners` is the rolled-up persisted index)."""
     key = _line_key if _line_key is not None else F.md5
-    sep_re = "\\Q" + sep + "\\E"
+    sep_re = _sep_regex(sep)
     lines = _exploded_lines(docs, id_col, text_col, sep)
     dedupable = F.length("_ln") >= min_chars
     keep = (lines

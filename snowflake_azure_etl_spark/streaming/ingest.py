@@ -408,6 +408,22 @@ def wordpiece_ingest_sink(pieces_table: str, seg_table: str, *,
         tbl = spark.table(pieces_table)
         if "fl" in tbl.columns:
             rows = tbl.select("piece", "fl").collect()
+            # a malformed landed vocabulary fails LOUD like the
+            # empty-table case: a NULL fl would TypeError below, and a
+            # row with no membership bit (fl & 3 == 0) would silently
+            # vanish from both sets while still widening eff_k
+            bad = sorted(r["piece"] for r in rows
+                         if r["fl"] is None
+                         or not r["fl"] & (WP_INITIAL | WP_CONTINUATION))
+            if bad:
+                shown = ", ".join(repr(p) for p in bad[:10])
+                more = f" (+{len(bad) - 10} more)" if len(bad) > 10 else ""
+                raise ValueError(
+                    f"wordpiece_ingest_sink: piece table {pieces_table} "
+                    f"carries {len(bad)} row(s) whose fl flags grant no "
+                    f"membership (NULL or fl & 3 == 0): {shown}{more} — "
+                    "re-land the vocabulary with valid flags (1 = "
+                    "word-initial, 2 = continuation, 3 = both)")
             pieces = {r["piece"] for r in rows
                       if r["fl"] & WP_INITIAL}
             cont = {r["piece"] for r in rows
@@ -482,10 +498,19 @@ def rollup_gram_counts(spark: SparkSession, table: str,
             .agg(F.sum("c").cast("long").alias("c")))
 
 
+#: Shard column of the streaming line-winner table — a deterministic
+#: hash prefix of the line hash, written as a partition level under
+#: the epoch so the per-epoch scrub's index read PRUNES to the shards
+#: the batch actually touches instead of scanning the stream-lifetime
+#: index (VERDICT r15 next #2).
+LINE_SHARD_COL = "_hb"
+
+
 def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           sep: str = "\n", min_chars: int = 1):
+                           sep: str = "\n", min_chars: int = 1,
+                           n_shards: int = 64):
     """Corpus-wide LINE/PARAGRAPH dedup at the door (VERDICT r14 next
     #4 — the batch `operators.dedup.line_dedup`'s ingest twin,
     completing the dedup family's streaming set beside exact/near-dup/
@@ -513,32 +538,52 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
     line hashes (a semi-join on the just-written partial — the
     rollup's min-merge shuffle is therefore BATCH-bounded, not
     index-sized, so per-epoch cost does not grow with stream
-    lifetime; the index-table scan itself is the remaining
-    per-epoch read — bucket the winner table by `_h` at production
-    scale to prune it). No corpus-sized broadcast, no window. The
-    epoch filter on the index read keeps a REPLAYED epoch
+    lifetime). The index-table READ is shard-pruned (r16, VERDICT r15
+    next #2): the winner table carries a deterministic hash-shard
+    partition level (`LINE_SHARD_COL` = pmod(xxhash64(_h), n_shards)
+    under the epoch), the sink lists the ≤ `n_shards` shard ids the
+    just-written partial landed in, and the index read filters on
+    that literal shard set — parquet PARTITION pruning bounds the
+    scan to the shards the batch touches, not the stream-lifetime
+    index. (Directory-partition pruning on a literal IN-list is the
+    mechanism OSS Spark actually prunes scans with; `bucketBy`
+    bucketing only removes the join-side exchange, which the
+    semi-join already bounds.) No corpus-sized broadcast, no window.
+    The epoch filter on the index read keeps a REPLAYED epoch
     deterministic even beside later-epoch partitions (partition
-    pruning makes it epoch-bounded)."""
+    pruning makes it epoch-bounded). `n_shards` trades pruning grain
+    against files-per-epoch: size it so index_bytes / n_shards is a
+    few hundred MB at the design point."""
     from ..operators.dedup import (line_winners, rollup_line_winners,
                                    scrub_with_line_winners)
     from .sinks import EPOCH_COL, idempotent_epoch_sink
 
-    write_win = idempotent_epoch_sink(winner_table)
+    write_win = idempotent_epoch_sink(
+        winner_table, sub_partition_cols=(LINE_SHARD_COL,))
     write_scrub = idempotent_epoch_sink(scrubbed_table)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         part = line_winners(batch_df, id_col, text_col, sep,
-                            min_chars)
+                            min_chars).withColumn(
+            LINE_SHARD_COL,
+            F.pmod(F.xxhash64("_h"), F.lit(n_shards)).cast("int"))
         write_win(part, epoch_id)
-        # index as of this epoch, narrowed to hashes the batch can
-        # touch (every dedupable batch line is in `part` — just
-        # written); unhinted semi-join: AQE broadcasts a small batch
-        # side, shuffle-joins a huge one
+        # the shard ids this batch landed in: read back from the
+        # just-written epoch partition (pruned, ≤ n_shards rows out)
+        shards = sorted(
+            r[0] for r in spark.table(winner_table)
+            .filter(F.col(EPOCH_COL) == int(epoch_id))
+            .select(LINE_SHARD_COL).distinct().collect())
+        # index as of this epoch, shard-pruned to the batch's shards
+        # and narrowed to hashes the batch can touch (every dedupable
+        # batch line is in `part` — just written); unhinted semi-join:
+        # AQE broadcasts a small batch side, shuffle-joins a huge one
         idx = rollup_line_winners(
             spark.table(winner_table)
-            .filter(F.col(EPOCH_COL) <= int(epoch_id))
-            .drop(EPOCH_COL)
+            .filter((F.col(EPOCH_COL) <= int(epoch_id))
+                    & F.col(LINE_SHARD_COL).isin(shards))
+            .drop(EPOCH_COL, LINE_SHARD_COL)
             .join(part.select("_h"), "_h", "semi"))
         write_scrub(scrub_with_line_winners(batch_df, idx, id_col,
                                             text_col, sep, min_chars),

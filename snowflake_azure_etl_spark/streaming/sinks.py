@@ -27,7 +27,8 @@ EPOCH_COL = "_epoch_id"
 
 
 def idempotent_epoch_sink(table: str,
-                          epoch_col: str = EPOCH_COL
+                          epoch_col: str = EPOCH_COL,
+                          sub_partition_cols: "tuple[str, ...]" = ()
                           ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch function whose writes are idempotent per
     epoch: `writeStream.foreachBatch(idempotent_epoch_sink("db.t"))`.
@@ -35,6 +36,12 @@ def idempotent_epoch_sink(table: str,
     Replays of a failed epoch overwrite that epoch's partition instead
     of appending a second copy — the exactly-once-in-effect contract
     for non-transactional parquet targets.
+
+    `sub_partition_cols` adds partition levels UNDER the epoch (e.g.
+    a deterministic hash-shard column) so later readers can prune the
+    table below epoch grain; a deterministic batch re-lands the same
+    sub-partitions on replay, so dynamic overwrite keeps the
+    exactly-once-in-effect contract unchanged.
     """
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
@@ -49,7 +56,8 @@ def idempotent_epoch_sink(table: str,
             # so a replayed first epoch is idempotent too, with no
             # ErrorIfExists window between data write and registration.
             (out.limit(0).write.mode("overwrite")
-             .partitionBy(epoch_col).format("parquet")
+             .partitionBy(epoch_col, *sub_partition_cols)
+             .format("parquet")
              .saveAsTable(table))
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(mode_key, "static")

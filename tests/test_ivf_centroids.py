@@ -52,7 +52,14 @@ def test_no_plan_blowup_at_256_cells(spark, sf_dir):
     out = similarity.ivf_topk(emb, queries, "vec_id", "embedding",
                               k=3, n_cells=256, nprobe=2)
     plan = explain_str(out)
-    assert time.time() - t0 < 60  # planning+explain stays sane
+    # Sanity bound, not the real guard (that's the plan-size assert
+    # below): a literal forest at 256×64 planned for many MINUTES.
+    # The window includes the eager k-means training jobs (~8 s on a
+    # fresh session) and runs mid-suite on a shared VM where hundreds
+    # of accumulated CacheManager entries + GC inflate it several-fold
+    # (observed 70 s against the old 60 s bound — a flake, isolated
+    # rerun 8 s), so the bound is deliberately loose.
+    assert time.time() - t0 < 150  # planning+explain stays sane
     small_plan = explain_str(similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", k=3, n_cells=8, nprobe=2))
     # plan size essentially independent of n_cells

@@ -182,7 +182,8 @@ def test_line_dedup_min_chars_gate(spark):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_doc, min_size=1, max_size=4),
-       sep=st.sampled_from(["\n", ". ", "|", "x", "a.b", "[]"]))
+       sep=st.sampled_from(["\n", ". ", "|", "x", "a.b", "[]",
+                            "\\E", "a\\Eb"]))
 def test_line_dedup_literal_separator_sweep(spark, texts, sep):
     """`sep` is LITERAL for both the split and the reassembly — the
     sweep drives regex metachars (., |, []) through random corpora
@@ -192,3 +193,26 @@ def test_line_dedup_literal_separator_sweep(spark, texts, sep):
     got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
            for r in dedup.line_dedup(docs, sep=sep).collect()}
     assert got == py_line_dedup(rows, sep=sep)
+
+
+def test_line_dedup_separator_containing_quote_terminator(spark):
+    r"""ADVICE r15: a separator containing the literal two chars ``\E``
+    used to end the bare ``\Q...\E`` quote region early, so the split
+    ran the separator's tail as LIVE regex and diverged from the
+    verbatim array_join reassembly (silent round-trip corruption).
+    With Pattern.quote-style quoting the split and reassembly agree
+    for every separator. ``\E.`` is the loud case: under the broken
+    quoting its tail ``.`` matched ANY character."""
+    sep = "\\E."
+    rows = [
+        (1, sep.join(["dup line", "alpha", "beta"])),
+        (2, sep.join(["dup line", "gamma"])),
+        (3, "no separator here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in dedup.line_dedup(docs, sep=sep).collect()}
+    assert got == py_line_dedup(rows, sep=sep)
+    assert got[1][0] == sep.join(["dup line", "alpha", "beta"])
+    assert got[2] == ("gamma", 2, 1)          # cross-doc dup died
+    assert got[3] == ("no separator here", 1, 1)

