@@ -72,6 +72,21 @@ def get_spark(app_name: str = "snowflake_azure_etl_spark",
         # accumulation to ~2.5 min while cutting pause frequency 3x
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "150s"))
+        # Generated-code cache (r16, measured via a same-window A/B):
+        # CodeGenerator's compiled-class cache is a STATIC conf with a
+        # default of only 100 entries — a 50-query serving catalog
+        # holds ~10-20 WholeStageCodegen units per query, so under any
+        # multi-query rotation every query EVICTED and re-compiled
+        # (janino) its whole generated-code set on every execution;
+        # identical-plan re-runs hid it, any realistic query mix paid
+        # it. Measured at sf0.1/local[32], rotation best-of-5, quiet
+        # window (canary-pinned): q01 2.02->0.49 s, q29 1.98->0.78,
+        # q48 1.15->0.21, q08 0.71->0.21, q14 0.95->0.29. 4096 entries
+        # bounds the cache at a few hundred MB of driver heap worst
+        # case — the same reasoning holds on a production driver
+        # serving a catalog of prepared statements.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
         # Shuffle writer choice (r16, measured via thread dumps): with
         # reduce counts <= 200 Spark picks BypassMergeSortShuffleWriter,
         # which opens one file PER REDUCE PARTITION per map task and then
