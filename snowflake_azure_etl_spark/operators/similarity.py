@@ -293,18 +293,34 @@ def _centroid_array(cents_df: DataFrame) -> DataFrame:
     DATA in a broadcast variable, not literals in the expression
     tree)."""
     return cents_df.agg(
-        F.array_sort(F.collect_list(F.struct("cell_id", "ctv")))
+        F.array_sort(F.collect_list(F.struct(
+            "cell_id", "ctv", l2_norm(F.col("ctv")).alias("nct"))))
         .alias("_cents"))
 
 
-def _cell_scores(vec: Column, cents: Column) -> Column:
+def _cell_scores(vec: Column, cents: Column, nv: Column) -> Column:
     """Array of (cos_sim, -cell_id) structs — one per centroid, computed
     row-locally against the broadcast centroid array. Max = best cell
-    with ties to the smallest cell id."""
+    with ties to the smallest cell id.
+
+    Norms once (r17, the r16 `_cos_normed` finding applied to
+    ASSIGNMENT): `nv` must reference a PRE-PROJECTED per-row l2-norm
+    column (computed once per row, below the broadcast crossJoin so
+    CollapseProject cannot inline it back into the lambda), and each
+    centroid's norm is precomputed in the array struct (`nct`, once
+    per centroid at array build). The per-centroid score then pays ONE
+    interpreted dot-fold instead of three — higher-order lambdas never
+    codegen, and the old form re-folded both norms per (row, centroid)
+    pair. dot/(nv·nct) is the SAME IEEE expression tree as
+    cosine(vec, ctv) — sqrt-then-multiply-then-divide in the same
+    order — so scores and every downstream argmax/sort are
+    bit-identical to the oracle's replay."""
     return F.transform(
         cents,
-        lambda c: F.struct(cosine(vec, c.getField("ctv")).alias("s"),
-                           (-c.getField("cell_id")).alias("nid")))
+        lambda c: F.struct(
+            (dot(vec, c.getField("ctv"))
+             / (nv * c.getField("nct"))).alias("s"),
+            (-c.getField("cell_id")).alias("nid")))
 
 
 def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
@@ -317,13 +333,16 @@ def assign_cells(emb: DataFrame, id_col: str, vec_col: str,
     from ._cache import cached_column
     v = as_double_vec(vec_col)
     cell_id = cached_column(
-        ("assign_cell_id", vec_col),
-        lambda: (-F.array_max(_cell_scores(v, F.col("_cents")))
+        ("assign_cell_id_normed",),
+        lambda: (-F.array_max(_cell_scores(F.col("cv"), F.col("_cents"),
+                                           F.col("_anv")))
                  .getField("nid")).cast("int"))
-    return (emb.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
-            .select(
-                F.col(id_col).alias("neighbor_id"), v.alias("cv"),
-                cell_id.alias("cell_id")))
+    # norms-once pre-projection BELOW the crossJoin (see _cell_scores):
+    # the double-cast vector and its norm compute once per row
+    pre = emb.select(F.col(id_col).alias("neighbor_id"), v.alias("cv"),
+                     l2_norm(v).alias("_anv"))
+    return (pre.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
+            .select("neighbor_id", "cv", cell_id.alias("cell_id")))
 
 
 def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
@@ -338,13 +357,16 @@ def assign_cells_scored(emb: DataFrame, id_col: str, vec_col: str,
     from ._cache import cached_column
     v = as_double_vec(vec_col)
     best = cached_column(
-        ("assign_best", vec_col),
-        lambda: F.array_max(_cell_scores(v, F.col("_cents"))))
-    return (emb.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
-            .select(F.col(id_col).alias("_id"),
+        ("assign_best_normed",),
+        lambda: F.array_max(_cell_scores(F.col("_acv"), F.col("_cents"),
+                                         F.col("_anv"))))
+    pre = emb.select(F.col(id_col).alias("_id"), v.alias("_acv"),
+                     l2_norm(v).alias("_anv"))
+    return (pre.crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
+            .select(F.col("_id"),
                     (-best.getField("nid")).cast("int").alias("cell_id"),
                     best.getField("s").alias("cell_cos"),
-                    *([v.alias("_v")] if keep_vec else [])))
+                    *([F.col("_acv").alias("_v")] if keep_vec else [])))
 
 
 def ivf_drift_report(emb: DataFrame, batch: DataFrame, id_col: str,
@@ -482,17 +504,19 @@ def _probe_rank_cell(rel: DataFrame, cent_arr: DataFrame,
     is a DISTINCT cell."""
     from ._cache import cached_column
     best = cached_column(
-        ("probe_rank_cell_cv", rank),
+        ("probe_rank_cell_cv_normed", rank),
         lambda: F.element_at(
-            F.array_sort(_cell_scores(F.col("cv"), F.col("_cents"))),
+            F.array_sort(_cell_scores(F.col("cv"), F.col("_cents"),
+                                      F.col("_pnv"))),
             -rank))
     return (rel.drop("cell_id")
+            .withColumn("_pnv", l2_norm(F.col("cv")))
             .crossJoin(bounded_broadcast(
                 cent_arr, bound="one-row centroid array", max_rows=1))
             .withColumn("cell_id",
                         (-best.getField("nid")).cast("int"))
             .filter(F.col("cell_id").isNotNull())
-            .drop("_cents"))
+            .drop("_cents", "_pnv"))
 
 
 def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
@@ -509,17 +533,19 @@ def _probe_cells(rel: DataFrame, cent_arr: DataFrame,
     verified live)."""
     from ._cache import cached_column
     best = cached_column(
-        ("probe_cells_cv", nprobe),
+        ("probe_cells_cv_normed", nprobe),
         lambda: F.slice(F.array_sort(_cell_scores(F.col("cv"),
-                                                  F.col("_cents"))),
+                                                  F.col("_cents"),
+                                                  F.col("_pnv"))),
                         -nprobe, nprobe))
     return (rel.drop("cell_id")
+            .withColumn("_pnv", l2_norm(F.col("cv")))
             .crossJoin(bounded_broadcast(cent_arr, bound="one-row centroid array", max_rows=1))
             .withColumn(
                 "cell_id",
                 F.explode(F.transform(best, lambda s: -s.getField("nid"))))
             .withColumn("cell_id", F.col("cell_id").cast("int"))
-            .drop("_cents"))
+            .drop("_cents", "_pnv"))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
@@ -558,20 +584,23 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     # ascending struct sort ⇒ the last `nprobe` entries are
     # the best cells (ties to the smaller cell id via -id)
     best = cached_column(
-        ("ivf_probe_best", vec_col, nprobe),
-        lambda: F.slice(F.array_sort(_cell_scores(qv, F.col("_cents"))),
+        ("ivf_probe_best_normed", nprobe),
+        lambda: F.slice(F.array_sort(_cell_scores(F.col("qv"),
+                                                  F.col("_cents"),
+                                                  F.col("_nq"))),
                         -nprobe, nprobe))
-    probes = (queries.crossJoin(bounded_broadcast(
+    # norms-once: _nq computed below the crossJoin feeds BOTH the
+    # probe scoring and the candidate pair scoring (_cos_normed)
+    probes = (queries.select(F.col(id_col).alias("query_id"),
+                             qv.alias("qv"), l2_norm(qv).alias("_nq"))
+              .crossJoin(bounded_broadcast(
         cent_arr, bound="one-row centroid array", max_rows=1))
-              .select(
-                  F.col(id_col).alias("query_id"), qv.alias("qv"),
-                  best.alias("best"))
-              .select("query_id", "qv",
+              .select("query_id", "qv", "_nq", best.alias("best"))
+              .select("query_id", "qv", "_nq",
                       F.explode(F.transform(
                           "best", lambda s: -s.getField("nid")))
                       .alias("cell_id"))
-              .withColumn("cell_id", F.col("cell_id").cast("int"))
-              .withColumn("_nq", l2_norm(F.col("qv"))))
+              .withColumn("cell_id", F.col("cell_id").cast("int")))
     scored = (assigned.withColumn("_nc", l2_norm(F.col("cv")))
               .join(bounded_broadcast(
         probes, bound="eval query set x nprobe (query-set-bounded)"),
@@ -654,14 +683,20 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
         c = c.join(bounded_broadcast(
             widths, bound="sign-bucket widths (<= 2^bits rows)"),
             "bucket")
+    # norms-once (r17, the _cos_normed argument): each side's l2 norm
+    # computes once per row below the join; the per-pair score pays
+    # one dot-fold. dot/(na·nb) is the same IEEE tree as cosine(a, b).
     a = c.select(F.col("bucket"), F.col("_id").alias("id_a"),
-                 F.col("v").alias("va"))
+                 F.col("v").alias("va"),
+                 l2_norm(F.col("v")).alias("_na"))
     b = c.select(F.col("bucket"), F.col("_id").alias("id_b"),
-                 F.col("v").alias("vb"))
+                 F.col("v").alias("vb"),
+                 l2_norm(F.col("v")).alias("_nb"))
     return (a.join(_maybe_broadcast(b, n_rows, BROADCAST_MAX_ROWS), "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+                    (dot(F.col("va"), F.col("vb"))
+                     / (F.col("_na") * F.col("_nb"))).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
 

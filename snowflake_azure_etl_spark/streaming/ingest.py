@@ -412,9 +412,13 @@ def wordpiece_ingest_sink(pieces_table: str, seg_table: str, *,
             # empty-table case: a NULL fl would TypeError below, and a
             # row with no membership bit (fl & 3 == 0) would silently
             # vanish from both sets while still widening eff_k
-            bad = sorted(r["piece"] for r in rows
-                         if r["fl"] is None
-                         or not r["fl"] & (WP_INITIAL | WP_CONTINUATION))
+            # None-safe sort key (ADVICE r16 #2): a malformed row can
+            # carry piece=NULL too, and NoneType < str would TypeError
+            # inside the very validation meant to fail descriptively
+            bad = sorted((r["piece"] for r in rows
+                          if r["fl"] is None
+                          or not r["fl"] & (WP_INITIAL | WP_CONTINUATION)),
+                         key=lambda p: (p is None, p or ""))
             if bad:
                 shown = ", ".join(repr(p) for p in bad[:10])
                 more = f" (+{len(bad) - 10} more)" if len(bad) > 10 else ""
@@ -564,6 +568,24 @@ def line_dedup_ingest_sink(winner_table: str, scrubbed_table: str, *,
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # layout guard (ADVICE r16 #3): a winner table created by the
+        # pre-shard sink is partitioned by epoch only — insertInto
+        # (position-based) would silently DROP the shard column on
+        # write and the shard read-back below would then raise an
+        # opaque AnalysisException every epoch, wedging the stream.
+        # Fail at the first write with the migration named instead.
+        if spark.catalog.tableExists(winner_table):
+            part_cols = [c.name for c in spark.catalog.listColumns(
+                winner_table) if c.isPartition]
+            if LINE_SHARD_COL not in part_cols:
+                raise ValueError(
+                    f"line_dedup_ingest_sink: winner table "
+                    f"{winner_table} is partitioned by {part_cols} "
+                    f"without the shard column {LINE_SHARD_COL!r} — it "
+                    "was created by a pre-shard sink version. Migrate "
+                    "it (re-land the winner partials into a table "
+                    f"partitioned by (_epoch_id, {LINE_SHARD_COL})) or "
+                    "point the sink at a fresh table name.")
         part = line_winners(batch_df, id_col, text_col, sep,
                             min_chars).withColumn(
             LINE_SHARD_COL,

@@ -101,24 +101,31 @@ def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
     vacuum below their checkpoint's committed offset — the same
     watermark discipline as any state-store eviction."""
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
-    eps, bad = [], []
+    eps_set, bad = set(), []
     for p in parts:
         if not p.startswith(f"{epoch_col}="):
             continue
-        raw = p.split("=", 1)[1]
+        # sub-partitioned sinks (idempotent_epoch_sink's
+        # sub_partition_cols) list one row PER LEAF partition —
+        # '_epoch_id=N/_hb=K' — so parse only the first path level and
+        # dedupe: the partial spec below drops every sub-partition
+        # under the epoch in one statement (ADVICE r16 #1: the full
+        # string failed int() and retention silently no-op'd on
+        # exactly the sharded winner tables)
+        raw = p.split("/", 1)[0].split("=", 1)[1]
         try:
             e = int(raw)
         except ValueError:
             bad.append(raw)
             continue
         if e < keep_from:
-            eps.append(e)
+            eps_set.add(e)
+    eps = sorted(eps_set)
     if bad:
         import warnings
         warnings.warn(
             f"vacuum_epochs({table}): skipped {len(bad)} partition "
             f"value(s) that do not parse as epoch ids: {bad[:5]}")
-    eps.sort()
     chunk = 200
     for i in range(0, len(eps), chunk):
         specs = ", ".join(f"PARTITION ({epoch_col} = {e})"

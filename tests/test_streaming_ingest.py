@@ -976,6 +976,64 @@ def test_wordpiece_ingest_rejects_membershipless_flags(spark):
     assert spark.table(f"{db}.seg").count() == 1
 
 
+def test_wordpiece_ingest_null_piece_fails_loud_not_typeerror(spark):
+    """ADVICE r16 #2: the fail-loud validation itself must not fail
+    unloud — sorting a mixed None/str bad-piece list raised TypeError
+    ('<' not supported between NoneType and str) instead of the
+    intended descriptive ValueError."""
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    db = "wp2_nullpiece_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in ("pieces", "seg"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        ddl.drop_orphan_location(spark, f"{db}.{name}")
+    spark.createDataFrame(
+        [("good", 3), (None, 0), ("ghost", 0), ("ini", 1)],
+        "piece string, fl int").write.saveAsTable(f"{db}.pieces")
+    sink = ingest.wordpiece_ingest_sink(f"{db}.pieces", f"{db}.seg")
+    docs = spark.createDataFrame([(1, "good ini")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError) as ei:
+        sink(docs, 0)
+    msg = str(ei.value)
+    assert "ghost" in msg and "None" in msg and "fl & 3" in msg
+
+
+def test_line_dedup_ingest_rejects_preshard_winner_table(spark):
+    """ADVICE r16 #3: a winner table created by the pre-r16 sink
+    (partitioned by epoch only, no shard column) must fail the
+    upgraded sink's FIRST write with a clear migration error —
+    position-based insertInto would otherwise silently drop the shard
+    column and the shard read-back would wedge the stream with an
+    opaque AnalysisException every epoch."""
+    from snowflake_azure_etl_spark.streaming.ingest import LINE_SHARD_COL
+    from snowflake_azure_etl_spark.streaming.sinks import EPOCH_COL
+    from snowflake_azure_etl_spark.warehouse import ddl
+
+    db = "linededup_preshard_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    win_t, scrub_t = f"{db}.winners", f"{db}.scrubbed"
+    for t in (win_t, scrub_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        ddl.drop_orphan_location(spark, t)
+    # the pre-shard layout: epoch partition only
+    (spark.createDataFrame(
+        [(11, 1, 0, "cookie banner", 0)],
+        f"_h long, d long, i int, t string, {EPOCH_COL} long")
+     .write.partitionBy(EPOCH_COL).format("parquet").saveAsTable(win_t))
+    sink = ingest.line_dedup_ingest_sink(win_t, scrub_t, n_shards=8)
+    docs = spark.createDataFrame([(1, "cookie banner\nunique alpha")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError) as ei:
+        sink(docs, 0)
+    msg = str(ei.value)
+    assert LINE_SHARD_COL in msg and win_t in msg and "Migrate" in msg
+    # nothing was written to either table by the failed epoch
+    assert spark.table(win_t).count() == 1
+    assert not spark.catalog.tableExists(scrub_t)
+
+
 def test_line_dedup_ingest_winner_table_is_shard_pruned(spark):
     """r16 (VERDICT r15 next #2): the winner table carries a
     deterministic hash-shard partition level under the epoch, and the

@@ -228,3 +228,38 @@ def test_vacuum_skips_unparseable_partitions(spark):
     kept = {r[EPOCH_COL] for r in spark.table(tbl)
             .select(EPOCH_COL).distinct().collect()}
     assert kept == {"1", "stray"}
+
+
+def test_vacuum_epochs_drops_sharded_sub_partitions(spark):
+    """ADVICE r16 #1: a sub-partitioned sink table (the line-dedup
+    winner layout — a shard level UNDER the epoch) lists one SHOW
+    PARTITIONS row per LEAF ('_epoch_id=N/_hb=K'); before the fix the
+    whole string failed int(), every partition landed in `bad`, and
+    retention silently no-op'd on exactly these tables. Vacuum must
+    parse the first path level, dedupe epoch ids, and the partial
+    PARTITION (_epoch_id = e) spec must drop every shard under the
+    epoch."""
+    import warnings as _w
+    from snowflake_azure_etl_spark.streaming.sinks import (EPOCH_COL,
+                                                           vacuum_epochs)
+
+    tbl = "vec_stream_db.v_vacuum_sharded"
+    spark.sql("CREATE DATABASE IF NOT EXISTS vec_stream_db")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ddl.drop_orphan_location(spark, tbl)
+    rows = [(x, e, x % 3) for e in range(3) for x in range(6)]
+    (spark.createDataFrame(rows, f"x long, {EPOCH_COL} long, _hb int")
+     .write.mode("overwrite").partitionBy(EPOCH_COL, "_hb")
+     .format("parquet").saveAsTable(tbl))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        # epochs 0 and 1 dropped (counted per EPOCH, not per leaf)
+        assert vacuum_epochs(spark, tbl, keep_from=2) == 2
+    # nothing was a parse failure — no skipped-partition warning
+    assert not [c for c in caught if "vacuum_epochs" in str(c.message)]
+    left = spark.table(tbl)
+    assert {r[EPOCH_COL] for r in
+            left.select(EPOCH_COL).distinct().collect()} == {2}
+    # every shard of the surviving epoch intact, all others gone
+    assert left.count() == 6
+    assert vacuum_epochs(spark, tbl, keep_from=2) == 0
