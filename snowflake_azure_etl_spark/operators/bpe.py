@@ -90,14 +90,21 @@ def symbolize(word: Column | str) -> Column:
 def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent symbol pairs over the symbolized words,
     weighted by word frequency. Single-symbol words contribute nothing
-    (their shifted view is empty)."""
-    sy = F.split(F.rtrim(F.col("symstr")), " ")
-    shifted = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(1)))
-    pairs = F.filter(
-        F.zip_with(sy, shifted,
-                   lambda a, b: F.when(b.isNull(), None)
-                   .otherwise(F.struct(a.alias("a"), b.alias("b")))),
-        lambda x: x.isNotNull())
+    (their shifted view is empty). The pair expression is identical
+    every round, so it memoizes per JVM (r17: the training loop
+    rebuilt it 8× per cold build — pure py4j chatter)."""
+    from ._cache import cached_column
+
+    def build() -> Column:
+        sy = F.split(F.rtrim(F.col("symstr")), " ")
+        shifted = F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(1)))
+        return F.filter(
+            F.zip_with(sy, shifted,
+                       lambda a, b: F.when(b.isNull(), None)
+                       .otherwise(F.struct(a.alias("a"), b.alias("b")))),
+            lambda x: x.isNotNull())
+
+    pairs = cached_column(("bpe_adjacent_pairs",), build)
     return (words.select("freq", F.explode(pairs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt")))

@@ -274,14 +274,29 @@ def viterbi_words(words: DataFrame, costs: dict[str, int],
     plan literal up to `map_lit_max` (default UNIGRAM_MAP_LIT_MAX)
     pieces and as a one-row attested-broadcast map relation above it
     (VERDICT r13 #3) — identical results, pinned in tests."""
+    from ._cache import cached_column
     if len(costs) <= _lit_max(map_lit_max):
-        best = viterbi_expr(F.col("word"), _costs_map_lit(costs), k,
-                            unk_cost)
+        # the fold tree costs ~100s of py4j round-trips to construct
+        # (r17 profile: ~0.4-1.8 s/call under load) and is rebuilt for
+        # every consumer of the SAME model (wseg lookup + encode legs,
+        # and every bench attempt's cold rebuild) — a Column is pure
+        # unresolved code, so it memoizes per (costs, k, unk) like the
+        # ADC/fold trees (_cache.cached_column)
+        best = cached_column(
+            ("viterbi_words_best", tuple(sorted(costs.items())), k,
+             unk_cost),
+            lambda: viterbi_expr(F.col("word"), _costs_map_lit(costs),
+                                 k, unk_cost))
         src = words
     else:
         src = words.crossJoin(
             _broadcast_costs_rel(words.sparkSession, costs))
-        best = viterbi_expr(F.col("word"), F.col("_ucm"), k, unk_cost)
+        # map rides as the _ucm column ⇒ the expression is
+        # costs-independent
+        best = cached_column(
+            ("viterbi_words_best_rel", k, unk_cost),
+            lambda: viterbi_expr(F.col("word"), F.col("_ucm"), k,
+                                 unk_cost))
     return (src.withColumn("_b", best)
             .select(*words.columns, F.col("_b.c").alias("cost"),
                     F.col("_b.s").alias("segs")))
@@ -440,17 +455,30 @@ def _train_from_words(words: DataFrame, rounds: int, k: int,
     traj: list[int] = []
     counts: dict[str, int] = dict(seeds)
     for _ in range(rounds):
-        # E-step materialized once per round (vocab-sized — the BPE
-        # per-round discipline): the usage-count aggregate and the
-        # one-row objective both read the checkpointed relation
-        # instead of re-running the Viterbi fold
-        seg = viterbi_words(words, costs, k).localCheckpoint(eager=True)
-        agg = (seg.select("freq", F.explode("segs").alias("piece"))
-               .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+        # E-step in ONE pass (r17, guide §2.4/§5 — was 3 jobs/round:
+        # an eager Viterbi checkpoint + the count aggregate + the
+        # one-row objective): posexplode carries the word-level
+        # objective contribution freq·cost on the FIRST piece only, so
+        # one grouped aggregate yields both the usage counts and (via
+        # a candidate-set-bounded driver sum of exact longs) the
+        # round objective — the Viterbi fold runs once, nothing is
+        # materialized, and at scale the round is one corpus-words
+        # pass instead of checkpoint-write + two scans. A NULL-cost
+        # (unsegmentable) word contributes to neither — exactly the
+        # old sum-over-NULL semantics; posexplode of its NULL segs
+        # emits nothing, matching explode.
+        agg = (viterbi_words(words, costs, k)
+               .select("freq", "cost",
+                       F.posexplode("segs").alias("pos", "piece"))
+               .groupBy("piece")
+               .agg(F.sum("freq").alias("cnt"),
+                    F.sum(F.when(F.col("pos") == 0,
+                                 F.col("freq") * F.col("cost"))
+                          .otherwise(F.lit(0).cast("long")))
+                    .alias("obj_part"))
                .collect())
         counts = {r["piece"]: int(r["cnt"]) for r in agg}
-        obj = seg.agg(F.sum(F.col("freq") * F.col("cost"))
-                      .alias("o")).collect()[0]["o"]
+        obj = sum(int(r["obj_part"]) for r in agg)
         traj.append(int(obj))
         if vocab_target is not None:
             keys = _prune_keys(keys, counts, vocab_target)
@@ -460,18 +488,32 @@ def _train_from_words(words: DataFrame, rounds: int, k: int,
 
 
 def _segment_expr(c: Column, cmap: Column, k: int,
-                  unk_cost: int | None = None) -> Column:
+                  unk_cost: int | None = None,
+                  map_key: tuple | None = None,
+                  col_key: str | None = None) -> Column:
     """The core per-document segmentation expression over ANY map
     column (plan literal or a `_costs_map_rel` column — the shipping
     shape is the caller's gate). NULL if any word is unsegmentable
     (strict mode) — with `unk_cost` set, coverage is total and NULL
-    only survives for NULL text."""
-    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
-    per_word = F.transform(
-        words, lambda w: viterbi_expr(w, cmap, k, unk_cost)["s"])
-    return F.when(F.exists(per_word, lambda s: s.isNull()),
-                  F.lit(None).cast("array<string>")
-                  ).otherwise(F.flatten(per_word))
+    only survives for NULL text.
+
+    `map_key` + `col_key` (when both given) memoize the built
+    expression per JVM (_cache.cached_column — the viterbi_words
+    rule): the per-word fold inside the transform costs ~100s of py4j
+    round-trips, and per-batch consumers (the streaming unigram sink)
+    rebuilt it every epoch."""
+    def build() -> Column:
+        words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+        per_word = F.transform(
+            words, lambda w: viterbi_expr(w, cmap, k, unk_cost)["s"])
+        return F.when(F.exists(per_word, lambda s: s.isNull()),
+                      F.lit(None).cast("array<string>")
+                      ).otherwise(F.flatten(per_word))
+    if map_key is None or col_key is None:
+        return build()
+    from ._cache import cached_column
+    return cached_column(("ug_segment_expr", map_key, col_key, k,
+                          unk_cost), build)
 
 
 def segment_text(text_col: Column | str, model: UnigramModel,
@@ -509,7 +551,10 @@ def segment_text_with(text_col: Column | str, costs: dict[str, int],
             "broadcast map relation) instead")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     unk = unk_cost_of(costs) if fallback else None
-    return _segment_expr(c, _costs_map_lit(costs), k, unk)
+    return _segment_expr(
+        c, _costs_map_lit(costs), k, unk,
+        map_key=("lit", tuple(sorted(costs.items()))),
+        col_key=text_col if isinstance(text_col, str) else None)
 
 
 def segment_docs(docs: DataFrame, costs: dict[str, int],
@@ -529,9 +574,14 @@ def segment_docs(docs: DataFrame, costs: dict[str, int],
     unk = unk_cost_of(costs) if fallback else None
     if len(costs) <= _lit_max(map_lit_max):
         return docs.withColumn(
-            out_col, _segment_expr(c, _costs_map_lit(costs), k, unk))
+            out_col, _segment_expr(
+                c, _costs_map_lit(costs), k, unk,
+                map_key=("lit", tuple(sorted(costs.items()))),
+                col_key=text_col))
     return (docs.crossJoin(_broadcast_costs_rel(docs.sparkSession, costs))
-            .withColumn(out_col, _segment_expr(c, F.col("_ucm"), k, unk))
+            .withColumn(out_col, _segment_expr(c, F.col("_ucm"), k, unk,
+                                               map_key=("rel",),
+                                               col_key=text_col))
             .drop("_ucm"))
 
 

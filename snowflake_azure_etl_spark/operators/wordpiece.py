@@ -200,13 +200,28 @@ def segment_text_wp(text_col: Column | str,
             f"plan-literal gate ({_lit_max(map_lit_max)}) — use "
             "segment_docs_wp (one-row broadcast map relation)")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return _segment_expr_wp(c, _pieces_map_lit(pieces, cont_pieces), k)
+    return _segment_expr_wp(
+        c, _pieces_map_lit(pieces, cont_pieces), k,
+        map_key=("lit", tuple(items)),
+        col_key=text_col if isinstance(text_col, str) else None)
 
 
-def _segment_expr_wp(c: Column, pmap: Column, k: int) -> Column:
-    words = F.filter(tokens(c), lambda t: F.length(t) > 0)
-    return F.flatten(F.transform(words,
-                                 lambda w: greedy_expr(w, pmap, k)))
+def _segment_expr_wp(c: Column, pmap: Column, k: int,
+                     map_key: tuple | None = None,
+                     col_key: str | None = None) -> Column:
+    """`map_key` + `col_key` (when both given) memoize the built
+    expression per JVM (_cache.cached_column): the greedy fold costs
+    ~100s of py4j round-trips to construct, and per-batch consumers
+    (the streaming wordpiece sink) rebuilt it every epoch. The key
+    must fully determine (map literal | map column, k, input col)."""
+    def build() -> Column:
+        words = F.filter(tokens(c), lambda t: F.length(t) > 0)
+        return F.flatten(F.transform(words,
+                                     lambda w: greedy_expr(w, pmap, k)))
+    if map_key is None or col_key is None:
+        return build()
+    from ._cache import cached_column
+    return cached_column(("wp_segment_expr", map_key, col_key, k), build)
 
 
 def segment_docs_wp(docs: DataFrame, pieces: "list[str] | set[str]",
@@ -226,13 +241,18 @@ def segment_docs_wp(docs: DataFrame, pieces: "list[str] | set[str]",
     if len(items) <= _lit_max(map_lit_max):
         return docs.withColumn(
             out_col,
-            _segment_expr_wp(c, _pieces_map_lit(pieces, cont_pieces), k))
+            _segment_expr_wp(c, _pieces_map_lit(pieces, cont_pieces), k,
+                             map_key=("lit", tuple(items)),
+                             col_key=text_col))
     rel = bounded_broadcast(
         _pieces_map_rel(docs.sparkSession, pieces, cont_pieces),
         bound="one-row wordpiece membership map (piece-vocab-bounded)",
         max_rows=1)
     return (docs.crossJoin(rel)
-            .withColumn(out_col, _segment_expr_wp(c, F.col("_wpm"), k))
+            .withColumn(out_col,
+                        _segment_expr_wp(c, F.col("_wpm"), k,
+                                         map_key=("rel",),
+                                         col_key=text_col))
             .drop("_wpm"))
 
 
@@ -249,13 +269,18 @@ def word_segmentations_wp(docs: DataFrame,
     it so repeat encodes pay a word join instead of re-running the
     fold per invocation. Total by construction ([UNK] words included),
     so consumers never see NULL segs."""
+    from ._cache import cached_column
     items = _flag_items(pieces, cont_pieces)
     c = F.col(text_col)
     words = F.filter(tokens(c), lambda t: F.length(t) > 0)
     distinct = docs.select(F.explode(words).alias("word")).distinct()
+    # greedy fold memoized per JVM (the viterbi_words rule): identical
+    # for every consumer of the same piece set
     if len(items) <= _lit_max(map_lit_max):
-        seg = greedy_expr(F.col("word"),
-                          _pieces_map_lit(pieces, cont_pieces), k)
+        seg = cached_column(
+            ("wp_greedy_word", tuple(items), k),
+            lambda: greedy_expr(F.col("word"),
+                                _pieces_map_lit(pieces, cont_pieces), k))
         src = distinct
     else:
         src = distinct.crossJoin(
@@ -264,7 +289,9 @@ def word_segmentations_wp(docs: DataFrame,
                 bound="one-row wordpiece membership map "
                       "(piece-vocab-bounded)",
                 max_rows=1))
-        seg = greedy_expr(F.col("word"), F.col("_wpm"), k)
+        seg = cached_column(
+            ("wp_greedy_word_rel", k),
+            lambda: greedy_expr(F.col("word"), F.col("_wpm"), k))
     return src.select("word", seg.alias("segs"))
 
 

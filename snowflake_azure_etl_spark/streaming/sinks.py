@@ -101,18 +101,21 @@ def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
     vacuum below their checkpoint's committed offset — the same
     watermark discipline as any state-store eviction."""
     parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
-    eps_set, bad = set(), []
+    eps_set, bad, leaves = set(), [], []
     for p in parts:
         if not p.startswith(f"{epoch_col}="):
             continue
         # sub-partitioned sinks (idempotent_epoch_sink's
         # sub_partition_cols) list one row PER LEAF partition —
-        # '_epoch_id=N/_hb=K' — so parse only the first path level and
-        # dedupe: the partial spec below drops every sub-partition
-        # under the epoch in one statement (ADVICE r16 #1: the full
-        # string failed int() and retention silently no-op'd on
-        # exactly the sharded winner tables)
-        raw = p.split("/", 1)[0].split("=", 1)[1]
+        # '_epoch_id=N/_hb=K' — so parse the epoch from the FIRST path
+        # level (ADVICE r16 #1: the full string failed int() and
+        # retention silently no-op'd on exactly the sharded winner
+        # tables) and drop by FULL leaf spec: a partial
+        # PARTITION (_epoch_id = e) spec under DROP IF EXISTS matches
+        # no leaf of a multi-level table and silently drops nothing
+        # (verified live).
+        levels = [seg.split("=", 1) for seg in p.split("/")]
+        raw = levels[0][1]
         try:
             e = int(raw)
         except ValueError:
@@ -120,17 +123,20 @@ def vacuum_epochs(spark: SparkSession, table: str, keep_from: int,
             continue
         if e < keep_from:
             eps_set.add(e)
-    eps = sorted(eps_set)
+            leaves.append(", ".join(
+                "{} = '{}'".format(k, v.replace("'", "''"))
+                for k, v in levels))
     if bad:
         import warnings
         warnings.warn(
             f"vacuum_epochs({table}): skipped {len(bad)} partition "
             f"value(s) that do not parse as epoch ids: {bad[:5]}")
+    leaves.sort()
     chunk = 200
-    for i in range(0, len(eps), chunk):
-        specs = ", ".join(f"PARTITION ({epoch_col} = {e})"
-                          for e in eps[i:i + chunk])
+    for i in range(0, len(leaves), chunk):
+        specs = ", ".join(f"PARTITION ({leaf})"
+                          for leaf in leaves[i:i + chunk])
         spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")
-    if eps:
+    if leaves:
         spark.catalog.refreshTable(table)
-    return len(eps)
+    return len(eps_set)

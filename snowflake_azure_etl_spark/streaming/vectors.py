@@ -122,13 +122,41 @@ def vector_ingest_sink(index_table: str, drift_table: str,
     Tables are 1:1 with a checkpoint: reuse the checkpoint to resume;
     to start a new lineage, point the sink at fresh tables (or vacuum
     + drop the old ones). This is foreachBatch's general epoch
-    contract, not a quirk of this sink."""
+    contract, not a quirk of this sink.
+
+    PARTIALS-BASED BASELINE (r17, VERDICT r16 next #6 — guide §6):
+    the drift baseline was re-aggregated from the FULL index history
+    every epoch (the one per-epoch read that grew with stream
+    lifetime, the same class as the pre-r16 line-dedup scrub). Drift
+    rows now carry the batch's per-cell EXACT partials (`n_new` was
+    already there; `sum_fit_new` = Σ fit_q as a long, plus the
+    `q_version` they were scored under), so the epoch-N baseline is
+    the SUM of the prior drift rows' partials — (cells × epochs)-
+    sized, index-size-independent, and bit-identical to the
+    full-history aggregate (long sums are associative; the mean is
+    the same expression over the same exact longs). This is the
+    CMS/bloom per-epoch-partials merge law applied to the drift
+    stats. A drift table created by the pre-partials sink fails the
+    first write with a migration error (the line-dedup layout-guard
+    discipline) — its rows cannot seed an exact baseline."""
     write_index = idempotent_epoch_sink(index_table)
     write_drift = idempotent_epoch_sink(drift_table)
     scale = float(cos_scale)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if spark.catalog.tableExists(drift_table):
+            cols = set(spark.table(drift_table).columns)
+            missing = {"sum_fit_new", "q_version"} - cols
+            if missing:
+                raise ValueError(
+                    f"vector_ingest_sink: drift table {drift_table} "
+                    f"lacks the partials columns {sorted(missing)} — "
+                    "it was created by a pre-partials sink version "
+                    "and cannot seed an exact baseline. Migrate it "
+                    "(recompute per-epoch per-cell n_new/sum_fit_new "
+                    "from the index table) or point the sink at a "
+                    "fresh table name.")
         cents = spark.table(centroids_table)
         version = int(cents.agg(F.max("q_version").alias("v"))
                       .collect()[0]["v"])
@@ -146,22 +174,42 @@ def vector_ingest_sink(index_table: str, drift_table: str,
                   .drop("cell_cos")
                   .withColumn("q_version", F.lit(version).cast("long"))
                   .localCheckpoint(eager=True))
-        if spark.catalog.tableExists(index_table):
-            # baseline = strictly earlier epochs scored against the
-            # SAME quantizer version — a retrain resets the baseline
-            # (fits are only comparable within one set of centroids)
-            hist = (spark.table(index_table)
-                    .filter((F.col(EPOCH_COL) < int(epoch_id))
-                            & (F.col("q_version") == version))
-                    .select("cell_id", "fit_q"))
+        if spark.catalog.tableExists(drift_table):
+            # baseline = the prior drift rows' exact per-cell partials,
+            # strictly-earlier epochs scored against the SAME quantizer
+            # version (a retrain resets the baseline — fits are only
+            # comparable within one set of centroids). Same longs as
+            # the full-history aggregate ⇒ same doubles ⇒ same flags.
+            istat = (spark.table(drift_table)
+                     .filter((F.col(EPOCH_COL) < int(epoch_id))
+                             & (F.col("q_version") == int(version))
+                             & F.col("n_new").isNotNull())
+                     .groupBy("cell_id")
+                     .agg(F.sum("n_new").alias("n_index"),
+                          F.sum("sum_fit_new").alias("_s"))
+                     .select("cell_id", "n_index",
+                             ((F.col("_s").cast("double")
+                               / F.col("n_index"))
+                              / F.lit(scale)).alias("mean_cos_index")))
         else:
-            hist = scored.select("cell_id", "fit_q").limit(0)
+            istat = cell_fit_stats(
+                scored.select("cell_id", "fit_q").limit(0), "index",
+                cos_scale)
         # the shared stats/flag definitions (operators.similarity) so
-        # the batch operator and this sink cannot silently diverge
-        rep = drift_flags(cell_fit_stats(hist, "index", cos_scale),
-                          cell_fit_stats(scored.select("cell_id", "fit_q"),
-                                         "new", cos_scale),
-                          cos_drop)
+        # the batch operator and this sink cannot silently diverge;
+        # the batch side additionally keeps its exact partial sum —
+        # the next epochs' baseline input
+        braw = (scored.groupBy("cell_id")
+                .agg(F.count("*").alias("n_new"),
+                     F.sum("fit_q").alias("sum_fit_new")))
+        bstat = braw.select(
+            "cell_id", "n_new",
+            ((F.col("sum_fit_new").cast("double") / F.col("n_new"))
+             / F.lit(scale)).alias("mean_cos_new"))
+        rep = (drift_flags(istat, bstat, cos_drop)
+               .join(braw.select("cell_id", "sum_fit_new"), "cell_id",
+                     "left")
+               .withColumn("q_version", F.lit(version).cast("long")))
         write_drift(rep, epoch_id)
         write_index(scored.select("_id", "cell_id", "fit_q", "_v",
                                   "q_version"), epoch_id)

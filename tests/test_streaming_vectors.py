@@ -179,6 +179,64 @@ def test_retrain_on_drift_fits_new_distribution(spark, tables):
     assert not [r for r in drift4 if r["retrain"]]
 
 
+def test_drift_baseline_from_partials_equals_index_history(spark, tables):
+    """r17 (VERDICT r16 next #6): the drift baseline derives from the
+    prior drift rows' exact per-cell partials (n_new + sum_fit_new)
+    instead of re-aggregating the full index history per epoch. The
+    merge law must be EXACT: for every epoch and cell, the partials
+    baseline equals the count/sum/mean recomputed from the index
+    table's strictly-earlier rows — bit-identical doubles included."""
+    from snowflake_azure_etl_spark.operators.similarity import KMEANS_SCALE
+
+    index_table, drift_table, cents_table = tables
+    bootstrap, batches = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    _run(spark, tables, [bootstrap] + batches)
+
+    drift = spark.table(drift_table)
+    assert {"sum_fit_new", "q_version"} <= set(drift.columns)
+    idx = spark.table(index_table)
+    for epoch in (1, 2):
+        hist = (idx.filter(F.col(EPOCH_COL) < epoch)
+                .groupBy("cell_id")
+                .agg(F.count("*").alias("n"), F.sum("fit_q").alias("s")))
+        want = {r["cell_id"]: (r["n"], r["s"],
+                               (float(r["s"]) / r["n"]) / KMEANS_SCALE)
+                for r in hist.collect()}
+        got = {r["cell_id"]: (r["n_index"], r["mean_cos_index"])
+               for r in drift.filter(F.col(EPOCH_COL) == epoch).collect()
+               if r["n_index"] is not None}
+        assert set(got) == set(want)
+        for cell, (n, s, mean) in want.items():
+            assert got[cell][0] == n
+            assert got[cell][1] == mean  # exact: same longs, same expr
+
+
+def test_vector_sink_rejects_prepartials_drift_table(spark, tables):
+    """A drift table created by the pre-partials sink (no sum_fit_new /
+    q_version columns) must fail the first write with a migration
+    error — its rows cannot seed an exact baseline, and position-based
+    insertInto would silently misalign the widened row."""
+    index_table, drift_table, cents_table = tables
+    bootstrap, _ = _batches()
+    corpus = spark.createDataFrame(bootstrap,
+                                   "vec_id long, embedding array<double>")
+    bootstrap_centroids(corpus, cents_table, n_cells=3)
+    (spark.createDataFrame(
+        [(0, 5, 0.9, 3, 0.88, False, 0)],
+        "cell_id int, n_index long, mean_cos_index double, n_new long, "
+        f"mean_cos_new double, retrain boolean, {EPOCH_COL} long")
+     .write.partitionBy(EPOCH_COL).format("parquet")
+     .saveAsTable(drift_table))
+    sink = vector_ingest_sink(index_table, drift_table, cents_table)
+    with pytest.raises(ValueError) as ei:
+        sink(corpus, 1)
+    msg = str(ei.value)
+    assert "sum_fit_new" in msg and drift_table in msg
+
+
 def test_vacuum_epochs_enforces_retention(spark, tables):
     from snowflake_azure_etl_spark.streaming.sinks import vacuum_epochs
 
