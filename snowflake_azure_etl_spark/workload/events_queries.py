@@ -301,22 +301,26 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"n{v}_{i}")
         for v in range(2) for i in range(k_n)])
 
-    def funnel_leg(label, v):
-        return (ns.select(F.explode(F.array(*[
-            F.struct(F.lit(f"{i + 1}_{s}").alias("step"),
-                     F.col(f"n{v}_{i}").alias("n"),
-                     (F.col(f"n{v}_{i}").cast("double")
-                      / F.nullif(F.col(f"n{v}_0"), F.lit(0)))
-                     .alias("conv"))
-            for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
-            .select(F.lit(label).alias("window_start"),
-                    F.col("x.step").alias("event_type"),
-                    F.col("x.n").alias("n_events"),
-                    F.col("x.n").alias("n_users"),
-                    F.col("x.conv").alias("total_value")))
-
-    funnel = funnel_leg("funnel", 0)
-    funnel_6h = funnel_leg("funnel_6h", 1)
+    # BOTH variants explode from ONE reference to `ns` (r17): the
+    # previous per-variant legs referenced `ns` twice in the union, so
+    # the whole collect_list subplan — including its user-keyed
+    # exchange — was planned (and absent exchange reuse, executed)
+    # twice. One 2·k-struct explode keeps the single-pass contract the
+    # comment above promises; row values unchanged.
+    funnel_both = (ns.select(F.explode(F.array(*[
+        F.struct(F.lit(label).alias("lbl"),
+                 F.lit(f"{i + 1}_{s}").alias("step"),
+                 F.col(f"n{v}_{i}").alias("n"),
+                 (F.col(f"n{v}_{i}").cast("double")
+                  / F.nullif(F.col(f"n{v}_0"), F.lit(0)))
+                 .alias("conv"))
+        for v, label in ((0, "funnel"), (1, "funnel_6h"))
+        for i, s in enumerate(FUNNEL_STEPS)])).alias("x"))
+        .select(F.col("x.lbl").alias("window_start"),
+                F.col("x.step").alias("event_type"),
+                F.col("x.n").alias("n_events"),
+                F.col("x.n").alias("n_users"),
+                F.col("x.conv").alias("total_value")))
     # retention: week offsets from each user's own first event
     offs = retention_offsets(ev)
     total = (ev.select("user_id").distinct()
@@ -333,8 +337,7 @@ def q40_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_events", "n_users",
                          (F.col("n_users").cast("double") / F.col("nu"))
                          .alias("total_value")))
-    return (base.unionByName(funnel).unionByName(funnel_6h)
-            .unionByName(retention))
+    return base.unionByName(funnel_both).unionByName(retention)
 
 
 @query(

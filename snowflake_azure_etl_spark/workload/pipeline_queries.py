@@ -2439,47 +2439,18 @@ def q60_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage joins — pytest-pinned equal to the three-operator join
     composition."""
     docs = _docs(spark, sf_dir)
-    ppm = multimodal.to_ppm_media_table(docs)
-    # the FUSED pipeline (one Arrow pass, one decode per payload, no
-    # stage joins) — pytest-pinned row-equal to the three-operator
-    # join composition on both stub and real paths
-    img = multimodal.media_pipeline(ppm, max_dim=64, n_frames=4,
-                                    stub=False)
-    # AUDIO leg (r7, X-AUDIO): the second modality with a REAL
-    # pure-Python codec — each doc wrapped as a valid mono PCM16 WAV
-    # (to_wav_media_table, JVM-side RIFF assembly incl. the
-    # little-endian unhex byte-swap), parsed by the RIFF/PCM walker,
-    # decimation-resampled to ~4 kHz, frame-windowed — fused in one
-    # Arrow pass (audio_pipeline); constant sample fill makes every
-    # stage's signature closed-form for the oracle, varied-sample
-    # behavior is pytest-pinned (tests/test_audio_real.py). Column
-    # reuse across modalities: width/height = rate/samples,
-    # out_width/out_height = out_rate/out_samples.
-    wav = multimodal.to_wav_media_table(docs)
-    audio = (multimodal.audio_pipeline(wav, target_rate=4000,
-                                       frame_len=256, n_frames=2)
-             .select("doc_id", "media_type", "byte_len", "feature_sig",
-                     F.col("sample_rate").alias("width"),
-                     F.col("n_samples").alias("height"),
-                     F.col("out_rate").alias("out_width"),
-                     F.col("out_samples").alias("out_height"),
-                     F.col("resampled_sig").alias("resized_sig"),
-                     "frame_idx", "frame_sig"))
-    # VIDEO leg (r7, X-VIDEO): the third modality, also a REAL codec —
-    # valid C444 YUV4MPEG2 streams assembled JVM-side, parsed by the
-    # FRAME chunk walker, every-2nd-frame TEMPORAL sampling (real
-    # container frames, not the raster row analog), fused in one Arrow
-    # pass (video_pipeline). out_width/out_height = total/sampled
-    # frame counts; resized_sig fingerprints the sampled frame stream.
-    y4m = multimodal.to_y4m_media_table(docs)
-    video = (multimodal.video_pipeline(y4m, every_k=2)
-             .select("doc_id", "media_type", "byte_len", "feature_sig",
-                     "width", "height",
-                     F.col("n_frames").alias("out_width"),
-                     F.col("n_sampled").alias("out_height"),
-                     F.col("sampled_sig").alias("resized_sig"),
-                     "frame_idx", "frame_sig"))
-    return img.unionByName(audio).unionByName(video)
+    # r17 (VERDICT r16 next #4): the three modality legs fused into ONE
+    # Arrow pass (multimodal.fused_modalities_pipeline) — measured at
+    # sf0.1, each mapInPandas leg cost ~0.4-0.5 s with the IDENTITY
+    # function costing the same as the real pipeline (the Arrow
+    # round-trip IS the cost); at 100 TB it is one corpus scan and one
+    # Python worker pass instead of three. Rows pinned equal to the
+    # three-leg union (tests/test_multimodal_real.py).
+    return multimodal.fused_modalities_pipeline(
+        docs, max_dim=64, n_frames=4, target_rate=4000, frame_len=256,
+        audio_frames=2, every_k=2)
+
+
 
 
 _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"

@@ -26,6 +26,7 @@ def chunk_case(draw):
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=chunk_case())
+@pytest.mark.slow
 def test_chunk_windows_cover_every_token(spark, case):
     n, size, stride = case
     toks = [f"t{i}" for i in range(n)]

@@ -5,6 +5,8 @@ oracle replay relies on), and the no-corpus-shuffle plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -215,6 +217,7 @@ def test_one_vs_rest_probe_equals_standalone_binary(spark):
         assert mc[f"_w{k}"] == solo
 
 
+@pytest.mark.slow
 def test_one_vs_rest_argmax_predicts_planted_classes(spark):
     df = _mc_df(spark)
     w = classifier.train_one_vs_rest(

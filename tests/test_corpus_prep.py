@@ -253,6 +253,7 @@ def test_prepare_training_corpus_trained_gate(spark):
     assert kept_ids == {i for i in range(40) if i % 2 == 0}
 
 
+@pytest.mark.slow
 def test_prepare_training_corpus_perplexity_gate(spark, salted_docs):
     """The CCNet perplexity gate (lm_gate): a planted gibberish doc
     (all grams floored out of the corpus model) is cut by BOTH tiers

@@ -107,6 +107,7 @@ def test_edit_distance_bounded_matches_exact_below_threshold(spark):
     assert exact[(1, 3)][0] > 5 and bounded[(1, 3)] == (None, None)
 
 
+@pytest.mark.slow
 def test_edit_distance_bounded_is_cheap_on_long_documents(spark):
     """The whole point of the knob: two ~60k-char near-identical
     documents are ~3.6e9 DP cells unbounded; the banded DP at

@@ -5,6 +5,8 @@ index-never-reshuffles plan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from snowflake_azure_etl_spark.operators import dedup
@@ -119,6 +121,7 @@ def test_active_guard_is_per_band_not_cumulative(spark):
     assert got == {(10, 1)}
 
 
+@pytest.mark.slow
 def test_guard_width_is_total_not_per_side(spark):
     """Parity under an ACTIVE guard with a straddling bucket (the r8
     fix for the r7 advisor finding): 5 identical docs — 3 in the

@@ -235,6 +235,7 @@ _doc_strategy = st.lists(st.sampled_from(_WORDS), min_size=0,
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_doc_strategy, min_size=2, max_size=6))
+@pytest.mark.slow
 def test_lm3_property_sweep(spark, texts):
     """Engine trigram tier == Python reference over random small
     corpora from a 6-word alphabet (forces gram collisions, floor
@@ -305,6 +306,7 @@ def test_terciles_unattested_default_takes_parallel_path(spark):
     assert cuts.collect() == lm.lm_terciles(sc, n_rows=10).collect()
 
 
+@pytest.mark.slow
 def test_cuts_from_rollup_matches_batch_retrain(spark):
     """lm_cuts_from_rollup over MERGED half-corpus counts == batch
     tercile training over the whole corpus — the operator-grain law

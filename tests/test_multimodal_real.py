@@ -228,3 +228,44 @@ def test_media_pipeline_fusion_equals_join_composition(spark, stub):
     a = sorted(map(tuple, fused.collect()))
     b = sorted(map(tuple, joined.collect()))
     assert a == b and len(a) == 48
+
+
+def test_fused_modalities_equals_three_leg_union(spark):
+    """r17 (VERDICT r16 next #4): the single-Arrow-pass
+    fused_modalities_pipeline must be row-equal to the three-leg
+    img ∪ audio ∪ video union it replaces in q60 — same per-payload
+    code paths, one JVM↔Python round-trip instead of three."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text {'y' * (i + 3)}") for i in range(12)],
+        "doc_id long, text string")
+    fused = mm.fused_modalities_pipeline(
+        docs, max_dim=64, n_frames=4, target_rate=4000, frame_len=256,
+        audio_frames=2, every_k=2)
+    img = mm.media_pipeline(mm.to_ppm_media_table(docs), max_dim=64,
+                            n_frames=4, stub=False)
+    audio = (mm.audio_pipeline(mm.to_wav_media_table(docs),
+                               target_rate=4000, frame_len=256,
+                               n_frames=2)
+             .select("doc_id", "media_type", "byte_len", "feature_sig",
+                     F.col("sample_rate").alias("width"),
+                     F.col("n_samples").alias("height"),
+                     F.col("out_rate").alias("out_width"),
+                     F.col("out_samples").alias("out_height"),
+                     F.col("resampled_sig").alias("resized_sig"),
+                     "frame_idx", "frame_sig"))
+    video = (mm.video_pipeline(mm.to_y4m_media_table(docs), every_k=2)
+             .select("doc_id", "media_type", "byte_len", "feature_sig",
+                     "width", "height",
+                     F.col("n_frames").alias("out_width"),
+                     F.col("n_sampled").alias("out_height"),
+                     F.col("sampled_sig").alias("resized_sig"),
+                     "frame_idx", "frame_sig"))
+    union = img.unionByName(audio).unionByName(video)
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, union.collect()))
+    assert a == b
+    # every modality present, image fan-out intact
+    kinds = {r[1] for r in a}
+    assert kinds == {"image/ppm", "audio/wav", "video/y4m"}

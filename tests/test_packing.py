@@ -96,6 +96,7 @@ def test_determinism_under_repartition(spark, docs):
         sorted(map(tuple, b.select(cols).collect()))
 
 
+@pytest.mark.slow
 def test_shuffled_order_is_deterministic_and_decorrelated(spark, docs):
     """shuffle_order packing: same seed → identical offsets across
     reruns and partitionings; different seed → different order; the
@@ -126,6 +127,7 @@ def test_shuffled_order_is_deterministic_and_decorrelated(spark, docs):
         assert offs[last] + lens[last] == total
 
 
+@pytest.mark.slow
 def test_build_sequences_materializes_exact_ctx_rows(spark):
     """text → encode_ids → build_sequences: every sequence carries
     exactly ctx ids (last may be short) and the ordered concatenation

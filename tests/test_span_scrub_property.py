@@ -4,6 +4,8 @@ matches the primary plan, and survivors plus removals tile each doc."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -44,6 +46,7 @@ def _py_scrub(rows, w, min_docs):
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=corpus_case())
+@pytest.mark.slow
 def test_scrub_matches_reference_on_random_corpora(spark, case):
     rows, w, min_docs = case
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")

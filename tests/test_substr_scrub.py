@@ -7,6 +7,8 @@ property sweep over random corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -106,6 +108,7 @@ def corpus_case(draw):
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=corpus_case())
+@pytest.mark.slow
 def test_substr_scrub_matches_reference_on_random_corpora(spark, case):
     rows, min_len = case
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -239,6 +242,7 @@ def test_scrub_from_prebuilt_index_identical(spark):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(case=corpus_case(), cut=st.integers(min_value=0, max_value=5))
+@pytest.mark.slow
 def test_window_index_subtraction_property(spark, case, cut):
     """Property sweep of the deletion-side merge law: for ANY random
     corpus split, index(full) ⊖ index(removed) == index(rest)."""

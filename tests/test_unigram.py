@@ -342,6 +342,7 @@ def test_subtract_word_freqs_forget_law(spark):
             word_freqs(da), word_freqs(dall)).collect()
 
 
+@pytest.mark.slow
 def test_sentencepiece_real_hyperparameters_512(spark):
     """VERDICT r13 next #7: one attested training run at
     SentencePiece-real hyperparameters — seed LARGE (2048 multi-char
@@ -667,6 +668,7 @@ def test_fallback_property_sweep(spark, trained, texts):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_doc_strategy, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_unigram_property_sweep(spark, texts):
     """Engine == Python reference over random small corpora from a
     2-char alphabet (maximal substring collisions → cost ties,

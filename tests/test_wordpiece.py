@@ -407,6 +407,7 @@ def test_raw_hash_prefixed_piece_rejected_everywhere(spark):
        cont=st.sets(st.sampled_from(
            ["a", "b", "c", "ab", "ba", "bb", "aba", "bab"]),
            min_size=1, max_size=6))
+@pytest.mark.slow
 def test_wp_two_set_property_sweep(spark, texts, init, cont):
     """Engine == the two-set Python reference over random corpora and
     random INDEPENDENT initial/continuation sets (membership
@@ -425,3 +426,66 @@ def test_wp_two_set_property_sweep(spark, texts, init, cont):
               wp.encode_wordpiece(docs, init, k=3,
                                   cont_pieces=cont).collect()}
     assert joined == got
+
+
+@pytest.mark.slow
+def test_wp_two_set_30k_vocab_broadcast_path(spark):
+    """r17 (carried from VERDICT r15 next #3): a released-BERT-scale
+    TWO-SET vocabulary (≥30k pieces, init and continuation sets with
+    genuine membership asymmetry) through the NATURAL gate — the
+    one-row broadcast map relation path, not a forced map_lit_max —
+    pinned against an independent Python greedy reference. Closes the
+    audit hole that the two-set rel path had only run at toy size."""
+    import itertools
+    import string
+
+    # ~26 singles + 676 pairs + 17576 triples (init) and a disjoint
+    # continuation slice — >30k total flag items, BERT-shaped: all
+    # singles valid everywhere, most multi-grams init-only, a slice
+    # continuation-only.
+    singles = set(string.ascii_lowercase)
+    pairs = {"".join(t) for t in
+             itertools.product(string.ascii_lowercase, repeat=2)}
+    triples = ["".join(t) for t in
+               itertools.product(string.ascii_lowercase, repeat=3)]
+    quads = ["".join(t) for t in itertools.islice(
+        itertools.product(string.ascii_lowercase, repeat=4), 14000)]
+    init = singles | pairs | set(triples)
+    cont = singles | set(quads)
+    assert len(set(wp._flag_items(init, cont))) >= 30000
+    assert len(init | cont) > ug.UNIGRAM_MAP_LIT_MAX  # natural rel gate
+
+    k = 4
+    flags = dict(wp._flag_items(init, cont))
+
+    def ref_word(w: str) -> list[str]:
+        p, out = 0, []
+        while p < len(w):
+            need = wp.WP_INITIAL if p == 0 else wp.WP_CONTINUATION
+            ln = None
+            for l in range(k, 0, -1):
+                if p + l <= len(w) and flags.get(w[p:p + l], 0) & need:
+                    ln = l
+                    break
+            if ln is None:
+                return [wp.WP_UNK]
+            out.append(w[p:p + ln] if p == 0
+                       else wp.WP_CONT + w[p:p + ln])
+            p += ln
+        return out
+
+    words = ["unaffable", "abc", "zzzz", "a", "qxv", "abcabcabc",
+             "thequickbrown", "aaa", string.ascii_lowercase]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    seg = wp.segment_docs_wp(docs, init, k=k, cont_pieces=cont)
+    # the natural shipping shape is the one-row broadcast map relation
+    plan = seg._jdf.queryExecution().analyzed().toString()
+    assert "_wpm" in plan
+    got = {r["doc_id"]: r["pieces"] for r in seg.collect()}
+    want = {i: ref_word(w) for i, w in enumerate(words)}
+    assert got == want
+    # membership asymmetry is live at this scale: some triple is
+    # continuation-only and segments differently at position 1
+    probe = quads[0]
+    assert not flags[probe] & wp.WP_INITIAL
